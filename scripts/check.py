@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json query in DuckDB against the parquet tables in
+sfDir (registered as views named by table), loads the Spark parquet output
+from verifyOutDir/<name>/, canonicalizes both (columns sorted by name, rows
+sorted by all columns), and compares exact values. Strict about it: a
+mismatch here means the driver's hash compare would fail.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        # normalize datetimes to ns, category→object etc.
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        if str(df[c].dtype) in ("int32", "int8", "int16", "uint32"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        na_position="first", kind="mergesort")
+    return df
+
+
+def compare(name, spark_df, oracle_df):
+    problems = []
+    sc, oc = set(spark_df.columns), set(oracle_df.columns)
+    if sc != oc:
+        return [f"columns differ: spark-only={sc-oc} oracle-only={oc-sc}"]
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return problems
+    s, o = canon(spark_df), canon(oracle_df)
+    for c in s.columns:
+        a, b = s[c], o[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            a = a.astype("float64")
+            b = b.astype("float64")
+            neq = ~((a == b) | (a.isna() & b.isna()))
+        else:
+            try:
+                neq = ~((a == b) | (a.isna() & b.isna()))
+            except Exception:
+                neq = a.astype(str) != b.astype(str)
+        if neq.any():
+            i = neq.idxmax()
+            problems.append(
+                f"col {c}: {int(neq.sum())}/{len(a)} mismatched, "
+                f"first at row {i}: spark={a[i]!r} oracle={b[i]!r} "
+                f"(dtypes {spark_df[c].dtype}/{oracle_df[c].dtype})")
+    return problems
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            n_fail += 1
+            continue
+        try:
+            oracle_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_df, oracle_df)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}:")
+            for p in problems:
+                print(f"   {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(spark_df)} rows)")
+    # rows-only entries: spark output exists but no oracle
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracles:
+            try:
+                df = pd.read_parquet(p)
+                print(f"ROWS {name} ({len(df)} rows, no oracle)")
+            except Exception as e:
+                print(f"FAIL {name}: unreadable rows-only output ({e})")
+                n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism helpers for oracle parity.
+  *
+  * Summing IEEE doubles is order-dependent; Spark's partial aggregation over
+  * N shuffle partitions sums in a different order than DuckDB's single-node
+  * scan, so the low bits of a plain `sum(double)` differ run-to-run and
+  * engine-to-engine. Routing sums through exact DECIMAL arithmetic makes the
+  * result order-independent, then a final cast back to DOUBLE is identical
+  * on both engines (same decimal → same IEEE value).
+  *
+  * The oracle SQL must apply the mirror-image casts — see the `*Sql` helpers.
+  * This also scales: decimal sum is still a single-pass partial aggregate
+  * (map-side combine) at 100 TB; nothing about it is driver-side.
+  */
+object Det {
+  /** Order-independent SUM of a double column, exact at `scale` decimals. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  def dsumSql(e: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Order-independent AVG: exact decimal sum / count, both as doubles. */
+  def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+
+  def davgSql(e: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT($e)"
+
+  /** Zero-guarded ratio: `when(den != 0, num/den)` — ANSI-safe, and the
+    * `otherwise` default is chosen per call site (reference sometimes uses
+    * 0, sometimes NULL — SURVEY §7.4.5). */
+  def safeDiv(num: Column, den: Column, default: Column): Column =
+    when(den =!= 0, num / den).otherwise(default)
+
+  /** Cross-engine-deterministic rounding of a double to `n` places.
+    *
+    * Spark's `round(double)` routes through BigDecimal.valueOf (shortest
+    * decimal repr, HALF_UP) while DuckDB rounds in float math — they disagree
+    * on ties like 12.345. `floor(x*10^n + 0.5)/10^n` is pure IEEE arithmetic,
+    * so both engines compute bit-identical results from identical inputs.
+    * Mirror with [[roundNSql]] in the oracle. */
+  def roundN(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p + 0.5) / p
+  }
+
+  def roundNSql(e: String, n: Int): String = {
+    val p = math.pow(10, n)
+    s"FLOOR(($e) * $p + 0.5) / $p"
+  }
+}

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Tables}
+
+/** Aggregation operators (SURVEY §2.5), Spark-first over testdata.
+  *
+  * All of these are single-shuffle hash aggregates with map-side partial
+  * aggregation — the shape that scales linearly to 100 TB. COUNT(DISTINCT)
+  * is kept exact here (driver compares against an exact oracle); at the
+  * 100 TB design point swap in `approx_count_distinct` via the same API.
+  * Double sums are routed through [[graft.engine.Det]] so results are
+  * order-independent (see Det's scaladoc).
+  */
+object Aggregates {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Flagship: TPC-H-Q1-shaped pricing summary — grouped multi-aggregate
+    // over the largest table. Ref shape: model_gold.py:148-157 (A1) at
+    // covid scale; the canonical Spark plan is scan → partial hash agg →
+    // shuffle on (returnflag, linestatus) → final agg.
+    QueryDef.sql(
+      "q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Det.dsumSql("l_quantity")} AS sum_qty,
+         |  ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+         |  ${Det.davgSql("l_quantity")} AS avg_qty,
+         |  ${Det.davgSql("l_extendedprice")} AS avg_price,
+         |  ${Det.davgSql("l_discount", 4)} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          Det.davg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A1 grouped multi-agg with conditional count.
+    // Ref: model_gold.py:148-157.
+    QueryDef.sql(
+      "a1_grouped_multi_agg",
+      s"""SELECT c_mktsegment, c_nationkey,
+         |  COUNT(*) AS n_customers,
+         |  COUNT(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_high_balance,
+         |  ${Det.roundNSql("AVG(length(c_name))", 2)} AS avg_name_length
+         |FROM customer
+         |GROUP BY c_mktsegment, c_nationkey
+         |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          count(when(col("c_acctbal") > 5000, 1)).as("n_high_balance"),
+          Det.roundN(avg(length(col("c_name"))), 2).as("avg_name_length"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+
+    // A2 global re-aggregation of a grouped result.
+    // Ref: model_gold.py:165-167.
+    QueryDef.sql(
+      "a2_global_rollup",
+      s"""SELECT COUNT(*) AS n_groups,
+         |  CAST(SUM(n_customers) AS BIGINT) AS total_customers,
+         |  ${Det.roundNSql("AVG(n_high_balance)", 2)} AS avg_high_balance_per_group
+         |FROM (
+         |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers,
+         |         COUNT(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_high_balance
+         |  FROM customer GROUP BY c_mktsegment, c_nationkey)""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy("c_mktsegment", "c_nationkey")
+          .agg(count(lit(1)).as("n_customers"),
+            count(when(col("c_acctbal") > 5000, 1)).as("n_high_balance"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("n_customers")).as("total_customers"),
+            Det.roundN(avg(col("n_high_balance")), 2).as("avg_high_balance_per_group"))
+    },
+
+    // A3 argmax with deterministic tiebreak. Ref: model_gold.py:169-170.
+    QueryDef.sql(
+      "a3_argmax_top_segment",
+      """SELECT c_mktsegment AS top_segment, COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY n DESC, top_segment LIMIT 1""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment").as("top_segment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("top_segment"))
+        .limit(1)
+    },
+
+    // A4 distribution → JSON map column (pandas .to_dict() → JSON).
+    // Ref: model_gold.py:172-180. JSON text layout differs across engines,
+    // so no SQL oracle — correctness covered by the unit spec.
+    QueryDef.rowsOnly("a4_distribution_json") { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .agg(to_json(
+          map_from_entries(array_sort(collect_list(struct(
+            col("c_mktsegment"), col("n")))))).as("customers_by_segment"))
+    },
+
+    // A5 daily global summary (the reference's covid MV).
+    // Ref: model_gold.py:106-116.
+    QueryDef.sql(
+      "a5_daily_summary",
+      s"""SELECT CAST(o_orderdate AS DATE) AS order_date,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  ${Det.dsumSql("o_totalprice")} AS total_price,
+         |  COUNT(*) AS n_orders
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          Det.dsum(col("o_totalprice")).as("total_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("order_date")
+    },
+
+    // A6 per-group profile with sorted-distinct string agg.
+    // Ref: model_gold.py:118-127 (STRING_AGG(DISTINCT email_domain, ', ')).
+    QueryDef.sql(
+      "a6_string_agg_profile",
+      """SELECT r_name, COUNT(*) AS n_nations,
+        |  string_agg(DISTINCT n_name, ', ' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          concat_ws(", ", array_sort(collect_set(col("n_name")))).as("nations"))
+        .orderBy("r_name")
+    },
+
+    // A7+A8 latest-snapshot aggregate via scalar-max subquery, expressed as
+    // a broadcast join against a 1-row aggregate (stays distributed — no
+    // collect() of the scalar). Ref: model_gold.py:250-287.
+    QueryDef.sql(
+      "a8_scalar_max_snapshot",
+      s"""SELECT CAST(o_orderdate AS DATE) AS order_date,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  ${Det.dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |WHERE CAST(o_orderdate AS DATE) =
+         |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("order_date"),
+          col("o_custkey"), col("o_totalprice"))
+      val mx = o.agg(max(col("order_date")).as("order_date"))
+      o.join(broadcast(mx), "order_date")
+        .groupBy("order_date")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          Det.dsum(col("o_totalprice")).as("total_price"))
+    },
+
+    // A9 per-table freshness: per-DF max + union + staleness vs a fixed
+    // anchor (reference uses NOW(); fixed literal keeps output
+    // deterministic). Ref: validate_silver.py:239-252.
+    QueryDef.sql(
+      "a9_freshness_union",
+      """SELECT table_name, max_date,
+        |       CAST(datediff('day', max_date, DATE '2026-01-01') * 24 AS BIGINT) AS hours_stale
+        |FROM (
+        |  SELECT 'orders' AS table_name, MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', MAX(CAST(l_shipdate AS DATE)) FROM lineitem)
+        |ORDER BY table_name""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("max_date"))
+        .withColumn("table_name", lit("orders"))
+      val l = Tables.lineitem(s, d)
+        .agg(max(to_date(col("l_shipdate"))).as("max_date"))
+        .withColumn("table_name", lit("lineitem"))
+      o.unionByName(l)
+        .select(col("table_name"), col("max_date"),
+          (datediff(lit("2026-01-01").cast("date"), col("max_date")) * 24)
+            .cast("long").as("hours_stale"))
+        .orderBy("table_name")
+    },
+
+    // A10 data-quality conditional counts (COUNT CASE keeps BIGINT parity
+    // across engines; SUM(int) would be HUGEINT in DuckDB).
+    // Ref: validate_silver.py:90-94,138-143,192-217.
+    QueryDef.sql(
+      "a10_dq_conditional_counts",
+      """SELECT
+        |  COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_quantity,
+        |  COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS discount_violations,
+        |  COUNT(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS nonpositive_price,
+        |  COUNT(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1992-01-01'
+        |              OR CAST(l_shipdate AS DATE) > DATE '2026-01-01' THEN 1 END) AS date_range_violations,
+        |  COUNT(*) AS records_checked
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(when(col("l_quantity").isNull, 1)).as("null_quantity"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+          .as("discount_violations"),
+        count(when(col("l_extendedprice") <= 0, 1)).as("nonpositive_price"),
+        count(when(to_date(col("l_shipdate")) < lit("1992-01-01").cast("date") ||
+          to_date(col("l_shipdate")) > lit("2026-01-01").cast("date"), 1))
+          .as("date_range_violations"),
+        count(lit(1)).as("records_checked"))
+    },
+
+    // A11 aggregate over empty subset → default via coalesce.
+    // Ref: aggregate_gold.py:121-131 (default 85).
+    QueryDef.sql(
+      "a11_avg_with_default",
+      s"""SELECT COALESCE(${Det.roundNSql("AVG(o_totalprice)", 2)}, 85.0) AS avg_price_or_default,
+         |       COUNT(*) AS n
+         |FROM orders WHERE o_orderdate > TIMESTAMP '2099-01-01'""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") > lit("2099-01-01").cast("timestamp"))
+          .agg(coalesce(Det.roundN(avg(col("o_totalprice")), 2), lit(85.0))
+            .as("avg_price_or_default"),
+            count(lit(1)).as("n"))
+    },
+  )
+}
