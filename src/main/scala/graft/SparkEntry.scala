@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
-    Relational.defs ++ Aggregates.defs ++ Windows.defs ++ Scalars.defs
+    Relational.defs ++ Aggregates.defs ++ Windows.defs ++ Scalars.defs ++
+      Composites.defs ++ QualityQueries.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names")

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, SilverCovid, Tables}
+
+/** Composite lineages mirroring the reference's silver/gold pipelines
+  * (SURVEY §3.2, §3.3): the flagship covid silver transform, the
+  * time-shifted snapshot join, and the gold summary/aggregate models.
+  */
+object Composites {
+
+  private val roundN = Det.roundNSql _
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // §3.2 flagship: full silver lineage (coerce → derive → W1/W2 windows →
+    // score/flag → dedup) through graft.engine.SilverCovid over the events
+    // adapter. Thresholds scaled to testdata so the outlier branch fires.
+    // Ref: transform_silver.py:274-386.
+    QueryDef.sql(
+      "q_covid_silver",
+      s"""WITH daily AS (
+         |  SELECT user_id AS country, CAST(ts AS DATE) AS record_date,
+         |    SUM(CAST(value AS DECIMAL(18,2))) AS new_cases,
+         |    SUM(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS new_deaths,
+         |    SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS new_recovered
+         |  FROM events GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT country, record_date,
+         |    CAST(SUM(new_cases) OVER w AS DOUBLE) AS confirmed,
+         |    CAST(SUM(new_deaths) OVER w AS DOUBLE) AS deaths,
+         |    CAST(SUM(new_recovered) OVER w AS DOUBLE) AS recovered
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY country ORDER BY record_date
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |deriv AS (
+         |  SELECT *, GREATEST(0.0, confirmed - deaths - recovered) AS active,
+         |    CASE WHEN confirmed > 0 THEN ${roundN("deaths / confirmed * 100", 2)} ELSE 0.0 END AS mortality_rate,
+         |    CASE WHEN confirmed > 0 THEN ${roundN("recovered / confirmed * 100", 2)} ELSE 0.0 END AS recovery_rate
+         |  FROM cum),
+         |win AS (
+         |  SELECT *,
+         |    ${roundN("COALESCE(confirmed - lag(confirmed, 1) OVER (PARTITION BY country ORDER BY record_date), 0.0)", 2)} AS daily_new_cases,
+         |    ${roundN("COALESCE(deaths - lag(deaths, 1) OVER (PARTITION BY country ORDER BY record_date), 0.0)", 2)} AS daily_new_deaths
+         |  FROM deriv),
+         |win2 AS (
+         |  SELECT *,
+         |    ${roundN("AVG(daily_new_cases) OVER (PARTITION BY country ORDER BY record_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", 2)} AS weekly_avg_cases
+         |  FROM win)
+         |SELECT country, record_date, confirmed, deaths, recovered, active,
+         |  mortality_rate, recovery_rate, daily_new_cases, daily_new_deaths,
+         |  weekly_avg_cases,
+         |  (confirmed > 5000 OR daily_new_cases > 400) AS is_outlier,
+         |  GREATEST(0, 100
+         |    - CASE WHEN confirmed < 0 OR deaths < 0 OR recovered < 0 THEN 30 ELSE 0 END
+         |    - CASE WHEN deaths > confirmed THEN 20 ELSE 0 END
+         |    - CASE WHEN recovered > confirmed THEN 20 ELSE 0 END
+         |    - CASE WHEN confirmed > 5000 OR daily_new_cases > 400 THEN 10 ELSE 0 END) AS data_quality_score
+         |FROM win2 ORDER BY country, record_date""".stripMargin) { (s, d) =>
+      SilverCovid
+        .transform(SilverCovid.fromEvents(Tables.events(s, d)),
+          SilverCovid.Thresholds(outlierConfirmed = 5000, outlierDaily = 400))
+        .select("country", "record_date", "confirmed", "deaths", "recovered",
+          "active", "mortality_rate", "recovery_rate", "daily_new_cases",
+          "daily_new_deaths", "weekly_avg_cases", "is_outlier",
+          "data_quality_score")
+        .orderBy("country", "record_date")
+    },
+
+    // J2 time-shifted self-join: latest-day snapshot LEFT JOIN prev-day
+    // LEFT JOIN week-ago, per key — each side a filtered snapshot of the
+    // same daily frame, all joined on the key after a broadcast of the
+    // 1-row max-date aggregate. Ref: model_gold.py:246-287.
+    QueryDef.sql(
+      "j2_time_shift_join",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT MAX(d) AS maxd FROM daily)
+        |SELECT l.user_id, l.v AS v_today, p.v AS v_prev_day, w.v AS v_week_ago
+        |FROM daily l JOIN mx ON l.d = mx.maxd
+        |LEFT JOIN daily p ON p.user_id = l.user_id AND p.d = mx.maxd - 1
+        |LEFT JOIN daily w ON w.user_id = l.user_id AND w.d = mx.maxd - 7
+        |ORDER BY l.user_id""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(Det.dsum(col("value")).as("v"))
+      val mx = daily.agg(max(col("d")).as("maxd"))
+      val latest = daily.join(broadcast(mx), col("d") === col("maxd"))
+        .select(col("user_id"), col("v").as("v_today"), col("maxd"))
+      val prev = daily.select(col("user_id").as("p_uid"), col("d").as("p_d"),
+        col("v").as("v_prev_day"))
+      val week = daily.select(col("user_id").as("w_uid"), col("d").as("w_d"),
+        col("v").as("v_week_ago"))
+      latest
+        .join(prev, col("p_uid") === col("user_id") &&
+          col("p_d") === date_sub(col("maxd"), 1), "left")
+        .join(week, col("w_uid") === col("user_id") &&
+          col("w_d") === date_sub(col("maxd"), 7), "left")
+        .select("user_id", "v_today", "v_prev_day", "v_week_ago")
+        .orderBy("user_id")
+    },
+
+    // §3.3 gold global snapshot: latest-day totals + day-over-day and
+    // week-over-week % with zero-guards (DoD→NULL like the reference's
+    // weekly_growth). Ref: model_gold.py:243-330.
+    QueryDef.sql(
+      "q_gold_global_snapshot",
+      s"""WITH g AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+         |         COUNT(DISTINCT user_id) AS n_users
+         |  FROM events GROUP BY 1),
+         |lagged AS (
+         |  SELECT d, v, n_users,
+         |    lag(v, 1) OVER (ORDER BY d) AS prev_v,
+         |    lag(v, 7) OVER (ORDER BY d) AS week_v
+         |  FROM g)
+         |SELECT d AS record_date, v AS total_value, n_users,
+         |  prev_v, week_v,
+         |  CASE WHEN prev_v > 0 THEN ${roundN("(v - prev_v) / prev_v * 100", 2)} END AS dod_pct,
+         |  CASE WHEN week_v > 0 THEN ${roundN("(v - week_v) / week_v * 100", 2)} END AS wow_pct
+         |FROM lagged WHERE d = (SELECT MAX(d) FROM g)""".stripMargin) { (s, d) =>
+      val g = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(Det.dsum(col("value")).as("v"),
+          countDistinct(col("user_id")).as("n_users"))
+      val w = Window.orderBy("d")
+      val lagged = g
+        .withColumn("prev_v", lag(col("v"), 1).over(w))
+        .withColumn("week_v", lag(col("v"), 7).over(w))
+      val mx = g.agg(max(col("d")).as("maxd"))
+      lagged.join(broadcast(mx), col("d") === col("maxd"))
+        .select(col("d").as("record_date"), col("v").as("total_value"),
+          col("n_users"), col("prev_v"), col("week_v"),
+          when(col("prev_v") > 0,
+            Det.roundN((col("v") - col("prev_v")) / col("prev_v") * 100, 2))
+            .as("dod_pct"),
+          when(col("week_v") > 0,
+            Det.roundN((col("v") - col("week_v")) / col("week_v") * 100, 2))
+            .as("wow_pct"))
+    },
+
+    // Gold daily aggregates + reporting-view metrics: guarded records/sec,
+    // quality rating CASE chain, error-rate %.
+    // Ref: aggregate_gold.py:76-254 (daily agg table + v_pipeline_performance
+    // + quality rating buckets).
+    QueryDef.sql(
+      "q_gold_daily_aggregates",
+      s"""SELECT CAST(ts AS DATE) AS summary_date,
+         |  COUNT(*) AS records_processed,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  ${roundN("COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*)", 2)} AS error_rate_pct,
+         |  CASE
+         |    WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) < 5 THEN 'EXCELLENT'
+         |    WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) < 10 THEN 'GOOD'
+         |    WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) < 15 THEN 'FAIR'
+         |    ELSE 'POOR' END AS quality_rating,
+         |  ${roundN("COUNT(*) / 3600.0", 2)} AS records_per_second
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val errRate = count(when(col("event_type") === "error", 1)) * 100.0 /
+        count(lit(1))
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("summary_date"))
+        .agg(count(lit(1)).as("records_processed"),
+          Det.dsum(col("value")).as("total_value"),
+          Det.roundN(errRate, 2).as("error_rate_pct"),
+          when(errRate < 5, "EXCELLENT").when(errRate < 10, "GOOD")
+            .when(errRate < 15, "FAIR").otherwise("POOR").as("quality_rating"),
+          Det.roundN(count(lit(1)) / 3600.0, 2).as("records_per_second"))
+        .orderBy("summary_date")
+    },
+
+    // Gold user-analytics profile: per-segment counts + share-of-total via
+    // a window over the aggregate. Ref: model_gold.py:139-241.
+    QueryDef.sql(
+      "q_user_analytics",
+      s"""SELECT c_mktsegment,
+         |  COUNT(*) AS n_users,
+         |  ${Det.davgSql("c_acctbal")} AS avg_acctbal,
+         |  ${roundN("COUNT(*) * 100.0 / SUM(COUNT(*)) OVER ()", 2)} AS pct_of_total
+         |FROM customer GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_users"),
+          Det.davg(col("c_acctbal")).as("avg_acctbal"))
+        .withColumn("pct_of_total",
+          Det.roundN(col("n_users") * 100.0 /
+            sum(col("n_users")).over(Window.partitionBy()), 2))
+        .select("c_mktsegment", "n_users", "avg_acctbal", "pct_of_total")
+        .orderBy("c_mktsegment")
+    },
+  )
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Quality, Tables}
+
+/** The reference's 12-check validation suite (validate_silver.py:317-338)
+  * re-expressed through the config-driven [[graft.engine.Quality]] engine:
+  * 4 null checks, a format check, 2 range checks, 2 business rules, a
+  * referential-integrity check, and 2 freshness checks — same families,
+  * same data_quality_logs output shape. The events freshness cutoff is
+  * deliberately in the future so the FAIL branch is exercised (the
+  * reference likewise records failing checks without aborting — SURVEY §5).
+  */
+object QualityQueries {
+
+  private def suite(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import Quality._
+    val checks = Seq(
+      NotNull("lineitem", "l_quantity"),
+      NotNull("orders", "o_custkey"),
+      NotNull("customer", "c_name"),
+      NotNull("events", "event_type"),
+      Format("customer", "c_name", "^Customer#[0-9]+$"),
+      Bounds("orders", "o_totalprice", lit(0.0), lit(1000000.0)),
+      Bounds("lineitem", "l_discount", lit(0.0), lit(0.1)),
+      Rule("lineitem", "business_rule_tax_exceeds_discount",
+        col("l_tax") > col("l_discount")),
+      Rule("orders", "business_rule_nonpositive_price",
+        col("o_totalprice") <= 0),
+      Referential("orders", "o_custkey", "customer", "c_custkey"),
+      Freshness("orders", "o_orderdate", lit("1995-01-01").cast("timestamp")),
+      Freshness("events", "ts", lit("2030-01-01").cast("timestamp")))
+    Quality.run(Tables(s, d, _), checks)
+  }
+
+  private val rawSql =
+    """raw AS (
+      |  SELECT 'lineitem' AS table_name, 'null_check_l_quantity' AS quality_check,
+      |         COUNT(*) AS records_checked,
+      |         COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS records_failed
+      |  FROM lineitem
+      |  UNION ALL SELECT 'orders', 'null_check_o_custkey', COUNT(*),
+      |    COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders
+      |  UNION ALL SELECT 'customer', 'null_check_c_name', COUNT(*),
+      |    COUNT(CASE WHEN c_name IS NULL THEN 1 END) FROM customer
+      |  UNION ALL SELECT 'events', 'null_check_event_type', COUNT(*),
+      |    COUNT(CASE WHEN event_type IS NULL THEN 1 END) FROM events
+      |  UNION ALL SELECT 'customer', 'format_check_c_name', COUNT(*),
+      |    COUNT(CASE WHEN c_name IS NULL
+      |               OR NOT regexp_full_match(c_name, '^Customer#[0-9]+$') THEN 1 END)
+      |  FROM customer
+      |  UNION ALL SELECT 'orders', 'range_check_o_totalprice', COUNT(*),
+      |    COUNT(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0 THEN 1 END)
+      |  FROM orders
+      |  UNION ALL SELECT 'lineitem', 'range_check_l_discount', COUNT(*),
+      |    COUNT(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 END)
+      |  FROM lineitem
+      |  UNION ALL SELECT 'lineitem', 'business_rule_tax_exceeds_discount', COUNT(*),
+      |    COUNT(CASE WHEN l_tax > l_discount THEN 1 END) FROM lineitem
+      |  UNION ALL SELECT 'orders', 'business_rule_nonpositive_price', COUNT(*),
+      |    COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) FROM orders
+      |  UNION ALL SELECT 'orders', 'referential_check_o_custkey',
+      |    (SELECT COUNT(*) FROM orders), COUNT(o.o_orderkey)
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL
+      |  UNION ALL SELECT 'orders', 'freshness_check_o_orderdate',
+      |    CAST(1 AS BIGINT),
+      |    CAST(CASE WHEN MAX(o_orderdate) < TIMESTAMP '1995-01-01'
+      |              OR MAX(o_orderdate) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM orders
+      |  UNION ALL SELECT 'events', 'freshness_check_ts', CAST(1 AS BIGINT),
+      |    CAST(CASE WHEN MAX(ts) < TIMESTAMP '2030-01-01'
+      |              OR MAX(ts) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM events)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q_quality_report",
+      s"""WITH $rawSql
+         |SELECT table_name, quality_check, records_checked, records_failed,
+         |  CASE WHEN records_checked > 0
+         |       THEN ${Det.roundNSql("records_failed * 100.0 / records_checked", 2)}
+         |       ELSE 0.0 END AS failure_rate,
+         |  CASE WHEN records_failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+         |FROM raw ORDER BY table_name, quality_check""".stripMargin) { (s, d) =>
+      suite(s, d).orderBy("table_name", "quality_check")
+    },
+
+    QueryDef.sql(
+      "q_quality_score",
+      s"""WITH $rawSql
+         |SELECT COUNT(*) AS checks_total,
+         |  COUNT(CASE WHEN records_failed = 0 THEN 1 END) AS checks_passed,
+         |  ${Det.roundNSql("COUNT(CASE WHEN records_failed = 0 THEN 1 END) * 100.0 / COUNT(*)", 2)} AS quality_score
+         |FROM raw""".stripMargin) { (s, d) =>
+      Quality.score(suite(s, d))
+    },
+  )
+}
