@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.engine.Det
+
+/** Text-analysis primitives for large-scale corpus pipelines: tokenization,
+  * token counting, quality scoring, language ID, fingerprinting. All pure
+  * Catalyst column expressions (codegen'd, no UDFs) so they run inside
+  * whole-stage codegen over a 100 TB documents table.
+  *
+  * These extend the reference's declared-but-never-built posts analytics
+  * (silver.clean_posts: word_count, avg_word_length, has_links —
+  * /root/reference/scripts/silver/transform_silver.py:82-95) into the full
+  * training-data-pipeline feature set.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed, lowercased text (trim first —
+    * leading whitespace would otherwise produce an empty first token). */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def wordCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword proxy: alpha runs, single digits, single punctuation —
+    * the standard pre-tokenizer shape. */
+  val bpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpePattern)).cast("long")
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Characters-per-word (whitespace removed / word count), 2 decimals. */
+  def avgWordLength(text: Column): Column = {
+    val chars = length(regexp_replace(text, "\\s+", ""))
+    val words = size(tokens(text))
+    when(words > 0, Det.roundN(chars.cast("double") / words, 2)).otherwise(0.0)
+  }
+
+  val stopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is",
+    "on", "for", "with")
+
+  private def tokenHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*))).cast("long")
+
+  def stopwordCount(text: Column): Column = tokenHits(text, stopwordsEn)
+
+  def stopwordRatio(text: Column): Column = {
+    val words = size(tokens(text))
+    when(words > 0,
+      Det.roundN(stopwordCount(text).cast("double") / words, 4)).otherwise(0.0)
+  }
+
+  def hasLinks(text: Column): Column = text.rlike("https?://")
+
+  /** Document quality score (0-100): penalties for too-short docs, heavy
+    * punctuation, degenerate word lengths, and no stopwords (word-salad
+    * signal). Same additive-penalty shape as the reference's quality scores
+    * (transform_silver.py:319-336). */
+  def qualityScore(text: Column): Column = {
+    val words = size(tokens(text))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val awl = avgWordLength(text)
+    greatest(lit(0), lit(100)
+      - when(words < 5, 40).otherwise(0)
+      - when(punctRatio > 0.2, 20).otherwise(0)
+      - when(awl < 3.0 || awl > 12.0, 20).otherwise(0)
+      - when(stopwordCount(text) === 0, 20).otherwise(0))
+  }
+
+  /** Marker-word language ID. N-gram/stopword heuristic: count hits from
+    * tiny per-language marker sets, pick the max with a fixed precedence
+    * order for ties. Cheap, deterministic, single-pass. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "la", "et", "est"))
+
+  def langHits(text: Column): Map[String, Column] =
+    langMarkers.map { case (l, ws) => l -> tokenHits(text, ws) }.toMap
+
+  def langId(text: Column): Column = {
+    val h = langHits(text)
+    when(h("en") >= h("es") && h("en") >= h("de") && h("en") >= h("fr"), "en")
+      .when(h("es") >= h("de") && h("es") >= h("fr"), "es")
+      .when(h("de") >= h("fr"), "de")
+      .otherwise("fr")
+  }
+
+  /** Content fingerprint: sha256 over the sorted distinct token set — the
+    * classic normalization fingerprint (whitespace/order/dup insensitive). */
+  def fingerprint(text: Column): Column =
+    sha2(concat_ws(" ", array_sort(array_distinct(tokens(text)))), 256)
+
+  /** Simhash-style 64-bit document signature from a precomputed
+    * array<bigint> column of token hashes: bit b is the majority vote of
+    * token-hash bit b. SQL-expression form because shiftright/shiftleft
+    * need a non-literal shift amount (the lambda variable). */
+  def simhashFromHashes(hashesCol: String): Column =
+    expr(
+      s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+         |  (acc, b) -> acc + (CASE
+         |    WHEN 2 * size(filter($hashesCol, h -> (shiftright(h, b) & 1) = 1))
+         |         >= size($hashesCol)
+         |    THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END))
+         |""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, plus decode / feature-extract / frame-sample operators.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in this
+  * environment): `decodeStub` produces a deterministic fake — a 16-bin
+  * byte histogram as the "feature vector" and dimensions derived from the
+  * payload. Everything AROUND the stub is the real Spark shape:
+  *
+  *  - schema: (id, media: binary, format, width, height) — media stays
+  *    opaque bytes end to end, never stringified;
+  *  - batch seam: `extractFeatures` runs via mapPartitions over a typed
+  *    Dataset, the Scala analog of mapInPandas — a real decoder (JNI
+  *    codec, ONNX runtime) plugs into the partition iterator and amortizes
+  *    model/codec init once per partition, not per row;
+  *  - partitioning: media tables repartition by id before heavy decode so
+  *    work spreads evenly and a decoded partition fits in executor memory;
+  *  - frame sampling: explode fixed-offset byte windows, one row per
+  *    frame, the shape video pipelines use before per-frame featurization.
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, media: Array[Byte], format: String)
+  final case class MediaFeatures(id: Long, format: String, byte_len: Int,
+      width: Int, height: Int, features: Array[Double])
+
+  /** Build a media table from any (id, text) source: payload = utf8 bytes
+    * (stand-in for real image/audio bytes), format round-robins over a
+    * small set, dimensions derived deterministically. */
+  def toMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      encode(col(textCol), "UTF-8").as("media"),
+      element_at(array(lit("png"), lit("jpeg"), lit("webp")),
+        (col(idCol) % 3 + 1).cast("int")).as("format"))
+      .withColumn("width", (pmod(xxhash64(col("id")), lit(1920)) + 1).cast("int"))
+      .withColumn("height", (pmod(xxhash64(col("id"), lit(1)), lit(1080)) + 1).cast("int"))
+
+  /** STUB decode: deterministic 16-bin byte histogram, L1-normalized.
+    * Replace with a real codec at the same call site. */
+  def decodeStub(media: Array[Byte]): Array[Double] = {
+    val bins = new Array[Double](16)
+    var i = 0
+    while (i < media.length) {
+      bins((media(i) & 0xff) >> 4) += 1.0
+      i += 1
+    }
+    val n = math.max(1, media.length).toDouble
+    bins.map(_ / n)
+  }
+
+  /** Feature extraction over the batch seam: one decoder init per
+    * partition, rows streamed through it. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val typed = media.select(col("id"), col("media"), col("format"),
+      col("width"), col("height"))
+      .as[(Long, Array[Byte], String, Int, Int)]
+    typed.mapPartitions { rows =>
+      // decoder/codec init would happen HERE, once per partition
+      rows.map { case (id, bytes, fmt, w, h) =>
+        MediaFeatures(id, fmt, bytes.length, w, h, decodeStub(bytes))
+      }
+    }
+  }
+
+  /** Frame sampling: n evenly-spaced byte windows per media row, exploded
+    * to one row per frame — pure expressions, no decode needed. */
+  def frameSample(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame = {
+    val step = math.max(1, nFrames - 1)
+    media
+      .withColumn("__len", length(col("media")))
+      .select(col("id"), col("format"), col("__len"),
+        posexplode(transform(sequence(lit(0), lit(nFrames - 1)),
+          f => col("media").substr(
+            (f * greatest(col("__len") - frameBytes, lit(1)) / step + 1).cast("int"),
+            lit(frameBytes)))).as(Seq("frame_id", "frame_bytes")))
+      .withColumn("frame_len", length(col("frame_bytes")))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data-pipeline extensions (BASELINE.json north star): text
+  * analysis, dedup family, similarity search, multimodal plumbing — each
+  * over the `documents` / `embeddings` fixtures. SQL oracles where DuckDB
+  * can express the same computation; the LSH/ANN operators are rows-only
+  * (covered by unit specs against brute-force ground truth).
+  */
+object Extensions {
+
+  private val roundN = Det.roundNSql _
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis -------------------------------------------------
+
+    QueryDef.sql(
+      "t_token_count",
+      raw"""SELECT doc_id,
+         |  CAST(len(str_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS word_count,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.bpePattern}')) AS BIGINT) AS bpe_count,
+         |  CAST(length(text) AS BIGINT) AS char_count
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("word_count"),
+          TextFunctions.bpeTokenCount(col("text")).as("bpe_count"),
+          length(col("text")).cast("long").as("char_count"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "t_text_quality",
+      raw"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    len(str_split_regex(trim(lower(text)), '\s+')) AS words,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+         |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+         |    len(list_filter(str_split_regex(trim(lower(text)), '\s+'),
+         |        t -> t IN (${TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")}))) AS stop_hits
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, words, stop_hits,
+         |    CASE WHEN words > 0 THEN ${roundN("chars * 1.0 / words", 2)} ELSE 0.0 END AS avg_word_len,
+         |    punct * 1.0 / GREATEST(length(text), 1) AS punct_ratio
+         |  FROM f)
+         |SELECT doc_id, CAST(words AS BIGINT) AS word_count, avg_word_len,
+         |  CASE WHEN words > 0 THEN ${roundN("stop_hits * 1.0 / words", 4)} ELSE 0.0 END AS stopword_ratio,
+         |  GREATEST(0, 100
+         |    - CASE WHEN words < 5 THEN 40 ELSE 0 END
+         |    - CASE WHEN punct_ratio > 0.2 THEN 20 ELSE 0 END
+         |    - CASE WHEN avg_word_len < 3.0 OR avg_word_len > 12.0 THEN 20 ELSE 0 END
+         |    - CASE WHEN stop_hits = 0 THEN 20 ELSE 0 END) AS quality_score
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("word_count"),
+          TextFunctions.avgWordLength(col("text")).as("avg_word_len"),
+          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "t_langid", {
+        def hitsSql(ws: Seq[String]) =
+          raw"len(list_filter(str_split_regex(trim(lower(text)), '\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        val m = TextFunctions.langMarkers.toMap
+        raw"""WITH h AS (
+           |  SELECT doc_id, lang AS declared_lang,
+           |    ${hitsSql(m("en"))} AS en, ${hitsSql(m("es"))} AS es,
+           |    ${hitsSql(m("de"))} AS de, ${hitsSql(m("fr"))} AS fr
+           |  FROM documents)
+           |SELECT doc_id, declared_lang,
+           |  CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+           |       WHEN es >= de AND es >= fr THEN 'es'
+           |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS detected_lang
+           |FROM h ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          TextFunctions.langId(col("text")).as("detected_lang"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "t_fingerprint",
+      """SELECT doc_id,
+        |  sha256(array_to_string(list_sort(list_distinct(
+        |    str_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint,
+        |  contains(text, 'http://') OR contains(text, 'https://') AS has_links
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fingerprint"),
+          TextFunctions.hasLinks(col("text")).as("has_links"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup ---------------------------------------------------------
+
+    QueryDef.sql(
+      "dedup_exact",
+      """SELECT doc_id,
+        |  sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+        |  row_number() OVER (PARTITION BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |                     ORDER BY doc_id) = 1 AS is_canonical
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "content_hash", "is_canonical")
+        .orderBy("doc_id")
+    },
+
+    QueryDef.rowsOnly("dedup_minhash_lsh") { (s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    QueryDef.rowsOnly("dedup_ngram_jaccard") { (s, d) =>
+      Dedup.ngramJaccardDups(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding near-dup via sign-LSH + cosine verify. The synthetic
+    // embeddings have no true near-dups (max cos ≈ 0.51), so this reports
+    // the top-20 most-similar LSH-candidate pairs instead of a threshold
+    // cut — always non-empty, same plan shape.
+    QueryDef.rowsOnly("dedup_embedding_cosine") { (s, d) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, d),
+          threshold = -1.0, nBits = 16, bands = 4)
+        .orderBy(desc("cosine"), col("id_a"), col("id_b"))
+        .limit(20)
+    },
+
+    // ---- similarity search --------------------------------------------
+
+    QueryDef.sql(
+      "sim_bruteforce_topk",
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  ${roundN("CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qe, qe)) > 0 THEN list_dot_product(embedding::DOUBLE[], qe) / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qe, qe))) ELSE 0.0 END", 6)} AS cosine
+         |FROM embeddings, q
+         |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(Similarity.asDouble(col("embedding")).as("q_emb"))
+      Similarity.bruteForceTopK(emb, q, 11)
+    },
+
+    QueryDef.rowsOnly("sim_ivf_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"),
+          Similarity.asDouble(col("embedding")).as("c_emb"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(Similarity.asDouble(col("embedding")).as("q_emb"))
+      Similarity.ivfTopK(emb, centroids, q, k = 11, nProbe = 4)
+    },
+
+    // ---- multimodal ----------------------------------------------------
+
+    QueryDef.rowsOnly("mm_features") { (s, d) =>
+      val media = Multimodal.toMediaTable(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("id"), col("format"), col("byte_len"), col("width"),
+          col("height"),
+          Det.roundN(element_at(col("features"), 1), 6).as("hist_bin_0"))
+        .orderBy("id")
+    },
+
+    QueryDef.rowsOnly("mm_frame_sample") { (s, d) =>
+      val media = Multimodal.toMediaTable(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.frameSample(media, nFrames = 4, frameBytes = 32)
+        .select(col("id"), col("frame_id"), col("frame_len"),
+          sha2(col("frame_bytes"), 256).substr(1, 16).as("frame_hash"))
+        .orderBy("id", "frame_id")
+    },
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 60 distinct words; doc3 swaps the last 5 → shingle Jaccard ≈ 0.84
+  private val words = (0 until 60).map(i => s"w$i")
+  private val base = words.mkString(" ")
+  private val docs = Seq(
+    (1L, base),
+    (2L, "  " + base.toUpperCase + "  "),                    // exact dup after normalize
+    (3L, (words.take(55) ++ Seq("x1", "x2", "x3", "x4", "x5")).mkString(" ")),
+    (4L, (0 until 60).map(i => s"zz$i").mkString(" ")))      // unrelated
+    .toDF("doc_id", "text")
+
+  test("exact: normalized duplicates share a hash, lowest id canonical") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "content_hash", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 === byId(2L)._2, "same hash for normalized dups")
+    assert(byId(1L)._3 === true)
+    assert(byId(2L)._3 === false)
+    assert(byId(3L)._2 !== byId(1L)._2)
+  }
+
+  test("minhash LSH finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash jaccard matches brute-force shingle jaccard") {
+    def sh(t: String) = {
+      val w = t.toLowerCase.split("\\s+").toSeq
+      w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = {
+      val a = sh(docs.collect()(0).getString(1))
+      val b = sh(docs.collect()(2).getString(1))
+      math.floor(a.intersect(b).size.toDouble / a.union(b).size * 10000 + 0.5) / 10000
+    }
+    val got = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.1)
+      .filter($"id_a" === 1 && $"id_b" === 3)
+      .select("jaccard").as[Double].collect()
+    assert(got.length === 1 && math.abs(got.head - expected) < 1e-9,
+      s"got ${got.toSeq}, expected $expected")
+  }
+
+  test("simhash: identical docs at hamming 0; near dups within 6") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram inverted-index blocking finds the same verified pairs") {
+    val got = Dedup.ngramJaccardDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("bucket cap drops a pathological bucket instead of exploding") {
+    // 50 docs sharing one boilerplate shingle; cap of 8 must keep pair
+    // count far below C(50,2)
+    val many = (1L to 50L).map(i =>
+      (i, s"shared boiler plate prefix unique$i tail$i word$i"))
+      .toDF("doc_id", "text")
+    val n = Dedup.ngramJaccardDups(many, "doc_id", "text",
+      threshold = 0.0, maxPosting = 8).count()
+    assert(n < 100, s"cap failed: $n pairs")
+  }
+}

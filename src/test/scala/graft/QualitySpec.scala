@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Quality
+import graft.functions.TextFunctions
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("check families count failures correctly on a known fixture") {
+    val users = Seq(
+      (1L, "a@b.com", 10.0),
+      (2L, null.asInstanceOf[String], -5.0),
+      (3L, "not-an-email", 0.0))
+      .toDF("id", "email", "balance")
+    val refs = Seq(1L, 2L).toDF("id")
+    import Quality._
+    val report = Quality.run(
+      Map("users" -> users, "refs" -> refs).apply,
+      Seq(
+        NotNull("users", "email"),
+        Format("users", "email", "^[^@]+@[^@]+\\.[a-z]+$"),
+        Bounds("users", "balance", lit(0.0), lit(100.0)),
+        Rule("users", "rule_negative_balance", col("balance") < 0),
+        Referential("users", "id", "refs", "id"),
+        Freshness("users", "balance", lit(1000.0))))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(report("null_check_email") === (3L, 1L))
+    assert(report("format_check_email") === (3L, 2L)) // null + bad format
+    assert(report("range_check_balance") === (3L, 1L))
+    assert(report("rule_negative_balance") === (3L, 1L))
+    assert(report("referential_check_id") === (3L, 1L)) // id=3 orphan
+    assert(report("freshness_check_balance") === (1L, 1L)) // max 10 < 1000
+  }
+
+  test("score = percent of checks passed") {
+    val df = Seq((1L, "x")).toDF("id", "v")
+    import Quality._
+    val rep = Quality.run(Map("t" -> df).apply,
+      Seq(NotNull("t", "v"), Rule("t", "always_fail", lit(true))))
+    val s = Quality.score(rep).collect().head
+    assert(s.getLong(0) === 2 && s.getLong(1) === 1 && s.getDouble(2) === 50.0)
+  }
+
+  test("text functions: counts, quality, langid, fingerprint") {
+    val t = "The quick brown fox, and the lazy dog!"
+    val df = Seq((1L, t)).toDF("id", "text")
+    val row = df.select(
+      TextFunctions.wordCount(col("text")).as("wc"),
+      TextFunctions.punctCount(col("text")).as("pc"),
+      TextFunctions.stopwordCount(col("text")).as("sc"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.hasLinks(col("text")).as("links")).collect().head
+    assert(row.getLong(0) === 8)
+    assert(row.getLong(1) === 2)
+    assert(row.getLong(2) === 3) // the, and, the
+    assert(row.getString(3) === "en")
+    assert(!row.getBoolean(4))
+    // fingerprint invariant under word order + duplication
+    val fp = Seq((1L, "b a b"), (2L, "a b a a")).toDF("id", "text")
+      .select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(fp(0) === fp(1))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f)),  // near-dup of 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with the query first") {
+    val q = vecs.filter($"vec_id" === 0)
+      .select(Similarity.asDouble($"embedding").as("q_emb"))
+    val out = Similarity.bruteForceTopK(vecs, q, 3)
+      .select("vec_id").as[Long].collect()
+    assert(out.head === 0L, "self first")
+    assert(out(1) === 1L, "near-dup second")
+  }
+
+  test("cosine math matches hand computation") {
+    val q = vecs.filter($"vec_id" === 0)
+      .select(Similarity.asDouble($"embedding").as("q_emb"))
+    val cos = Similarity.bruteForceTopK(vecs, q, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cos(0L) === 1.0)
+    assert(cos(4L) === -1.0)
+    assert(cos(2L) === 0.0)
+    val expected1 = 0.99 / math.sqrt(0.99 * 0.99 + 0.1 * 0.1)
+    assert(math.abs(cos(1L) - expected1) < 1e-4)
+  }
+
+  test("IVF with all-cells probe equals brute force") {
+    val centroids = vecs.select($"vec_id".as("cell"),
+      Similarity.asDouble($"embedding").as("c_emb"))
+    val q = vecs.filter($"vec_id" === 0)
+      .select(Similarity.asDouble($"embedding").as("q_emb"))
+    val ivf = Similarity.ivfTopK(vecs, centroids, q, k = 3, nProbe = 5)
+      .select("vec_id").as[Long].collect()
+    val bf = Similarity.bruteForceTopK(vecs, q, 3)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.toSeq === bf.toSeq)
+  }
+
+  test("embedding near-dup LSH surfaces the planted pair") {
+    val pairs = Similarity.embeddingNearDups(vecs, threshold = 0.9,
+      nBits = 8, bands = 4, maxBucket = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)), s"got $pairs")
+  }
+
+  test("multimodal: features deterministic, frame sampling shapes") {
+    val media = Multimodal.toMediaTable(
+      Seq((7L, "abcdefgh" * 16)).toDF("doc_id", "text"), "doc_id", "text")
+    val f = Multimodal.extractFeatures(spark, media).collect().head
+    assert(f.byte_len === 128)
+    assert(math.abs(f.features.sum - 1.0) < 1e-9, "histogram L1-normalized")
+    val frames = Multimodal.frameSample(media, nFrames = 4, frameBytes = 16)
+    assert(frames.count() === 4)
+    assert(frames.select(max(col("frame_len"))).as[Int].collect().head === 16)
+  }
+}
