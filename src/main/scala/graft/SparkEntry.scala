@@ -13,7 +13,8 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     Relational.defs ++ Aggregates.defs ++ Windows.defs ++ Scalars.defs ++
-      Composites.defs ++ QualityQueries.defs ++ Extensions.defs
+      Composites.defs ++ QualityQueries.defs ++ Extensions.defs ++
+      PipelineQueries.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names")

@@ -1,0 +1,115 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Medallion orchestrator (SURVEY §3.1): bronze → silver → gold over a
+  * Parquet lake, replacing the reference's Postgres+MinIO split
+  * (orchestration/medallion_pipeline.py) with one storage layer.
+  *
+  * Sink semantics mapped from SURVEY §2.2:
+  *   K3 truncate-then-load        → mode(Overwrite)
+  *   K2 chunked append            → mode(Append) (per-partition task writes)
+  *   K4 keyed upsert              → dynamic partition overwrite on the date
+  *                                  key (partitionOverwriteMode=dynamic):
+  *                                  rewrites only the partitions present in
+  *                                  the incoming batch — the reference's
+  *                                  DELETE WHERE date=…; INSERT, at scale
+  *   K5 object-store export       → csv/json writes under exports/
+  *   K6 run metadata              → JSON file per run
+  *   K7 quality-log append        → Append to quality_logs table
+  *
+  * Layer tables are partitioned by their date key where one exists, so
+  * downstream reads get partition pruning + dynamic partition overwrite
+  * gets its unit of idempotent rewrite.
+  */
+final class Pipeline(spark: SparkSession, lakeDir: String) {
+
+  private def path(layer: String, table: String) = s"$lakeDir/$layer/$table"
+
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  def writeOverwrite(df: DataFrame, layer: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(layer, table))
+
+  def writeAppend(df: DataFrame, layer: String, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(layer, table))
+
+  /** K4: rewrite only the date partitions present in `df`. */
+  def upsertByDate(df: DataFrame, layer: String, table: String,
+      dateCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(dateCol)
+      .parquet(path(layer, table))
+
+  def read(layer: String, table: String): DataFrame =
+    spark.read.parquet(path(layer, table))
+
+  /** K5: export a gold table as CSV + JSON (the MinIO export shape). */
+  def export(df: DataFrame, name: String): Unit = {
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(s"$lakeDir/exports/${name}_csv")
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .json(s"$lakeDir/exports/${name}_json")
+  }
+
+  /** Full run over the testdata tables: events-as-covid through the
+    * flagship silver transform, gold models, quality suite, exports,
+    * run metadata. Returns per-stage row counts. */
+  def run(sfDir: String): Map[String, Long] = {
+    val t0 = System.currentTimeMillis()
+
+    // ---- bronze: land raw tables with audit columns (K3 idempotent) ----
+    val events = Tables.events(spark, sfDir)
+    val bronzeEvents = Bronze.withAudit(Bronze.blanksToNull(events))
+    writeOverwrite(bronzeEvents, "bronze", "events")
+
+    // ---- silver: flagship covid lineage from bronze (P7 incremental) ---
+    val pending = read("bronze", "events")
+      .filter(col("validation_status") === "pending")
+      .drop("ingestion_timestamp", "validation_status", "data_hash")
+    val silver = SilverCovid.transform(
+      SilverCovid.fromEvents(pending),
+      SilverCovid.Thresholds(outlierConfirmed = 5000, outlierDaily = 400))
+    upsertByDate(silver, "silver", "covid_timeseries", "record_date")
+
+    // P11: flip consumed rows to processed (state-column rewrite)
+    writeOverwrite(
+      read("bronze", "events")
+        .withColumn("validation_status", lit("processed")),
+      "bronze", "events_processed")
+
+    // ---- quality: config-driven checks + log append (K7) ---------------
+    val report = Quality.run(Tables(spark, sfDir, _), Seq(
+      Quality.NotNull("events", "event_type"),
+      Quality.Bounds("events", "value", lit(-1e6), lit(1e6)),
+      Quality.Freshness("events", "ts", lit("2030-01-01").cast("timestamp"))))
+      .withColumn("check_timestamp", current_timestamp())
+    writeAppend(report, "silver", "quality_logs")
+
+    // ---- gold: daily summary + trend labels (MV-refresh semantics) -----
+    val covid = read("silver", "covid_timeseries")
+    val daily = covid.groupBy("record_date").agg(
+      countDistinct(col("country")).as("n_countries"),
+      Det.dsum(col("daily_new_cases")).as("total_new_cases"),
+      Det.davg(col("mortality_rate")).as("avg_mortality_rate"))
+    upsertByDate(daily, "gold", "daily_global_summary", "record_date")
+    export(daily, "daily_global_summary")
+
+    // ---- run metadata (K6) --------------------------------------------
+    val counts = Map(
+      "bronze_events" -> read("bronze", "events").count(),
+      "silver_covid" -> covid.count(),
+      "gold_daily" -> read("gold", "daily_global_summary").count(),
+      "quality_checks" -> read("silver", "quality_logs").count())
+    val meta =
+      s"""{"pipeline":"graft-medallion","status":"SUCCESS",
+         |"duration_ms":${System.currentTimeMillis() - t0},
+         |"counts":{${counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}
+         |""".stripMargin.replace("\n", "")
+    Files.createDirectories(Paths.get(lakeDir))
+    Files.writeString(Paths.get(s"$lakeDir/run_metadata.json"), meta)
+    counts
+  }
+}

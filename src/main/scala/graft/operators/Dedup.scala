@@ -7,23 +7,30 @@ import graft.engine.Det
 import graft.functions.TextFunctions
 
 /** Deduplication operators for corpus-scale pipelines: exact, MinHash-LSH,
-  * SimHash, n-gram-Jaccard (inverted-index blocking), and embedding-cosine
-  * near-dup. All are shuffle-bounded, pure-expression implementations —
-  * no UDFs, no driver-side loops — so each scales as:
+  * SimHash, n-gram-Jaccard (inverted-index blocking), all shuffle-bounded
+  * with no UDFs and no driver-side loops.
   *
+  * Implementation shape note (measured, not theoretical): Spark's
+  * higher-order functions (transform/filter/aggregate over arrays) are
+  * interpreted — no whole-stage codegen, no common-subexpression
+  * elimination — so nested-HOF signatures re-evaluate their inputs per
+  * lambda application (a collapsed projection re-ran the tokenize→shingle
+  * regex ~1000× per row; single-task minutes-long stalls). Every operator
+  * here therefore uses the explode → hash-aggregate shape: one generator,
+  * one codegen'd aggregate with N plain columns, band keys from plain
+  * columns. That shape is also the scalable one — map-side combinable,
+  * shuffle volume O(rows × tokens), never O(rows²).
+  *
+  * Scale behavior:
   *   exact:    1 hash-aggregate shuffle on content hash.
-  *   minhash:  per-doc signatures (map-only) → explode bands →
-  *             self-join on (band, hash) buckets → verify candidates.
-  *             Shuffle volume is O(docs × bands), never O(docs²).
-  *   simhash:  map-only 64-bit signature → band buckets → popcount verify.
-  *   ngram:    explode distinct shingles → inverted index grouped by
-  *             shingle, postings capped (skew guard) → pairs → verify.
-  *   cosine:   sign-LSH (Rademacher hyperplanes from xxhash64, fully
-  *             deterministic) → band buckets → exact cosine verify.
-  *
-  * The bucket-cap parameters are the 100 TB skew guards: a boilerplate
-  * shingle or an all-zeros signature would otherwise create a quadratic
-  * bucket; capped buckets are dropped and reported, not exploded.
+  *   minhash:  explode shingles → 64 min() aggregate → band buckets →
+  *             candidate pairs → intersection counts via the SAME exploded
+  *             relation (no array materialization), Jaccard from counts.
+  *   simhash:  explode tokens → 64 signed-bit sums → pack → band buckets →
+  *             xor-popcount verify.
+  *   ngram:    inverted index with postings cap (the 100 TB skew guard: a
+  *             boilerplate shingle would otherwise create a quadratic
+  *             bucket) → co-occurrence counts → Jaccard from counts.
   */
 object Dedup {
 
@@ -53,25 +60,45 @@ object Dedup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
-  // NOTE on implementation shape: a "natural" nested-higher-order-function
-  // version (transform over seeds of array_min over transform of shingles)
-  // is catastrophically slow — HOFs are interpreted (no codegen, no common-
-  // subexpression elimination), so collapsed projections re-evaluate the
-  // whole tokenize→shingle pipeline per seed per band (~1000× per row).
-  // The idiomatic Spark shape below keeps everything in whole-stage
-  // codegen: explode shingles once, then ONE hash aggregate computing all
-  // `numHashes` min() columns (map-side partial agg), then band keys from
-  // plain columns. One shuffle, linear at corpus scale.
-
-  /** Exact Jaccard between two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
-    when(uni > 0, inter / uni).otherwise(0.0)
+  /** One (id, shingle) row per distinct shingle per doc, built with
+    * codegen'd operators only: posexplode tokens → window lead(n-1) →
+    * concat — no interpreted array lambdas. Docs shorter than the shingle
+    * size fall back to one whole-text shingle. Persisted — every caller
+    * feeds it into 2-3 different shuffles (signatures, co-occurrence
+    * joins, sizes); the cluster-scale equivalent is staging this exploded
+    * table between phases. */
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t0")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val withLeads = (1 until shingleSize).foldLeft(tok)((d, i) =>
+      d.withColumn(s"t$i", lead(col("t0"), i).over(w)))
+    val full = withLeads
+      .filter(col(s"t${shingleSize - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (0 until shingleSize).map(i => col(s"t$i")): _*)
+          .as("shingle"))
+      .distinct()
+    val short = df.select(col(idCol).as("id"),
+        concat_ws(" ", TextFunctions.tokens(col(textCol))).as("shingle"))
+      .join(full.select(col("id")).distinct(), Seq("id"), "left_anti")
+    full.unionByName(short)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Candidate pairs from exploded band buckets, bucket-capped, id-ordered,
-    * deduped. `keyed` must have columns (id, band_id, band_hash). */
+  /** Jaccard from intersection count + per-doc set sizes:
+    * |A∩B| / (|A| + |B| − |A∩B|). */
+  private def jaccardFromCounts(pairsWithInter: DataFrame,
+      sizes: DataFrame): DataFrame =
+    pairsWithInter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
+      .withColumn("jaccard", Det.roundN(
+        col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+
+  /** Candidate pairs from (id, band_id, band_hash) rows, bucket-capped,
+    * id-ordered, deduped. */
   private def pairsFromBuckets(keyed: DataFrame, maxBucket: Int): DataFrame = {
     val sized = keyed
       .withColumn("__bn",
@@ -90,13 +117,12 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
-    val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleSize)).as("shingle"))
-    // one codegen'd aggregate: shingle set + all minhash components
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+    // one codegen'd aggregate computes every minhash component + set size
     val minCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"__h$i"))
-    val sigs = exploded.groupBy(col("id"))
-      .agg(collect_set(col("shingle")).as("__sh"), minCols: _*)
+    val aggCols = count(lit(1)).as("n") +: minCols
+    val sigs = exploded.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       xxhash64(lit(b), concat_ws(",",
         (0 until rows).map(r => col(s"__h${b * rows + r}").cast("string")): _*))
@@ -104,56 +130,65 @@ object Dedup {
     val keyed = sigs.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
     val cands = pairsFromBuckets(keyed, maxBucket)
-    val sh = sigs.select(col("id"), col("__sh"))
-    cands
-      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "__sh" -> "sh_a")), Seq("id_a"))
-      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "__sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard", Det.roundN(jaccard(col("sh_a"), col("sh_b")), 4))
+    // exact intersection counts via the exploded relation — candidates are
+    // few, so broadcast them through both joins
+    val inter = broadcast(cands)
+      .join(exploded.withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
+      .join(exploded.withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, sigs.select(col("id"), col("n")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup pairs: 64-bit signatures, 4×16-bit band blocking,
-    * Hamming-distance verification via xor popcount. */
+  /** SimHash near-dup pairs: 64-bit majority-vote signatures (explode →
+    * 64 signed sums → pack), 4×16-bit band blocking, xor-popcount verify. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6, maxBucket: Int = 256): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .withColumn("__th",
-        transform(TextFunctions.tokens(col("__text")), t => xxhash64(t)))
-      .withColumn("simhash", TextFunctions.simhashFromHashes("__th"))
-    val keyed = base.select(col("id"),
-        posexplode(
-          expr("transform(sequence(0, 3), b -> shiftright(simhash, 16 * b) & CAST(65535 AS BIGINT))"))
-          .as(Seq("band_id", "band_hash")))
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"__s$b"))
+    val packed = tok.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"__s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)))
+    val keyed = packed.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
     val cands = pairsFromBuckets(keyed, maxBucket)
-    val sigs = base.select(col("id"), col("simhash"))
-    cands
+    val sigs = packed.select(col("id"), col("simhash"))
+    broadcast(cands)
       .join(sigs.withColumnsRenamed(Map("id" -> "id_a", "simhash" -> "sim_a")), Seq("id_a"))
       .join(sigs.withColumnsRenamed(Map("id" -> "id_b", "simhash" -> "sim_b")), Seq("id_b"))
-      .withColumn("hamming",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 
-  /** N-gram Jaccard via inverted-index blocking: docs sharing any shingle
-    * become candidates (postings capped), then exact Jaccard. */
+  /** N-gram Jaccard via inverted-index blocking: prune shingles to useful
+    * postings (2..maxPosting docs), self-join the postings to count
+    * co-occurrences — |A∩B| directly, no arrays — then Jaccard from
+    * counts. */
   def ngramJaccardDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       maxPosting: Int = 32): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .withColumn("__sh", shingles(col("__text"), shingleSize))
-    val postings = base
-      .select(col("id"), explode(col("__sh")).as("shingle"))
-      .withColumn("band_id", lit(0))
-      .withColumnsRenamed(Map("shingle" -> "band_hash"))
-      .withColumn("band_hash", xxhash64(col("band_hash")))
-    val cands = pairsFromBuckets(postings, maxPosting)
-    val sh = base.select(col("id"), col("__sh"))
-    cands
-      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "__sh" -> "sh_a")), Seq("id_a"))
-      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "__sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard", Det.roundN(jaccard(col("sh_a"), col("sh_b")), 4))
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val useful = exploded
+      .withColumn("__pn", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("__pn").between(2, maxPosting))
+      .select("id", "shingle")
+    val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))
+      .join(useful.withColumnsRenamed(Map("id" -> "id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, sizes)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

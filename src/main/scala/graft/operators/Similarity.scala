@@ -87,28 +87,35 @@ object Similarity {
   }
 
   /** Near-duplicate vector pairs: banded sign-LSH candidates + exact
-    * cosine ≥ threshold. Returns (id_a, id_b, cosine). */
+    * cosine ≥ threshold. Returns (id_a, id_b, cosine).
+    *
+    * Sign-LSH bit p = sign of the projection onto a deterministic
+    * Rademacher hyperplane (±1 entries from xxhash64(p, dim)). Computed in
+    * the codegen-friendly explode shape — one posexplode of the vector,
+    * one aggregate with nBits signed-sum columns — not nested HOFs (see
+    * Dedup's scaladoc for why). */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
       nBits: Int = 16, bands: Int = 4, maxBucket: Int = 256,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bits = nBits / bands
-    val base = vectors.select(col(idCol).as("id"), col(embCol))
-      .withColumn("__e", asDouble(col(embCol)))
-      .withColumn("__bits",
-        transform(sequence(lit(0), lit(nBits - 1)),
-          p => when(
-            aggregate(
-              zip_with(col("__e"), sequence(lit(0), size(col("__e")) - 1),
-                (x, i) => x * when(xxhash64(p, i).bitwiseAND(1) === 1, 1.0)
-                  .otherwise(-1.0)),
-              lit(0.0), (a2, v) => a2 + v) >= 0, 1).otherwise(0)))
-      .withColumn("__bands",
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, concat_ws("",
-            transform(sequence(lit(1), lit(bits)),
-              r => element_at(col("__bits"), b * bits + r).cast("string"))))))
-    val keyed = base.select(col("id"),
-      posexplode(col("__bands")).as(Seq("band_id", "band_hash")))
+    // consumed by 3 downstream shuffles (signature agg, dot join, norms)
+    // — persist once; the cluster-scale equivalent is staging this
+    // exploded table between pipeline phases
+    val dims = vectors.select(col(idCol).as("id"),
+      posexplode(col(embCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"), col("x").cast("double").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val projCols = (0 until nBits).map(p =>
+      sum(col("x") * when(xxhash64(lit(p), col("dim")).bitwiseAND(1) === 1, 1.0)
+        .otherwise(-1.0)).as(s"__p$p"))
+    val sig = dims.groupBy(col("id")).agg(projCols.head, projCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws("",
+        (0 until bits).map(r =>
+          when(col(s"__p${b * bits + r}") >= 0, "1").otherwise("0")): _*))
+    }
+    val keyed = sig.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
     val sized = keyed
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")))
@@ -118,11 +125,22 @@ object Similarity {
     val cands = l.join(r, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val embs = base.select(col("id"), col("__e"))
-    cands
-      .join(embs.withColumnsRenamed(Map("id" -> "id_a", "__e" -> "e_a")), Seq("id_a"))
-      .join(embs.withColumnsRenamed(Map("id" -> "id_b", "__e" -> "e_b")), Seq("id_b"))
-      .withColumn("cosine", Det.roundN(cosine(col("e_a"), col("e_b")), 6))
+    // exact-cosine verification in codegen form: dot products via a
+    // dim-aligned join over the exploded relation, norms from one
+    // aggregate — no per-pair array lambdas
+    val norms = dims.groupBy(col("id"))
+      .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+    val dots = broadcast(cands)
+      .join(dims.withColumnsRenamed(Map("id" -> "id_a", "x" -> "x_a")), Seq("id_a"))
+      .join(dims.withColumnsRenamed(Map("id" -> "id_b", "x" -> "x_b")),
+        Seq("id_b", "dim"))
+      .groupBy("id_a", "id_b").agg(sum(col("x_a") * col("x_b")).as("dot"))
+    dots
+      .join(norms.withColumnsRenamed(Map("id" -> "id_a", "nrm" -> "n_a")), Seq("id_a"))
+      .join(norms.withColumnsRenamed(Map("id" -> "id_b", "nrm" -> "n_b")), Seq("id_b"))
+      .withColumn("cosine", Det.roundN(
+        when(col("n_a") * col("n_b") > 0, col("dot") / (col("n_a") * col("n_b")))
+          .otherwise(0.0), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming extension (SURVEY §2.10: the reference is
+  * batch-only; this is the additive streaming path over the same events
+  * shape). Transforms are defined on unbounded DataFrames so the identical
+  * code runs on `readStream` in production and is exercised by file-source
+  * streams in tests.
+  *
+  * Scale notes: watermarking bounds state; the windowed aggregate is a
+  * streaming hash aggregate partitioned by (window, event_type); the
+  * sessionizer keys state by user_id — state store size is O(active keys),
+  * not O(events).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionUpdate(user_id: Long, events: Long,
+      total_value: Double, session_start: Timestamp, last_seen: Timestamp)
+
+  /** Tumbling-window counts/sums with a watermark for late data.
+    * Late rows beyond the watermark are dropped; closed windows become
+    * immutable results (append-mode compatible). */
+  def windowedAgg(events: DataFrame, windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Per-user running session state via flatMapGroupsWithState: emits an
+    * updated session row per user per micro-batch (Update mode). Custom
+    * state beyond what windowed aggs express — the
+    * KeyValueGroupedDataset.state API from SURVEY §7. */
+  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionUpdate, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionUpdate]) =>
+          val batch = rows.toSeq
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption
+            val start = prev.map(_.session_start)
+              .getOrElse(batch.map(_.ts).min(Ordering.by((t: Timestamp) => t.getTime)))
+            val updated = SessionUpdate(
+              userId,
+              prev.map(_.events).getOrElse(0L) + batch.size,
+              prev.map(_.total_value).getOrElse(0.0) + batch.map(_.value).sum,
+              start,
+              batch.map(_.ts).max(Ordering.by((t: Timestamp) => t.getTime)))
+            state.update(updated)
+            Iterator.single(updated)
+          }
+      }
+  }
+
+  /** Streaming sink contract for tests/demos: memory table, processed
+    * synchronously. Returns the query name to select from. */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

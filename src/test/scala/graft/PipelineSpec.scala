@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{Bronze, Pipeline, SilverPosts, SilverUsers}
+import graft.sources.Sources
+import java.nio.file.Files
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("full medallion run produces all layers + metadata") {
+    val lake = Files.createTempDirectory("graft-lake").toString
+    val counts = new Pipeline(spark, lake).run("/root/testdata/sf0.001")
+    assert(counts("bronze_events") === 1000)
+    assert(counts("silver_covid") > 0)
+    assert(counts("gold_daily") > 0)
+    assert(counts("quality_checks") === 3)
+    assert(Files.exists(java.nio.file.Paths.get(s"$lake/run_metadata.json")))
+    // K4 idempotency: second run must not duplicate date partitions
+    val c2 = new Pipeline(spark, lake).run("/root/testdata/sf0.001")
+    assert(c2("gold_daily") === counts("gold_daily"))
+    // exports landed
+    assert(Files.list(java.nio.file.Paths.get(s"$lake/exports")).count() >= 2)
+  }
+
+  test("sources: land file:// url, route by filename, json/csv scans") {
+    val land = Files.createTempDirectory("graft-landing").toString
+    val src = Files.createTempDirectory("graft-src")
+    val usersJson =
+      """[{"id": 1, "name": "A", "email": "a@b.co",
+        |  "address": {"geo": {"lat": "1.5", "lng": "oops"}}},
+        | {"id": 2, "name": "B", "email": "bad",
+        |  "address": {"geo": {"lat": null, "lng": "2.5"}}}]""".stripMargin
+    Files.writeString(src.resolve("users_1.json"), usersJson)
+    Files.writeString(src.resolve("covid_1.csv"),
+      "Date,Country/Region,Confirmed\n2020-01-01,US,10\n2020-01-02,US,\n")
+    Sources.land(src.resolve("users_1.json").toUri.toString, land, "users_1.json")
+    Sources.land(src.resolve("covid_1.csv").toUri.toString, land, "covid_1.csv")
+    val routed = Sources.route(land, Seq(
+      "users" -> (p => Sources.json(spark, p)),
+      "covid" -> (p => Sources.csv(spark, p)),
+      "posts" -> (p => Sources.json(spark, p))))
+    assert(routed.keySet === Set("users", "covid"))
+    assert(routed("users").count() === 2)
+    assert(routed("users").columns.contains("source_filename"))
+    assert(routed("covid").count() === 2)
+  }
+
+  test("bronze cleaning: sanitize, blanks→null, schema coercion") {
+    import org.apache.spark.sql.types._
+    val raw = Seq(("1", " ", "x y"), ("oops", "B", "z"))
+      .toDF("Count#1", "name col", "9lead")
+    val clean = Bronze.sanitizeColumns(raw)
+    assert(clean.columns.toSeq === Seq("count_1", "name_col", "col_9lead"))
+    val nulled = Bronze.blanksToNull(clean)
+    assert(nulled.filter(col("name_col").isNull).count() === 1)
+    val coerced = Bronze.coerceTo(nulled,
+      StructType(Seq(StructField("count_1", IntegerType))),
+      zeroDefaultInts = Set("count_1"))
+    assert(coerced.columns.toSeq === Seq("count_1"))
+    assert(coerced.as[Int].collect().sorted.toSeq === Seq(0, 1))
+  }
+
+  test("silver users: nested extraction, geo default 0.0, validity, dedup") {
+    val usersJson =
+      """[{"id": 1, "name": " Ann ", "username": "ann", "email": "ANN@x.com",
+        |  "phone": "1-770-736-8031", "website": "w",
+        |  "address": {"street": "s", "suite": "1", "city": "c", "zipcode": "z",
+        |              "geo": {"lat": "1.5", "lng": "bogus"}},
+        |  "company": {"name": "Acme", "catchPhrase": "cp", "bs": "bs"}},
+        | {"id": 1, "name": "Dup", "username": "d", "email": "dup@x.com",
+        |  "phone": "123", "website": "w",
+        |  "address": {"street": "s", "suite": "1", "city": "c", "zipcode": "z",
+        |              "geo": {"lat": "0", "lng": "0"}},
+        |  "company": {"name": "Acme", "catchPhrase": "cp", "bs": "bs"}},
+        | {"id": 2, "name": "Bob", "username": "bob", "email": "not-an-email",
+        |  "phone": "no digits", "website": "w",
+        |  "address": {"street": "s", "suite": "1", "city": "c", "zipcode": "z",
+        |              "geo": {"lat": "3.25", "lng": "4.5"}},
+        |  "company": {"name": "Beta", "catchPhrase": "cp", "bs": "bs"}}]""".stripMargin
+    val tmp = Files.createTempDirectory("users")
+    Files.writeString(tmp.resolve("users.json"), usersJson)
+    val out = SilverUsers.transform(
+      Sources.json(spark, tmp.resolve("users.json").toString))
+    assert(out.count() === 2, "dedup on user_id keeps first")
+    val ann = out.filter($"user_id" === 1).collect().head
+    assert(ann.getAs[String]("email") === "ann@x.com")
+    assert(ann.getAs[Boolean]("email_valid"))
+    assert(ann.getAs[String]("email_domain") === "x.com")
+    assert(ann.getAs[Double]("latitude") === 1.5)
+    assert(ann.getAs[Double]("longitude") === 0.0, "bogus lng → 0.0")
+    assert(ann.getAs[Int]("data_quality_score") === 100)
+    val bob = out.filter($"user_id" === 2).collect().head
+    assert(!bob.getAs[Boolean]("email_valid"))
+    assert(!bob.getAs[Boolean]("phone_valid"))
+    assert(bob.getAs[Int]("data_quality_score") === 50)
+  }
+
+  test("silver posts: declared-gap feature set") {
+    val posts = Seq(
+      (1L, 1L, "Title", "this is a good fast new thing see https://x.co now"),
+      (2L, 1L, "T2", ""),
+      (3L, 2L, "T3", "bad slow old error stuff"))
+      .toDF("id", "userId", "title", "body")
+    val out = SilverPosts.transform(posts).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("word_count") === 10)
+    assert(out(1L).getAs[Boolean]("has_links"))
+    assert(out(1L).getAs[Double]("sentiment_score") > 0)
+    assert(out(3L).getAs[Double]("sentiment_score") < 0)
+    assert(out(2L).getAs[Double]("sentiment_score") === 0.0)
+  }
+}
