@@ -21,10 +21,17 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val explain = sys.env.get("PROBE_EXPLAIN").contains("1")
     names.foreach { n =>
       val t0 = System.nanoTime()
       try {
-        val c = SparkEntry.queries(n)(spark, sfDir).count()
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        if (explain) {
+          println(s"==== $n ====")
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+        val c = df.count()
         println(f"[probe] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$c")
       } catch {
         case e: Throwable =>

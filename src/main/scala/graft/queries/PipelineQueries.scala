@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Pipeline, SilverPosts, SilverUsers, Tables}
+import graft.sources.Sources
 
 /** Queries exposing the medallion modules (Bronze/Silver/Gold/Pipeline)
   * through the driver surface. */
@@ -66,6 +67,33 @@ object PipelineQueries {
         struct(col("c_mktsegment").as("name"), lit("cp").as("catchPhrase"),
           lit("bs").as("bs")).as("company"))
       SilverUsers.transform(nested).orderBy("user_id")
+    },
+
+    // Sources family end-to-end (S1 land, S3 multiLine JSON, S5 CSV with
+    // inference, S7 glob discovery, S8 filename routing): lands two files
+    // into a temp landing dir, routes by filename substring, scans each
+    // with the right reader, returns per-route row/column counts.
+    QueryDef.rowsOnly("s3_source_routing") { (s, d) =>
+      import s.implicits._
+      val src = java.nio.file.Files.createTempDirectory("graft-src")
+      val land = java.nio.file.Files.createTempDirectory("graft-landing").toString
+      java.nio.file.Files.writeString(src.resolve("users_1.json"),
+        """[{"id": 1, "name": "Ann", "email": "a@b.co",
+          |  "address": {"city": "X", "geo": {"lat": "1.5", "lng": "2"}}},
+          | {"id": 2, "name": "Bob", "email": null,
+          |  "address": {"city": "Y", "geo": {"lat": null, "lng": "q"}}}]""".stripMargin)
+      java.nio.file.Files.writeString(src.resolve("covid_1.csv"),
+        "Date,Country/Region,Province/State,Confirmed,Deaths\n" +
+          "2020-01-01,US,,10,0\n2020-01-02,US,,15,1\n2020-01-01,FR,,3,0\n")
+      Sources.land(src.resolve("users_1.json").toUri.toString, land, "users_1.json")
+      Sources.land(src.resolve("covid_1.csv").toUri.toString, land, "covid_1.csv")
+      val routed = Sources.route(land, Seq(
+        "users" -> (p => Sources.json(s, p)),
+        "covid" -> (p => Sources.csv(s, p)),
+        "posts" -> (p => Sources.json(s, p))))
+      routed.toSeq.sortBy(_._1)
+        .map { case (k, df) => (k, df.count(), df.columns.length.toLong) }
+        .toDF("route", "rows", "columns")
     },
 
     // Full medallion pipeline run (bronze→silver→gold over a parquet lake,
