@@ -36,10 +36,15 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
   def writeAppend(df: DataFrame, layer: String, table: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path(layer, table))
 
-  /** K4: rewrite only the date partitions present in `df`. */
+  /** K4: rewrite only the date partitions present in `df`. Repartition by
+    * the partition column first — otherwise every task writes a sliver of
+    * every partition (tasks × partitions small files); this way each
+    * partition is one file per day at this scale, and at cluster scale the
+    * same move bounds file counts to partitions, not tasks × partitions. */
   def upsertByDate(df: DataFrame, layer: String, table: String,
       dateCol: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(col(dateCol))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy(dateCol)
       .parquet(path(layer, table))
 

@@ -159,16 +159,24 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
     val bandCols = (0 until 4).map(b =>
       shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)))
-    val keyed = packed.select(col("id"),
+    // carry the signature through the bucket join so the Hamming filter
+    // runs INSIDE the join — only surviving pairs reach the distinct,
+    // instead of shuffling every bucket collision first
+    val keyed = packed.select(col("id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
-    val cands = pairsFromBuckets(keyed, maxBucket)
-    val sigs = packed.select(col("id"), col("simhash"))
-    broadcast(cands)
-      .join(sigs.withColumnsRenamed(Map("id" -> "id_a", "simhash" -> "sim_a")), Seq("id_a"))
-      .join(sigs.withColumnsRenamed(Map("id" -> "id_b", "simhash" -> "sim_b")), Seq("id_b"))
+    val sized = keyed
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy("band_id", "band_hash")))
+      .filter(col("__bn") <= maxBucket)
+    val l = sized.select(col("band_id"), col("band_hash"),
+      col("id").as("id_a"), col("simhash").as("sim_a"))
+    val r = sized.select(col("band_id"), col("band_hash"),
+      col("id").as("id_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   /** N-gram Jaccard via inverted-index blocking: prune shingles to useful
