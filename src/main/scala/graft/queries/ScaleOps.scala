@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Tables}
+import graft.operators.Salting
+
+/** Scale-path operator variants: salted skew joins/aggregations, the
+  * approximate-distinct toggle, and the window-form of the time-shift
+  * join (SURVEY §7.2.5 keeps both forms).
+  */
+object ScaleOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Salted skew join: same result as the plain equi-join (the oracle IS
+    // the plain join), hot keys spread over 8 reducers. At 100 TB this is
+    // the manual fallback when AQE skew splitting can't help (e.g. skewed
+    // aggregation keys, not just joins).
+    QueryDef.sql(
+      "j_salted_skew_join",
+      s"""SELECT c.c_nationkey,
+         |  COUNT(*) AS n_orders,
+         |  ${Det.dsumSql("o.o_totalprice")} AS total_price
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      Salting.saltedJoin(
+          Tables.orders(s, d),
+          Tables.customer(s, d).select(
+            col("c_custkey").as("o_custkey"), col("c_nationkey")),
+          "o_custkey", salts = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_nationkey")
+    },
+
+    // Salted two-phase aggregation; decimal partials make the total
+    // salt-invariant, so the plain GROUP BY is the oracle.
+    QueryDef.sql(
+      "a_salted_aggregation",
+      s"""SELECT l_returnflag,
+         |  ${Det.dsumSql("l_extendedprice")} AS sum_l_extendedprice,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        Salting.saltedSumCount(Tables.lineitem(s, d), "l_returnflag",
+            "l_extendedprice", salts = 8)
+          .orderBy("l_returnflag")
+    },
+
+    // approx_count_distinct — the 100 TB toggle for A5's exact
+    // countDistinct (SURVEY §2.5). HLL± estimates differ across engines →
+    // rows-only; the spec checks the estimate lands within rsd of exact.
+    QueryDef.rowsOnly("a_approx_distinct") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+        .orderBy("order_date")
+    },
+
+    // J2's window form: lag over the per-user daily series with calendar
+    // guards (a lag row only counts if it is exactly 1/7 calendar days
+    // back — observation gaps yield NULL, matching the join form).
+    QueryDef.sql(
+      "j2_lag_window_variant",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT user_id, d, v,
+        |    lag(d, 1) OVER w AS pd, lag(v, 1) OVER w AS pv,
+        |    lag(d, 7) OVER w AS wd, lag(v, 7) OVER w AS wv
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |shifted AS (
+        |  SELECT user_id, d, v,
+        |    CASE WHEN pd = d - 1 THEN pv END AS v_prev_day,
+        |    CASE WHEN wd = d - 7 THEN wv END AS v_week_ago
+        |  FROM lagged)
+        |SELECT user_id, v AS v_today, v_prev_day, v_week_ago
+        |FROM shifted WHERE d = (SELECT MAX(d) FROM daily)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(Det.dsum(col("value")).as("v"))
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val lagged = daily
+        .withColumn("pd", lag(col("d"), 1).over(w))
+        .withColumn("pv", lag(col("v"), 1).over(w))
+        .withColumn("wd", lag(col("d"), 7).over(w))
+        .withColumn("wv", lag(col("v"), 7).over(w))
+        .withColumn("v_prev_day",
+          when(col("pd") === date_sub(col("d"), 1), col("pv")))
+        .withColumn("v_week_ago",
+          when(col("wd") === date_sub(col("d"), 7), col("wv")))
+      val mx = daily.agg(max(col("d")).as("maxd"))
+      lagged.join(broadcast(mx), col("d") === col("maxd"))
+        .select(col("user_id"), col("v").as("v_today"),
+          col("v_prev_day"), col("v_week_ago"))
+        .orderBy("user_id")
+    },
+  )
+}
