@@ -1,0 +1,37 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Engine extension point (SparkSessionExtensions): registers graft's
+  * native expressions so SQL and the Column API can call them. Install
+  * with `.withExtensions(new GraftExtensions)` at session build, or
+  * post-hoc via [[GraftFunctions.register]] for sessions the engine
+  * doesn't construct (the driver's Verify/Bench builders do the latter).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftFunctions.cosineSimDescriptor)
+  }
+}
+
+object GraftFunctions {
+
+  private[graft] val cosineSimDescriptor =
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1)): Expression)
+
+  /** Idempotent runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      children => CosineSim(children(0), children(1)),
+      "scala_udf")
+
+  /** Column-API call; requires the function registered in the session. */
+  def cosine_sim(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+}

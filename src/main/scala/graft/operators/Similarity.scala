@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.engine.Det
+import graft.expressions.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>).
@@ -39,24 +40,30 @@ object Similarity {
   }
 
   /** Exact top-k by cosine against one query vector (given as a 1-row
-    * DataFrame with column `q_emb`, broadcast). */
+    * DataFrame with float-array column `q_emb`, broadcast). The per-row
+    * cosine is the native codegen'd [[graft.expressions.CosineSim]] — the
+    * innermost ANN loop stays in whole-stage codegen instead of
+    * interpreted higher-order functions; identical double math. */
   def bruteForceTopK(vectors: DataFrame, query: DataFrame, k: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
     vectors
       .crossJoin(broadcast(query))
       .withColumn("cosine",
-        Det.roundN(cosine(asDouble(col(embCol)), col("q_emb")), 6))
+        Det.roundN(GraftFunctions.cosine_sim(col(embCol), col("q_emb")), 6))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
       .select(col(idCol), col("cosine"))
+  }
 
   /** Assign each vector to its nearest centroid (broadcast codebook).
     * Returns the input plus `cell` (centroid id). */
   def assignCells(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
     val scored = vectors
       .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(asDouble(col(embCol)), col("c_emb")))
+      .withColumn("__sim", GraftFunctions.cosine_sim(col(embCol), col("c_emb")))
     scored
       .groupBy(col(idCol))
       .agg(
@@ -65,13 +72,14 @@ object Similarity {
   }
 
   /** IVF top-k: probe the nProbe cells nearest to the query, brute-force
-    * only within them. `centroids` has (cell, c_emb: array<double>). */
+    * only within them. `centroids` has (cell, c_emb: array<float>). */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, query: DataFrame,
       k: Int, nProbe: Int, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
     val probes = centroids
       .crossJoin(broadcast(query))
-      .withColumn("__sim", cosine(col("c_emb"), col("q_emb")))
+      .withColumn("__sim", GraftFunctions.cosine_sim(col("c_emb"), col("q_emb")))
       .orderBy(desc("__sim"), col("cell"))
       .limit(nProbe)
       .select("cell")
@@ -80,7 +88,7 @@ object Similarity {
       .join(broadcast(probes), Seq("cell"))
       .crossJoin(broadcast(query))
       .withColumn("cosine",
-        Det.roundN(cosine(asDouble(col(embCol)), col("q_emb")), 6))
+        Det.roundN(GraftFunctions.cosine_sim(col(embCol), col("q_emb")), 6))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
       .select(col(idCol), col("cell"), col("cosine"))

@@ -156,17 +156,16 @@ object Extensions {
          |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0)
-        .select(Similarity.asDouble(col("embedding")).as("q_emb"))
+        .select(col("embedding").as("q_emb"))
       Similarity.bruteForceTopK(emb, q, 11)
     },
 
     QueryDef.rowsOnly("sim_ivf_topk") { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val centroids = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cell"),
-          Similarity.asDouble(col("embedding")).as("c_emb"))
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
       val q = emb.filter(col("vec_id") === 0)
-        .select(Similarity.asDouble(col("embedding")).as("q_emb"))
+        .select(col("embedding").as("q_emb"))
       Similarity.ivfTopK(emb, centroids, q, k = 11, nProbe = 4)
     },
 

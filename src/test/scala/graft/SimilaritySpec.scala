@@ -18,7 +18,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("brute-force top-k ranks by cosine with the query first") {
     val q = vecs.filter($"vec_id" === 0)
-      .select(Similarity.asDouble($"embedding").as("q_emb"))
+      .select($"embedding".as("q_emb"))
     val out = Similarity.bruteForceTopK(vecs, q, 3)
       .select("vec_id").as[Long].collect()
     assert(out.head === 0L, "self first")
@@ -27,7 +27,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("cosine math matches hand computation") {
     val q = vecs.filter($"vec_id" === 0)
-      .select(Similarity.asDouble($"embedding").as("q_emb"))
+      .select($"embedding".as("q_emb"))
     val cos = Similarity.bruteForceTopK(vecs, q, 5)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(cos(0L) === 1.0)
@@ -39,9 +39,9 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("IVF with all-cells probe equals brute force") {
     val centroids = vecs.select($"vec_id".as("cell"),
-      Similarity.asDouble($"embedding").as("c_emb"))
+      $"embedding".as("c_emb"))
     val q = vecs.filter($"vec_id" === 0)
-      .select(Similarity.asDouble($"embedding").as("q_emb"))
+      .select($"embedding".as("q_emb"))
     val ivf = Similarity.ivfTopK(vecs, centroids, q, k = 3, nProbe = 5)
       .select("vec_id").as[Long].collect()
     val bf = Similarity.bruteForceTopK(vecs, q, 3)
