@@ -60,6 +60,64 @@ object ScaleOps {
         .orderBy("order_date")
     },
 
+    // Batch sessionization: gap > 30 min starts a new session; session id
+    // = running count of session starts per user (lag + conditional
+    // cumulative sum — the batch analog of streaming session windows).
+    QueryDef.sql(
+      "w_sessionize_batch",
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessioned AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM marked)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  COUNT(*) AS n_events,
+         |  ${Det.dsumSql("value")} AS session_value,
+         |  MIN(ts) AS session_start, MAX(ts) AS session_end
+         |FROM sessioned GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_session",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            (unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(w))) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("session_value"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ROLLUP grouping sets — beyond the reference's flat GROUP BYs, the
+    // subtotal/grand-total shape gold reporting tables want.
+    QueryDef.sql(
+      "a_rollup_sets",
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  COUNT(*) AS n_orders,
+         |  ${Det.dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            Det.dsum(col("o_totalprice")).as("total_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+    },
+
     // J2's window form: lag over the per-user daily series with calendar
     // guards (a lag row only counts if it is exactly 1/7 calendar days
     // back — observation gaps yield NULL, matching the join form).
