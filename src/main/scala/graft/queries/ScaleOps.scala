@@ -11,6 +11,10 @@ import graft.operators.Salting
   */
 object ScaleOps {
 
+  /** Session gap (30 min in µs) — one constant interpolated into BOTH the
+    * oracle SQL and the Spark program so the sides can't drift. */
+  private val sessionGapUs = 1800000000L
+
   val defs: Seq[QueryDef] = Seq(
 
     // Salted skew join: same result as the plain equi-join (the oracle IS
@@ -60,15 +64,16 @@ object ScaleOps {
         .orderBy("order_date")
     },
 
-    // Batch sessionization: gap > 30 min starts a new session; session id
-    // = running count of session starts per user (lag + conditional
-    // cumulative sum — the batch analog of streaming session windows).
+    // Batch sessionization: gap > sessionGapUs starts a new session;
+    // session id = running count of session starts per user (lag +
+    // conditional cumulative sum — the batch analog of streaming session
+    // windows).
     QueryDef.sql(
       "w_sessionize_batch",
       s"""WITH marked AS (
          |  SELECT user_id, event_id, ts, value,
          |    CASE WHEN lag(ts) OVER w IS NULL
-         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $sessionGapUs THEN 1 ELSE 0 END AS new_session
          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |sessioned AS (
          |  SELECT user_id, ts, value,
@@ -82,13 +87,12 @@ object ScaleOps {
          |FROM sessioned GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .withColumn("new_session",
           when(lag(col("ts"), 1).over(w).isNull ||
             (unix_micros(col("ts")) -
-              unix_micros(lag(col("ts"), 1).over(w))) > 1800000000L, 1)
+              unix_micros(lag(col("ts"), 1).over(w))) > sessionGapUs, 1)
             .otherwise(0))
         .withColumn("session_id", sum(col("new_session")).over(wRun).cast("long"))
         .groupBy("user_id", "session_id")
@@ -104,17 +108,26 @@ object ScaleOps {
     QueryDef.sql(
       "a_rollup_sets",
       s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
          |  COUNT(*) AS n_orders,
          |  ${Det.dsumSql("o_totalprice")} AS total_price
          |FROM orders
          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+         |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+         |         o_orderpriority NULLS FIRST""".stripMargin) {
       (s, d) =>
+        // GROUPING() flags disambiguate subtotal rows from genuine NULL
+        // groups, keeping the ORDER BY key unique even if the data grows
+        // NULL group values
         Tables.orders(s, d)
           .rollup("o_orderstatus", "o_orderpriority")
-          .agg(count(lit(1)).as("n_orders"),
+          .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+            count(lit(1)).as("n_orders"),
             Det.dsum(col("o_totalprice")).as("total_price"))
-          .orderBy(col("o_orderstatus").asc_nulls_first,
+          .orderBy(col("g_status"), col("g_priority"),
+            col("o_orderstatus").asc_nulls_first,
             col("o_orderpriority").asc_nulls_first)
     },
 
