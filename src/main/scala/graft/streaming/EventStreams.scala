@@ -67,6 +67,15 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids, with the watermark
+    * bounding how long each key is remembered — state is O(keys inside the
+    * watermark window), not O(stream). The streaming face of the batch
+    * Dedup.exact operator. */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming sink contract for tests/demos: memory table, processed
     * synchronously. Returns the query name to select from. */
   def runToMemory(df: DataFrame, name: String,

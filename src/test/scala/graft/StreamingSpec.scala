@@ -34,6 +34,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("win_out").count() > 100, "many distinct windows")
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    // duplicate the source file so every event_id appears twice
+    val dir = Files.createTempDirectory("stream-dup").toString
+    val src = spark.read.parquet(sourceDir)
+    src.coalesce(1).write.mode("append").parquet(dir)
+    src.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.streamingDedup(stream).select("event_id"),
+      "dedup_out", OutputMode.Append())
+    val n = spark.table("dedup_out").count()
+    assert(n === src.count(), s"expected ${src.count()} unique ids, got $n")
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val sessions = EventStreams.sessionize(spark,
       streamingEvents.as[EventStreams.Event])
