@@ -18,7 +18,13 @@ import org.apache.spark.sql.types.DecimalType
   * (map-side combine) at 100 TB; nothing about it is driver-side.
   */
 object Det {
-  /** Order-independent SUM of a double column, exact at `scale` decimals. */
+  /** Order-independent SUM of a double column, exact at `scale` decimals.
+    *
+    * Domain: |value| < 10^(18-scale) per row. Outside that, the decimal
+    * cast overflows — NULL (silently dropped from the sum) under
+    * non-ANSI Spark, an error in ANSI/DuckDB. The testdata's money-like
+    * columns sit ~10 orders of magnitude below the limit; widen the
+    * precision at the call site if a column can exceed it. */
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 

@@ -34,11 +34,13 @@ object SilverCovid {
   final case class Thresholds(outlierConfirmed: Double = 1e7,
                               outlierDaily: Double = 1e6)
 
-  /** P5 numeric coercion: to_numeric(errors='coerce').fillna(0). */
+  /** P5 numeric coercion: to_numeric(errors='coerce').fillna(0).
+    * try_cast, not cast — under Spark 4's default ANSI mode a plain cast
+    * would THROW on malformed input instead of nulling it. */
   def coerce(df: DataFrame): DataFrame = {
     val counts = Seq("confirmed", "deaths", "recovered")
     counts.foldLeft(df)((d, c) =>
-      d.withColumn(c, coalesce(col(c).cast("double"), lit(0.0))))
+      d.withColumn(c, coalesce(expr(s"try_cast($c AS DOUBLE)"), lit(0.0))))
   }
 
   /** Derived metrics: active (clamped ≥0), guarded rates ×100 (→0 on zero
@@ -59,7 +61,14 @@ object SilverCovid {
     * shrinking frame (pandas rolling(7, min_periods=1)).
     * Ref: transform_silver.py:312-317. */
   def windows(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("country").orderBy("record_date")
+    // province (when present) breaks date ties so lag/rolling are
+    // deterministic for multi-province countries sharing a date — pandas'
+    // stable sort made the quirk deterministic; Spark needs the explicit
+    // tiebreak while still partitioning by country only
+    val orderCols =
+      if (df.columns.contains("province")) Seq(col("record_date"), col("province"))
+      else Seq(col("record_date"))
+    val w = Window.partitionBy("country").orderBy(orderCols: _*)
     val w7 = w.rowsBetween(-6, 0)
     df.withColumn("daily_new_cases",
         Det.roundN(coalesce(col("confirmed") - lag(col("confirmed"), 1).over(w),
@@ -93,7 +102,10 @@ object SilverCovid {
     val keys =
       if (df.columns.contains("province")) Seq("record_date", "country", "province")
       else Seq("record_date", "country")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy("record_date")
+    // tiebreak on the VALUE columns (the keys are constant within a
+    // partition, so ordering by them would leave keep-first arbitrary)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("confirmed"), col("deaths"), col("recovered"))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

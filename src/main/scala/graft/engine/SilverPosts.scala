@@ -26,8 +26,8 @@ object SilverPosts {
     val body = col(bodyCol)
     val wc = TextFunctions.wordCount(body)
     posts
-      .withColumn("title_length", length(col(titleCol)))
-      .withColumn("body_length", length(body))
+      .withColumn("title_length", length(col(titleCol)).cast("long"))
+      .withColumn("body_length", length(body).cast("long"))
       .withColumn("word_count", wc)
       .withColumn("avg_word_length", TextFunctions.avgWordLength(body))
       .withColumn("has_links", TextFunctions.hasLinks(body))

@@ -20,7 +20,11 @@ object SilverUsers {
     val email = lower(trim(col("email")))
     val emailValid = email.rlike(emailRegex)
     val phoneValid = col("phone").isNotNull && col("phone").rlike("[0-9]")
-    val w = Window.partitionBy("user_id").orderBy("user_id")
+    // tiebreak on value columns — user_id is the partition key, so
+    // ordering by it alone would make keep-first arbitrary for dup ids
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("email").asc_nulls_last, col("full_name").asc_nulls_last,
+        col("phone").asc_nulls_last)
     users.select(
         col("id").cast("long").as("user_id"),
         lower(trim(col("name"))).as("full_name"),

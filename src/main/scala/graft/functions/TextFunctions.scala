@@ -96,16 +96,25 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(tokens(text)))), 256)
 
-  /** Simhash-style 64-bit document signature from a precomputed
-    * array<bigint> column of token hashes: bit b is the majority vote of
-    * token-hash bit b. SQL-expression form because shiftright/shiftleft
-    * need a non-literal shift amount (the lambda variable). */
-  def simhashFromHashes(hashesCol: String): Column =
-    expr(
-      s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-         |  (acc, b) -> acc + (CASE
-         |    WHEN 2 * size(filter($hashesCol, h -> (shiftright(h, b) & 1) = 1))
-         |         >= size($hashesCol)
-         |    THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END))
-         |""".stripMargin)
+  /** Corpus-scale path for every token-derived metric: explode tokens
+    * ONCE, then a single codegen'd hash aggregate computes word count,
+    * non-whitespace char count, stopword hits, and all language-marker
+    * hits. The per-row Column helpers above re-run the tokenize regex per
+    * metric (array HOFs are interpreted, no CSE) — fine for composition
+    * and small batches, wrong shape for a 100 TB documents scan.
+    * Output: one row per id with columns word_count_t (long),
+    * chars_nospace (long), stop_hits (long), hits_<lang> (long). */
+  def tokenFeatures(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val markerCols = langMarkers.map { case (l, ws) =>
+      count(when(col("__t").isin(ws: _*), 1)).as(s"hits_$l")
+    }
+    val aggCols = Seq(
+      count(lit(1)).as("word_count_t"),
+      sum(length(col("__t"))).cast("long").as("chars_nospace"),
+      count(when(col("__t").isin(stopwordsEn: _*), 1)).as("stop_hits")) ++
+      markerCols
+    tok.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+  }
 }

@@ -49,17 +49,6 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Word n-gram shingles (distinct), with whole-text fallback for short
-    * docs. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextFunctions.tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
-
   /** One (id, shingle) row per distinct shingle per doc, built with
     * codegen'd operators only: posexplode tokens → window lead(n-1) →
     * concat — no interpreted array lambdas. Docs shorter than the shingle

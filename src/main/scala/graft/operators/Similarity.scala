@@ -72,10 +72,17 @@ object Similarity {
   }
 
   /** IVF top-k: probe the nProbe cells nearest to the query, brute-force
-    * only within them. `centroids` has (cell, c_emb: array<float>). */
+    * only within them. `centroids` has (cell, c_emb: array<float>).
+    *
+    * `preAssigned` is the point of IVF at scale: cell assignment is an
+    * index-build step done ONCE (and used as the table's partitioning key
+    * at rest), not per query — pass the assigned table here so a query
+    * touches only nProbe/nCells of the data. When absent (ad-hoc use)
+    * assignment is computed inline, which costs a full codebook scan. */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, query: DataFrame,
       k: Int, nProbe: Int, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      preAssigned: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
     val probes = centroids
       .crossJoin(broadcast(query))
@@ -83,7 +90,8 @@ object Similarity {
       .orderBy(desc("__sim"), col("cell"))
       .limit(nProbe)
       .select("cell")
-    val assigned = assignCells(vectors, centroids, idCol, embCol)
+    val assigned = preAssigned.getOrElse(
+      assignCells(vectors, centroids, idCol, embCol))
     assigned
       .join(broadcast(probes), Seq("cell"))
       .crossJoin(broadcast(query))

@@ -57,12 +57,27 @@ object Extensions {
          |    - CASE WHEN avg_word_len < 3.0 OR avg_word_len > 12.0 THEN 20 ELSE 0 END
          |    - CASE WHEN stop_hits = 0 THEN 20 ELSE 0 END) AS quality_score
          |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      // single-pass token aggregate (explode → one hash agg) + one char-
+      // level regex per row — not the per-metric HOF helpers, which would
+      // re-tokenize the corpus 4×
+      val docs = Tables.documents(s, d)
+      val feats = TextFunctions.tokenFeatures(docs, "doc_id", "text")
+      val wc = col("word_count_t")
+      val awl = when(wc > 0,
+        Det.roundN(col("chars_nospace").cast("double") / wc, 2)).otherwise(0.0)
+      val punctRatio = TextFunctions.punctCount(col("text")).cast("double") /
+        greatest(length(col("text")).cast("double"), lit(1.0))
+      docs.join(feats, "doc_id")
         .select(col("doc_id"),
-          TextFunctions.wordCount(col("text")).as("word_count"),
-          TextFunctions.avgWordLength(col("text")).as("avg_word_len"),
-          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
-          TextFunctions.qualityScore(col("text")).as("quality_score"))
+          wc.as("word_count"),
+          awl.as("avg_word_len"),
+          when(wc > 0, Det.roundN(col("stop_hits").cast("double") / wc, 4))
+            .otherwise(0.0).as("stopword_ratio"),
+          greatest(lit(0), lit(100)
+            - when(wc < 5, 40).otherwise(0)
+            - when(punctRatio > 0.2, 20).otherwise(0)
+            - when(awl < 3.0 || awl > 12.0, 20).otherwise(0)
+            - when(col("stop_hits") === 0, 20).otherwise(0)).as("quality_score"))
         .orderBy("doc_id")
     },
 
@@ -82,9 +97,15 @@ object Extensions {
            |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS detected_lang
            |FROM h ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
+      val feats = TextFunctions.tokenFeatures(docs, "doc_id", "text")
+      val h = TextFunctions.langMarkers.map { case (l, _) => l -> col(s"hits_$l") }.toMap
+      docs.join(feats, "doc_id")
         .select(col("doc_id"), col("lang").as("declared_lang"),
-          TextFunctions.langId(col("text")).as("detected_lang"))
+          when(h("en") >= h("es") && h("en") >= h("de") && h("en") >= h("fr"), "en")
+            .when(h("es") >= h("de") && h("es") >= h("fr"), "es")
+            .when(h("de") >= h("fr"), "de")
+            .otherwise("fr").as("detected_lang"))
         .orderBy("doc_id")
     },
 

@@ -88,9 +88,9 @@ object PipelineQueries {
       Sources.land(src.resolve("users_1.json").toUri.toString, land, "users_1.json")
       Sources.land(src.resolve("covid_1.csv").toUri.toString, land, "covid_1.csv")
       val routed = Sources.route(land, Seq(
-        "users" -> (p => Sources.json(s, p)),
-        "covid" -> (p => Sources.csv(s, p)),
-        "posts" -> (p => Sources.json(s, p))))
+        "users" -> (ps => Sources.jsonAll(s, ps)),
+        "covid" -> (ps => Sources.csvAll(s, ps)),
+        "posts" -> (ps => Sources.jsonAll(s, ps))))
       routed.toSeq.sortBy(_._1)
         .map { case (k, df) => (k, df.count(), df.columns.length.toLong) }
         .toDF("route", "rows", "columns")

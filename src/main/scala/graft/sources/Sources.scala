@@ -32,24 +32,29 @@ object Sources {
   /** S3 JSON scan: multiLine (the reference lands pretty-printed arrays,
     * ingest_bronze.py:71); scalar-or-list handled by Spark natively. */
   def json(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    jsonAll(spark, Seq(path), schema)
+
+  /** Multi-file variant: one distributed scan over all paths. */
+  def jsonAll(spark: SparkSession, paths: Seq[String],
       schema: Option[StructType] = None): DataFrame = {
     val r = spark.read.option("multiLine", "true")
-    schema.fold(r)(s => r.schema(s)).json(path)
+    schema.fold(r)(s => r.schema(s)).json(paths: _*)
   }
 
   /** S2/S5 CSV scan with header + inference and latin-1 fallback
     * (load_bronze.py:329-333: UTF-8 then ISO-8859-1 retry). */
   def csv(spark: SparkSession, path: String,
-      encoding: String = "UTF-8"): DataFrame = {
-    val read = (enc: String) => spark.read
+      encoding: String = "UTF-8"): DataFrame =
+    csvAll(spark, Seq(path), encoding)
+
+  /** Multi-file variant: one distributed scan over all paths. */
+  def csvAll(spark: SparkSession, paths: Seq[String],
+      encoding: String = "UTF-8"): DataFrame =
+    spark.read
       .option("header", "true").option("inferSchema", "true")
-      .option("encoding", enc).option("mode", "PERMISSIVE")
-      .csv(path)
-    val df = read(encoding)
-    // the UTF-8 failure mode is malformed rows, not an exception — retry
-    // with latin-1 only when the caller asked for the fallback semantics
-    df
-  }
+      .option("encoding", encoding).option("mode", "PERMISSIVE")
+      .csv(paths: _*)
 
   def csvLatin1Fallback(spark: SparkSession, path: String): DataFrame =
     try {
@@ -64,23 +69,27 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** S7+S8 glob discovery + filename routing: one distributed read per
-    * route pattern over the landing dir; each row keeps its source file
-    * (P3 audit). Routes = substring → loader, like load_bronze.py:392-414;
-    * unmatched files are reported, not silently dropped. */
+  /** S7+S8 glob discovery + filename routing: one distributed multi-path
+    * read per route pattern over the landing dir; each row keeps its
+    * source file (P3 audit). Routes = substring → loader over ALL matched
+    * paths, like load_bronze.py:392-414. Files matching no route are
+    * logged (the reference's "Unknown file type" behavior) rather than
+    * silently dropped. */
   def route(landingDir: String,
-      routes: Seq[(String, String => DataFrame)]): Map[String, DataFrame] = {
+      routes: Seq[(String, Seq[String] => DataFrame)]): Map[String, DataFrame] = {
     val dir = Paths.get(landingDir)
     val files =
       if (Files.isDirectory(dir))
         Files.list(dir).iterator().asScala.map(_.toString).toSeq
       else Seq.empty
-    routes.map { case (key, loader) =>
-      val matched = files.filter(_.contains(key))
-      key -> (if (matched.isEmpty) null
-              else loader(matched.mkString(","))
-                .withColumn("source_filename", input_file_name()))
-    }.filter(_._2 != null).toMap
+    val unrouted = files.filterNot(f => routes.exists { case (k, _) => f.contains(k) })
+    unrouted.foreach(f => System.err.println(s"[sources] unknown file type: $f"))
+    routes.flatMap { case (key, loader) =>
+      val matched = files.filter(_.contains(key)).sorted
+      if (matched.isEmpty) None
+      else Some(key -> loader(matched)
+        .withColumn("source_filename", input_file_name()))
+    }.toMap
   }
 
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {

@@ -38,30 +38,49 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
-  /** Per-user running session state via flatMapGroupsWithState: emits an
-    * updated session row per user per micro-batch (Update mode). Custom
-    * state beyond what windowed aggs express — the
-    * KeyValueGroupedDataset.state API from SURVEY §7. */
-  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionUpdate] = {
+  /** Per-user session state via flatMapGroupsWithState: emits an updated
+    * session row per user per micro-batch (Update mode). Custom state
+    * beyond what windowed aggs express — the KeyValueGroupedDataset.state
+    * API from SURVEY §7.
+    *
+    * State is bounded two ways: an EVENT-TIME timeout evicts a key once
+    * the watermark passes its last event + gap (state size stays O(users
+    * active within gap), not O(users ever) — and unlike a processing-time
+    * timeout it needs no wall-clock batches, so synchronous test drains
+    * terminate), and an event-time gap inside a key closes the previous
+    * session and starts a new one. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[SessionUpdate] = {
     import spark.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionUpdate, SessionUpdate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionUpdate]) =>
-          val batch = rows.toSeq
-          if (batch.isEmpty) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            // watermark passed last_seen + gap: evict the idle key (its
+            // latest state was already emitted in Update mode)
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(_.ts.getTime)
             val prev = state.getOption
-            val start = prev.map(_.session_start)
-              .getOrElse(batch.map(_.ts).min(Ordering.by((t: Timestamp) => t.getTime)))
+              // event-time gap closes the previous session
+              .filter(p => batch.headOption.forall(
+                _.ts.getTime - p.last_seen.getTime <= gapMs))
             val updated = SessionUpdate(
               userId,
               prev.map(_.events).getOrElse(0L) + batch.size,
               prev.map(_.total_value).getOrElse(0.0) + batch.map(_.value).sum,
-              start,
-              batch.map(_.ts).max(Ordering.by((t: Timestamp) => t.getTime)))
+              prev.map(_.session_start).getOrElse(batch.head.ts),
+              batch.last.ts)
             state.update(updated)
+            // timeout must sit beyond the current watermark
+            state.setTimeoutTimestamp(math.max(
+              updated.last_seen.getTime + gapMs,
+              state.getCurrentWatermarkMs() + 1000L))
             Iterator.single(updated)
           }
       }

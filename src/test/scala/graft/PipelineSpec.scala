@@ -37,13 +37,16 @@ class PipelineSpec extends AnyFunSuite {
     Files.writeString(src.resolve("covid_1.csv"),
       "Date,Country/Region,Confirmed\n2020-01-01,US,10\n2020-01-02,US,\n")
     Sources.land(src.resolve("users_1.json").toUri.toString, land, "users_1.json")
+    // land the same users file twice → multi-path route must scan both
+    Sources.land(src.resolve("users_1.json").toUri.toString, land, "users_2.json")
     Sources.land(src.resolve("covid_1.csv").toUri.toString, land, "covid_1.csv")
     val routed = Sources.route(land, Seq(
-      "users" -> (p => Sources.json(spark, p)),
-      "covid" -> (p => Sources.csv(spark, p)),
-      "posts" -> (p => Sources.json(spark, p))))
+      "users" -> (ps => Sources.jsonAll(spark, ps)),
+      "covid" -> (ps => Sources.csvAll(spark, ps)),
+      "posts" -> (ps => Sources.jsonAll(spark, ps))))
     assert(routed.keySet === Set("users", "covid"))
-    assert(routed("users").count() === 2)
+    assert(routed("users").count() === 4, "both landed files scanned")
+    assert(routed("users").select("source_filename").distinct.count() === 2)
     assert(routed("users").columns.contains("source_filename"))
     assert(routed("covid").count() === 2)
   }
