@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
-import graft.operators.Salting
+import graft.operators.{AsOfJoin, Salting}
 
 /** Scale-path operator variants: salted skew joins/aggregations, the
   * approximate-distinct toggle, and the window-form of the time-shift
@@ -129,6 +129,37 @@ object ScaleOps {
           .orderBy(col("g_status"), col("g_priority"),
             col("o_orderstatus").asc_nulls_first,
             col("o_orderpriority").asc_nulls_first)
+    },
+
+    // As-of join (time-series enrichment Spark lacks natively): every
+    // event picks the customer's most recent order at or before the event
+    // time. Right side deduped to one row per (key, ts) so the match is
+    // well-defined on both engines; oracle is DuckDB's native ASOF JOIN.
+    QueryDef.sql(
+      "j_asof_join",
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                             ORDER BY o_orderkey DESC) = 1)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS last_orderkey,
+        |       r.o_totalprice AS last_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey", "o_orderdate")
+        .orderBy(desc("o_orderkey"))
+      val right = Tables.orders(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_totalprice"))
+      AsOfJoin.asof(
+          Tables.events(s, d).select("event_id", "user_id", "ts"),
+          right, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("last_orderkey", "last_totalprice"))
+        .select("event_id", "user_id", "last_orderkey", "last_totalprice")
+        .orderBy("event_id")
     },
 
     // J2's window form: lag over the per-user daily series with calendar

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of semantics: most recent <=, inclusive ties, null before first") {
+    val quotes = Seq(
+      (1L, ts("2020-01-01 10:00:00"), 100.0),
+      (1L, ts("2020-01-01 12:00:00"), 110.0),
+      (2L, ts("2020-01-01 11:00:00"), 50.0))
+      .toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (1L, 1L, ts("2020-01-01 09:00:00")), // before any quote → null
+      (2L, 1L, ts("2020-01-01 10:00:00")), // exact tie → inclusive (100)
+      (3L, 1L, ts("2020-01-01 11:59:59")), // between → 100
+      (4L, 1L, ts("2020-01-01 13:00:00")), // after last → 110
+      (5L, 2L, ts("2020-01-01 12:00:00")), // other key → 50
+      (6L, 3L, ts("2020-01-01 12:00:00"))) // unknown key → null
+      .toDF("trade_id", "t_key", "t_ts")
+    val out = AsOfJoin.asof(trades, quotes,
+        "t_key", "q_key", "t_ts", "q_ts", Seq("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L) === None)
+    assert(out(2L) === Some(100.0))
+    assert(out(3L) === Some(100.0))
+    assert(out(4L) === Some(110.0))
+    assert(out(5L) === Some(50.0))
+    assert(out(6L) === None)
+  }
+}
