@@ -168,6 +168,50 @@ object Dedup {
       .select("id_a", "id_b", "hamming").distinct()
   }
 
+  /** Connected components over near-dup pairs: the step after pair
+    * generation — duplicates form chains (A≈B, B≈C), and keeping one doc
+    * per CLUSTER needs transitive closure, not pairs. Label propagation:
+    * every node starts labeled with its own id, each round adopts the
+    * minimum label among itself and its neighbors, until a fixpoint. The
+    * canonical doc of a cluster is its minimum id.
+    *
+    * Iterations needed = graph diameter; near-dup clusters are shallow
+    * (single-digit), and maxIter bounds pathological chains. Each round is
+    * one join + one aggregate — the standard large-graph CC shape (think
+    * a smallish connected-components pass, not GraphX) — with per-round
+    * persist/unpersist so lineage doesn't snowball.
+    *
+    * Returns (id, cluster_id) for every id appearing in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
+        .groupBy(col("id_b").as("id"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnsRenamed(Map("cluster_id" -> "old")),
+        Seq("id")).filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** N-gram Jaccard via inverted-index blocking: prune shingles to useful
     * postings (2..maxPosting docs), self-join the postings to count
     * co-occurrences — |A∩B| directly, no arrays — then Jaccard from

@@ -155,6 +155,17 @@ object Extensions {
         .orderBy("id_a", "id_b")
     },
 
+    // Transitive closure of MinHash near-dup pairs: one row per clustered
+    // doc with its canonical (minimum) cluster id — the keep-one-per-
+    // cluster step a corpus dedup pipeline actually ships.
+    QueryDef.rowsOnly("dedup_clusters") { (s, d) =>
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .withColumn("is_canonical", col("id") === col("cluster_id"))
+        .orderBy("cluster_id", "id")
+    },
+
     // Embedding near-dup via sign-LSH + cosine verify. The synthetic
     // embeddings have no true near-dups (max cos ≈ 0.51), so this reports
     // the top-20 most-similar LSH-candidate pairs instead of a threshold

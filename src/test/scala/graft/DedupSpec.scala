@@ -68,6 +68,13 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("connected components: chains collapse to min-id clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("bucket cap drops a pathological bucket instead of exploding") {
     // 50 docs sharing one boilerplate shingle; cap of 8 must keep pair
     // count far below C(50,2)
