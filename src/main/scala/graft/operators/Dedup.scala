@@ -186,6 +186,10 @@ object Dedup {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // force the (possibly expensive) pair pipeline to materialize into the
+    // cache ONCE before the loop — a lazily-persisted input would be
+    // recomputed by each parallel branch of the first iteration's job
+    edges.count()
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
