@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => " "
+      case c             => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,18 +23,27 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a thrown query is recorded as a failure, never as a fast timing
+      val outcome = try Right(fn(spark, sfDir).count()) catch {
+        case e: Throwable => Left(
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
       // drop any staging relations an operator persisted, so cached data
-      // from earlier queries can't pressure later ones
+      // from earlier queries can't pressure later ones — cleanup cost is
+      // deliberately OUTSIDE the timed region
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, secs, outcome)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (n, v, _) => jsonStr(n) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (n, _, Left(m)) => jsonStr(n) + ":" + jsonStr(m) }
+    val total = results.map(_._2).sum
+    val errJson = if (errs.isEmpty) "" else ",\"errors\":" + errs.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

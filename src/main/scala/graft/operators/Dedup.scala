@@ -52,14 +52,23 @@ object Dedup {
   /** One (id, shingle) row per distinct shingle per doc, built with
     * codegen'd operators only: posexplode tokens → window lead(n-1) →
     * concat — no interpreted array lambdas. Docs shorter than the shingle
-    * size fall back to one whole-text shingle. Persisted — every caller
-    * feeds it into 2-3 different shuffles (signatures, co-occurrence
-    * joins, sizes); the cluster-scale equivalent is staging this exploded
-    * table between phases. */
+    * size fall back to one whole-text shingle, selected by token count
+    * (a per-row size() test, not an anti-join over the exploded relation).
+    *
+    * Staged via eager localCheckpoint — every caller feeds it into 2-3
+    * different shuffles (signatures, co-occurrence joins, sizes), so it is
+    * computed exactly once, its lineage is truncated, and AQE has already
+    * sized its partitions to the real (post-explode) row count. Blocks are
+    * released by the ContextCleaner when the result goes out of scope, so
+    * library callers don't leak executor cache. On a multi-executor
+    * cluster the equivalent staging is a reliable checkpoint / parquet
+    * stage between phases. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t0")))
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val tok = toks.filter(size(col("toks")) >= shingleSize)
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "t0")))
     val w = Window.partitionBy("id").orderBy("pos")
     val withLeads = (1 until shingleSize).foldLeft(tok)((d, i) =>
       d.withColumn(s"t$i", lead(col("t0"), i).over(w)))
@@ -69,11 +78,9 @@ object Dedup {
         concat_ws(" ", (0 until shingleSize).map(i => col(s"t$i")): _*)
           .as("shingle"))
       .distinct()
-    val short = df.select(col(idCol).as("id"),
-        concat_ws(" ", TextFunctions.tokens(col(textCol))).as("shingle"))
-      .join(full.select(col("id")).distinct(), Seq("id"), "left_anti")
-    full.unionByName(short)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val short = toks.filter(size(col("toks")) < shingleSize)
+      .select(col("id"), concat_ws(" ", col("toks")).as("shingle"))
+    full.unionByName(short).localCheckpoint()
   }
 
   /** Jaccard from intersection count + per-doc set sizes:
@@ -119,9 +126,12 @@ object Dedup {
     val keyed = sigs.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
     val cands = pairsFromBuckets(keyed, maxBucket)
-    // exact intersection counts via the exploded relation — candidates are
-    // few, so broadcast them through both joins
-    val inter = broadcast(cands)
+    // exact intersection counts via the exploded relation. No broadcast
+    // hint on the candidate side: its cardinality is data-dependent and
+    // unbounded at corpus scale, and a forced broadcast would fail the job
+    // past the 8 GB cap — AQE picks a broadcast join at runtime when the
+    // candidate set actually is small.
+    val inter = cands
       .join(exploded.withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
       .join(exploded.withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
@@ -170,49 +180,60 @@ object Dedup {
 
   /** Connected components over near-dup pairs: the step after pair
     * generation — duplicates form chains (A≈B, B≈C), and keeping one doc
-    * per CLUSTER needs transitive closure, not pairs. Label propagation:
-    * every node starts labeled with its own id, each round adopts the
-    * minimum label among itself and its neighbors, until a fixpoint. The
-    * canonical doc of a cluster is its minimum id.
+    * per CLUSTER needs transitive closure, not pairs. Label propagation
+    * with pointer doubling: every node starts labeled with its own id and
+    * each round adopts the minimum of (own label, neighbors' labels, label
+    * of its own label) — the extra label-of-label hop makes label
+    * information travel two steps per round, so convergence takes
+    * O(log diameter) rounds instead of O(diameter). The canonical doc of a
+    * cluster is its minimum id.
     *
-    * Iterations needed = graph diameter; near-dup clusters are shallow
-    * (single-digit), and maxIter bounds pathological chains. Each round is
-    * one join + one aggregate — the standard large-graph CC shape (think
-    * a smallish connected-components pass, not GraphX) — with per-round
-    * persist/unpersist so lineage doesn't snowball.
+    * Scale shape: the (possibly expensive) pair pipeline is materialized
+    * exactly once via eager localCheckpoint, which also truncates lineage
+    * — round N's plan reads two small flat relations, not an
+    * N-times-nested join tree — and lets AQE size shuffle partitions to
+    * the real (post-LSH) edge count rather than the input's. One
+    * materializing job per round; the convergence test is a cheap scan of
+    * the already-materialized round output. On a multi-executor cluster
+    * swap localCheckpoint for reliable checkpoint/parquet staging.
     *
-    * Returns (id, cluster_id) for every id appearing in `pairs`. */
+    * Returns (id, cluster_id) for every id appearing in `pairs`. Logs a
+    * warning if maxIter rounds were not enough to converge (with doubling
+    * that needs a component of diameter > 2^maxIter). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // force the (possibly expensive) pair pipeline to materialize into the
-    // cache ONCE before the loop — a lazily-persisted input would be
-    // recomputed by each parallel branch of the first iteration's job
-    edges.count()
+      .localCheckpoint()
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var converged = false
+      .localCheckpoint()
+    var changed = 1L
     var iter = 0
-    while (!converged && iter < maxIter) {
+    while (changed > 0 && iter < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
         .groupBy(col("id_b").as("id"))
         .agg(min(col("cluster_id")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnsRenamed(Map("cluster_id" -> "old")),
-        Seq("id")).filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val hop = labels
+        .join(labels.select(col("id").as("cluster_id"), col("cluster_id").as("lmin")),
+          Seq("cluster_id"))
+        .select(col("id"), col("lmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(hop, Seq("id"), "left")
+        .select(col("id"), col("cluster_id").as("__old"),
+          least(col("cluster_id"),
+            coalesce(col("nmin"), col("cluster_id")),
+            coalesce(col("lmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.filter(col("cluster_id") =!= col("__old")).count()
+      labels = next.select("id", "cluster_id")
       iter += 1
     }
-    edges.unpersist()
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); cluster_ids may split one component")
     labels
   }
 

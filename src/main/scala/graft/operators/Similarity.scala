@@ -114,13 +114,16 @@ object Similarity {
       nBits: Int = 16, bands: Int = 4, maxBucket: Int = 256,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bits = nBits / bands
-    // consumed by 3 downstream shuffles (signature agg, dot join, norms)
-    // — persist once; the cluster-scale equivalent is staging this
-    // exploded table between pipeline phases
+    // consumed by 3 downstream shuffles (signature agg, dot join, norms) —
+    // staged once via eager localCheckpoint: computed exactly once, lineage
+    // truncated, partitions AQE-sized, and blocks are released by the
+    // ContextCleaner when the result goes out of scope (no cache leak into
+    // library callers). Cluster equivalent: a reliable checkpoint/parquet
+    // stage between pipeline phases.
     val dims = vectors.select(col(idCol).as("id"),
       posexplode(col(embCol)).as(Seq("dim", "x")))
       .select(col("id"), col("dim"), col("x").cast("double").as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val projCols = (0 until nBits).map(p =>
       sum(col("x") * when(xxhash64(lit(p), col("dim")).bitwiseAND(1) === 1, 1.0)
         .otherwise(-1.0)).as(s"__p$p"))
@@ -143,10 +146,13 @@ object Similarity {
       .select("id_a", "id_b").distinct()
     // exact-cosine verification in codegen form: dot products via a
     // dim-aligned join over the exploded relation, norms from one
-    // aggregate — no per-pair array lambdas
+    // aggregate — no per-pair array lambdas. No broadcast hint on the
+    // candidate side: its cardinality is data-dependent and unbounded at
+    // corpus scale (a forced broadcast would fail past the 8 GB cap); AQE
+    // picks a broadcast join at runtime when the set actually is small.
     val norms = dims.groupBy(col("id"))
       .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
-    val dots = broadcast(cands)
+    val dots = cands
       .join(dims.withColumnsRenamed(Map("id" -> "id_a", "x" -> "x_a")), Seq("id_a"))
       .join(dims.withColumnsRenamed(Map("id" -> "id_b", "x" -> "x_b")),
         Seq("id_b", "dim"))
