@@ -13,8 +13,8 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     Relational.defs ++ Aggregates.defs ++ Windows.defs ++ Scalars.defs ++
-      Composites.defs ++ QualityQueries.defs ++ Extensions.defs ++
-      PipelineQueries.defs ++ ScaleOps.defs
+      Composites.defs ++ GoldRollups.defs ++ QualityQueries.defs ++
+      Extensions.defs ++ PipelineQueries.defs ++ ScaleOps.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names")

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Tables}
+
+/** Weekly/monthly gold rollups and reporting views the reference declares
+  * (aggregate_gold.py:45-72 weekly_aggregates + monthly_kpis DDL;
+  * aggregate_gold.py:200-219 v_data_completeness; model_gold.py:339-346
+  * top-5/bottom-5 JSON export), populated idiomatically from the daily
+  * event stream.
+  *
+  * Scale notes: every rollup is a single keyed aggregate over the daily
+  * base (map-side combinable); the only unpartitioned windows (weekly /
+  * monthly lag for trend) run over calendar-bounded inputs — one row per
+  * week / month — the same bounded-cardinality exception as the other gold
+  * snapshots.
+  */
+object GoldRollups {
+
+  private val roundN = Det.roundNSql _
+
+  /** Per-day record counts + a 0-100 quality score derived from the error
+    * rate — the daily_aggregates feed the weekly rollup consumes. */
+  private def dailyBase(s: SparkSession, d: String): DataFrame = {
+    val errPct = count(when(col("event_type") === "error", 1)) * 100.0 /
+      count(lit(1))
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("records"),
+        Det.roundN(lit(100.0) - errPct, 2).as("quality"))
+  }
+
+  private val dailyBaseSql =
+    s"""daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS records,
+       |    ${Det.roundNSql("100.0 - COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*)", 2)} AS quality
+       |  FROM events GROUP BY 1)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // gold.weekly_aggregates: ISO week rollup of the daily aggregates —
+    // totals, peak-day argmax, avg quality, and a week-over-week trend
+    // label (same ±10% classifier as W5). Ref: aggregate_gold.py:45-57.
+    QueryDef.sql(
+      "q_gold_weekly_aggregates",
+      s"""WITH $dailyBaseSql,
+         |weekly AS (
+         |  SELECT CAST(date_trunc('week', d) AS DATE) AS week_start_date,
+         |    CAST(SUM(records) AS BIGINT) AS total_records_processed,
+         |    ${roundN("CAST(SUM(records) AS DOUBLE) / COUNT(*)", 2)} AS avg_daily_records,
+         |    CAST(MAX(records) AS BIGINT) AS peak_day_records,
+         |    ${roundN(Det.davgSql("quality"), 2)} AS avg_quality_score
+         |  FROM daily GROUP BY 1),
+         |lagged AS (
+         |  SELECT *, lag(total_records_processed, 1) OVER (ORDER BY week_start_date) AS prev_total
+         |  FROM weekly)
+         |SELECT week_start_date,
+         |  CAST(weekofyear(week_start_date) AS BIGINT) AS week_number,
+         |  CAST(year(week_start_date) AS BIGINT) AS year,
+         |  total_records_processed, avg_daily_records, peak_day_records,
+         |  avg_quality_score,
+         |  CASE WHEN prev_total IS NULL OR prev_total = 0 THEN 'STABLE'
+         |       WHEN (total_records_processed - prev_total) * 100.0 / prev_total > 10 THEN 'INCREASING'
+         |       WHEN (total_records_processed - prev_total) * 100.0 / prev_total < -10 THEN 'DECREASING'
+         |       ELSE 'STABLE' END AS trend_direction
+         |FROM lagged ORDER BY week_start_date""".stripMargin) { (s, d) =>
+      val weekly = dailyBase(s, d)
+        .groupBy(to_date(date_trunc("week", col("d"))).as("week_start_date"))
+        .agg(sum(col("records")).as("total_records_processed"),
+          Det.roundN(sum(col("records")).cast("double") / count(lit(1)), 2)
+            .as("avg_daily_records"),
+          max(col("records")).as("peak_day_records"),
+          Det.roundN(Det.davg(col("quality")), 2).as("avg_quality_score"))
+      // bounded window: one row per calendar week
+      val w = Window.orderBy("week_start_date")
+      val pct = (col("total_records_processed") - col("prev_total")) * 100.0 /
+        col("prev_total")
+      weekly
+        .withColumn("prev_total", lag(col("total_records_processed"), 1).over(w))
+        .select(col("week_start_date"),
+          weekofyear(col("week_start_date")).cast("long").as("week_number"),
+          year(col("week_start_date")).cast("long").as("year"),
+          col("total_records_processed"), col("avg_daily_records"),
+          col("peak_day_records"), col("avg_quality_score"),
+          when(col("prev_total").isNull || col("prev_total") === 0, "STABLE")
+            .when(pct > 10, "INCREASING")
+            .when(pct < -10, "DECREASING")
+            .otherwise("STABLE").as("trend_direction"))
+        .orderBy("week_start_date")
+    },
+
+    // gold.monthly_kpis: calendar-month KPIs — case/death totals, mortality
+    // %, distinct + first-seen ("new") users, growth %, and a completeness
+    // score (% of the month's days with data). Ref: aggregate_gold.py:59-72.
+    QueryDef.sql(
+      "q_gold_monthly_kpis",
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, value, CAST(ts AS DATE) AS d,
+         |    CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS m
+         |  FROM events),
+         |monthly AS (
+         |  SELECT m,
+         |    ${Det.dsumSql("value")} AS total_covid_cases,
+         |    CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_covid_deaths,
+         |    COUNT(DISTINCT user_id) AS total_users,
+         |    COUNT(DISTINCT d) AS days_with_data
+         |  FROM ev GROUP BY 1),
+         |first_seen AS (SELECT user_id, MIN(m) AS m FROM ev GROUP BY 1),
+         |fresh AS (SELECT m, COUNT(*) AS new_users FROM first_seen GROUP BY 1)
+         |SELECT monthly.m AS month_start,
+         |  monthname(monthly.m) AS month_name,
+         |  CAST(year(monthly.m) AS BIGINT) AS year,
+         |  total_covid_cases, total_covid_deaths,
+         |  CASE WHEN total_covid_cases > 0
+         |       THEN ${roundN("total_covid_deaths / total_covid_cases * 100", 2)}
+         |       ELSE 0.0 END AS avg_mortality_rate,
+         |  CAST(total_users AS BIGINT) AS total_users,
+         |  CAST(COALESCE(fresh.new_users, 0) AS BIGINT) AS new_users,
+         |  ${roundN("COALESCE(fresh.new_users, 0) * 100.0 / total_users", 2)} AS user_growth_rate,
+         |  CAST(FLOOR(days_with_data * 100.0 / date_part('day', last_day(monthly.m))) AS BIGINT) AS data_completeness_score
+         |FROM monthly LEFT JOIN fresh ON monthly.m = fresh.m
+         |ORDER BY month_start""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("d"))
+        .withColumn("m", to_date(date_trunc("month", col("d"))))
+      val monthly = ev.groupBy("m")
+        .agg(Det.dsum(col("value")).as("total_covid_cases"),
+          Det.dsum(when(col("event_type") === "error", col("value"))
+            .otherwise(lit(0.0))).as("total_covid_deaths"),
+          countDistinct(col("user_id")).as("total_users"),
+          countDistinct(col("d")).as("days_with_data"))
+      val fresh = ev.groupBy("user_id").agg(min(col("m")).as("m"))
+        .groupBy("m").agg(count(lit(1)).as("new_users"))
+      monthly.join(fresh, Seq("m"), "left")
+        .select(col("m").as("month_start"),
+          date_format(col("m"), "MMMM").as("month_name"),
+          year(col("m")).cast("long").as("year"),
+          col("total_covid_cases"), col("total_covid_deaths"),
+          when(col("total_covid_cases") > 0,
+            Det.roundN(col("total_covid_deaths") / col("total_covid_cases") * 100, 2))
+            .otherwise(0.0).as("avg_mortality_rate"),
+          col("total_users"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"),
+          Det.roundN(coalesce(col("new_users"), lit(0L)) * 100.0 /
+            col("total_users"), 2).as("user_growth_rate"),
+          floor(col("days_with_data") * 100.0 /
+            dayofmonth(last_day(col("m")))).cast("long")
+            .as("data_completeness_score"))
+        .orderBy("month_start")
+    },
+
+    // gold.v_data_completeness: per-day survival / recovery % with the
+    // reference's zero-guard CASE chains (→ 0, not NULL).
+    // Ref: aggregate_gold.py:200-219.
+    QueryDef.sql(
+      "q_gold_data_completeness",
+      s"""WITH g AS (
+         |  SELECT CAST(ts AS DATE) AS summary_date,
+         |    COUNT(DISTINCT user_id) AS total_countries,
+         |    ${Det.dsumSql("value")} AS total_confirmed,
+         |    CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_deaths,
+         |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_recovered
+         |  FROM events GROUP BY 1)
+         |SELECT summary_date, CAST(total_countries AS BIGINT) AS total_countries,
+         |  total_confirmed, total_deaths,
+         |  CASE WHEN total_confirmed > 0
+         |       THEN ${roundN("(total_confirmed - total_deaths) / total_confirmed * 100", 2)}
+         |       ELSE 0.0 END AS survival_rate,
+         |  CASE WHEN total_confirmed > 0
+         |       THEN ${roundN("total_recovered / total_confirmed * 100", 2)}
+         |       ELSE 0.0 END AS recovery_percentage
+         |FROM g ORDER BY summary_date DESC""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("summary_date"))
+        .agg(countDistinct(col("user_id")).as("total_countries"),
+          Det.dsum(col("value")).as("total_confirmed"),
+          Det.dsum(when(col("event_type") === "error", col("value"))
+            .otherwise(lit(0.0))).as("total_deaths"),
+          Det.dsum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).as("total_recovered"))
+        .select(col("summary_date"), col("total_countries"),
+          col("total_confirmed"), col("total_deaths"),
+          when(col("total_confirmed") > 0,
+            Det.roundN((col("total_confirmed") - col("total_deaths")) /
+              col("total_confirmed") * 100, 2)).otherwise(0.0)
+            .as("survival_rate"),
+          when(col("total_confirmed") > 0,
+            Det.roundN(col("total_recovered") / col("total_confirmed") * 100, 2))
+            .otherwise(0.0).as("recovery_percentage"))
+        .orderBy(desc("summary_date"))
+    },
+
+    // top_5_countries / bottom_5_countries JSON-list export: latest-day
+    // per-country totals → TakeOrdered top/bottom 5 → list-of-structs →
+    // JSON text, rank-sorted inside the list (array_sort on the struct's
+    // leading rank field keeps the output order-deterministic regardless
+    // of collect_list's partition order). JSON text layout is
+    // engine-specific → rows-only + GoldRollupsSpec. Ref: model_gold.py:334-346.
+    QueryDef.rowsOnly("q_gold_top5_json") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id").as("country"), to_date(col("ts")).as("d"))
+        .agg(Det.dsum(col("value")).as("confirmed"))
+      val mx = daily.agg(max(col("d")).as("maxd"))
+      val latest = daily.join(broadcast(mx), col("d") === col("maxd"))
+        .select("country", "confirmed")
+      // TakeOrdered top-k (no global window), then rank the 5 survivors
+      def packed(top: Boolean): DataFrame = {
+        val ord =
+          if (top) Seq(desc("confirmed"), asc("country"))
+          else Seq(asc("confirmed"), asc("country"))
+        latest.orderBy(ord: _*).limit(5)
+          .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+          .agg(to_json(array_sort(collect_list(
+            struct(col("rank"), col("country"), col("confirmed")))))
+            .as(if (top) "top_5_countries" else "bottom_5_countries"))
+      }
+      packed(top = true).crossJoin(packed(top = false))
+    },
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.GoldRollups
+
+class GoldRollupsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    GoldRollups.defs.find(_.name == name).get.run(spark, sfDir)
+
+  test("top5 JSON export is a rank-ordered list of {rank,country,confirmed} structs") {
+    val row = run("q_gold_top5_json").collect().head
+    val elem = StructType(Seq(
+      StructField("rank", IntegerType),
+      StructField("country", StringType),
+      StructField("confirmed", DoubleType)))
+    Seq("top_5_countries", "bottom_5_countries").foreach { c =>
+      val js = row.getAs[String](c)
+      assert(js.startsWith("[{") && js.endsWith("}]"), s"$c not a JSON list: $js")
+      val parsed = spark.range(1).select(
+        from_json(lit(js), ArrayType(elem)).as("a")).collect().head
+      val items = parsed.getSeq[org.apache.spark.sql.Row](0)
+      assert(items.size == 5, s"$c has ${items.size} entries")
+      assert(items.map(_.getInt(0)) == Seq(1, 2, 3, 4, 5), s"$c ranks out of order")
+    }
+    // rank 1 of top list must dominate rank 5
+    val top = row.getAs[String]("top_5_countries")
+    val vals = spark.range(1).select(
+        from_json(lit(top), ArrayType(elem)).as("a"))
+      .select(explode(col("a")).as("e")).select("e.confirmed")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(vals == vals.sorted.reverse, "top list not descending by confirmed")
+  }
+
+  test("weekly rollup: Monday week starts, bounded labels, peak >= avg") {
+    val rows = run("q_gold_weekly_aggregates").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = r.getAs[java.sql.Date]("week_start_date")
+      assert(ws.toLocalDate.getDayOfWeek == java.time.DayOfWeek.MONDAY)
+      assert(Set("INCREASING", "DECREASING", "STABLE")
+        .contains(r.getAs[String]("trend_direction")))
+      assert(r.getAs[Long]("peak_day_records") >=
+        math.floor(r.getAs[Double]("avg_daily_records")).toLong)
+    }
+  }
+
+  test("monthly KPIs: new_users sums to distinct users overall, completeness in [0,100]") {
+    val rows = run("q_gold_monthly_kpis").collect()
+    assert(rows.nonEmpty)
+    val totalNew = rows.map(_.getAs[Long]("new_users")).sum
+    val distinctUsers = graft.engine.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(totalNew == distinctUsers,
+      s"first-seen counts ($totalNew) must partition the $distinctUsers users")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("data_completeness_score")
+      assert(c >= 0 && c <= 100)
+    }
+  }
+}
