@@ -149,7 +149,34 @@ object Extensions {
         .orderBy("id_a", "id_b")
     },
 
-    QueryDef.rowsOnly("dedup_ngram_jaccard") { (s, d) =>
+    // Oracle mirrors the operator's inverted-index semantics exactly —
+    // distinct 3-gram shingles (whole-text fallback for short docs),
+    // postings pruned to 2..32 docs, Jaccard from co-occurrence counts.
+    QueryDef.sql(
+      "dedup_ngram_jaccard",
+      raw"""WITH toks AS (
+         |  SELECT doc_id AS id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(t) >= 3
+         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+         |    ELSE [array_to_string(t, ' ')] END AS shingles
+         |  FROM toks),
+         |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
+         |useful AS (
+         |  SELECT id, shingle FROM (
+         |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s)
+         |  WHERE pn BETWEEN 2 AND 32),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+         |  FROM useful a JOIN useful b USING (shingle)
+         |  WHERE a.id < b.id GROUP BY 1, 2),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    ${roundN("inter * 1.0 / (sa.n + sb.n - inter)", 4)} AS jaccard
+         |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.ngramJaccardDups(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.8)
         .orderBy("id_a", "id_b")
@@ -192,7 +219,32 @@ object Extensions {
       Similarity.bruteForceTopK(emb, q, 11)
     },
 
-    QueryDef.rowsOnly("sim_ivf_topk") { (s, d) =>
+    // Oracle re-derives the whole IVF computation in SQL: argmax-centroid
+    // assignment (sim DESC, cell ASC tiebreak = the operator's max_by),
+    // nProbe=4 cell restriction, cosine top-11.
+    QueryDef.sql(
+      "sim_ivf_topk", {
+        def cos(a: String, b: String) =
+          s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) > 0" +
+            s" THEN list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))" +
+            s" ELSE 0.0 END"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+           |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+           |probes AS (
+           |  SELECT cell FROM cent, q
+           |  ORDER BY (${cos("ce", "qe")}) DESC, cell LIMIT 4),
+           |scored AS (
+           |  SELECT e.vec_id, e.emb, cent.cell, ${cos("e.emb", "ce")} AS sim
+           |  FROM e CROSS JOIN cent),
+           |assigned AS (
+           |  SELECT vec_id, emb, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+           |    FROM scored) WHERE rn = 1)
+           |SELECT a.vec_id, a.cell, ${roundN(cos("a.emb", "qe"), 6)} AS cosine
+           |FROM assigned a JOIN probes USING (cell) CROSS JOIN q
+           |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin
+      }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
