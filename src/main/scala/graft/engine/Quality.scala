@@ -71,8 +71,13 @@ object Quality {
     case _ => throw new IllegalArgumentException(s"not a row-level check: $c")
   }
 
-  /** Run a check suite. `tables` resolves a table name to its DataFrame. */
+  /** Run a check suite. `tables` resolves a table name to its DataFrame.
+    * The config-driven design invites an empty (or fully filtered-out)
+    * suite — reject it loudly rather than throwing an opaque
+    * `reduce` UnsupportedOperationException. */
   def run(tables: String => DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty,
+      "Quality.run: empty check suite — nothing to validate (did config filtering drop every check?)")
     val perTable = checks.collect {
       case c @ (_: NotNull | _: Format | _: Bounds | _: Rule) => c
     }.groupBy(_.table).toSeq.sortBy(_._1).map { case (t, cs) =>

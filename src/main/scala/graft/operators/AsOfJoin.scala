@@ -14,11 +14,23 @@ import org.apache.spark.sql.functions._
   * union + last-non-null-window trick, so no custom SparkPlan is needed:
   *
   *   1. tag left rows 1, right rows 0; union on (key, ts, tag, payload);
-  *   2. one window per key ordered by (ts, tag): `last(payload,
+  *   2. one window per key ordered by (ts, tag): `last(payload_struct,
   *      ignoreNulls=true)` over unbounded-preceding..current carries the
   *      latest right payload forward (tag order makes a right row at
   *      exactly ts visible to the left row — inclusive <= semantics);
-  *   3. keep the left rows.
+  *   3. keep the left rows, unpack the struct.
+  *
+  * The payload travels as ONE struct column, not per-column `last` calls:
+  * a right row is matched or not matched as a unit, so a NULL payload
+  * value in the matched row stays NULL in the output (per-column carry
+  * would let an older row's non-NULL value bleed through — true as-of
+  * semantics return all columns of the single matched row, like DuckDB's
+  * native ASOF JOIN).
+  *
+  * Requirement: the right side must have at most one row per (key, ts) —
+  * with duplicates the carried row among the equal-(key, ts) set is
+  * partition-order-dependent. Dedup the right side first (e.g. P9
+  * keep-first) if the source can contain such duplicates.
   *
   * Cost: ONE shuffle of |L|+|R| on the key (same as a sort-merge join's
   * shuffle) and one sorted window pass — no range cross-products, no
@@ -40,29 +52,31 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p).copy(name = p)))
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__ts", col(leftTs))
       .withColumn("__tag", lit(1))
-    val lAligned = payload.foldLeft(l)((d, p) =>
-      d.withColumn(p, lit(null).cast(right.schema(p).dataType)))
+      .withColumn("__p", lit(null).cast(payloadType))
     val r0 = right
       .withColumn("__k", col(rightKey))
       .withColumn("__ts", col(rightTs))
       .withColumn("__tag", lit(0))
+      // the whole payload as one non-null struct: match-or-not is atomic
+      .withColumn("__p", struct(payload.map(col): _*))
     val rAligned = leftCols.foldLeft(r0)((d, c) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lAligned.select(
-      (leftCols ++ payload ++ Seq("__k", "__ts", "__tag")).map(col): _*)
-      .unionByName(rAligned.select(
-        (leftCols ++ payload ++ Seq("__k", "__ts", "__tag")).map(col): _*))
+    val cols = leftCols ++ Seq("__p", "__k", "__ts", "__tag")
+    val unioned = l.select(cols.map(col): _*)
+      .unionByName(rAligned.select(cols.map(col): _*))
     // right rows (tag 0) sort before left rows at equal ts → inclusive <=
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((d, p) =>
-      d.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
-    carried.filter(col("__tag") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+    unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 }

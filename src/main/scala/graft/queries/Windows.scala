@@ -61,8 +61,11 @@ object Windows {
         .orderBy("user_id", "d")
     },
 
-    // W3 + O3 ranking then top-k over a pre-aggregated bounded input.
-    // Ref: model_gold.py:319-335.
+    // W3 + O3 ranking then top-k. TakeOrdered form: orderBy+limit compiles
+    // to TakeOrderedAndProject — a per-partition top-5 then a 5-row merge,
+    // no single-partition exchange of the full per-customer aggregate
+    // (unbounded cardinality at 100×). The rank window runs AFTER the
+    // limit, over 5 rows. Ref: model_gold.py:319-335.
     QueryDef.sql(
       "w3_rank_topk",
       s"""SELECT o_custkey, total_spent, rank FROM (
@@ -71,13 +74,13 @@ object Windows {
          |    row_number() OVER (ORDER BY ${Det.dsumSql("o_totalprice")} DESC, o_custkey) AS rank
          |  FROM orders GROUP BY o_custkey)
          |WHERE rank <= 5 ORDER BY rank""".stripMargin) { (s, d) =>
-      val totals = Tables.orders(s, d)
+      val ord = Seq(desc("total_spent"), asc("o_custkey"))
+      Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(Det.dsum(col("o_totalprice")).as("total_spent"))
-      val w = Window.orderBy(desc("total_spent"), asc("o_custkey"))
-      totals
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+        .orderBy(ord: _*)
+        .limit(5)
+        .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
         .orderBy("rank")
     },
 

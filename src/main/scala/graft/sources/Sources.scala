@@ -56,14 +56,20 @@ object Sources {
       .option("encoding", encoding).option("mode", "PERMISSIVE")
       .csv(paths: _*)
 
-  def csvLatin1Fallback(spark: SparkSession, path: String): DataFrame =
-    try {
-      val df = csv(spark, path)
-      df.first() // force one read to surface encoding errors
-      df
-    } catch {
-      case _: Exception => csv(spark, path, "ISO-8859-1")
-    }
+  /** S5 encoding fallback. Spark's readers never throw on malformed
+    * UTF-8 — the line reader passes invalid bytes straight through into
+    * UTF8Strings — so a try/catch (or a first-row probe) cannot detect a
+    * latin-1 file. Instead probe the WHOLE file with one distributed pass
+    * over the raw lines, testing byte-level UTF-8 validity (limit(1)
+    * short-circuits the scan), and re-read as ISO-8859-1 when any line is
+    * invalid — mirroring the reference's whole-file retry on
+    * UnicodeDecodeError. */
+  def csvLatin1Fallback(spark: SparkSession, path: String): DataFrame = {
+    val mangled = spark.read.text(path)
+      .filter(!is_valid_utf8(col("value")))
+      .limit(1).count() > 0
+    csv(spark, path, if (mangled) "ISO-8859-1" else "UTF-8")
+  }
 
   /** S4 parquet scan. */
   def parquet(spark: SparkSession, path: String): DataFrame =

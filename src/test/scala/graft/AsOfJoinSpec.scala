@@ -35,4 +35,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(5L) === Some(50.0))
     assert(out(6L) === None)
   }
+
+  test("matched row's NULL payload stays NULL; multi-column payload moves as a unit") {
+    // quote at 12:00 has price=NULL, size=7 — a trade after it must see
+    // (NULL, 7), not the 10:00 row's price bleeding through per-column
+    val quotes = Seq(
+      (1L, ts("2020-01-01 10:00:00"), Option(100.0), Option(5L)),
+      (1L, ts("2020-01-01 12:00:00"), None: Option[Double], Option(7L)))
+      .toDF("q_key", "q_ts", "price", "size")
+    val trades = Seq(
+      (1L, 1L, ts("2020-01-01 11:00:00")),
+      (2L, 1L, ts("2020-01-01 13:00:00")))
+      .toDF("trade_id", "t_key", "t_ts")
+    val out = AsOfJoin.asof(trades, quotes,
+        "t_key", "q_key", "t_ts", "q_ts", Seq("price", "size"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3))),
+         (if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out(1L) === ((Some(100.0), Some(5L))))
+    assert(out(2L) === ((None, Some(7L))))
+  }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def write(name: String, body: String, charset: String): String = {
+    val dir = Files.createTempDirectory("graft_srcspec")
+    val f = Paths.get(dir.toString, name)
+    Files.write(f, body.getBytes(charset))
+    f.toString
+  }
+
+  test("latin-1 byte past row 1 triggers the whole-file fallback") {
+    // 0xE9 ('é') appears only in DATA row 3 — a first-row probe
+    // would miss it
+    val path = write("users_latin1.csv",
+      "id,name\n1,alice\n2,bob\n3,café\n", "ISO-8859-1")
+    val names = Sources.csvLatin1Fallback(spark, path)
+      .collect().map(_.getString(1)).toSet
+    assert(names.contains("café"), s"fallback not taken: $names")
+  }
+
+  test("valid UTF-8 file stays on the UTF-8 path") {
+    val path = write("users_utf8.csv",
+      "id,name\n1,alice\n2,café\n", "UTF-8")
+    val names = Sources.csvLatin1Fallback(spark, path)
+      .collect().map(_.getString(1)).toSet
+    // read as UTF-8 the two-byte é survives; a wrong ISO-8859-1 re-read
+    // would have produced 'cafÃ©'
+    assert(names == Set("alice", "café"))
+  }
+}
