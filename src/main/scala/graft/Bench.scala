@@ -23,6 +23,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one untimed action so the first measured query doesn't absorb
+    // session warmup (parquet reader init, codegen compiler, FS caches)
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a thrown query is recorded as a failure, never as a fast timing

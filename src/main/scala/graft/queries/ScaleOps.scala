@@ -203,5 +203,87 @@ object ScaleOps {
           col("v_prev_day"), col("v_week_ago"))
         .orderBy("user_id")
     },
+
+    // Range join (interval join Spark lacks natively): lineitems banded
+    // into quantity tiers via RangeJoin's bucketed equi-join — no
+    // BroadcastNestedLoopJoin cross-product; oracle is the plain non-equi
+    // join (fine single-node at sf0.01).
+    QueryDef.sql(
+      "j_range_join_bands",
+      s"""WITH bands AS (
+         |  SELECT i AS band, i * 5 + 1 AS lo, i * 5 + 6 AS hi FROM range(10) t(i))
+         |SELECT band, COUNT(*) AS n_items,
+         |  ${Det.dsumSql("l_extendedprice")} AS total_price
+         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+         |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+      val bands = s.range(10).select(col("id").as("band"),
+        (col("id") * 5 + 1).cast("long").as("lo"),
+        (col("id") * 5 + 6).cast("long").as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          Tables.lineitem(s, d).select("l_quantity", "l_extendedprice"),
+          bands, "l_quantity", "lo", "hi", bucketWidth = 5.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_items"),
+          Det.dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy("band")
+    },
+
+    // Pivot: per-day wide table of value sums by event_type (explicit
+    // value list keeps the schema static — required for a deterministic
+    // plan; an inferred pivot would add a distinct-collect driver action).
+    QueryDef.sql(
+      "a_pivot_event_values", {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val cases = types.map(t =>
+          s"CAST(SUM(CAST(CASE WHEN event_type = '$t' THEN value END AS DECIMAL(18,2))) AS DOUBLE) AS $t")
+          .mkString(",\n  |  ")
+        s"""SELECT CAST(ts AS DATE) AS d,
+           |  $cases
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      }) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(Det.dsum(col("value")))
+        .orderBy("d")
+    },
+
+    // Event-time tumbling windows in batch (the Structured Streaming
+    // window() applied to history): 6-hour buckets, epoch-aligned on both
+    // engines.
+    QueryDef.sql(
+      "w_tumbling_windows",
+      s"""SELECT TIMESTAMP '1970-01-01 00:00:00'
+         |    + to_seconds(CAST(FLOOR(epoch(ts::TIMESTAMP) / 21600) * 21600 AS BIGINT)) AS window_start,
+         |  COUNT(*) AS n_events,
+         |  ${Det.dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("total_value"))
+        .select(col("w.start").as("window_start"), col("n_events"),
+          col("total_value"))
+        .orderBy("window_start")
+    },
+
+    // Exact interpolated percentiles (R-7, the quantile_cont convention
+    // both engines implement) per group — the profiling aggregate a
+    // training-data pipeline runs over quality scores / lengths.
+    QueryDef.sql(
+      "a_percentiles_exact",
+      s"""SELECT event_type,
+         |  ${Det.roundNSql("quantile_cont(value, 0.25)", 4)} AS p25,
+         |  ${Det.roundNSql("quantile_cont(value, 0.50)", 4)} AS p50,
+         |  ${Det.roundNSql("quantile_cont(value, 0.90)", 4)} AS p90
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          Det.roundN(expr("percentile(value, 0.25D)"), 4).as("p25"),
+          Det.roundN(expr("percentile(value, 0.50D)"), 4).as("p50"),
+          Det.roundN(expr("percentile(value, 0.90D)"), 4).as("p90"))
+        .orderBy("event_type")
+    },
   )
 }
