@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * `rand()`-based sampling is NOT reproducible at scale: task retries
+  * reroll the generator, and the row→partition mapping (hence each row's
+  * draw) changes with cluster size. Hashing a stable row key instead makes
+  * membership a pure function of the data — the same rows are selected on
+  * 1 executor or 1000, today or in a backfill, which is what training /
+  * eval splits require (a row must never migrate between train and test).
+  *
+  * All selections are single map-side filters (no shuffle); the hash is
+  * codegen'd xxhash64. Fractions resolve at `buckets` granularity
+  * (default 1/10000).
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Stable bucket in [0, Buckets) from the row key (+ optional salt so
+    * different samples over the same data are independent). */
+  def bucket(key: Column, salt: Int = 0): Column =
+    pmod(xxhash64(lit(salt), key), lit(Buckets))
+
+  /** Keep ~`fraction` of rows, deterministically. */
+  def sample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: Int = 0): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    df.filter(bucket(col(keyCol), salt) < (fraction * Buckets).round)
+  }
+
+  /** Split into disjoint, jointly-complete parts with the given weights
+    * (normalized). Each part is a contiguous bucket range, so the split is
+    * stable under re-runs and resizings. */
+  def split(df: DataFrame, keyCol: String, weights: Seq[Double],
+      salt: Int = 0): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), s"bad weights: $weights")
+    val total = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _).map(w => (w / total * Buckets).round)
+    val b = bucket(col(keyCol), salt)
+    cuts.sliding(2).map { case Seq(lo, hi) =>
+      df.filter(b >= lo && b < hi)
+    }.toSeq
+  }
+
+  /** Per-stratum fractions (the reference for df.stat.sampleBy, made
+    * deterministic): `fractions` maps stratum value → keep fraction;
+    * strata not listed are dropped. */
+  def sampleByStratum(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], salt: Int = 0): DataFrame = {
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol), salt) < (frac * Buckets))
+  }
+}

@@ -102,6 +102,37 @@ object Similarity {
       .select(col(idCol), col("cell"), col("cosine"))
   }
 
+  /** One Lloyd (k-means) iteration over an embedding column: assign every
+    * vector to its nearest centroid by cosine (broadcast codebook), then
+    * recompute each cell's centroid as the member mean — the index-build /
+    * refine step for the IVF path.
+    *
+    * Shape: one broadcast-join assignment pass + one explode →
+    * hash-aggregate over (cell, dim) — shuffle O(rows × dims), map-side
+    * combinable, no arrays in the aggregate. Dimension means are summed in
+    * DECIMAL so the refreshed centroids are partition-order-independent
+    * (bit-stable across cluster sizes / reruns). The per-cell array is
+    * rebuilt only at the end over #cells × dims rows (codebook-sized, so
+    * the interpreted transform is off the hot path).
+    *
+    * Returns (cell, c_emb: array<double>, n_members). */
+  def kmeansStep(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assigned = assignCells(vectors, centroids, idCol, embCol)
+    val dimMeans = assigned
+      .select(col("cell"), posexplode(col(embCol)).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double") / count(lit(1))).as("c_mean"),
+        count(lit(1)).as("n_members"))
+    dimMeans
+      .groupBy("cell")
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("c_mean")))),
+          s => s.getField("c_mean")).as("c_emb"),
+        max(col("n_members")).as("n_members"))
+  }
+
   /** Near-duplicate vector pairs: banded sign-LSH candidates + exact
     * cosine ≥ threshold. Returns (id_a, id_b, cosine).
     *

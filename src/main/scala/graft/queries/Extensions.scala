@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 
 /** Training-data-pipeline extensions (BASELINE.json north star): text
   * analysis, dedup family, similarity search, multimodal plumbing — each
@@ -14,6 +14,13 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 object Extensions {
 
   private val roundN = Det.roundNSql _
+
+  /** DuckDB cosine over DOUBLE[] lists — zero-guarded like the Spark
+    * CosineSim expression. */
+  private def cosSql(a: String, b: String) =
+    s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) > 0" +
+      s" THEN list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))" +
+      s" ELSE 0.0 END"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -251,6 +258,60 @@ object Extensions {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
       Similarity.ivfTopK(emb, centroids, q, k = 11, nProbe = 4)
+    },
+
+    // One Lloyd iteration refreshing the IVF codebook: assignment argmax +
+    // decimal-summed dimension means. Long (cell, dim) output so the
+    // oracle compares scalars, not arrays.
+    QueryDef.sql(
+      "sim_kmeans_step",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT e.vec_id, e.emb, cent.cell, ${cosSql("e.emb", "ce")} AS sim
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |dims AS (
+         |  SELECT cell, generate_subscripts(emb, 1) - 1 AS dim, unnest(emb) AS x
+         |  FROM assigned)
+         |SELECT cell, CAST(dim AS BIGINT) AS dim,
+         |  ${roundN("CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)", 6)} AS c_val,
+         |  COUNT(*) AS n_members
+         |FROM dims GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      Similarity.kmeansStep(emb, centroids)
+        .select(col("cell"), col("n_members"),
+          posexplode(col("c_emb")).as(Seq("dim", "c_val")))
+        .select(col("cell"), col("dim").cast("long").as("dim"),
+          Det.roundN(col("c_val"), 6).as("c_val"), col("n_members"))
+        .orderBy("cell", "dim")
+    },
+
+    // ---- deterministic sampling / splits -------------------------------
+
+    // Hash-bucket sample: membership is a pure function of the key, so the
+    // same docs are kept on any cluster size / retry (rand() is neither).
+    // Deterministic output → stable rows-only check; SamplingSpec covers
+    // the properties.
+    QueryDef.rowsOnly("t_hash_sample") { (s, d) =>
+      Sampling.sample(Tables.documents(s, d), "doc_id", fraction = 0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // 80/10/10 train/val/test split summary: disjoint contiguous bucket
+    // ranges over the key hash.
+    QueryDef.rowsOnly("t_train_test_split") { (s, d) =>
+      val parts = Sampling.split(Tables.documents(s, d), "doc_id",
+        Seq(0.8, 0.1, 0.1))
+      Seq("train", "val", "test").zip(parts).map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("part"), col("n_docs"))
+      }.reduce(_ unionByName _).orderBy("part")
     },
 
     // ---- multimodal ----------------------------------------------------

@@ -248,6 +248,26 @@ object ScaleOps {
         .orderBy("d")
     },
 
+    // Unpivot (melt): the wide pivot back to long form — the round trip
+    // equals the direct per-(day, type) aggregate, which IS the oracle.
+    // Spark's unpivot keeps NULL cells (combos absent that day); they are
+    // filtered to match the grouped form.
+    QueryDef.sql(
+      "a_unpivot_event_values",
+      s"""SELECT CAST(ts AS DATE) AS d, event_type,
+         |  ${Det.dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", types)
+        .agg(Det.dsum(col("value")))
+        .unpivot(Array(col("d")), types.map(col).toArray,
+          "event_type", "total_value")
+        .filter(col("total_value").isNotNull)
+        .orderBy("d", "event_type")
+    },
+
     // Event-time tumbling windows in batch (the Structured Streaming
     // window() applied to history): 6-hour buckets, epoch-aligned on both
     // engines.

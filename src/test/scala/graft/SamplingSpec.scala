@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.range(10000).select(
+    col("id").as("doc_id"),
+    (col("id") % 3).cast("string").as("stratum"))
+
+  test("sample is deterministic and close to the requested fraction") {
+    val a = Sampling.sample(docs, "doc_id", 0.2).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Sampling.sample(docs, "doc_id", 0.2).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b, "same call must select the same rows")
+    assert(math.abs(a.size - 2000) < 200, s"got ${a.size} of expected ~2000")
+    // different salt → an independent (different) sample
+    val c = Sampling.sample(docs, "doc_id", 0.2, salt = 1).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a != c)
+  }
+
+  test("split parts are disjoint and jointly complete") {
+    val parts = Sampling.split(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+      .map(_.select("doc_id").as[Long].collect().toSet)
+    assert(parts.map(_.size).sum == 10000)
+    assert((parts(0) & parts(1)).isEmpty && (parts(0) & parts(2)).isEmpty &&
+      (parts(1) & parts(2)).isEmpty)
+    assert(math.abs(parts(0).size - 8000) < 400)
+    // membership survives a repartition (partition-count independence)
+    val re = Sampling.split(docs.repartition(13), "doc_id", Seq(0.8, 0.1, 0.1))
+      .map(_.select("doc_id").as[Long].collect().toSet)
+    assert(parts == re)
+  }
+
+  test("stratified sampling applies per-stratum fractions, drops unlisted strata") {
+    val out = Sampling.sampleByStratum(docs, "stratum", "doc_id",
+      Map("0" -> 0.5, "1" -> 0.1))
+    val byStratum = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(!byStratum.contains("2"))
+    assert(math.abs(byStratum("0") - 3333 * 0.5) < 170)
+    assert(math.abs(byStratum("1") - 3333 * 0.1) < 100)
+  }
+}
