@@ -75,6 +75,41 @@ class DedupSpec extends AnyFunSuite {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = (0 until 90).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), maxIter = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial diverged from union-find")
+    }
+  }
+
+  test("connected components converges on a long chain (pointer doubling)") {
+    // a 40-node path has diameter 39 — naive min-neighbor propagation
+    // needs 39 rounds; doubling must finish within 10
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 40 && cc.values.forall(_ == 0L))
+  }
+
   test("bucket cap drops a pathological bucket instead of exploding") {
     // 50 docs sharing one boilerplate shingle; cap of 8 must keep pair
     // count far below C(50,2)
