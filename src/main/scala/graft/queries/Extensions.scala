@@ -130,6 +130,97 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Repetition detection (the Gopher/RefinedWeb-style filter signal):
+    // distinct-token ratio + most-frequent-trigram share per doc. Trigram
+    // counts via the explode → lead-window → hash-agg shape (NOT the
+    // distinct shingle set — repetition needs multiplicities).
+    QueryDef.sql(
+      "t_repetition",
+      raw"""WITH toks AS (
+         |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |tokstats AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+         |  FROM tok GROUP BY 1),
+         |tri AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS tri
+         |  FROM toks WHERE len(t) >= 3),
+         |counts AS (SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+         |stats AS (SELECT doc_id, SUM(c) AS n_trigrams, MAX(c) AS top_count FROM counts GROUP BY 1)
+         |SELECT s.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  ${roundN("n_distinct * 1.0 / n_tokens", 4)} AS distinct_token_ratio,
+         |  ${roundN("top_count * 1.0 / n_trigrams", 4)} AS top_trigram_ratio,
+         |  ${roundN("top_count * 1.0 / n_trigrams", 4)} > 0.04 AS is_repetitive
+         |FROM stats s JOIN tokstats USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t0")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val counts = tok
+        .withColumn("t1", lead(col("t0"), 1).over(w))
+        .withColumn("t2", lead(col("t0"), 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("t0"), col("t1"), col("t2")).as("tri"))
+        .groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+      val stats = counts.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_trigrams"), max(col("c")).as("top_count"))
+      val tokStats = tok.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("t0")).as("n_distinct"))
+      val topRatio = Det.roundN(col("top_count") * 1.0 / col("n_trigrams"), 4)
+      stats.join(tokStats, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          Det.roundN(col("n_distinct") * 1.0 / col("n_tokens"), 4)
+            .as("distinct_token_ratio"),
+          topRatio.as("top_trigram_ratio"),
+          (topRatio > 0.04).as("is_repetitive"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction: find-and-mask emails / phone numbers with global
+    // regexp_replace, plus per-row found-counts — the scrubbing pass a
+    // training corpus runs before release. PII is synthesized from
+    // customer rows (the corpus fixtures contain none), exercising hit and
+    // miss branches.
+    QueryDef.sql(
+      "t_pii_redact", {
+        val emailPat = raw"[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        val phonePat = raw"\+1-[0-9]{10}"
+        raw"""WITH notes AS (
+           |  SELECT c_custkey,
+           |    'Contact ' || lower(trim(c_name)) ||
+           |    CASE WHEN c_custkey % 4 = 0 THEN ' <' || lower(trim(c_name)) || '.nodomain>'
+           |         WHEN c_custkey % 4 = 1 THEN ' <' || lower(trim(c_name)) || '@nodot>'
+           |         ELSE ' <' || lower(trim(c_name)) || '@example.com>' END ||
+           |    ' or +1-' || lpad(CAST((c_custkey * 7919) % 10000000000 AS VARCHAR), 10, '0') AS note
+           |  FROM customer)
+           |SELECT c_custkey, note,
+           |  regexp_replace(regexp_replace(note, '$emailPat', '[EMAIL]', 'g'), '$phonePat', '[PHONE]', 'g') AS redacted,
+           |  CAST(len(regexp_extract_all(note, '$emailPat')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(note, '$phonePat')) AS BIGINT) AS n_phones
+           |FROM notes ORDER BY c_custkey""".stripMargin
+      }) { (s, d) =>
+      val emailPat = raw"[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+      val phonePat = raw"\+1-[0-9]{10}"
+      val base = lower(trim(col("c_name")))
+      val email = when(col("c_custkey") % 4 === 0, concat(base, lit(".nodomain")))
+        .when(col("c_custkey") % 4 === 1, concat(base, lit("@nodot")))
+        .otherwise(concat(base, lit("@example.com")))
+      val note = concat(lit("Contact "), base, lit(" <"), email, lit("> or +1-"),
+        lpad((col("c_custkey") * 7919 % 10000000000L).cast("string"), 10, "0"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), note.as("note"))
+        .select(col("c_custkey"), col("note"),
+          regexp_replace(regexp_replace(col("note"), emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]").as("redacted"),
+          size(regexp_extract_all(col("note"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("note"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"))
+        .orderBy("c_custkey")
+    },
+
     // ---- dedup ---------------------------------------------------------
 
     QueryDef.sql(
