@@ -294,10 +294,13 @@ object Extensions {
     // Embedding near-dup via sign-LSH + cosine verify. The synthetic
     // embeddings have no true near-dups (max cos ≈ 0.51), so this reports
     // the top-20 most-similar LSH-candidate pairs instead of a threshold
-    // cut — always non-empty, same plan shape.
+    // cut — always non-empty, same plan shape. 32 bits / 8-bit bands keep
+    // buckets (256 per band) well under the maxBucket cap at sf0.1 — 4-bit
+    // bands would average 300+ docs per bucket there, tripping the cap
+    // (recall loss) while the surviving buckets emit quadratic pair sets.
     QueryDef.rowsOnly("dedup_embedding_cosine") { (s, d) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, d),
-          threshold = -1.0, nBits = 16, bands = 4)
+          threshold = -1.0, nBits = 32, bands = 4)
         .orderBy(desc("cosine"), col("id_a"), col("id_b"))
         .limit(20)
     },
