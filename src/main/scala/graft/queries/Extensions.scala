@@ -386,6 +386,80 @@ object Extensions {
         .orderBy("cell", "dim")
     },
 
+    // The composed corpus-curation pipeline a training-data run ships:
+    // quality filter → language filter → exact dedup (canonical per
+    // content hash among SURVIVORS) → deterministic 80% sample. Every
+    // stage reuses an operator verified above; the oracle re-derives the
+    // whole chain, so composition itself is hash-checked end-to-end.
+    QueryDef.sql(
+      "t_corpus_pipeline", {
+        def hitsSql(ws: Seq[String]) =
+          raw"len(list_filter(str_split_regex(trim(lower(text)), '\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        val m = TextFunctions.langMarkers.toMap
+        raw"""WITH f AS (
+           |  SELECT doc_id, text,
+           |    len(str_split_regex(trim(lower(text)), '\s+')) AS words,
+           |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+           |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+           |    ${hitsSql(TextFunctions.stopwordsEn)} AS stop_hits,
+           |    ${hitsSql(m("en"))} AS en, ${hitsSql(m("es"))} AS es,
+           |    ${hitsSql(m("de"))} AS de, ${hitsSql(m("fr"))} AS fr
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, text, words, stop_hits,
+           |    CASE WHEN words > 0 THEN ${roundN("chars * 1.0 / words", 2)} ELSE 0.0 END AS awl,
+           |    punct * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+           |    CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+           |         WHEN es >= de AND es >= fr THEN 'es'
+           |         WHEN de >= fr THEN 'de' ELSE 'fr' END AS detected_lang
+           |  FROM f),
+           |scored AS (
+           |  SELECT doc_id, text, detected_lang,
+           |    GREATEST(0, 100
+           |      - CASE WHEN words < 5 THEN 40 ELSE 0 END
+           |      - CASE WHEN punct_ratio > 0.2 THEN 20 ELSE 0 END
+           |      - CASE WHEN awl < 3.0 OR awl > 12.0 THEN 20 ELSE 0 END
+           |      - CASE WHEN stop_hits = 0 THEN 20 ELSE 0 END) AS quality_score
+           |  FROM g),
+           |kept AS (
+           |  SELECT * FROM scored WHERE quality_score >= 90 AND detected_lang = 'en'),
+           |deduped AS (
+           |  SELECT doc_id, detected_lang, quality_score,
+           |    row_number() OVER (
+           |      PARTITION BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+           |      ORDER BY doc_id) = 1 AS is_canonical
+           |  FROM kept)
+           |SELECT doc_id, detected_lang, quality_score
+           |FROM deduped WHERE is_canonical AND doc_id % 10 < 8
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val feats = TextFunctions.tokenFeatures(docs, "doc_id", "text")
+      val wc = col("word_count_t")
+      val awl = when(wc > 0,
+        Det.roundN(col("chars_nospace").cast("double") / wc, 2)).otherwise(0.0)
+      val punctRatio = TextFunctions.punctCount(col("text")).cast("double") /
+        greatest(length(col("text")).cast("double"), lit(1.0))
+      val h = TextFunctions.langMarkers.map { case (l, _) => l -> col(s"hits_$l") }.toMap
+      val scored = docs.join(feats, "doc_id")
+        .select(col("doc_id"), col("text"),
+          when(h("en") >= h("es") && h("en") >= h("de") && h("en") >= h("fr"), "en")
+            .when(h("es") >= h("de") && h("es") >= h("fr"), "es")
+            .when(h("de") >= h("fr"), "de")
+            .otherwise("fr").as("detected_lang"),
+          greatest(lit(0), lit(100)
+            - when(wc < 5, 40).otherwise(0)
+            - when(punctRatio > 0.2, 20).otherwise(0)
+            - when(awl < 3.0 || awl > 12.0, 20).otherwise(0)
+            - when(col("stop_hits") === 0, 20).otherwise(0)).as("quality_score"))
+      val kept = scored
+        .filter(col("quality_score") >= 90 && col("detected_lang") === "en")
+      Dedup.exact(kept, "doc_id", "text")
+        .filter(col("is_canonical") && col("doc_id") % 10 < 8)
+        .select("doc_id", "detected_lang", "quality_score")
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic sampling / splits -------------------------------
 
     // Hash-bucket sample: membership is a pure function of the key, so the
