@@ -51,6 +51,21 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
   def read(layer: String, table: String): DataFrame =
     spark.read.parquet(path(layer, table))
 
+  /** Bucketed layer table: pre-shuffled AT REST on the join/agg key.
+    * Two tables bucketed on the same key with the same bucket count join
+    * with NO exchange on either side — the shuffle is paid once at write
+    * time instead of per downstream query, which is the 100 TB play for
+    * fact tables that join the same key repeatedly. Bucketing needs the
+    * catalog (file layout + metadata travel together), so this registers
+    * an external table whose data lives in the lake. Size `buckets` so a
+    * bucket fits an executor's memory at the target scale. */
+  def writeBucketed(df: DataFrame, layer: String, table: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path(layer, table))
+      .saveAsTable(s"${layer}_$table")
+
   /** K5: export a gold table as CSV + JSON (the MinIO export shape). */
   def export(df: DataFrame, name: String): Unit = {
     df.coalesce(1).write.mode(SaveMode.Overwrite)

@@ -25,6 +25,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(Files.list(java.nio.file.Paths.get(s"$lake/exports")).count() >= 2)
   }
 
+  test("bucketed tables join with no exchange on either side") {
+    val lake = Files.createTempDirectory("graft-bucketed").toString
+    val p = new Pipeline(spark, lake)
+    val sf = "/root/testdata/sf0.001"
+    p.writeBucketed(graft.engine.Tables.orders(spark, sf),
+      "silver", "b_orders", "o_custkey", 4)
+    p.writeBucketed(
+      graft.engine.Tables.customer(spark, sf)
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      "silver", "b_customer", "o_custkey", 4)
+    // force the sort-merge path (broadcast would trivially skip shuffles)
+    val joined = spark.table("silver_b_orders").hint("merge")
+      .join(spark.table("silver_b_customer"), "o_custkey")
+    val plan = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should not shuffle:\n$plan")
+    val expected = graft.engine.Tables.orders(spark, sf)
+      .join(graft.engine.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(joined.count() === expected)
+    spark.sql("DROP TABLE silver_b_orders")
+    spark.sql("DROP TABLE silver_b_customer")
+  }
+
   test("sources: land file:// url, route by filename, json/csv scans") {
     val land = Files.createTempDirectory("graft-landing").toString
     val src = Files.createTempDirectory("graft-src")
