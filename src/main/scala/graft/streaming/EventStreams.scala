@@ -95,6 +95,17 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream. The static side is a plain DataFrame — Spark re-plans it per
+    * micro-batch (picking up dimension updates between batches) and
+    * broadcasts it when small, so the stream side never shuffles; state
+    * stays empty (unlike stream-stream joins). The streaming face of the
+    * batch J4 broadcast lookup. */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(dim, stream(streamKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+
   /** Streaming sink contract for tests/demos: memory table, processed
     * synchronously. Returns the query name to select from. */
   def runToMemory(df: DataFrame, name: String,

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Library robustness: every operator must accept an EMPTY input relation
+  * (a filtered-out partition, a cold-start incremental run) and return an
+  * empty, correctly-shaped result — not throw. */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup family on an empty corpus") {
+    assert(Dedup.exact(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashNearDups(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashNearDups(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.ngramJaccardDups(noDocs, "doc_id", "text").count() === 0)
+    val cc = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(cc.count() === 0)
+    assert(cc.columns.toSeq === Seq("id", "cluster_id"))
+  }
+
+  test("similarity family on empty vectors") {
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_emb")
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("cell", "c_emb")
+    assert(Similarity.bruteForceTopK(noVecs, q, 5).count() === 0)
+    assert(Similarity.ivfTopK(noVecs, cents, q, k = 5, nProbe = 1).count() === 0)
+    assert(Similarity.kmeansStep(noVecs, cents).count() === 0)
+    assert(Similarity.embeddingNearDups(noVecs, threshold = 0.5).count() === 0)
+  }
+
+  test("joins and sampling on empty sides") {
+    val pts = Seq.empty[Tuple1[Double]].toDF("v")
+    val ivs = Seq((1L, 5L)).toDF("lo", "hi")
+    assert(RangeJoin.pointInInterval(pts, ivs, "v", "lo", "hi", 2.0).count() === 0)
+    assert(RangeJoin.pointInInterval(
+      Seq(Tuple1(3.0)).toDF("v"),
+      Seq.empty[(Long, Long)].toDF("lo", "hi"), "v", "lo", "hi", 2.0).count() === 0)
+    val left = Seq.empty[(Long, java.sql.Timestamp)].toDF("k", "ts")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k2", "ts2", "p")
+    assert(AsOfJoin.asof(left, right, "k", "k2", "ts", "ts2", Seq("p")).count() === 0)
+    assert(Sampling.sample(noDocs, "doc_id", 0.5).count() === 0)
+    assert(Sampling.split(noDocs, "doc_id", Seq(0.5, 0.5)).map(_.count()).sum === 0)
+  }
+}

@@ -48,6 +48,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === src.count(), s"expected ${src.count()} unique ids, got $n")
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim without state") {
+    val dim = graft.engine.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    EventStreams.runToMemory(
+      EventStreams.enrich(streamingEvents, dim, "user_id", "c_custkey")
+        .select("event_id", "user_id", "c_mktsegment"),
+      "enrich_out", OutputMode.Append())
+    val out = spark.table("enrich_out")
+    val batch = spark.read.parquet(sourceDir)
+    assert(out.count() === batch.count(), "left join keeps every event")
+    val expectedMatched = batch.join(dim,
+      batch("user_id") === dim("c_custkey")).count()
+    assert(out.filter(col("c_mktsegment").isNotNull).count() === expectedMatched)
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val sessions = EventStreams.sessionize(spark,
       streamingEvents.as[EventStreams.Event])
