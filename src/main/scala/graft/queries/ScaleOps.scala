@@ -64,6 +64,19 @@ object ScaleOps {
         .orderBy("order_date")
     },
 
+    // percentile_approx — the 100 TB toggle for a_percentiles_exact: one
+    // mergeable sketch pass instead of a per-group sort. Sketch internals
+    // are engine-specific → rows-only; PropertiesSpec bounds the error vs
+    // the exact percentile.
+    QueryDef.rowsOnly("a_approx_percentiles") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx"))
+        .orderBy("event_type")
+    },
+
     // Batch sessionization: gap > sessionGapUs starts a new session;
     // session id = running count of session starts per user (lag +
     // conditional cumulative sum — the batch analog of streaming session

@@ -95,4 +95,13 @@ class PropertiesSpec extends AnyFunSuite {
     val (a, e) = (out.getLong(0).toDouble, out.getLong(1).toDouble)
     assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
   }
+
+  test("percentile_approx lands near the exact interpolated percentile") {
+    val out = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("a"),
+        expr("percentile(value, 0.5D)").as("e")).collect().head
+    val (a, e) = (out.getDouble(0), out.getDouble(1))
+    assert(math.abs(a - e) / math.max(e, 1e-9) < 0.05, s"approx $a vs exact $e")
+  }
 }
