@@ -49,34 +49,36 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** One (id, shingle) row per distinct shingle per doc, built with
-    * codegen'd operators only: posexplode tokens → window lead(n-1) →
-    * concat — no interpreted array lambdas. Docs shorter than the shingle
-    * size fall back to one whole-text shingle, selected by token count
-    * (a per-row size() test, not an anti-join over the exploded relation).
+  /** One (id, shingle) row per distinct shingle per doc. The token array
+    * is materialized FIRST (eager localCheckpoint): that boundary stops
+    * CollapseProject from inlining the tokenize regex into the shingle
+    * lambda (inlined, the regex re-runs once per shingle — the measured
+    * round-1 pathology), so the single non-nested `transform` below only
+    * does O(1) `element_at` reads per shingle. This replaces the previous
+    * posexplode → window-lead construction — same output, one less
+    * shuffle+sort over the exploded relation. Docs shorter than the
+    * shingle size fall back to one whole-text shingle, selected by token
+    * count.
     *
-    * Staged via eager localCheckpoint — every caller feeds it into 2-3
-    * different shuffles (signatures, co-occurrence joins, sizes), so it is
-    * computed exactly once, its lineage is truncated, and AQE has already
-    * sized its partitions to the real (post-explode) row count. Blocks are
-    * released by the ContextCleaner when the result goes out of scope, so
-    * library callers don't leak executor cache. On a multi-executor
-    * cluster the equivalent staging is a reliable checkpoint / parquet
-    * stage between phases. */
+    * The result is itself a localCheckpoint — every caller feeds it into
+    * 2-3 different shuffles (signatures, co-occurrence joins, sizes), so
+    * it is computed exactly once, its lineage is truncated, and AQE has
+    * already sized its partitions to the real (post-explode) row count.
+    * Blocks are released by the ContextCleaner when the result goes out
+    * of scope, so library callers don't leak executor cache. On a
+    * multi-executor cluster the equivalent staging is a reliable
+    * checkpoint / parquet stage between phases. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
-    val tok = toks.filter(size(col("toks")) >= shingleSize)
-      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "t0")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val withLeads = (1 until shingleSize).foldLeft(tok)((d, i) =>
-      d.withColumn(s"t$i", lead(col("t0"), i).over(w)))
-    val full = withLeads
-      .filter(col(s"t${shingleSize - 1}").isNotNull)
-      .select(col("id"),
-        concat_ws(" ", (0 until shingleSize).map(i => col(s"t$i")): _*)
-          .as("shingle"))
+      .localCheckpoint()
+    val shingle = transform(
+      sequence(lit(0), size(col("toks")) - shingleSize),
+      i => concat_ws(" ",
+        (0 until shingleSize).map(j => element_at(col("toks"), i + j + 1)): _*))
+    val full = toks.filter(size(col("toks")) >= shingleSize)
+      .select(col("id"), explode(shingle).as("shingle"))
       .distinct()
     val short = toks.filter(size(col("toks")) < shingleSize)
       .select(col("id"), concat_ws(" ", col("toks")).as("shingle"))
