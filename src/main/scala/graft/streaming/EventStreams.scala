@@ -65,23 +65,31 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
+            // fold the batch through the gap rule, splitting WITHIN the
+            // batch too — a whole day arriving as one micro-batch must
+            // produce the same sessions as it would event by event (and
+            // the same sessions as the batch operator, which
+            // StreamingSpec asserts)
             val batch = rows.toSeq.sortBy(_.ts.getTime)
-            val prev = state.getOption
-              // event-time gap closes the previous session
-              .filter(p => batch.headOption.forall(
-                _.ts.getTime - p.last_seen.getTime <= gapMs))
-            val updated = SessionUpdate(
-              userId,
-              prev.map(_.events).getOrElse(0L) + batch.size,
-              prev.map(_.total_value).getOrElse(0.0) + batch.map(_.value).sum,
-              prev.map(_.session_start).getOrElse(batch.head.ts),
-              batch.last.ts)
-            state.update(updated)
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionUpdate]
+            var cur = state.getOption
+            batch.foreach { e =>
+              cur match {
+                case Some(c) if e.ts.getTime - c.last_seen.getTime <= gapMs =>
+                  cur = Some(c.copy(events = c.events + 1,
+                    total_value = c.total_value + e.value, last_seen = e.ts))
+                case other =>
+                  other.foreach(closed += _) // gap: final row of that session
+                  cur = Some(SessionUpdate(userId, 1L, e.value, e.ts, e.ts))
+              }
+            }
+            val open = cur.get // batch was non-empty
+            state.update(open)
             // timeout must sit beyond the current watermark
             state.setTimeoutTimestamp(math.max(
-              updated.last_seen.getTime + gapMs,
+              open.last_seen.getTime + gapMs,
               state.getCurrentWatermarkMs() + 1000L))
-            Iterator.single(updated)
+            closed.iterator ++ Iterator.single(open)
           }
       }
   }

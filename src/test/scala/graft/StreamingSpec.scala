@@ -68,12 +68,31 @@ class StreamingSpec extends AnyFunSuite {
       streamingEvents.as[EventStreams.Event])
     EventStreams.runToMemory(sessions.toDF(), "sess_out", OutputMode.Update())
     val out = spark.table("sess_out")
-    // one update row per user per micro-batch; final state covers all events
-    val totals = out.groupBy("user_id")
+    // a session's row count grows monotonically; its final size is the max
+    // per (user, session_start), and the sessions partition the stream
+    val totals = out.groupBy("user_id", "session_start")
       .agg(max("events").as("events"))
       .agg(sum("events")).as[Long].collect().head
     assert(totals === spark.read.parquet(sourceDir).count())
     val span = out.filter($"events" > 1).count()
     assert(span > 0, "sessions accumulate across events")
+  }
+
+  test("streaming sessionization agrees with the batch operator") {
+    val sessions = EventStreams.sessionize(spark,
+      streamingEvents.as[EventStreams.Event])
+    EventStreams.runToMemory(sessions.toDF(), "sess_eq_out", OutputMode.Update())
+    // final state per session = last update row per (user, session_start)
+    val streamed = spark.table("sess_eq_out")
+      .groupBy("user_id", "session_start")
+      .agg(max("events").as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val batch = SparkEntry.queries("w_sessionize_batch")(
+        spark, "/root/testdata/sf0.001")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "per-user session counts and sizes must match the batch operator")
   }
 }
