@@ -82,7 +82,14 @@ object Dedup {
       .distinct()
     val short = toks.filter(size(col("toks")) < shingleSize)
       .select(col("id"), concat_ws(" ", col("toks")).as("shingle"))
-    full.unionByName(short).localCheckpoint()
+    // shash: the shingle string hashed ONCE into the staged relation.
+    // Consumers that derive per-component hashes (minhash) key off this
+    // 64-bit id instead of rehashing the string per component — an
+    // expression in the aggregate would be re-evaluated per component
+    // (no CSE across aggregate functions; measured 1.7× slower).
+    full.unionByName(short)
+      .withColumn("shash", xxhash64(col("shingle")))
+      .localCheckpoint()
   }
 
   /** Jaccard from intersection count + per-doc set sizes:
@@ -116,9 +123,14 @@ object Dedup {
       shingleSize: Int = 3, maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
     val exploded = explodedShingles(df, idCol, textCol, shingleSize)
-    // one codegen'd aggregate computes every minhash component + set size
+    // one codegen'd aggregate computes every minhash component + set size.
+    // Components derive from the staged 64-bit shingle hash (`shash`):
+    // xxhash64 over two longs per component, instead of rehashing the
+    // shingle string per component — the string is hashed once at staging
+    // time. Still an independent-enough family: each component is a
+    // different keyed hash of the shingle's 64-bit id.
     val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"__h$i"))
+      min(xxhash64(lit(i.toLong), col("shash"))).as(s"__h$i"))
     val aggCols = count(lit(1)).as("n") +: minCols
     val sigs = exploded.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
@@ -134,8 +146,8 @@ object Dedup {
     // past the 8 GB cap — AQE picks a broadcast join at runtime when the
     // candidate set actually is small.
     val inter = cands
-      .join(exploded.withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
-      .join(exploded.withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
+      .join(exploded.drop("shash").withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
+      .join(exploded.drop("shash").withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     jaccardFromCounts(inter, sigs.select(col("id"), col("n")))
       .filter(col("jaccard") >= threshold)
