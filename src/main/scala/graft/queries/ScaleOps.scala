@@ -300,6 +300,41 @@ object ScaleOps {
         .orderBy("window_start")
     },
 
+    // Column profile (the describe() shape): count/min/max/mean/stddev per
+    // group. Sample variance is computed from exact decimal sums of x and
+    // x² with an identical double formula on both engines — a plain
+    // stddev_samp aggregate is partial-order-dependent in its low bits and
+    // would never hash-match.
+    QueryDef.sql(
+      "a_profile_stats", {
+        val varSql = "(sum2 - sum1 * sum1 / n) / (n - 1)"
+        s"""WITH g AS (
+           |  SELECT event_type,
+           |    COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+           |    ${Det.dsumSql("value")} AS sum1,
+           |    CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sum2
+           |  FROM events GROUP BY 1)
+           |SELECT event_type, n,
+           |  min_v, max_v,
+           |  ${Det.roundNSql("sum1 / n", 4)} AS mean_v,
+           |  ${Det.roundNSql(s"sqrt($varSql)", 4)} AS stddev_v
+           |FROM g ORDER BY event_type""".stripMargin
+      }) { (s, d) =>
+      val sum1 = Det.dsum(col("value"))
+      val sum2 = sum((col("value") * col("value"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
+      val g = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"), sum1.as("sum1"), sum2.as("sum2"))
+      val variance = (col("sum2") - col("sum1") * col("sum1") / col("n")) /
+        (col("n") - 1)
+      g.select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+          Det.roundN(col("sum1") / col("n"), 4).as("mean_v"),
+          Det.roundN(sqrt(variance), 4).as("stddev_v"))
+        .orderBy("event_type")
+    },
+
     // Exact interpolated percentiles (R-7, the quantile_cont convention
     // both engines implement) per group — the profiling aggregate a
     // training-data pipeline runs over quality scores / lengths.
