@@ -159,6 +159,28 @@ object Windows {
         .orderBy("user_id")
     },
 
+    // Per-group top-k (every customer's 3 largest orders): rank-filter
+    // over a KEYED window. Safe at scale unlike a global rank — the
+    // partition key bounds each window, and Spark 4's WindowGroupLimit
+    // pushes the k-filter into the shuffle (per-partition top-k before
+    // the exchange, like TakeOrdered but per group).
+    QueryDef.sql(
+      "o_topk_per_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk")
+    },
+
     // O2 presentation sort (DESC with tiebreak). Ref: model_gold.py:116,127.
     QueryDef.sql(
       "o2_presentation_sort",

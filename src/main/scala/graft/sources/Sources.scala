@@ -75,6 +75,15 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Evolving-schema scan: union the schemas of all footers (mergeSchema)
+    * so files written before a column was added read as NULL for it —
+    * the lake-side contract when a layer table gains columns over time.
+    * mergeSchema is a per-file footer union at planning time; at 100 TB
+    * prefer declaring the target schema explicitly (`.schema(...)`) once
+    * it has settled, which skips the footer sweep. */
+  def parquetEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S7+S8 glob discovery + filename routing: one distributed multi-path
     * read per route pattern over the landing dir; each row keeps its
     * source file (P3 audit). Routes = substring → loader over ALL matched

@@ -24,6 +24,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(names.contains("café"), s"fallback not taken: $names")
   }
 
+  test("schema evolution: mergeSchema reads old files with NULL for new columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val df = Sources.parquetEvolving(spark, dir)
+    assert(df.columns.toSet == Set("id", "name", "score"))
+    val byId = df.select("id", "score").collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byId(1L) === None && byId(2L) === Some(9.5))
+  }
+
   test("valid UTF-8 file stays on the UTF-8 path") {
     val path = write("users_utf8.csv",
       "id,name\n1,alice\n2,café\n", "UTF-8")
