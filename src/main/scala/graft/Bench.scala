@@ -27,7 +27,10 @@ object Bench {
     // session warmup (parquet reader init, codegen compiler, FS caches)
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // declaration order, not hash-Map order: per-query timings stay
+    // comparable across rounds even when query names are added/renamed
+    // (warmup/FS-cache effects always land on the same early queries)
+    val results = SparkEntry.allDefs.map(q => (q.name, q.run)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a thrown query is recorded as a failure, never as a fast timing
       val outcome = try Right(fn(spark, sfDir).count()) catch {

@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   * semantics return all columns of the single matched row, like DuckDB's
   * native ASOF JOIN).
   *
-  * Requirement: the right side must have at most one row per (key, ts) —
-  * with duplicates the carried row among the equal-(key, ts) set is
-  * partition-order-dependent. Dedup the right side first (e.g. P9
-  * keep-first) if the source can contain such duplicates.
+  * Duplicate right rows per (key, ts) are resolved deterministically: the
+  * window ordering extends to the payload struct itself, so among
+  * equal-(key, ts) right rows the greatest payload (struct field-by-field
+  * comparison) is the one carried — the same row on every run and every
+  * partitioning, at zero extra cost (no separate dedup shuffle; it rides
+  * the ordering the window already does). If a payload column is
+  * non-orderable (map type), dedup the right side first (e.g. P9
+  * keep-first) — the ordering then falls back to (ts, tag) only.
   *
   * Cost: ONE shuffle of |L|+|R| on the key (same as a sort-merge join's
   * shuffle) and one sorted window pass — no range cross-products, no
@@ -71,8 +75,16 @@ object AsOfJoin {
     val cols = leftCols ++ Seq("__p", "__k", "__ts", "__tag")
     val unioned = l.select(cols.map(col): _*)
       .unionByName(rAligned.select(cols.map(col): _*))
-    // right rows (tag 0) sort before left rows at equal ts → inclusive <=
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"))
+    // right rows (tag 0) sort before left rows at equal ts → inclusive <=;
+    // the payload struct breaks ties among duplicate right rows at the
+    // same (key, ts), making the carried row deterministic (left rows all
+    // have a NULL payload, so their relative order stays irrelevant)
+    val payloadOrderable = payloadType.forall(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    val ordering =
+      if (payloadOrderable) Seq(col("__ts"), col("__tag"), col("__p"))
+      else Seq(col("__ts"), col("__tag"))
+    val w = Window.partitionBy("__k").orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))

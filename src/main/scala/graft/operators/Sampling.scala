@@ -51,9 +51,12 @@ object Sampling {
     * strata not listed are dropped. */
   def sampleByStratum(df: DataFrame, strataCol: String, keyCol: String,
       fractions: Map[String, Double], salt: Int = 0): DataFrame = {
-    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
-      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    // per-stratum thresholds resolved with the same rounding as sample():
+    // a raw double product (0.1*10000 = 1000.0000000000001) would admit one
+    // extra bucket and disagree with sample() for the same fraction
+    val frac = fractions.foldLeft(lit(Long.MinValue)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit((f * Buckets).round)).otherwise(acc)
     }
-    df.filter(bucket(col(keyCol), salt) < (frac * Buckets))
+    df.filter(bucket(col(keyCol), salt) < frac)
   }
 }

@@ -115,6 +115,11 @@ object Similarity {
     * rebuilt only at the end over #cells × dims rows (codebook-sized, so
     * the interpreted transform is off the hot path).
     *
+    * A cell that attracted no members keeps its PREVIOUS centroid (with
+    * n_members = 0) instead of vanishing — the codebook never shrinks
+    * across Lloyd iterations, so downstream cell ids stay stable and the
+    * caller can choose to reseed dead cells explicitly.
+    *
     * Returns (cell, c_emb: array<double>, n_members). */
   def kmeansStep(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
@@ -125,12 +130,20 @@ object Similarity {
       .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
           .cast("double") / count(lit(1))).as("c_mean"),
         count(lit(1)).as("n_members"))
-    dimMeans
+    val refined = dimMeans
       .groupBy("cell")
       .agg(
         transform(array_sort(collect_list(struct(col("dim"), col("c_mean")))),
           s => s.getField("c_mean")).as("c_emb"),
         max(col("n_members")).as("n_members"))
+    // left-join back over the codebook (cells × 1 rows, trivially small):
+    // empty cells resurface with their old embedding and a zero count
+    centroids
+      .select(col("cell"), asDouble(col("c_emb")).as("__prev"))
+      .join(refined, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("c_emb"), col("__prev")).as("c_emb"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
   }
 
   /** Near-duplicate vector pairs: banded sign-LSH candidates + exact

@@ -370,11 +370,20 @@ object Extensions {
          |    FROM scored) WHERE rn = 1),
          |dims AS (
          |  SELECT cell, generate_subscripts(emb, 1) - 1 AS dim, unnest(emb) AS x
-         |  FROM assigned)
-         |SELECT cell, CAST(dim AS BIGINT) AS dim,
-         |  ${roundN("CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)", 6)} AS c_val,
-         |  COUNT(*) AS n_members
-         |FROM dims GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin) { (s, d) =>
+         |  FROM assigned),
+         |means AS (
+         |  SELECT cell, dim,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m,
+         |    COUNT(*) AS n
+         |  FROM dims GROUP BY 1, 2),
+         |cdims AS (
+         |  SELECT cell, generate_subscripts(ce, 1) - 1 AS dim, unnest(ce) AS pv
+         |  FROM cent)
+         |SELECT c.cell, CAST(c.dim AS BIGINT) AS dim,
+         |  ${roundN("COALESCE(m, pv)", 6)} AS c_val,
+         |  COALESCE(n, 0) AS n_members
+         |FROM cdims c LEFT JOIN means m ON m.cell = c.cell AND m.dim = c.dim
+         |ORDER BY c.cell, c.dim""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))

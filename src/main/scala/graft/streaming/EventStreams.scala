@@ -76,8 +76,17 @@ object EventStreams {
             batch.foreach { e =>
               cur match {
                 case Some(c) if e.ts.getTime - c.last_seen.getTime <= gapMs =>
+                  // a late-but-within-watermark event from an earlier
+                  // micro-batch can carry ts < last_seen; merging must
+                  // never move the session boundary backwards, or the next
+                  // in-order event would be compared against a rewound
+                  // last_seen and wrongly split the session
                   cur = Some(c.copy(events = c.events + 1,
-                    total_value = c.total_value + e.value, last_seen = e.ts))
+                    total_value = c.total_value + e.value,
+                    session_start = if (e.ts.before(c.session_start)) e.ts
+                                    else c.session_start,
+                    last_seen = if (e.ts.after(c.last_seen)) e.ts
+                                else c.last_seen))
                 case other =>
                   other.foreach(closed += _) // gap: final row of that session
                   cur = Some(SessionUpdate(userId, 1L, e.value, e.ts, e.ts))

@@ -55,4 +55,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(1L) === ((Some(100.0), Some(5L))))
     assert(out(2L) === ((None, Some(7L))))
   }
+
+  test("duplicate right rows at the same (key, ts) resolve deterministically") {
+    // two quotes at the identical instant: the greatest payload struct
+    // (here the higher price) must be carried, on every run and under any
+    // partitioning — never a partition-order-dependent pick
+    val quotes = Seq(
+      (1L, ts("2020-01-01 10:00:00"), 100.0),
+      (1L, ts("2020-01-01 10:00:00"), 105.0),
+      (1L, ts("2020-01-01 10:00:00"), 95.0))
+      .toDF("q_key", "q_ts", "price")
+    val trades = Seq((1L, 1L, ts("2020-01-01 11:00:00")))
+      .toDF("trade_id", "t_key", "t_ts")
+    (1 to 3).foreach { n =>
+      val out = AsOfJoin.asof(trades, quotes.repartition(n),
+          "t_key", "q_key", "t_ts", "q_ts", Seq("price"))
+        .collect()
+      assert(out.head.getDouble(3) === 105.0, s"repartition($n)")
+    }
+  }
 }

@@ -30,7 +30,10 @@ class EmptyInputSpec extends AnyFunSuite {
     val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("cell", "c_emb")
     assert(Similarity.bruteForceTopK(noVecs, q, 5).count() === 0)
     assert(Similarity.ivfTopK(noVecs, cents, q, k = 5, nProbe = 1).count() === 0)
-    assert(Similarity.kmeansStep(noVecs, cents).count() === 0)
+    // the codebook never shrinks: with no members every cell survives
+    // with its previous centroid and a zero member count
+    val km = Similarity.kmeansStep(noVecs, cents).collect()
+    assert(km.length === 1 && km.head.getLong(2) === 0L)
     assert(Similarity.embeddingNearDups(noVecs, threshold = 0.5).count() === 0)
   }
 

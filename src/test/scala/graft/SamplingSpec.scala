@@ -47,4 +47,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(byStratum("0") - 3333 * 0.5) < 170)
     assert(math.abs(byStratum("1") - 3333 * 0.1) < 100)
   }
+
+  test("stratified threshold matches sample() exactly for the same fraction") {
+    // both paths must round the bucket cutoff identically — a raw double
+    // product (0.1 * 10000 = 1000.0000000000001) would admit an extra
+    // bucket in one of them
+    val uniform = Sampling.sample(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.withColumn("stratum", lit("s"))
+    val strat = Sampling.sampleByStratum(all, "stratum", "doc_id",
+      Map("s" -> 0.1)).select("doc_id").as[Long].collect().toSet
+    assert(uniform == strat)
+  }
 }

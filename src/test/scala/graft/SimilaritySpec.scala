@@ -56,6 +56,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs === Set((0L, 1L)), s"got $pairs")
   }
 
+  test("kmeansStep retains empty cells with their previous centroid") {
+    // centroid 9 points away from every vector, so it attracts no members;
+    // a Lloyd step must keep it (old embedding, n_members = 0), not shrink
+    // the codebook
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (9L, Array(-1.0f, -1.0f, -1.0f)))
+      .toDF("cell", "c_emb")
+    val members = vecs.filter($"vec_id" =!= 4) // drop the vector nearest cell 9
+    val out = Similarity.kmeansStep(members, centroids)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(out.keySet === Set(0L, 9L))
+    assert(out(9L)._2 === 0L)
+    assert(out(9L)._1 === Seq(-1.0, -1.0, -1.0), "dead cell keeps old centroid")
+    assert(out(0L)._2 === 4L)
+  }
+
   test("multimodal: features deterministic, frame sampling shapes") {
     val media = Multimodal.toMediaTable(
       Seq((7L, "abcdefgh" * 16)).toDF("doc_id", "text"), "doc_id", "text")

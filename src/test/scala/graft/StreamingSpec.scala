@@ -78,6 +78,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(span > 0, "sessions accumulate across events")
   }
 
+  test("late event within watermark never rewinds the session boundary") {
+    // batch 1: in-order events at 10:00 and 10:08. batch 2: a late event
+    // at 10:03 (within watermark) then 10:15. With a 10-minute gap the
+    // whole thing is ONE session — but if merging the late event rewound
+    // last_seen to 10:03, the 10:15 event (12 min later) would wrongly
+    // open a second session.
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("stream-late").toString
+    def writeBatch(rows: Seq[(Long, String)]): Unit = {
+      rows.map { case (id, t) =>
+        EventStreams.Event(id, Timestamp.valueOf(t), 42L, "click", 1.0)
+      }.toDS().coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct file mod-times → stable trigger order
+    }
+    writeBatch(Seq(1L -> "2020-01-01 10:00:00", 2L -> "2020-01-01 10:08:00"))
+    writeBatch(Seq(3L -> "2020-01-01 10:03:00", 4L -> "2020-01-01 10:15:00"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", false)
+      .parquet(dir)
+    val sessions = EventStreams.sessionize(spark, stream.as[EventStreams.Event],
+      gapMs = 10 * 60 * 1000L)
+    EventStreams.runToMemory(sessions.toDF(), "late_out", OutputMode.Update())
+    val out = spark.table("late_out").filter($"user_id" === 42L)
+    val starts = out.select("session_start").distinct().count()
+    assert(starts === 1L, "late event must not split the session")
+    val finalEvents = out.agg(max("events")).as[Long].collect().head
+    assert(finalEvents === 4L, "all four events land in the one session")
+  }
+
   test("streaming sessionization agrees with the batch operator") {
     val sessions = EventStreams.sessionize(spark,
       streamingEvents.as[EventStreams.Event])
