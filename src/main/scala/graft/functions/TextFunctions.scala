@@ -117,4 +117,29 @@ object TextFunctions {
       markerCols
     tok.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
   }
+
+  /** Corpus-scale quality scoring over [[tokenFeatures]]: every input
+    * column plus word_count (long), avg_word_len, stopword_ratio, and the
+    * 0-100 quality_score — the single source of truth for score-derived
+    * queries (direct report + quantile gating must agree to the bit). */
+  def qualityFeatures(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val feats = tokenFeatures(df, idCol, textCol)
+    val wc = col("word_count_t")
+    val awl = when(wc > 0,
+      Det.roundN(col("chars_nospace").cast("double") / wc, 2)).otherwise(0.0)
+    val punctRatio = punctCount(col(textCol)).cast("double") /
+      greatest(length(col(textCol)).cast("double"), lit(1.0))
+    df.join(feats, idCol)
+      .select(df.columns.map(col) ++ Seq(
+        wc.as("word_count"),
+        awl.as("avg_word_len"),
+        when(wc > 0, Det.roundN(col("stop_hits").cast("double") / wc, 4))
+          .otherwise(0.0).as("stopword_ratio"),
+        greatest(lit(0), lit(100)
+          - when(wc < 5, 40).otherwise(0)
+          - when(punctRatio > 0.2, 20).otherwise(0)
+          - when(awl < 3.0 || awl > 12.0, 20).otherwise(0)
+          - when(col("stop_hits") === 0, 20).otherwise(0)).as("quality_score")): _*)
+  }
 }

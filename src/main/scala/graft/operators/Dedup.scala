@@ -68,8 +68,8 @@ object Dedup {
     * of scope, so library callers don't leak executor cache. On a
     * multi-executor cluster the equivalent staging is a reliable
     * checkpoint / parquet stage between phases. */
-  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int): DataFrame = {
+  private[operators] def explodedShingles(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
       .localCheckpoint()

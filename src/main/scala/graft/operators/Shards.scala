@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Det
+
+/** Output-shard assignment for training exports: map every document to one
+  * of nShards shards so each shard carries a near-equal total token
+  * weight. Training dataloaders read shards in parallel; a token-skewed
+  * shard is the straggler that paces the whole epoch.
+  *
+  * Two-tier assignment, both deterministic (pure functions of the data —
+  * reruns, retries, and repartitioning cannot move a doc between shards):
+  *   - LIGHT rows (weight < heavyCutoff): stable-hash round robin,
+  *     shard = xxhash64(salt, id) mod nShards. Map-side only, no shuffle;
+  *     by concentration the relative token imbalance this leaves is
+  *     O(sqrt(heavyCutoff / totalWeight)) — negligible when the cutoff is
+  *     chosen so no single doc is a meaningful fraction of a shard.
+  *   - HEAVY rows (weight >= heavyCutoff): the tail that hash placement
+  *     CAN'T balance (one 10M-token doc landing by luck next to another
+  *     skews a shard). They are rank-ordered by weight and dealt
+  *     round-robin. This uses a global-order window, which is exactly the
+  *     unbounded-window anti-pattern — deliberately confined here to the
+  *     heavy relation, whose size the caller bounds via heavyCutoff (pick
+  *     a high quantile of the weight column, e.g. p999 from
+  *     approx_percentile, so heavies are ≲0.1% of rows).
+  *
+  * At rest, write with .repartition(col("shard")).write.partitionBy("shard")
+  * so each shard is one file set.
+  */
+object Shards {
+
+  /** Adds a `shard` int column in [0, nShards). */
+  def assign(df: DataFrame, idCol: String, weightCol: String, nShards: Int,
+      heavyCutoff: Long = Long.MaxValue, salt: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val light = df.filter(col(weightCol) < heavyCutoff)
+      .withColumn("shard",
+        pmod(xxhash64(lit(salt), col(idCol)), lit(nShards)).cast("int"))
+    val heavy = df.filter(col(weightCol) >= heavyCutoff)
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(desc(weightCol), col(idCol))))
+      .withColumn("shard", pmod(col("__rn") - 1, lit(nShards)).cast("int"))
+      .drop("__rn")
+    light.unionByName(heavy)
+  }
+
+  /** Per-shard totals + the relative imbalance (max shard weight over the
+    * ideal equal split) — the number an export job alerts on. */
+  def summary(assigned: DataFrame, weightCol: String): DataFrame = {
+    val perShard = assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).cast("long").as("total_weight"))
+    // the global total rides as a broadcast 1-row aggregate — one plan,
+    // no driver-side .first() actions recomputing the assignment
+    val totals = perShard.agg(
+      sum(col("total_weight")).as("__total"), count(lit(1)).as("__nsh"))
+    perShard
+      .crossJoin(broadcast(totals))
+      .withColumn("imbalance", Det.roundN(
+        col("total_weight") * col("__nsh") / col("__total"), 4))
+      .select("shard", "n_docs", "total_weight", "imbalance")
+  }
+}

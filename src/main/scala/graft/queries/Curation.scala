@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Contamination, Scd2, Shards}
+
+/** Warehouse history merge + the remaining training-data curation passes:
+  * SCD2 dimension versioning, benchmark decontamination, per-language
+  * quality-quantile gating, token-balanced output sharding.
+  */
+object Curation {
+
+  private val roundN = Det.roundNSql _
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // SCD2 merge over a customer dimension snapshot: keys % 3 arrive in the
+    // update batch, of which % 6 changed segment (close + reopen), the rest
+    // are no-ops; keys above the current table's range are brand-new.
+    QueryDef.sql(
+      "scd2_merge",
+      """WITH cur AS (
+        |  SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS valid_from,
+        |         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM customer WHERE c_custkey <= 1200),
+        |upd AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 6 = 0 THEN c_mktsegment || '_V2'
+        |              ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT c.c_custkey, c.c_mktsegment, c.valid_from, c.valid_to, c.is_current
+        |FROM cur c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+        |WHERE u.c_custkey IS NULL OR u.c_mktsegment = c.c_mktsegment
+        |UNION ALL
+        |SELECT c.c_custkey, c.c_mktsegment, c.valid_from, DATE '2021-06-01', FALSE
+        |FROM cur c JOIN upd u ON u.c_custkey = c.c_custkey
+        |WHERE u.c_mktsegment <> c.c_mktsegment
+        |UNION ALL
+        |SELECT c.c_custkey, u.c_mktsegment, DATE '2021-06-01', CAST(NULL AS DATE), TRUE
+        |FROM cur c JOIN upd u ON u.c_custkey = c.c_custkey
+        |WHERE u.c_mktsegment <> c.c_mktsegment
+        |UNION ALL
+        |SELECT u.c_custkey, u.c_mktsegment, DATE '2021-06-01', CAST(NULL AS DATE), TRUE
+        |FROM upd u LEFT JOIN cur c ON c.c_custkey = u.c_custkey
+        |WHERE c.c_custkey IS NULL
+        |ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val current = cust.filter(col("c_custkey") <= 1200)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit("2020-01-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(true).as("is_current"))
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 6 === 0, concat(col("c_mktsegment"), lit("_V2")))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      Scd2.merge(current, updates, "c_custkey", Seq("c_mktsegment"),
+          lit("2021-06-01").cast("date"))
+        .orderBy("c_custkey", "valid_from")
+    },
+
+    // Benchmark decontamination: docs % 20 form the held-out benchmark,
+    // the rest are the training corpus; flag corpus docs carrying >= half
+    // of a benchmark doc's distinct 3-gram shingles. Oracle mirrors the
+    // operator's inverted-index semantics (distinct shingles, corpus-side
+    // posting cap, overlap from co-occurrence counts).
+    QueryDef.sql(
+      "t_contamination",
+      raw"""WITH toks AS (
+         |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 3
+         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+         |    ELSE [array_to_string(t, ' ')] END AS shingles
+         |  FROM toks),
+         |s AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |corp AS (SELECT doc_id, shingle FROM s WHERE doc_id % 20 <> 0),
+         |bench AS (SELECT doc_id AS bench_id, shingle FROM s WHERE doc_id % 20 = 0),
+         |bn AS (SELECT bench_id, COUNT(*) AS bench_n FROM bench GROUP BY 1),
+         |cu AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM corp)
+         |  WHERE pn <= 1000),
+         |ov AS (
+         |  SELECT cu.doc_id, b.bench_id, COUNT(*) AS ov_n
+         |  FROM cu JOIN bench b USING (shingle) GROUP BY 1, 2),
+         |f AS (
+         |  SELECT doc_id, bench_id, ov_n AS overlap, bench_n,
+         |    ${roundN("ov_n * 1.0 / bench_n", 4)} AS overlap_frac
+         |  FROM ov JOIN bn USING (bench_id))
+         |SELECT doc_id, bench_id, overlap, bench_n, overlap_frac
+         |FROM f WHERE overlap_frac >= 0.5 ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlap(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", shingleSize = 3, threshold = 0.5)
+        .orderBy("doc_id", "bench_id")
+    },
+
+    // Per-language quality gating: keep docs at or above their language's
+    // 25th-percentile quality score — corpus filtering that respects
+    // language mix instead of letting a high-resource language's
+    // distribution set one global bar. Exact R-7 percentile here; at
+    // 100 TB flip to percentile_approx (the a_approx_percentiles toggle).
+    QueryDef.sql(
+      "t_quantile_filter",
+      raw"""WITH f AS (
+         |  SELECT doc_id, lang, text,
+         |    len(str_split_regex(trim(lower(text)), '\s+')) AS words,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+         |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+         |    len(list_filter(str_split_regex(trim(lower(text)), '\s+'),
+         |        t -> t IN (${TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")}))) AS stop_hits
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang, words, stop_hits,
+         |    CASE WHEN words > 0 THEN ${roundN("chars * 1.0 / words", 2)} ELSE 0.0 END AS avg_word_len,
+         |    punct * 1.0 / GREATEST(length(text), 1) AS punct_ratio
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    GREATEST(0, 100
+         |      - CASE WHEN words < 5 THEN 40 ELSE 0 END
+         |      - CASE WHEN punct_ratio > 0.2 THEN 20 ELSE 0 END
+         |      - CASE WHEN avg_word_len < 3.0 OR avg_word_len > 12.0 THEN 20 ELSE 0 END
+         |      - CASE WHEN stop_hits = 0 THEN 20 ELSE 0 END) AS quality_score
+         |  FROM g),
+         |th AS (
+         |  SELECT lang, ${roundN("quantile_cont(quality_score, 0.25)", 4)} AS lang_p25
+         |  FROM q GROUP BY lang)
+         |SELECT doc_id, q.lang, CAST(quality_score AS BIGINT) AS quality_score, lang_p25
+         |FROM q JOIN th ON th.lang = q.lang
+         |WHERE quality_score >= lang_p25
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = TextFunctions.qualityFeatures(
+          Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+      // 4 languages → a tiny threshold table; broadcast it so the corpus
+      // side joins map-side with zero extra shuffle
+      val th = scored.groupBy("lang")
+        .agg(Det.roundN(expr("percentile(quality_score, 0.25D)"), 4)
+          .as("lang_p25"))
+      scored.join(broadcast(th), Seq("lang"))
+        .filter(col("quality_score") >= col("lang_p25"))
+        .select(col("doc_id"), col("lang"),
+          col("quality_score").cast("long").as("quality_score"),
+          col("lang_p25"))
+        .orderBy("doc_id")
+    },
+
+    // Token-balanced shard packing: hash round robin for the bulk, rank
+    // round robin for the heavy tail (n_chars >= 500 ≈ the p95 here).
+    // Assignment depends on xxhash64 → rows-only; ShardsSpec proves the
+    // partition is complete/disjoint/deterministic and bounds imbalance.
+    QueryDef.rowsOnly("t_shard_pack") { (s, d) =>
+      val assigned = Shards.assign(Tables.documents(s, d), "doc_id",
+        "n_chars", nShards = 8, heavyCutoff = 500)
+      Shards.summary(assigned, "n_chars").orderBy("shard")
+    },
+  )
+}

@@ -66,25 +66,11 @@ object Extensions {
          |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
       // single-pass token aggregate (explode → one hash agg) + one char-
       // level regex per row — not the per-metric HOF helpers, which would
-      // re-tokenize the corpus 4×
-      val docs = Tables.documents(s, d)
-      val feats = TextFunctions.tokenFeatures(docs, "doc_id", "text")
-      val wc = col("word_count_t")
-      val awl = when(wc > 0,
-        Det.roundN(col("chars_nospace").cast("double") / wc, 2)).otherwise(0.0)
-      val punctRatio = TextFunctions.punctCount(col("text")).cast("double") /
-        greatest(length(col("text")).cast("double"), lit(1.0))
-      docs.join(feats, "doc_id")
-        .select(col("doc_id"),
-          wc.as("word_count"),
-          awl.as("avg_word_len"),
-          when(wc > 0, Det.roundN(col("stop_hits").cast("double") / wc, 4))
-            .otherwise(0.0).as("stopword_ratio"),
-          greatest(lit(0), lit(100)
-            - when(wc < 5, 40).otherwise(0)
-            - when(punctRatio > 0.2, 20).otherwise(0)
-            - when(awl < 3.0 || awl > 12.0, 20).otherwise(0)
-            - when(col("stop_hits") === 0, 20).otherwise(0)).as("quality_score"))
+      // re-tokenize the corpus 4×. qualityFeatures is the shared scoring
+      // source so t_quantile_filter gates on bit-identical scores.
+      TextFunctions.qualityFeatures(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "word_count", "avg_word_len", "stopword_ratio",
+          "quality_score")
         .orderBy("doc_id")
     },
 
