@@ -74,6 +74,13 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
       .json(s"$lakeDir/exports/${name}_json")
   }
 
+  /** Columnar archive sink in ORC: the interchange format when a consumer
+    * warehouse doesn't read parquet. Same pushdown/pruning behavior; a
+    * dedicated sink (not part of `export`) because archives keep the full
+    * table partitioning rather than coalescing to one export file. */
+  def archiveOrc(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(s"$lakeDir/archive/$name")
+
   /** Full run over the testdata tables: events-as-covid through the
     * flagship silver transform, gold models, quality suite, exports,
     * run metadata. Returns per-stage row counts. */

@@ -75,6 +75,12 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — the second columnar lake format (predicate pushdown and
+    * column pruning work the same as parquet; some warehouses hand data
+    * over as ORC). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Evolving-schema scan: union the schemas of all footers (mergeSchema)
     * so files written before a column was added read as NULL for it —
     * the lake-side contract when a layer table gains columns over time.

@@ -103,6 +103,42 @@ object EventStreams {
       }
   }
 
+  /** Sliding-window counts/sums: overlapping windows of `windowLen` every
+    * `slide` — each event contributes to windowLen/slide windows (trend
+    * smoothing over streams; the tumbling case is slide == windowLen).
+    * Same bounded-state/watermark behavior as [[windowedAgg]]. */
+  def slidingAgg(events: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Stream-stream interval join: pair left rows with right rows on the
+    * same key whose timestamp lands in [left_ts, left_ts + maxDelay] —
+    * click-to-conversion attribution. Both sides are watermarked and the
+    * join condition carries the time bound, so Spark can compute how long
+    * each side's state must be retained and evict it — without the bound,
+    * stream-stream join state grows forever. Key/ts column names must
+    * differ across sides (Spark resolves the condition by name). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      maxDelay: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Streaming exact dedup: drop duplicate event_ids, with the watermark
     * bounding how long each key is remembered — state is O(keys inside the
     * watermark window), not O(stream). The streaming face of the batch

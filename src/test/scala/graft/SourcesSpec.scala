@@ -38,6 +38,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(byId(1L) === None && byId(2L) === Some(9.5))
   }
 
+  test("ORC round-trips with predicate pushdown reaching the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val df = spark.range(1000).select(
+      $"id", ($"id" % 7).as("grp"), ($"id" * 2.5).as("score"))
+    df.write.orc(dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.count() === 1000)
+    val filtered = back.filter($"grp" === 3).select("id", "score")
+    assert(filtered.count() === df.filter($"grp" === 3).count())
+    // the filter must reach the ORC reader, not run post-scan only
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("grp"),
+      s"no pushed filter in plan:\n$plan")
+  }
+
+  test("ORC archive sink round-trips through the lake") {
+    val lake = Files.createTempDirectory("graft_lake").toString
+    val p = new graft.engine.Pipeline(spark, lake)
+    p.archiveOrc(spark.range(100).toDF("id"), "ids")
+    assert(Sources.orc(spark, s"$lake/archive/ids").count() === 100)
+  }
+
   test("valid UTF-8 file stays on the UTF-8 path") {
     val path = write("users_utf8.csv",
       "id,name\n1,alice\n2,café\n", "UTF-8")

@@ -78,6 +78,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(span > 0, "sessions accumulate across events")
   }
 
+  test("sliding windows place every event in windowLen/slide windows") {
+    EventStreams.runToMemory(
+      EventStreams.slidingAgg(streamingEvents, "2 hours", "1 hour", "2 hours"),
+      "slide_out")
+    val streamed = spark.table("slide_out")
+      .agg(sum("n_events")).as[Long].collect().head
+    val batch = spark.read.parquet(sourceDir).count()
+    assert(streamed === 2 * batch,
+      "2h windows sliding by 1h → each event in exactly 2 windows")
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    val src = spark.read.parquet(sourceDir)
+    def side(tpe: String, k: String, t: String) = streamingEvents
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(k), col("ts").as(t))
+    EventStreams.runToMemory(
+      EventStreams.intervalJoin(
+        side("click", "l_user", "l_ts"), side("purchase", "r_user", "r_ts"),
+        "l_user", "r_user", "l_ts", "r_ts", maxDelay = "24 hours"),
+      "ivj_out", OutputMode.Append())
+    val batch = {
+      val l = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("l_user"), col("ts").as("l_ts"))
+      val r = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      l.join(r, col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 24 hours")).count()
+    }
+    assert(spark.table("ivj_out").count() === batch,
+      "every in-bound click→purchase pair emitted exactly once")
+  }
+
   test("late event within watermark never rewinds the session boundary") {
     // batch 1: in-order events at 10:00 and 10:08. batch 2: a late event
     // at 10:03 (within watermark) then 10:15. With a 10-minute gap the
