@@ -102,9 +102,14 @@ object Aggregates {
     },
 
     // A4 distribution → JSON map column (pandas .to_dict() → JSON).
-    // Ref: model_gold.py:172-180. JSON text layout differs across engines,
-    // so no SQL oracle — correctness covered by the unit spec.
-    QueryDef.rowsOnly("a4_distribution_json") { (s, d) =>
+    // Ref: model_gold.py:172-180. Spark's Jackson writer and DuckDB's JSON
+    // serializer produce byte-identical compact text for sorted
+    // string→bigint maps, so this IS oracle-checkable.
+    QueryDef.sql(
+      "a4_distribution_json",
+      """WITH g AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1)
+        |SELECT to_json(map_from_entries(list_sort(list((c_mktsegment, n)))))
+        |  AS customers_by_segment FROM g""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
         .agg(to_json(

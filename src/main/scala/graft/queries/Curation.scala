@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Contamination, Scd2, Shards}
+import graft.operators.{Chunking, Contamination, Mixing, Scd2, Shards}
 
 /** Warehouse history merge + the remaining training-data curation passes:
   * SCD2 dimension versioning, benchmark decontamination, per-language
@@ -148,6 +148,54 @@ object Curation {
           col("quality_score").cast("long").as("quality_score"),
           col("lang_p25"))
         .orderBy("doc_id")
+    },
+
+    // Context-window chunking: 32-token chunks overlapping by 8 (step 24).
+    // Chunk generation is a pure map-side expression — the oracle mirrors
+    // the slice semantics exactly (1-based inclusive, tail-clamped).
+    QueryDef.sql(
+      "t_chunking",
+      raw"""WITH toks AS (
+         |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |st AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(0, GREATEST(len(t) - 1, 0), 24)) AS start
+         |  FROM toks)
+         |SELECT doc_id, start // 24 AS chunk_id,
+         |  array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
+         |  CAST(len(t[start + 1 : start + 32]) AS BIGINT) AS n_tokens
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Chunking.byTokens(Tables.documents(s, d), "doc_id", "text",
+          chunk = 32, overlap = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Temperature-scaled source mixing (alpha = 1/T = 0.5): per-source
+    // token-mass shares flattened by sqrt and renormalized — the sampling
+    // weights a multi-source training run feeds to stratified sampling.
+    QueryDef.sql(
+      "t_mix_weights",
+      s"""WITH per AS (
+         |  SELECT source, ${Det.dsumSql("n_chars", 0)} AS total_weight
+         |  FROM documents GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(SUM(CAST(total_weight AS DECIMAL(18,0))) AS DOUBLE) AS t
+         |  FROM per),
+         |sc AS (
+         |  SELECT source, total_weight, total_weight / t AS share,
+         |    sqrt(total_weight / t) AS raw
+         |  FROM per, tot),
+         |rs AS (
+         |  SELECT CAST(SUM(CAST(raw AS DECIMAL(18,12))) AS DOUBLE) AS rsum
+         |  FROM sc)
+         |SELECT source, CAST(total_weight AS BIGINT) AS total_weight,
+         |  ${roundN("share", 6)} AS share,
+         |  ${roundN("raw / rsum", 6)} AS mix_weight
+         |FROM sc, rs ORDER BY source""".stripMargin) { (s, d) =>
+      Mixing.temperatureWeights(Tables.documents(s, d), "source", "n_chars",
+          alpha = 0.5)
+        .orderBy("source")
     },
 
     // Token-balanced shard packing: hash round robin for the bulk, rank

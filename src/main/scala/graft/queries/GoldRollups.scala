@@ -197,9 +197,32 @@ object GoldRollups {
     // per-country totals → TakeOrdered top/bottom 5 → list-of-structs →
     // JSON text, rank-sorted inside the list (array_sort on the struct's
     // leading rank field keeps the output order-deterministic regardless
-    // of collect_list's partition order). JSON text layout is
-    // engine-specific → rows-only + GoldRollupsSpec. Ref: model_gold.py:334-346.
-    QueryDef.rowsOnly("q_gold_top5_json") { (s, d) =>
+    // of collect_list's partition order). Spark and DuckDB render this
+    // list-of-structs JSON byte-identically (compact separators, same
+    // double formatting), so the export text itself is oracle-checked.
+    // Ref: model_gold.py:334-346.
+    QueryDef.sql(
+      "q_gold_top5_json",
+      s"""WITH daily AS (
+         |  SELECT user_id AS country, CAST(ts AS DATE) AS d,
+         |    ${Det.dsumSql("value")} AS confirmed
+         |  FROM events GROUP BY 1, 2),
+         |latest AS (
+         |  SELECT country, confirmed FROM daily
+         |  WHERE d = (SELECT max(d) FROM daily)),
+         |top5 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY confirmed DESC, country) AS INT) AS rank,
+         |    country, confirmed
+         |  FROM latest ORDER BY confirmed DESC, country LIMIT 5),
+         |bot5 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY confirmed ASC, country) AS INT) AS rank,
+         |    country, confirmed
+         |  FROM latest ORDER BY confirmed ASC, country LIMIT 5)
+         |SELECT
+         |  (SELECT to_json(list(struct_pack(rank := rank, country := country,
+         |     confirmed := confirmed) ORDER BY rank)) FROM top5) AS top_5_countries,
+         |  (SELECT to_json(list(struct_pack(rank := rank, country := country,
+         |     confirmed := confirmed) ORDER BY rank)) FROM bot5) AS bottom_5_countries""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
         .groupBy(col("user_id").as("country"), to_date(col("ts")).as("d"))
         .agg(Det.dsum(col("value")).as("confirmed"))

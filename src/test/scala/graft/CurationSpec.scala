@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, Shards}
+import graft.operators.{Chunking, Contamination, Mixing, Shards}
 
 class CurationSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -25,6 +25,37 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toList
     assert(out.map(_._1) === List(1L), s"got $out")
     assert(out.head._3 === 1.0, "verbatim copy carries every shingle")
+  }
+
+  test("chunking windows overlap correctly and clamp the tail") {
+    // 10 tokens, chunk 4, overlap 2 → starts 0,2,4,6,8
+    val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunking.byTokens(doc, "doc_id", "text", chunk = 4, overlap = 2)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.length === 5)
+    assert(out(0) === ((0L, "w1 w2 w3 w4", 4L)))
+    assert(out(1) === ((1L, "w3 w4 w5 w6", 4L)), "2-token overlap")
+    assert(out(4) === ((4L, "w9 w10", 2L)), "tail chunk clamped")
+    // every token survives: union of chunks covers the doc
+    val covered = out.flatMap(_._2.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"w$i").toSet)
+  }
+
+  test("mix weights: alpha=1 is proportional, alpha=0.5 flattens, sums to 1") {
+    val docs = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 90) "big" else "small", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    def weights(a: Double) =
+      Mixing.temperatureWeights(docs, "source", "n_chars", alpha = a)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val prop = weights(1.0)
+    assert(math.abs(prop("big") - 0.9) < 1e-6)
+    val flat = weights(0.5)
+    assert(flat("big") < 0.9 && flat("small") > 0.1,
+      "temperature upweights the low-resource source")
+    assert(math.abs(flat.values.sum - 1.0) < 1e-6)
   }
 
   test("shard assignment partitions the corpus and balances weight") {
