@@ -48,6 +48,19 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
       .partitionBy(dateCol)
       .parquet(path(layer, table))
 
+  /** Streaming-sink variant of K4: partitioned by (date, batch_id) so a
+    * REPLAYED micro-batch dynamically overwrites exactly its own
+    * partitions — idempotent under checkpoint-restart — while distinct
+    * batches that touch the same date land in sibling partitions instead
+    * of clobbering each other. */
+  def upsertBatch(df: DataFrame, layer: String, table: String,
+      dateCol: String, batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .repartition(col(dateCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(dateCol, "batch_id")
+      .parquet(path(layer, table))
+
   def read(layer: String, table: String): DataFrame =
     spark.read.parquet(path(layer, table))
 
@@ -72,6 +85,32 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
       .option("header", "true").csv(s"$lakeDir/exports/${name}_csv")
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .json(s"$lakeDir/exports/${name}_json")
+  }
+
+  /** Small-file compaction: rewrite a lake table into files of
+    * ~targetMB. Long-running append/upsert tables accrete small files
+    * (every micro-batch or incremental run adds some); scan cost then
+    * scales with file COUNT, not bytes — footer reads, task scheduling,
+    * and row-group overhead dominate. Compaction = one distributed read +
+    * repartition + atomic overwrite-in-place; run it off the hot path.
+    * File count comes from actual on-disk bytes, not a guess. */
+  def compact(layer: String, table: String, targetMB: Int = 128): Unit = {
+    val dir = path(layer, table)
+    val bytes = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+    }
+    val nFiles = math.max(1, (bytes / (targetMB * 1024L * 1024L)).toInt)
+    val df = spark.read.parquet(dir)
+    // stage through a temp dir: Overwrite on the dir being read would
+    // delete the input before the new files are written
+    val tmp = s"$dir.__compact"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
   }
 
   /** Columnar archive sink in ORC: the interchange format when a consumer

@@ -159,6 +159,26 @@ object EventStreams {
     stream.join(dim, stream(streamKey) === dim(dimKey), "left")
       .drop(dim(dimKey))
 
+  /** Streaming → lake sink: foreachBatch bridges the stream to the batch
+    * writer, landing each micro-batch in (date, batch_id) partitions via
+    * dynamic partition overwrite. A micro-batch REPLAYED after a failure
+    * rewrites exactly its own partitions with the same rows — the
+    * idempotent-sink contract that makes checkpoint-restart exactly-once
+    * at the lake level — while distinct batches sharing a date coexist as
+    * sibling partitions. Synchronous test drain via processAllAvailable;
+    * in production attach a checkpointLocation and drop the stop(). */
+  def toLake(df: DataFrame, pipeline: graft.engine.Pipeline, layer: String,
+      table: String, dateCol: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pipeline.upsertBatch(batch, layer, table, dateCol, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming sink contract for tests/demos: memory table, processed
     * synchronously. Returns the query name to select from. */
   def runToMemory(df: DataFrame, name: String,

@@ -25,6 +25,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Files.list(java.nio.file.Paths.get(s"$lake/exports")).count() >= 2)
   }
 
+  test("compaction shrinks file count without changing rows") {
+    val lake = Files.createTempDirectory("graft-compact").toString
+    val p = new Pipeline(spark, lake)
+    // 40 appends of tiny frames → 40+ small files
+    (1 to 40).foreach { i =>
+      p.writeAppend(Seq((i.toLong, s"row$i")).toDF("id", "v"), "bronze", "tiny")
+    }
+    def files() = Files.walk(java.nio.file.Paths.get(s"$lake/bronze/tiny"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    val before = files()
+    assert(before >= 40)
+    val rows = p.read("bronze", "tiny").orderBy("id").collect().toSeq
+    p.compact("bronze", "tiny", targetMB = 128)
+    assert(files() < 5, s"still ${files()} files after compaction")
+    assert(p.read("bronze", "tiny").orderBy("id").collect().toSeq === rows)
+  }
+
   test("bucketed tables join with no exchange on either side") {
     val lake = Files.createTempDirectory("graft-bucketed").toString
     val p = new Pipeline(spark, lake)

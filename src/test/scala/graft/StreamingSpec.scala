@@ -143,6 +143,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalEvents === 4L, "all four events land in the one session")
   }
 
+  test("foreachBatch lake sink lands every event; replay does not duplicate") {
+    val lake = Files.createTempDirectory("stream-lake").toString
+    val p = new graft.engine.Pipeline(spark, lake)
+    val withDate = streamingEvents.withColumn("event_date",
+      to_date(col("ts")))
+    EventStreams.toLake(withDate, p, "bronze", "events_stream", "event_date")
+    val landed = p.read("bronze", "events_stream")
+    val src = spark.read.parquet(sourceDir)
+    assert(landed.count() === src.count(), "every event landed exactly once")
+    assert(landed.columns.contains("batch_id"), "replay key present")
+    // simulate a replay of batch 0: rewriting the same partitions with the
+    // same rows must leave the row count unchanged (idempotence)
+    val batch0 = landed.filter(col("batch_id") === 0)
+      .drop("batch_id", "event_date")
+      .withColumn("event_date", to_date(col("ts")))
+    p.upsertBatch(batch0, "bronze", "events_stream", "event_date", 0L)
+    assert(p.read("bronze", "events_stream").count() === src.count(),
+      "replaying a batch is a no-op")
+  }
+
   test("streaming sessionization agrees with the batch operator") {
     val sessions = EventStreams.sessionize(spark,
       streamingEvents.as[EventStreams.Event])
