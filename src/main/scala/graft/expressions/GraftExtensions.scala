@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions.call_function
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
+    e.injectOptimizerRule(BroadcastGuard)
   }
 }
 
@@ -24,12 +25,19 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1)): Expression)
 
-  /** Idempotent runtime registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent runtime registration into an existing session: the
+    * cosine_sim expression plus the BroadcastGuard optimizer rule (via
+    * experimental.extraOptimizations — the post-hoc injection point for
+    * sessions the engine didn't construct). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       children => CosineSim(children(0), children(1)),
       "scala_udf")
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[BroadcastGuard]))
+      spark.experimental.extraOptimizations = existing :+ BroadcastGuard(spark)
+  }
 
   /** Column-API call; requires the function registered in the session. */
   def cosine_sim(a: Column, b: Column): Column =
