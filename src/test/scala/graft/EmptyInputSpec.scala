@@ -37,6 +37,28 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDups(noVecs, threshold = 0.5).count() === 0)
   }
 
+  test("curation family on empty inputs") {
+    import java.sql.Date
+    assert(Contamination.ngramOverlap(noDocs, noDocs, "doc_id", "text")
+      .count() === 0)
+    assert(Chunking.byTokens(noDocs, "doc_id", "text", chunk = 8).count() === 0)
+    assert(Mixing.temperatureWeights(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars"),
+      "source", "n_chars").count() === 0)
+    assert(Shards.assign(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n"), "doc_id", "n", 4)
+      .count() === 0)
+    // empty update batch: history passes through unchanged
+    val cur = Seq((1L, "gold", Date.valueOf("2020-01-01"),
+      None: Option[Date], true))
+      .toDF("cust_id", "tier", "valid_from", "valid_to", "is_current")
+    val upd = Seq.empty[(Long, String)].toDF("cust_id", "tier")
+    val merged = Scd2.merge(cur, upd, "cust_id", Seq("tier"),
+      lit("2021-01-01").cast("date"))
+    assert(merged.count() === 1)
+    assert(merged.collect().head.getBoolean(4))
+  }
+
   test("joins and sampling on empty sides") {
     val pts = Seq.empty[Tuple1[Double]].toDF("v")
     val ivs = Seq((1L, 5L)).toDF("lo", "hi")

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.engine.SilverCovid
-import graft.operators.Salting
+import graft.operators.{Chunking, Salting}
 import scala.util.Random
 
 /** Property-style invariants (SURVEY §5.3) over seeded-random covid-like
@@ -103,5 +103,36 @@ class PropertiesSpec extends AnyFunSuite {
         expr("percentile(value, 0.5D)").as("e")).collect().head
     val (a, e) = (out.getDouble(0), out.getDouble(1))
     assert(math.abs(a - e) / math.max(e, 1e-9) < 0.05, s"approx $a vs exact $e")
+  }
+
+  test("chunking reconstructs every doc: drop the overlap, get the tokens back") {
+    val rnd = new Random(11)
+    val docs = (0 until 30).map { i =>
+      val n = rnd.nextInt(50) // includes 0-token docs
+      (i.toLong, (0 until n).map(j => s"t${rnd.nextInt(9)}_$j").mkString(" "))
+    }
+    val (chunk, overlap) = (7, 3)
+    val step = chunk - overlap
+    val out = Chunking.byTokens(docs.toDF("doc_id", "text"), "doc_id", "text",
+        chunk, overlap)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toList)
+      .toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toList
+      val chunks = out(id)
+      // stitch: first chunk whole, then each subsequent minus its overlap
+      val stitched = chunks.head.split(" ").toList ++
+        chunks.tail.flatMap(_.split(" ").drop(overlap))
+      assert(stitched === toks, s"doc $id not reconstructable")
+      // each chunk's length is exactly min(chunk, n - start), tail-clamped
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val expected = math.min(chunk, toks.length - i * step)
+        assert(c.split(" ").length === expected, s"doc $id chunk $i")
+      }
+      // every start is a valid token position
+      assert((chunks.size - 1) * step < math.max(toks.length, 1))
+    }
   }
 }
