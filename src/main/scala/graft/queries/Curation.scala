@@ -60,6 +60,67 @@ object Curation {
         .orderBy("c_custkey", "valid_from")
     },
 
+    // Temporal dimension lookup: facts joined to the SCD2 history version
+    // that was CURRENT at each fact's date — the consumption side of
+    // scd2_merge. An equi-join on the key plus a range predicate on
+    // (valid_from, valid_to]; since a key carries only its few versions,
+    // this stays a plain hash/sort-merge join (the range filter runs
+    // inside the matched key group — no interval cross-product). Orders
+    // before the 1995 merge date see the original segment, later ones the
+    // updated one.
+    QueryDef.sql(
+      "j_temporal_lookup",
+      """WITH cur AS (
+        |  SELECT c_custkey, c_mktsegment, DATE '1990-01-01' AS valid_from,
+        |         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 6 = 0 THEN c_mktsegment || '_V2'
+        |              ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |dim AS (
+        |  SELECT c.c_custkey, c.c_mktsegment, c.valid_from, c.valid_to
+        |  FROM cur c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+        |  WHERE u.c_custkey IS NULL OR u.c_mktsegment = c.c_mktsegment
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_mktsegment, c.valid_from, DATE '1995-01-01'
+        |  FROM cur c JOIN upd u ON u.c_custkey = c.c_custkey
+        |  WHERE u.c_mktsegment <> c.c_mktsegment
+        |  UNION ALL
+        |  SELECT c.c_custkey, u.c_mktsegment, DATE '1995-01-01', CAST(NULL AS DATE)
+        |  FROM cur c JOIN upd u ON u.c_custkey = c.c_custkey
+        |  WHERE u.c_mktsegment <> c.c_mktsegment)
+        |SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |       d.c_mktsegment AS segment_at_order, d.valid_from
+        |FROM orders o JOIN dim d ON d.c_custkey = o.o_custkey
+        |WHERE CAST(o.o_orderdate AS DATE) >= d.valid_from
+        |  AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val current = cust
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit("1990-01-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(true).as("is_current"))
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 6 === 0, concat(col("c_mktsegment"), lit("_V2")))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      val dim = Scd2.merge(current, updates, "c_custkey", Seq("c_mktsegment"),
+        lit("1995-01-01").cast("date"))
+      val facts = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("order_date"))
+      facts.join(dim,
+          col("o_custkey") === col("c_custkey") &&
+            col("order_date") >= col("valid_from") &&
+            (col("valid_to").isNull || col("order_date") < col("valid_to")))
+        .select(col("o_orderkey"), col("o_custkey"), col("order_date"),
+          col("c_mktsegment").as("segment_at_order"), col("valid_from"))
+        .orderBy("o_orderkey")
+    },
+
     // Benchmark decontamination: docs % 20 form the held-out benchmark,
     // the rest are the training corpus; flag corpus docs carrying >= half
     // of a benchmark doc's distinct 3-gram shingles. Oracle mirrors the
