@@ -63,6 +63,13 @@ object Quality {
     def name = s"referential_check_$column"
   }
 
+  /** Duplicate keys: fail-count = rows sharing their key value with
+    * another row (rows in groups of size > 1). One hash aggregate on the
+    * key + one 1-row rollup — no window, no self-join. */
+  final case class Unique(table: String, column: String) extends Check {
+    def name = s"unique_check_$column"
+  }
+
   private def failCond(c: Check): Column = c match {
     case NotNull(_, col0) => col(col0).isNull
     case Format(_, col0, re) => !col(col0).rlike(re) || col(col0).isNull
@@ -106,6 +113,20 @@ object Quality {
         col("records_checked"), col("records_failed"))
     }
 
+    val unique = checks.collect { case c: Unique => c }.map { c =>
+      tables(c.table)
+        .groupBy(col(c.column)).agg(count(lit(1)).as("__gn"))
+        .agg(sum(col("__gn")).as("records_checked"),
+          sum(when(col("__gn") > 1, col("__gn")).otherwise(0L))
+            .as("records_failed"))
+        .select(lit(c.table).as("table_name"),
+          lit(c.name).as("quality_check"),
+          coalesce(col("records_checked"), lit(0L)).cast("long")
+            .as("records_checked"),
+          coalesce(col("records_failed"), lit(0L)).cast("long")
+            .as("records_failed"))
+    }
+
     val freshness = checks.collect { case c: Freshness => c }.map { c =>
       tables(c.table).agg(max(col(c.column)).as("__mx")).select(
         lit(c.table).as("table_name"), lit(c.name).as("quality_check"),
@@ -114,7 +135,7 @@ object Quality {
           .as("records_failed"))
     }
 
-    (perTable ++ referential ++ freshness)
+    (perTable ++ referential ++ unique ++ freshness)
       .reduce(_ unionByName _)
       .withColumn("failure_rate",
         when(col("records_checked") > 0,

@@ -6,8 +6,9 @@ import graft.engine.{Det, Quality, Tables}
 /** The reference's 12-check validation suite (validate_silver.py:317-338)
   * re-expressed through the config-driven [[graft.engine.Quality]] engine:
   * 4 null checks, a format check, 2 range checks, 2 business rules, a
-  * referential-integrity check, and 2 freshness checks — same families,
-  * same data_quality_logs output shape. The events freshness cutoff is
+  * referential-integrity check, 2 uniqueness checks (one deliberately
+  * failing), and 2 freshness checks — same families, same
+  * data_quality_logs output shape. The events freshness cutoff is
   * deliberately in the future so the FAIL branch is exercised (the
   * reference likewise records failing checks without aborting — SURVEY §5).
   */
@@ -28,6 +29,8 @@ object QualityQueries {
       Rule("orders", "business_rule_nonpositive_price",
         col("o_totalprice") <= 0),
       Referential("orders", "o_custkey", "customer", "c_custkey"),
+      Unique("customer", "c_custkey"),
+      Unique("events", "event_type"), // deliberately non-unique → FAIL path
       Freshness("orders", "o_orderdate", lit("1995-01-01").cast("timestamp")),
       Freshness("events", "ts", lit("2030-01-01").cast("timestamp")))
     Quality.run(Tables(s, d, _), checks)
@@ -63,6 +66,12 @@ object QualityQueries {
       |    (SELECT COUNT(*) FROM orders), COUNT(o.o_orderkey)
       |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
       |  WHERE c.c_custkey IS NULL
+      |  UNION ALL SELECT 'customer', 'unique_check_c_custkey',
+      |    CAST(SUM(gn) AS BIGINT), CAST(SUM(CASE WHEN gn > 1 THEN gn ELSE 0 END) AS BIGINT)
+      |  FROM (SELECT COUNT(*) AS gn FROM customer GROUP BY c_custkey)
+      |  UNION ALL SELECT 'events', 'unique_check_event_type',
+      |    CAST(SUM(gn) AS BIGINT), CAST(SUM(CASE WHEN gn > 1 THEN gn ELSE 0 END) AS BIGINT)
+      |  FROM (SELECT COUNT(*) AS gn FROM events GROUP BY event_type)
       |  UNION ALL SELECT 'orders', 'freshness_check_o_orderdate',
       |    CAST(1 AS BIGINT),
       |    CAST(CASE WHEN MAX(o_orderdate) < TIMESTAMP '1995-01-01'

@@ -35,6 +35,21 @@ class QualitySpec extends AnyFunSuite {
     assert(report("freshness_check_balance") === (1L, 1L)) // max 10 < 1000
   }
 
+  test("unique check counts every member of a duplicated key group") {
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (3L, "e"), (3L, "f"))
+      .toDF("id", "v")
+    import Quality._
+    val out = Quality.run(Map("t" -> rows).apply, Seq(Unique("t", "id")))
+      .collect().head
+    assert(out.getLong(2) === 6L, "records_checked = all rows")
+    assert(out.getLong(3) === 5L, "two dup groups of 2 and 3 rows fail")
+    assert(out.getString(5) === "FAIL")
+    val clean = Quality.run(
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")).apply,
+      Seq(Unique("t", "id"))).collect().head
+    assert(clean.getLong(3) === 0L && clean.getString(5) === "PASS")
+  }
+
   test("score = percent of checks passed") {
     val df = Seq((1L, "x")).toDF("id", "v")
     import Quality._
