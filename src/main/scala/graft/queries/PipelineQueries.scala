@@ -41,10 +41,52 @@ object PipelineQueries {
     // SilverUsers over a synthesized nested users frame (testdata has no
     // nested users table): customer → {id, name, email, phone, address
     // {geo{lat,lng}}, company} with deliberate invalid branches, then the
-    // full nested-extraction transform. Deterministic; module semantics
-    // oracle'd piecewise by f_email_ops / f_quality_score, end-to-end by
-    // the unit spec.
-    QueryDef.rowsOnly("q_silver_users") { (s, d) =>
+    // full nested-extraction transform. The oracle rebuilds the same
+    // synthetic frame as flat columns and mirrors every derivation —
+    // double→string→try_cast round-trips agree because both engines use
+    // shortest-roundtrip double formatting in this value range.
+    QueryDef.sql(
+      "q_silver_users",
+      raw"""WITH nested AS (
+         |  SELECT c_custkey AS id, c_name AS name,
+         |    lower(c_name) || '_u' AS username,
+         |    CASE WHEN c_custkey % 4 = 0
+         |         THEN regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') || '.nodomain'
+         |         ELSE regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') || '@example.com'
+         |    END AS email,
+         |    CASE WHEN c_custkey % 5 = 0 THEN 'no digits here'
+         |         ELSE '1-' || CAST(c_custkey AS VARCHAR) END AS phone,
+         |    'example.org' AS website, '1 Main St' AS street,
+         |    c_mktsegment AS city, '00000' AS zipcode,
+         |    CASE WHEN c_custkey % 3 = 0 THEN 'not-a-number'
+         |         ELSE CAST(c_acctbal / 100 AS VARCHAR) END AS lat,
+         |    CAST(c_nationkey * 1.5 AS VARCHAR) AS lng,
+         |    c_mktsegment AS company_name, 'cp' AS catchphrase
+         |  FROM customer),
+         |t AS (
+         |  SELECT CAST(id AS BIGINT) AS user_id,
+         |    lower(trim(name)) AS full_name, username,
+         |    lower(trim(email)) AS email,
+         |    regexp_matches(lower(trim(email)),
+         |      '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$$') AS email_valid,
+         |    CASE WHEN contains(lower(trim(email)), '@')
+         |         THEN split_part(lower(trim(email)), '@', 2) END AS email_domain,
+         |    CAST(length(lower(trim(name))) AS BIGINT) AS name_length,
+         |    phone,
+         |    phone IS NOT NULL AND regexp_matches(phone, '[0-9]') AS phone_valid,
+         |    regexp_replace(phone, '[^0-9]', '', 'g') AS phone_digits,
+         |    website, street, city, zipcode,
+         |    COALESCE(TRY_CAST(lat AS DOUBLE), 0.0) AS latitude,
+         |    COALESCE(TRY_CAST(lng AS DOUBLE), 0.0) AS longitude,
+         |    company_name, catchphrase AS company_catchphrase,
+         |    GREATEST(0, 100
+         |      - CASE WHEN NOT regexp_matches(lower(trim(email)),
+         |          '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$$')
+         |          THEN 30 ELSE 0 END
+         |      - CASE WHEN NOT (phone IS NOT NULL AND regexp_matches(phone, '[0-9]'))
+         |          THEN 20 ELSE 0 END) AS data_quality_score
+         |  FROM nested)
+         |SELECT * FROM t ORDER BY user_id""".stripMargin) { (s, d) =>
       val nested = Tables.customer(s, d).select(
         col("c_custkey").as("id"),
         col("c_name").as("name"),

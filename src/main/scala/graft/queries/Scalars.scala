@@ -186,9 +186,16 @@ object Scalars {
 
     // Nested struct round-trip: parse JSON → typed struct → fields, with
     // string→double geo cast defaulting to 0.0 (users.address.geo quirk).
-    // Ref: transform_silver.py:171-183; SURVEY §7.4.4. JSON text layout of
-    // to_json differs across engines → no oracle; unit spec covers it.
-    QueryDef.rowsOnly("f_json_struct_roundtrip") { (s, d) =>
+    // Ref: transform_silver.py:171-183; SURVEY §7.4.4. Spark and DuckDB
+    // serialize the reserialized struct byte-identically (compact
+    // separators, string-typed k), so the JSON text is oracle-checked.
+    QueryDef.sql(
+      "f_json_struct_roundtrip",
+      """SELECT event_id,
+        |  COALESCE(TRY_CAST(props->>'$.k' AS DOUBLE), 0.0) AS k_num,
+        |  to_json(struct_pack(event_id := event_id, k := props->>'$.k'))
+        |    AS reserialized
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(StructField("k", StringType)))
       Tables.events(s, d)
