@@ -32,7 +32,9 @@ object Mixing {
     val scored = perSrc.crossJoin(broadcast(
         perSrc.agg(sum(col("total_weight").cast(DecimalType(18, 0)))
           .cast("double").as("__total"))))
-      .withColumn("share", col("total_weight") / col("__total"))
+      // zero-mass corpus: every share is 0 (not NULL/NaN from 0/0)
+      .withColumn("share", when(col("__total") > 0,
+        col("total_weight") / col("__total")).otherwise(0.0))
       .withColumn("__raw", powA(col("share")))
     scored.crossJoin(broadcast(
         scored.agg(sum(col("__raw").cast(DecimalType(18, 12)))
@@ -40,6 +42,7 @@ object Mixing {
       .select(col("source"),
         col("total_weight").cast("long").as("total_weight"),
         Det.roundN(col("share"), 6).as("share"),
-        Det.roundN(col("__raw") / col("__rawsum"), 6).as("mix_weight"))
+        Det.roundN(when(col("__rawsum") > 0, col("__raw") / col("__rawsum"))
+          .otherwise(0.0), 6).as("mix_weight"))
   }
 }

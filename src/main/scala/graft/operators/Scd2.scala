@@ -38,7 +38,16 @@ object Scd2 {
     val vtType = current.schema("valid_to").dataType
     val history = current.filter(!col("is_current"))
     val open = current.filter(col("is_current")).alias("c")
-    val upd = updates.alias("u")
+    // a duplicated key in the update batch would emit duplicate open rows
+    // through the full-outer join (silent history corruption); collapse to
+    // one row per key deterministically — greatest attrs tuple wins, the
+    // same tiebreak on every run/partitioning
+    val updDedup = updates
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key)
+          .orderBy(attrs.map(a => col(a).desc_nulls_last): _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upd = updDedup.alias("u")
     val ck = col(s"c.$key")
     val uk = col(s"u.$key")
     val changed = attrs.map(a => !(col(s"c.$a") <=> col(s"u.$a"))).reduce(_ || _)

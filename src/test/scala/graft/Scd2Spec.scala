@@ -49,6 +49,19 @@ class Scd2Spec extends AnyFunSuite {
     assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
   }
 
+  test("duplicate keys in the update batch collapse deterministically") {
+    val upd = Seq((1L, "diamond"), (1L, "silver"), (1L, "zinc"))
+      .toDF("cust_id", "tier")
+    (1 to 3).foreach { n =>
+      val out = Scd2.merge(current, upd.repartition(n), "cust_id", Seq("tier"),
+          lit("2021-06-01").cast("date"))
+        .filter($"cust_id" === 1L && $"is_current")
+        .collect()
+      assert(out.length === 1, "exactly one open row per key")
+      assert(out.head.getString(1) === "zinc", "greatest attrs tuple wins")
+    }
+  }
+
   test("NULL attr transitions count as changes (null-safe compare)") {
     val cur = Seq((1L, Option("gold"), d("2020-01-01"), None: Option[Date], true))
       .toDF("cust_id", "tier", "valid_from", "valid_to", "is_current")
