@@ -118,6 +118,53 @@ object TextFunctions {
     tok.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
   }
 
+  /** Corpus vocabulary by document frequency: distinct (doc, term) pairs →
+    * per-term df, banded to [minDf, maxDf] (drop hapaxes and boilerplate —
+    * the min_df/max_df vectorizer contract), top maxTerms by (df desc,
+    * term asc). One explode + two hash aggregates + a TakeOrdered — no
+    * unpartitioned windows, no driver-side vocabulary. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDf: Long, maxDf: Long,
+      maxTerms: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxTerms)
+
+  /** Per-document top-k keywords by tf-idf. The idf is the SMOOTHED
+    * RATIONAL form (N+1)/(df+1) — deliberately log-free: ln/pow are libm
+    * calls whose last-ulp behavior differs across engines, while rational
+    * arithmetic on the same inputs is bit-identical (the ranking is the
+    * same either way — log is monotone). Shape: one explode → (doc, term)
+    * counts → term df aggregate → score join → per-doc top-k window
+    * (partitioned by doc, WindowGroupLimit prunes below the exchange). */
+  def tfidfKeywords(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val docLen = terms.groupBy(col(idCol)).agg(count(lit(1)).as("doc_len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(docLen, idCol)
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", Det.roundN(
+        (col("cnt").cast("double") / col("doc_len")) *
+          ((col("__n").cast("double") + 1.0) / (col("df").cast("double") + 1.0)),
+        6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("tfidf"), asc("term"))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("__rk").as("rank"), col("term"),
+        col("tfidf"), col("df"))
+  }
+
   /** Corpus-scale quality scoring over [[tokenFeatures]]: every input
     * column plus word_count (long), avg_word_len, stopword_ratio, and the
     * 0-100 quality_score — the single source of truth for score-derived

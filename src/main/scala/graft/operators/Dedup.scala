@@ -251,6 +251,29 @@ object Dedup {
     labels
   }
 
+  /** Incremental exact dedup: the ingest-time variant — an arriving batch
+    * is checked against the existing corpus's content hashes, not against
+    * the whole corpus re-hashed. Returns the batch rows with `is_new`
+    * (content unseen in the corpus) and `batch_canonical` (first row per
+    * hash WITHIN the batch, so intra-batch duplicates collapse too). At
+    * rest the corpus hash set is a bucketed/Z-ordered hash column the
+    * anti-join prunes against; here it is one left-anti-shaped join on
+    * the 64-hex hash — shuffle O(|batch| + |corpus hashes|), broadcast
+    * when the batch is small. */
+  def incrementalExact(batch: DataFrame, corpusHashes: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("content_hash").orderBy(idCol)
+    val hashed = batch
+      .withColumn("content_hash", sha2(normalize(col(textCol)), 256))
+      .withColumn("batch_canonical", row_number().over(w) === 1)
+    hashed.join(
+        corpusHashes.select(col("content_hash")).distinct()
+          .withColumn("__seen", lit(true)),
+        Seq("content_hash"), "left")
+      .withColumn("is_new", col("__seen").isNull)
+      .drop("__seen")
+  }
+
   /** N-gram Jaccard via inverted-index blocking: prune shingles to useful
     * postings (2..maxPosting docs), self-join the postings to count
     * co-occurrences — |A∩B| directly, no arrays — then Jaccard from

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Contamination, Mixing, Scd2, Shards}
+import graft.operators.{Chunking, Contamination, Dedup, Mixing, Scd2, Shards}
 
 /** Warehouse history merge + the remaining training-data curation passes:
   * SCD2 dimension versioning, benchmark decontamination, per-language
@@ -209,6 +209,76 @@ object Curation {
           col("quality_score").cast("long").as("quality_score"),
           col("lang_p25"))
         .orderBy("doc_id")
+    },
+
+    // Ingest-time incremental dedup: docs % 10 = 7 arrive as the new
+    // batch; each is flagged against the existing corpus's content-hash
+    // set (is_new) and against earlier rows of its own batch
+    // (batch_canonical).
+    QueryDef.sql(
+      "dedup_incremental",
+      raw"""WITH hashed AS (
+         |  SELECT doc_id,
+         |    sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+         |  FROM documents),
+         |batch AS (SELECT * FROM hashed WHERE doc_id % 10 = 7),
+         |corpus AS (SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 10 <> 7)
+         |SELECT b.doc_id, b.content_hash,
+         |  row_number() OVER (PARTITION BY b.content_hash ORDER BY b.doc_id) = 1
+         |    AS batch_canonical,
+         |  c.content_hash IS NULL AS is_new
+         |FROM batch b LEFT JOIN corpus c ON c.content_hash = b.content_hash
+         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("content_hash",
+          sha2(graft.operators.Dedup.normalize(col("text")), 256))
+      Dedup.incrementalExact(docs.filter(col("doc_id") % 10 === 7), corpus,
+          "doc_id", "text")
+        .select("doc_id", "content_hash", "batch_canonical", "is_new")
+        .orderBy("doc_id")
+    },
+
+    // Corpus vocabulary: per-term document frequency banded to [3, 200],
+    // top 100 terms — the min_df/max_df vectorizer contract.
+    QueryDef.sql(
+      "t_vocabulary",
+      raw"""WITH t AS (
+         |  SELECT DISTINCT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS term
+         |  FROM documents),
+         |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term)
+         |SELECT term, df FROM d WHERE df BETWEEN 3 AND 200
+         |ORDER BY df DESC, term LIMIT 100""".stripMargin) { (s, d) =>
+      TextFunctions.vocabulary(Tables.documents(s, d), "doc_id", "text",
+        minDf = 3, maxDf = 200, maxTerms = 100)
+    },
+
+    // Per-doc top-3 keywords by smoothed rational tf-idf (log-free: libm
+    // ln differs across engines in the last ulp; (N+1)/(df+1) ranks
+    // identically and is bit-deterministic).
+    QueryDef.sql(
+      "t_tfidf_keywords",
+      raw"""WITH t AS (
+         |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM t GROUP BY 1),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS nd FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, df.df,
+         |    ${roundN("(cnt * 1.0 / doc_len) * ((nd + 1.0) / (df + 1.0))", 6)} AS tfidf
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank,
+         |    term, tfidf, df
+         |  FROM scored)
+         |SELECT doc_id, rank, term, tfidf, df FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      TextFunctions.tfidfKeywords(Tables.documents(s, d), "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id", "rank")
     },
 
     // Context-window chunking: 32-token chunks overlapping by 8 (step 24).

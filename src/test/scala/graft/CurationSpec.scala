@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Chunking, Contamination, Mixing, Shards}
+import graft.functions.TextFunctions
+import graft.operators.{Chunking, Contamination, Dedup, Mixing, Shards}
 
 class CurationSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -56,6 +57,40 @@ class CurationSpec extends AnyFunSuite {
     assert(flat("big") < 0.9 && flat("small") > 0.1,
       "temperature upweights the low-resource source")
     assert(math.abs(flat.values.sum - 1.0) < 1e-6)
+  }
+
+  test("incremental dedup flags corpus-seen and intra-batch duplicates") {
+    val corpus = Seq((1L, "the original document text"))
+      .toDF("doc_id", "text")
+      .withColumn("content_hash",
+        sha2(Dedup.normalize(col("text")), 256))
+    val batch = Seq(
+      (10L, "THE  original document TEXT"), // normalizes to corpus doc 1
+      (11L, "a genuinely new document"),
+      (12L, "a genuinely new document"))    // intra-batch dup of 11
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_new"), r.getAs[Boolean]("batch_canonical"))).toMap
+    assert(out(10L) === ((false, true)), "seen in corpus, first in batch")
+    assert(out(11L) === ((true, true)))
+    assert(out(12L) === ((true, false)), "intra-batch duplicate")
+  }
+
+  test("tf-idf surfaces each doc's distinctive term above shared boilerplate") {
+    val docs = Seq(
+      (1L, "common words plus zebra zebra"),
+      (2L, "common words plus quasar"),
+      (3L, "common words plus nothing else"))
+      .toDF("doc_id", "text")
+    val top = TextFunctions.tfidfKeywords(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top(1L) === "zebra")
+    assert(top(2L) === "quasar")
+    val vocab = TextFunctions.vocabulary(docs, "doc_id", "text",
+      minDf = 2, maxDf = 3, maxTerms = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(vocab === Set("common", "words", "plus"), s"got $vocab")
   }
 
   test("shard assignment partitions the corpus and balances weight") {
