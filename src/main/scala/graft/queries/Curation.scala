@@ -329,6 +329,95 @@ object Curation {
         .orderBy("source")
     },
 
+    // The composed training-export pipeline: per-language quality gate
+    // (p25 over the TRAINING corpus only) → drop benchmark-contaminated
+    // docs → chunk the survivors into 32/8 context windows → per-doc
+    // chunk/token counts. Every stage is the same operator the standalone
+    // queries exercise; the oracle recomposes their SQL CTEs, so the whole
+    // chain is hash-checked end-to-end.
+    QueryDef.sql(
+      "t_training_export",
+      raw"""WITH f AS (
+         |  SELECT doc_id, lang, text,
+         |    len(str_split_regex(trim(lower(text)), '\s+')) AS words,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+         |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+         |    len(list_filter(str_split_regex(trim(lower(text)), '\s+'),
+         |        t -> t IN (${TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")}))) AS stop_hits
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |g AS (
+         |  SELECT doc_id, lang, words, stop_hits,
+         |    CASE WHEN words > 0 THEN ${roundN("chars * 1.0 / words", 2)} ELSE 0.0 END AS avg_word_len,
+         |    punct * 1.0 / GREATEST(length(text), 1) AS punct_ratio
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    GREATEST(0, 100
+         |      - CASE WHEN words < 5 THEN 40 ELSE 0 END
+         |      - CASE WHEN punct_ratio > 0.2 THEN 20 ELSE 0 END
+         |      - CASE WHEN avg_word_len < 3.0 OR avg_word_len > 12.0 THEN 20 ELSE 0 END
+         |      - CASE WHEN stop_hits = 0 THEN 20 ELSE 0 END) AS quality_score
+         |  FROM g),
+         |th AS (
+         |  SELECT lang, ${roundN("quantile_cont(quality_score, 0.25)", 4)} AS lang_p25
+         |  FROM q GROUP BY lang),
+         |gated AS (
+         |  SELECT doc_id FROM q JOIN th ON th.lang = q.lang
+         |  WHERE quality_score >= lang_p25),
+         |toks AS (
+         |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 3
+         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+         |    ELSE [array_to_string(t, ' ')] END AS shingles
+         |  FROM toks),
+         |s AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |corp AS (SELECT doc_id, shingle FROM s WHERE doc_id % 20 <> 0),
+         |bench AS (SELECT doc_id AS bench_id, shingle FROM s WHERE doc_id % 20 = 0),
+         |bn AS (SELECT bench_id, COUNT(*) AS bench_n FROM bench GROUP BY 1),
+         |cu AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM corp)
+         |  WHERE pn <= 1000),
+         |ov AS (
+         |  SELECT cu.doc_id, b.bench_id, COUNT(*) AS ov_n
+         |  FROM cu JOIN bench b USING (shingle) GROUP BY 1, 2),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM ov JOIN bn USING (bench_id)
+         |  WHERE ${roundN("ov_n * 1.0 / bench_n", 4)} >= 0.5),
+         |clean AS (
+         |  SELECT doc_id FROM gated
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |st AS (
+         |  SELECT toks.doc_id, t,
+         |    unnest(generate_series(0, GREATEST(len(t) - 1, 0), 24)) AS start
+         |  FROM toks JOIN clean ON clean.doc_id = toks.doc_id)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(len(t[start + 1 : start + 32])) AS BIGINT) AS total_tokens
+         |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val scored = TextFunctions.qualityFeatures(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+      val th = scored.groupBy("lang")
+        .agg(Det.roundN(expr("percentile(quality_score, 0.25D)"), 4)
+          .as("lang_p25"))
+      val gated = scored.join(broadcast(th), Seq("lang"))
+        .filter(col("quality_score") >= col("lang_p25"))
+        .select("doc_id")
+      val contaminated = Contamination.ngramOverlap(corpus, bench,
+          "doc_id", "text", shingleSize = 3, threshold = 0.5)
+        .select("doc_id").distinct()
+      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      Chunking.byTokens(docs.join(clean, Seq("doc_id")),
+          "doc_id", "text", chunk = 32, overlap = 8)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Token-balanced shard packing: hash round robin for the bulk, rank
     // round robin for the heavy tail (n_chars >= 500 ≈ the p95 here).
     // Assignment depends on xxhash64 → rows-only; ShardsSpec proves the
