@@ -68,6 +68,34 @@ object Multimodal {
     }
   }
 
+  /** Media → embedding bridge: project the decoded feature vector to a
+    * dims-dim L2-normalized float embedding via a fixed deterministic
+    * Rademacher matrix (signs derived from (j, i) on the driver — data
+    * independent, so the projection is identical on every run/cluster).
+    * With a real encoder the mapPartitions seam in [[extractFeatures]]
+    * produces the embedding directly; this keeps the downstream shape —
+    * `(id, embedding: array<float>)`, ready for [[Similarity]] ANN — real
+    * and tested while the encoder is stubbed. Pure column expressions
+    * (fixed 16 source dims → no HOFs, stays in codegen). */
+  def pseudoEmbed(features: DataFrame, dims: Int = 8,
+      featCol: String = "features"): DataFrame = {
+    def sign(j: Int, i: Int): Double =
+      if ((((j * 31 + i) * 2654435761L >>> 16) & 1) == 1) 1.0 else -1.0
+    val comps = (0 until dims).map { j =>
+      (0 until 16).map(i => element_at(col(featCol), i + 1) * lit(sign(j, i)))
+        .reduce(_ + _).as(s"__e$j")
+    }
+    val withComps = features.select(col("*") +: comps: _*)
+    val norm = sqrt((0 until dims).map(j => col(s"__e$j") * col(s"__e$j"))
+      .reduce(_ + _))
+    withComps
+      .withColumn("__n", norm)
+      .withColumn("embedding", array((0 until dims).map(j =>
+        when(col("__n") > 0, col(s"__e$j") / col("__n")).otherwise(0.0)
+          .cast("float")): _*))
+      .drop((0 until dims).map(j => s"__e$j") :+ "__n": _*)
+  }
+
   /** Frame sampling: n evenly-spaced byte windows per media row, exploded
     * to one row per frame — pure expressions, no decode needed. */
   def frameSample(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame = {

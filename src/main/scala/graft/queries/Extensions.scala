@@ -495,5 +495,18 @@ object Extensions {
           sha2(col("frame_bytes"), 256).substr(1, 16).as("frame_hash"))
         .orderBy("id", "frame_id")
     },
+
+    // The full multimodal → ANN composition: media bytes → decoded
+    // features (mapPartitions codec seam) → deterministic projection to a
+    // normalized float embedding → cosine top-k. Decoder is the disclosed
+    // stub; every Spark seam downstream of it is the real shape.
+    QueryDef.rowsOnly("mm_embedding_search") { (s, d) =>
+      val media = Multimodal.toMediaTable(Tables.documents(s, d), "doc_id", "text")
+      val emb = Multimodal.pseudoEmbed(Multimodal.extractFeatures(s, media).toDF())
+        .select(col("id").as("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") === 1)
+        .select(col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(emb, q, 10)
+    },
   )
 }

@@ -48,6 +48,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Shards.assign(
       Seq.empty[(Long, Long)].toDF("doc_id", "n"), "doc_id", "n", 4)
       .count() === 0)
+    assert(graft.functions.TextFunctions.vocabulary(
+      noDocs, "doc_id", "text", 1, 100, 10).count() === 0)
+    assert(graft.functions.TextFunctions.tfidfKeywords(
+      noDocs, "doc_id", "text", 3).count() === 0)
+    assert(Dedup.incrementalExact(noDocs,
+      Seq.empty[Tuple1[String]].toDF("content_hash"), "doc_id", "text")
+      .count() === 0)
     // empty update batch: history passes through unchanged
     val cur = Seq((1L, "gold", Date.valueOf("2020-01-01"),
       None: Option[Date], true))

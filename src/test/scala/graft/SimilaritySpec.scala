@@ -74,6 +74,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0L)._2 === 4L)
   }
 
+  test("media embeddings: unit norm, self-similarity 1.0, deterministic") {
+    val media = Multimodal.toMediaTable(
+      Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "completely different content here"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val emb = Multimodal.pseudoEmbed(Multimodal.extractFeatures(spark, media).toDF())
+      .select($"id".as("vec_id"), $"embedding")
+    val norms = emb.collect().map(r =>
+      math.sqrt(r.getSeq[Float](1).map(x => x.toDouble * x).sum))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5, s"norm $n"))
+    // identical media → identical embedding → cosine 1 with each other
+    val q = emb.filter($"vec_id" === 1).select($"embedding".as("q_emb"))
+    val top = Similarity.bruteForceTopK(emb, q, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.take(2).map(_._2).forall(_ === 1.0), "docs 1,2 tie at 1.0")
+  }
+
   test("multimodal: features deterministic, frame sampling shapes") {
     val media = Multimodal.toMediaTable(
       Seq((7L, "abcdefgh" * 16)).toDF("doc_id", "text"), "doc_id", "text")
