@@ -96,21 +96,19 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
     * File count comes from actual on-disk bytes, not a guess. */
   def compact(layer: String, table: String, targetMB: Int = 128): Unit = {
     val dir = path(layer, table)
-    val bytes = {
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-        spark.sparkContext.hadoopConfiguration)
-      fs.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
-    }
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    // resolve the path's OWN filesystem (local here, HDFS/object store on
+    // a cluster) rather than assuming local
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1, (bytes / (targetMB * 1024L * 1024L)).toInt)
     val df = spark.read.parquet(dir)
     // stage through a temp dir: Overwrite on the dir being read would
     // delete the input before the new files are written
-    val tmp = s"$dir.__compact"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.__compact")
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
   }
 
   /** Columnar archive sink in ORC: the interchange format when a consumer
