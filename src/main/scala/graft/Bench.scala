@@ -30,7 +30,12 @@ object Bench {
     // declaration order, not hash-Map order: per-query timings stay
     // comparable across rounds even when query names are added/renamed
     // (warmup/FS-cache effects always land on the same early queries)
-    val results = SparkEntry.allDefs.map(q => (q.name, q.run)).map { case (name, fn) =>
+    // optional: query names as args restrict the run (local iteration);
+    // the driver passes none, so the full declaration-order suite runs
+    val only = args.toSet
+    val results = SparkEntry.allDefs.map(q => (q.name, q.run))
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a thrown query is recorded as a failure, never as a fast timing
       val outcome = try Right(fn(spark, sfDir).count()) catch {

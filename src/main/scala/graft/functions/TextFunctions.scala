@@ -166,19 +166,32 @@ object TextFunctions {
   }
 
   /** Corpus-scale quality scoring over [[tokenFeatures]]: every input
-    * column plus word_count (long), avg_word_len, stopword_ratio, and the
-    * 0-100 quality_score — the single source of truth for score-derived
-    * queries (direct report + quantile gating must agree to the bit). */
+    * column EXCEPT textCol, plus word_count (long), avg_word_len,
+    * stopword_ratio, and the 0-100 quality_score — the single source of
+    * truth for score-derived queries (direct report + quantile gating must
+    * agree to the bit).
+    *
+    * The text column is deliberately absent from the output: char-level
+    * features (punct ratio) are computed map-side in a projection that
+    * drops text BEFORE the join with the token aggregate, so only narrow
+    * columns cross the join's exchange. At corpus scale `feats` has the
+    * same row count as `df` — the join is sort-merge, and carrying the
+    * document bytes through it would shuffle the whole corpus (the
+    * measured round-3 regression: 0.41s → 1.60s at sf0.1). */
   def qualityFeatures(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val feats = tokenFeatures(df, idCol, textCol)
     val wc = col("word_count_t")
     val awl = when(wc > 0,
       Det.roundN(col("chars_nospace").cast("double") / wc, 2)).otherwise(0.0)
-    val punctRatio = punctCount(col(textCol)).cast("double") /
-      greatest(length(col(textCol)).cast("double"), lit(1.0))
-    df.join(feats, idCol)
-      .select(df.columns.map(col) ++ Seq(
+    val punctRatio = col("__punct_ratio")
+    val keep = df.columns.filterNot(_ == textCol)
+    val narrow = df.select(keep.map(col) :+
+      (punctCount(col(textCol)).cast("double") /
+        greatest(length(col(textCol)).cast("double"), lit(1.0)))
+        .as("__punct_ratio"): _*)
+    narrow.join(feats, idCol)
+      .select(keep.map(col) ++ Seq(
         wc.as("word_count"),
         awl.as("avg_word_len"),
         when(wc > 0, Det.roundN(col("stop_hits").cast("double") / wc, 4))

@@ -195,9 +195,13 @@ object Curation {
          |FROM q JOIN th ON th.lang = q.lang
          |WHERE quality_score >= lang_p25
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // staged once: both the threshold aggregate and the gate join read
+      // this narrow (id, lang, score) relation — without the stage the
+      // whole explode→aggregate scoring lineage runs twice
       val scored = TextFunctions.qualityFeatures(
           Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("quality_score"))
+        .localCheckpoint()
       // 4 languages → a tiny threshold table; broadcast it so the corpus
       // side joins map-side with zero extra shuffle
       val th = scored.groupBy("lang")
@@ -398,8 +402,10 @@ object Curation {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 20 =!= 0)
       val bench = docs.filter(col("doc_id") % 20 === 0)
+      // staged once — threshold aggregate + gate join both read it
       val scored = TextFunctions.qualityFeatures(corpus, "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("quality_score"))
+        .localCheckpoint()
       val th = scored.groupBy("lang")
         .agg(Det.roundN(expr("percentile(quality_score, 0.25D)"), 4)
           .as("lang_p25"))

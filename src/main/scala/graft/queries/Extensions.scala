@@ -277,6 +277,56 @@ object Extensions {
         .orderBy("cluster_id", "id")
     },
 
+    // The same transitive-closure operator, but over the ngram-Jaccard
+    // pair set — whose generation is itself hash-verified above and is
+    // hash-INDEPENDENT (no xxhash64 in the pair semantics), so the whole
+    // pairs → connected-components → canonical-per-cluster chain is
+    // oracle-able. DuckDB side: recursive min-label propagation — `walk`
+    // accumulates every (node, label-reachable-from-node) pair (pruned to
+    // labels below the node id; the component minimum always survives the
+    // prune), MIN(label) per node = the component's canonical id. This is
+    // the closure the rows-only minhash variant above relies on.
+    QueryDef.sql(
+      "dedup_clusters_ngram",
+      raw"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id AS id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(t) >= 3
+         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+         |    ELSE [array_to_string(t, ' ')] END AS shingles
+         |  FROM toks),
+         |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
+         |useful AS (
+         |  SELECT id, shingle FROM (
+         |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s)
+         |  WHERE pn BETWEEN 2 AND 32),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+         |  FROM useful a JOIN useful b USING (shingle)
+         |  WHERE a.id < b.id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |  WHERE ${roundN("inter * 1.0 / (sa.n + sb.n - inter)", 4)} >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |walk(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
+         |  WHERE w.label < e.v)
+         |SELECT id, MIN(label) AS cluster_id, id = MIN(label) AS is_canonical
+         |FROM walk GROUP BY id ORDER BY cluster_id, id""".stripMargin) { (s, d) =>
+      val pairs = Dedup.ngramJaccardDups(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .withColumn("is_canonical", col("id") === col("cluster_id"))
+        .orderBy("cluster_id", "id")
+    },
+
     // Embedding near-dup via sign-LSH + cosine verify. The synthetic
     // embeddings have no true near-dups (max cos ≈ 0.51), so this reports
     // the top-20 most-similar LSH-candidate pairs instead of a threshold
@@ -496,17 +546,37 @@ object Extensions {
         .orderBy("id", "frame_id")
     },
 
-    // The full multimodal → ANN composition: media bytes → decoded
-    // features (mapPartitions codec seam) → deterministic projection to a
-    // normalized float embedding → cosine top-k. Decoder is the disclosed
-    // stub; every Spark seam downstream of it is the real shape.
+    // The full multimodal → ANN composition on the 100 TB path: media
+    // bytes → decoded features (mapPartitions codec seam) → deterministic
+    // projection to a normalized float embedding → IVF index build (Lloyd
+    // refine of seed centroids + one-time cell assignment) → probe-only
+    // top-k. Decoder is the disclosed stub; every Spark seam downstream of
+    // it is the real shape. The O(N) brute-force scan this replaced
+    // remains the recall baseline in SimilaritySpec (recall@10 ≥ 0.9).
     QueryDef.rowsOnly("mm_embedding_search") { (s, d) =>
       val media = Multimodal.toMediaTable(Tables.documents(s, d), "doc_id", "text")
+      // staged once: seeds, the Lloyd refine, assignment, and the final
+      // probe all re-read this relation
       val emb = Multimodal.pseudoEmbed(Multimodal.extractFeatures(s, media).toDF())
         .select(col("id").as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val seeds = emb.filter(col("vec_id") <= 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      // one Lloyd step turns arbitrary seed docs into data-shaped
+      // centroids; float cast because the codegen CosineSim is typed
+      // array<float> (codebook is 16 rows — interpreted transform is off
+      // the hot path)
+      val codebook = Similarity.kmeansStep(emb, seeds)
+        .select(col("cell"),
+          transform(col("c_emb"), x => x.cast("float")).as("c_emb"))
+        .localCheckpoint()
+      // index-build step: assignment happens ONCE here (at rest this is
+      // the table's partition key), not per query
+      val assigned = Similarity.assignCells(emb, codebook)
       val q = emb.filter(col("vec_id") === 1)
         .select(col("embedding").as("q_emb"))
-      Similarity.bruteForceTopK(emb, q, 10)
+      Similarity.ivfTopK(emb, codebook, q, k = 10, nProbe = 4,
+        preAssigned = Some(assigned))
     },
   )
 }
