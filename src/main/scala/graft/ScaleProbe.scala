@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Chunking, Contamination, Dedup, Shards}
+import graft.engine.Det
+import graft.functions.TextFunctions
+import graft.operators.{Chunking, Contamination, Dedup, Scd2, Shards}
 
 /** Dev utility: scale-probe the corpus operators beyond the fixtures.
   * Replicates the sfDir documents table k× with offset ids (each doc
@@ -57,6 +59,78 @@ object ScaleProbe {
     }
     time("minhash_pairs")(
       Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.8))
+    time("minhash_probe") {
+      // ingest shape: 10% arrives as a batch, probes the stored index
+      val index = Dedup.minhashIndex(corpus.filter(col("doc_id") % 10 =!= 7),
+        "doc_id", "text")
+      Dedup.minhashProbe(corpus.filter(col("doc_id") % 10 === 7), index,
+        "doc_id", "text", threshold = 0.8)
+    }
+    time("quantile_gate") {
+      val scored = TextFunctions.qualityFeatures(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+        .localCheckpoint()
+      val th = scored.groupBy("lang")
+        .agg(expr("percentile(quality_score, 0.25D)").as("lang_p25"))
+      scored.join(broadcast(th), Seq("lang"))
+        .filter(col("quality_score") >= col("lang_p25"))
+    }
+    time("training_export") {
+      // the composed chain: gate → decontaminate → chunk
+      val c = corpus.filter(col("doc_id") % 20 =!= 0)
+      val bench = corpus.filter(col("doc_id") % 20 === 0)
+      val scored = TextFunctions.qualityFeatures(c, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+        .localCheckpoint()
+      val th = scored.groupBy("lang")
+        .agg(expr("percentile(quality_score, 0.25D)").as("lang_p25"))
+      val gated = scored.join(broadcast(th), Seq("lang"))
+        .filter(col("quality_score") >= col("lang_p25")).select("doc_id")
+      val contaminated = Contamination.ngramOverlap(c, bench,
+        "doc_id", "text", shingleSize = 3, threshold = 0.5)
+        .select("doc_id").distinct()
+      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      Chunking.byTokens(corpus.join(clean, Seq("doc_id")),
+        "doc_id", "text", chunk = 32, overlap = 8)
+    }
+
+    // dimension/fact probes: replicate customer and orders with the same
+    // id offsets so per-key join cardinality is scale-invariant
+    val cust0 = graft.engine.Tables.customer(spark, sfDir)
+    val ord0 = graft.engine.Tables.orders(spark, sfDir)
+    (0 until k).map(i => cust0.withColumn("c_custkey",
+        col("c_custkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/customer")
+    (0 until k).map(i => ord0
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/orders")
+    val cust = spark.read.parquet(s"$dir/customer")
+    val ord = spark.read.parquet(s"$dir/orders")
+
+    def dimUpdates = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 6 === 0, concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    def dimCurrent = cust.select(col("c_custkey"), col("c_mktsegment"),
+      lit("1990-01-01").cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+
+    time("scd2_merge")(
+      Scd2.merge(dimCurrent, dimUpdates, "c_custkey", Seq("c_mktsegment"),
+        lit("1995-01-01").cast("date")))
+    time("temporal_lookup") {
+      val dim = Scd2.merge(dimCurrent, dimUpdates, "c_custkey",
+        Seq("c_mktsegment"), lit("1995-01-01").cast("date"))
+      val facts = ord.select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("order_date"))
+      facts.join(dim,
+        col("o_custkey") === col("c_custkey") &&
+          col("order_date") >= col("valid_from") &&
+          (col("valid_to").isNull || col("order_date") < col("valid_to")))
+    }
     spark.stop()
   }
 }

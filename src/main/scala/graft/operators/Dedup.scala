@@ -116,19 +116,17 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
-    * Returns (id_a, id_b, jaccard) for pairs ≥ threshold. */
-  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3, maxBucket: Int = 64): DataFrame = {
+  /** MinHash signatures + LSH band keys from a staged shingle relation.
+    * One codegen'd aggregate computes every minhash component + set size.
+    * Components derive from the staged 64-bit shingle hash (`shash`):
+    * xxhash64 over two longs per component, instead of rehashing the
+    * shingle string per component — the string is hashed once at staging
+    * time. Still an independent-enough family: each component is a
+    * different keyed hash of the shingle's 64-bit id.
+    * Returns (sizes: (id, n), keyed: (id, band_id, band_hash)). */
+  private[operators] def sigKeyed(exploded: DataFrame, numHashes: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
-    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
-    // one codegen'd aggregate computes every minhash component + set size.
-    // Components derive from the staged 64-bit shingle hash (`shash`):
-    // xxhash64 over two longs per component, instead of rehashing the
-    // shingle string per component — the string is hashed once at staging
-    // time. Still an independent-enough family: each component is a
-    // different keyed hash of the shingle's 64-bit id.
     val minCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i.toLong), col("shash"))).as(s"__h$i"))
     val aggCols = count(lit(1)).as("n") +: minCols
@@ -139,6 +137,16 @@ object Dedup {
     }
     val keyed = sigs.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
+    (sigs.select(col("id"), col("n")), keyed)
+  }
+
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) for pairs ≥ threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+    val (sizes, keyed) = sigKeyed(exploded, numHashes, bands)
     val cands = pairsFromBuckets(keyed, maxBucket)
     // exact intersection counts via the exploded relation. No broadcast
     // hint on the candidate side: its cardinality is data-dependent and
@@ -149,7 +157,81 @@ object Dedup {
       .join(exploded.drop("shash").withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
       .join(exploded.drop("shash").withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    jaccardFromCounts(inter, sigs.select(col("id"), col("n")))
+    jaccardFromCounts(inter, sizes)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The at-rest MinHash-LSH corpus index for ingest-time near-dup checks:
+    * band buckets (the probe target), the per-doc distinct shingle relation
+    * (the exact-verify source), and per-doc set sizes. On a cluster these
+    * three relations live as parquet/Delta tables bucketed by
+    * (band_id, band_hash) resp. id; a new batch probes them without ever
+    * re-running corpus×corpus LSH. The LSH parameters ride along so a probe
+    * can't silently use a different hash family than the index build. */
+  final case class MinhashLshIndex(buckets: DataFrame, shingles: DataFrame,
+      sizes: DataFrame, numHashes: Int, bands: Int, shingleSize: Int)
+
+  /** Build the [[MinhashLshIndex]] for an existing corpus — the one-time
+    * (or incrementally maintained) index-build job. */
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): MinhashLshIndex = {
+    val exploded = explodedShingles(corpus, idCol, textCol, shingleSize)
+    val (sizes, keyed) = sigKeyed(exploded, numHashes, bands)
+    MinhashLshIndex(keyed, exploded.drop("shash"), sizes,
+      numHashes, bands, shingleSize)
+  }
+
+  /** Incremental MinHash near-dup: probe an arriving batch against a stored
+    * corpus index — the ingest-time shape at 100 TB. Shuffle work is
+    * O(|batch| + touched buckets), NEVER corpus×corpus: batch band keys
+    * look up only their own buckets in the index, and the exact-Jaccard
+    * verify joins the (small) candidate set against the shingle relations,
+    * which AQE turns into a broadcast-side lookup of the corpus table.
+    *
+    * Returns (id_a, id_b, jaccard) for every near-dup pair with AT LEAST
+    * ONE batch side — batch×corpus and batch×batch (an arriving batch can
+    * duplicate itself); corpus×corpus pairs are by construction out of
+    * scope (they were reported when THOSE docs arrived). The bucket cap is
+    * applied to the COMBINED (corpus + batch) bucket size, so the result
+    * is identical to re-running [[minhashNearDups]] over corpus ∪ batch
+    * and keeping the batch-involving pairs — DedupSpec proves it. */
+  def minhashProbe(batch: DataFrame, index: MinhashLshIndex, idCol: String,
+      textCol: String, threshold: Double = 0.8,
+      maxBucket: Int = 64): DataFrame = {
+    val exploded = explodedShingles(batch, idCol, textCol, index.shingleSize)
+    val (bSizes, bKeyed) = sigKeyed(exploded, index.numHashes, index.bands)
+    // combined per-bucket population = stored corpus count + batch count;
+    // only buckets the batch touches are ever aggregated on the corpus side
+    val touched = bKeyed.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("__bn"))
+    val cCounts = index.buckets
+      .join(touched.select("band_id", "band_hash"), Seq("band_id", "band_hash"),
+        "left_semi")
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("__cn"))
+    val okBuckets = touched
+      .join(cCounts, Seq("band_id", "band_hash"), "left")
+      .filter(col("__bn") + coalesce(col("__cn"), lit(0L)) <= maxBucket)
+      .select("band_id", "band_hash")
+    val bM = bKeyed.join(okBuckets, Seq("band_id", "band_hash"))
+    val cM = index.buckets.join(okBuckets, Seq("band_id", "band_hash"))
+    // batch × (batch ∪ corpus) members of surviving buckets — the corpus
+    // side is only ever the probed buckets' members
+    val cands = bM
+      .join(bM.unionByName(cM).withColumnsRenamed(Map("id" -> "id_r")),
+        Seq("band_id", "band_hash"))
+      .select(least(col("id"), col("id_r")).as("id_a"),
+        greatest(col("id"), col("id_r")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val shingles = exploded.drop("shash").unionByName(index.shingles)
+    val sizes = bSizes.unionByName(index.sizes)
+    val inter = cands
+      .join(shingles.withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
+      .join(shingles.withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, sizes)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -243,6 +243,20 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Ingest-time incremental NEAR-dup: the arriving batch (doc_id % 10 =
+    // 7) probes the stored corpus band-bucket index — batch×bucket joins
+    // only, never a corpus×corpus re-run. Bucket membership depends on
+    // xxhash64 → rows-only; DedupSpec proves probe ≡ full re-run
+    // restricted to batch-involving pairs.
+    QueryDef.rowsOnly("dedup_incremental_minhash") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val index = Dedup.minhashIndex(docs.filter(col("doc_id") % 10 =!= 7),
+        "doc_id", "text")
+      Dedup.minhashProbe(docs.filter(col("doc_id") % 10 === 7), index,
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
     // Corpus vocabulary: per-term document frequency banded to [3, 200],
     // top 100 terms — the min_df/max_df vectorizer contract.
     QueryDef.sql(

@@ -138,6 +138,38 @@ object PipelineQueries {
         .toDF("route", "rows", "columns")
     },
 
+    // Bucketed co-located join, surfaced in the bench: both sides are
+    // written via writeBucketed on the join key, so the sort-merge join
+    // runs with NO exchange on either side — the shuffle is paid once at
+    // write time, the 100 TB play for fact tables that join the same key
+    // repeatedly. PipelineSpec asserts the no-Exchange plan for exactly
+    // this construction; here the result is oracled against a plain DuckDB
+    // join, so the co-located path is also value-verified.
+    QueryDef.sql(
+      "q_bucketed_join",
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  ${Det.dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val lake = java.nio.file.Files.createTempDirectory("graft-bucketed-lake").toString
+      val p = new Pipeline(s, lake)
+      p.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "silver", "bj_orders", "o_custkey", 8)
+      p.writeBucketed(
+        Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "silver", "bj_customer", "o_custkey", 8)
+      // merge hint forces the sort-merge path so the co-located layout is
+      // what's exercised (a broadcast join would trivially avoid shuffles)
+      s.table("silver_bj_orders").hint("merge")
+        .join(s.table("silver_bj_customer"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
     // Full medallion pipeline run (bronze→silver→gold over a parquet lake,
     // K3/K4/K5/K6/K7 sinks) returning per-stage counts — the §3.1
     // orchestration as an observable query.

@@ -68,6 +68,43 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash probe vs stored index == full re-run restricted to batch pairs") {
+    // corpus: 1≈2 near-dup (corpus-internal — must NOT appear in the
+    // probe), 3 unrelated, 4 is the stored near-dup of arriving batch doc
+    // 101; batch: 101≈4 (batch×corpus), 102≈103 (batch-internal — an
+    // arriving batch duplicating itself), 104 unrelated
+    val w = (0 until 60).map(i => s"q$i")
+    def drift(n: Int, tag: String) =
+      (w.take(60 - n) ++ (0 until n).map(i => s"$tag$i")).mkString(" ")
+    val corpus = Seq(
+      (1L, w.mkString(" ")), (2L, drift(3, "a")),
+      (3L, (0 until 60).map(i => s"yy$i").mkString(" ")),
+      (4L, drift(5, "b"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, drift(6, "b")),
+      (102L, drift(4, "c")), (103L, drift(5, "c")),
+      (104L, (0 until 60).map(i => s"kk$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val th = 0.5
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val probed = Dedup.minhashProbe(batch, index, "doc_id", "text",
+        threshold = th)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashNearDups(corpus.unionByName(batch),
+        "doc_id", "text", threshold = th)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchIds = Set(101L, 102L, 103L, 104L)
+    val expected = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(probed === expected,
+      s"probe=$probed expected=$expected full=$full")
+    assert(probed.exists(p => p._1 == 4L && p._2 == 101L), "batch×corpus pair")
+    assert(probed.exists(p => p._1 == 102L && p._2 == 103L), "batch-internal pair")
+    assert(!probed.exists(p => p._1 == 1L && p._2 == 2L),
+      "corpus-internal pair must stay out of probe scope")
+    assert(full.exists(p => p._1 == 1L && p._2 == 2L),
+      "fixture sanity: corpus-internal near-dup exists")
+  }
+
   test("connected components: chains collapse to min-id clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)

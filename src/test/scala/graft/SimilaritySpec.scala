@@ -91,6 +91,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.take(2).map(_._2).forall(_ === 1.0), "docs 1,2 tie at 1.0")
   }
 
+  test("IVF probe path recall@10 >= 0.9 vs brute force on media embeddings") {
+    // the mm_embedding_search composition: pseudo-embedded media → Lloyd-
+    // refined codebook → one-time assignment → probe-only search, judged
+    // against the exact O(N) scan it replaces
+    val docs = (1L to 300L).map { i =>
+      // varied deterministic text so byte histograms (and embeddings) spread
+      (i, s"doc $i " + ("word " * (i % 17).toInt) + ("x" * (i % 13).toInt) +
+        (if (i % 3 == 0) " the quick brown fox" else " lazy dog jumps"))
+    }.toDF("doc_id", "text")
+    val media = Multimodal.toMediaTable(docs, "doc_id", "text")
+    val emb = Multimodal.pseudoEmbed(Multimodal.extractFeatures(spark, media).toDF())
+      .select($"id".as("vec_id"), $"embedding")
+      .localCheckpoint()
+    val seeds = emb.filter($"vec_id" <= 16)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+    val codebook = Similarity.kmeansStep(emb, seeds)
+      .select($"cell", transform($"c_emb", x => x.cast("float")).as("c_emb"))
+      .localCheckpoint()
+    val assigned = Similarity.assignCells(emb, codebook)
+    val q = emb.filter($"vec_id" === 1).select($"embedding".as("q_emb"))
+    val ivf = Similarity.ivfTopK(emb, codebook, q, k = 10, nProbe = 4,
+        preAssigned = Some(assigned))
+      .select("vec_id").as[Long].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = ivf.intersect(bf).size / 10.0
+    assert(recall >= 0.9, s"recall@10 $recall (ivf=$ivf bf=$bf)")
+  }
+
   test("multimodal: features deterministic, frame sampling shapes") {
     val media = Multimodal.toMediaTable(
       Seq((7L, "abcdefgh" * 16)).toDF("doc_id", "text"), "doc_id", "text")
