@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer with a learned merge table — the real
+  * subword algorithm behind GPT-2/RoBERTa-style vocabularies (word-internal
+  * character BPE; no end-of-word marker, whitespace pre-tokenization via
+  * [[TextFunctions.tokens]]).
+  *
+  * Scale shape, mirroring how production tokenizer training actually
+  * splits: LEARNING runs on the word-frequency table — a distributed
+  * explode → hash-aggregate reduces the corpus to distinct words with
+  * counts, the top `maxWords` of which (a bounded, codebook-sized
+  * relation, like an IVF centroid set) are collected and merged
+  * driver-side with the classic pair-count loop. ENCODING streams the
+  * corpus through a mapPartitions seam: the merge-rank map is built once
+  * per partition, rows are tokenized with the greedy lowest-rank-first
+  * merge loop — no per-row UDF re-initialization, no driver involvement.
+  *
+  * Determinism: pair selection breaks count ties lexicographically, so the
+  * merge table is a pure function of the word-frequency table; encoding is
+  * a pure function of (text, merge table). Same corpus → same tokens on
+  * any cluster size.
+  */
+object Bpe {
+
+  /** Learn `numMerges` merges from a word-frequency table. Pure Scala —
+    * the input is the REDUCED vocabulary (distinct words), not the corpus.
+    * Ties broken by (count desc, pair lexicographic) for determinism. */
+  def learn(wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    // each vocab entry: current symbol sequence + frequency
+    var vocab: Vector[(Vector[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toVector, c) }.toVector
+    val merges = Vector.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val merged = best._1 + best._2
+        vocab = vocab.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+              out += merged; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.result(), c)
+        }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed word counts → bounded top-`maxWords` (count desc, word
+    * asc — deterministic) → driver-side [[learn]]. The collect is bounded
+    * by maxWords, the same contract as collecting an ANN codebook. */
+  def learnFromCorpus(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int): Seq[(String, String)] = {
+    val top = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    learn(top, numMerges)
+  }
+
+  /** Encode one word with the learned ranks: greedy lowest-rank-first
+    * merging (the GPT-2 encode loop). Unknown characters stay as
+    * single-character symbols. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0) continue = false
+      else {
+        // merge every adjacent occurrence of the chosen pair, left to right
+        val a = syms(bestIdx); val b = syms(bestIdx + 1)
+        val out = Vector.newBuilder[String]
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == a && syms(k + 1) == b) {
+            out += (a + b); k += 2
+          } else { out += syms(k); k += 1 }
+        }
+        syms = out.result()
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  final case class BpeTokens(id: Long, n_words: Int, n_bpe_tokens: Int,
+      tokens: Array[String])
+
+  /** Tokenize a corpus with a learned merge table through the
+    * mapPartitions seam: the rank map is materialized once per partition
+    * (the trie/table-init the per-row UDF shape would pay per row), rows
+    * stream through the encode loop. Output: (id, n_words, n_bpe_tokens,
+    * tokens) — callers chunk/count from the token array. */
+  def tokenize(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): Dataset[BpeTokens] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toVector)
+    val typed = df.select(col(idCol).cast("long"),
+      TextFunctions.tokens(col(textCol))).as[(Long, Seq[String])]
+    typed.mapPartitions { rows =>
+      // per-partition init: rank lookup built once, shared by all rows
+      val ranks: Map[(String, String), Int] =
+        bc.value.zipWithIndex.map { case (p, i) => p -> i }.toMap
+      rows.map { case (id, words) =>
+        val ws = words.filter(_.nonEmpty)
+        val toks = ws.iterator.flatMap(w => encodeWord(w, ranks)).toArray
+        BpeTokens(id, ws.length, toks.length, toks)
+      }
+    }
+  }
+}

@@ -21,12 +21,21 @@ object Chunking {
   /** Returns (id, chunk_id, chunk_text, n_tokens), chunk_id counting from
     * 0 per document. `overlap` must be < `chunk`. */
   def byTokens(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int, overlap: Int = 0): DataFrame =
+    byArray(df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__chunk_toks")),
+      idCol, "__chunk_toks", chunk, overlap)
+
+  /** Same chunking over an ALREADY-tokenized array column — the seam that
+    * lets a learned tokenizer (e.g. [[graft.functions.Bpe]]) feed context
+    * windows counted in its own subword units instead of whitespace
+    * words. Same zero-shuffle map-side generator shape. */
+  def byArray(df: DataFrame, idCol: String, toksCol: String,
       chunk: Int, overlap: Int = 0): DataFrame = {
     require(chunk > 0 && overlap >= 0 && overlap < chunk,
       s"need 0 <= overlap < chunk, got chunk=$chunk overlap=$overlap")
     val step = chunk - overlap
-    val toks = df.select(col(idCol).as("id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
+    val toks = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
     toks
       .select(col("id"), col("toks"),
         explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),

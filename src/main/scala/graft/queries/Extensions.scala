@@ -74,6 +74,40 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Real merge-table BPE (not the regex proxy in t_token_count): merges
+    // learned from the corpus's word-frequency table (bounded driver-side
+    // learn, the tokenizer-training split production uses), encoding
+    // streamed through the mapPartitions seam. Learning is deterministic
+    // (tie-broken), so the rows-only output is stable; BpeSpec holds the
+    // hand-computed golden merges.
+    QueryDef.rowsOnly("t_bpe_tokenize") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.functions.Bpe.learnFromCorpus(docs, "text",
+        numMerges = 200, maxWords = 5000)
+      graft.functions.Bpe.tokenize(s, docs, "doc_id", "text", merges).toDF()
+        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          concat_ws(" ", slice(col("tokens"), 1, 8)).as("first_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // BPE tokens feeding context-window chunking: the token-balance
+    // numbers a training export actually needs are in learned subword
+    // units, not whitespace words. Same zero-shuffle chunk generator,
+    // counting in BPE tokens via Chunking.byArray.
+    QueryDef.rowsOnly("t_bpe_chunking") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.functions.Bpe.learnFromCorpus(docs, "text",
+        numMerges = 200, maxWords = 5000)
+      val toks = graft.functions.Bpe.tokenize(s, docs, "doc_id", "text", merges)
+        .toDF().select(col("id"), col("tokens"))
+      graft.operators.Chunking.byArray(toks, "id", "tokens",
+          chunk = 32, overlap = 8)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("n_tokens").cast("long").as("total_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.sql(
       "t_langid", {
         def hitsSql(ws: Seq[String]) =

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // the classic worked example: vocab {hug:10, pug:5, pun:12, bun:4,
+  // hugs:5}. Hand-computed pair counts give merges, in order:
+  //   1. (u,g)  count 20  (hug 10 + pug 5 + hugs 5)
+  //   2. (u,n)  count 16  (pun 12 + bun 4)
+  //   3. (h,ug) count 15  (hug 10 + hugs 5)
+  private val wordCounts = Seq(
+    ("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+  private val golden = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+
+  test("merge learning matches the hand-computed golden merges") {
+    assert(Bpe.learn(wordCounts, 3) === golden)
+  }
+
+  test("learning stops when no pairs remain; ties break deterministically") {
+    // single-char words have no pairs → zero merges regardless of budget
+    assert(Bpe.learn(Seq(("a", 5L), ("b", 3L)), 10) === Seq.empty)
+    // tie on count (ab vs cd both 5) → lexicographically smaller pair first
+    assert(Bpe.learn(Seq(("ab", 5L), ("cd", 5L)), 1) === Seq(("a", "b")))
+  }
+
+  test("encode applies lowest-rank-first merges; unknown chars stay single") {
+    val ranks = golden.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    assert(Bpe.encodeWord("hugs", ranks) === Vector("hug", "s"))
+    assert(Bpe.encodeWord("bug", ranks) === Vector("b", "ug"))
+    assert(Bpe.encodeWord("pun", ranks) === Vector("p", "un"))
+    // 'm' never seen in training: stays a lone symbol, rest still merges
+    assert(Bpe.encodeWord("mug", ranks) === Vector("m", "ug"))
+    assert(Bpe.encodeWord("x", ranks) === Vector("x"))
+  }
+
+  test("corpus learning + distributed tokenize match the driver-side loop") {
+    // corpus whose word frequencies reproduce the golden vocab
+    val rows = wordCounts.flatMap { case (w, c) =>
+      (0L until c).map(i => (w.hashCode.toLong * 1000 + i, w))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val merges = Bpe.learnFromCorpus(df, "text", numMerges = 3, maxWords = 100)
+    assert(merges === golden)
+    val out = Bpe.tokenize(spark, df, "doc_id", "text", merges)
+      .collect().map(t => t.id -> t.tokens.toSeq).toMap
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    rows.foreach { case (id, w) =>
+      assert(out(id) === Bpe.encodeWord(w, ranks),
+        s"distributed tokens for '$w' diverge from driver encode")
+    }
+    // multi-word rows concatenate per-word encodings in order
+    val multi = Seq((1L, "hugs bug pun")).toDF("doc_id", "text")
+    val got = Bpe.tokenize(spark, multi, "doc_id", "text", merges)
+      .collect().head
+    assert(got.tokens.toSeq === Seq("hug", "s", "b", "ug", "p", "un"))
+    assert(got.n_words === 3 && got.n_bpe_tokens === 6)
+  }
+}
