@@ -79,8 +79,21 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
       .option("path", path(layer, table))
       .saveAsTable(s"${layer}_$table")
 
-  /** K5: export a gold table as CSV + JSON (the MinIO export shape). */
-  def export(df: DataFrame, name: String): Unit = {
+  /** K5: export a gold table as CSV + JSON (the reference's single-object
+    * export shape). `coalesce(1)` is a deliberate single-task write — the
+    * contract is GOLD SUMMARIES ONLY. The row-count guard makes that
+    * contract enforceable: routing a fact table through a one-task export
+    * would serialize the whole table through one core (a driver-adjacent
+    * bottleneck at scale), so it fails fast instead; use
+    * [[archiveOrc]]/partitioned parquet for big tables. The guard's count
+    * is a cheap aggregate pass — far cheaper than the single-task write
+    * it prevents. */
+  def export(df: DataFrame, name: String, maxRows: Long = 1000000L): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"export('$name') is a single-object (coalesce(1)) sink for gold " +
+        s"summaries; got $n rows > $maxRows. Export large tables through " +
+        "a partitioned sink (archiveOrc / parquet) instead.")
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$lakeDir/exports/${name}_csv")
     df.coalesce(1).write.mode(SaveMode.Overwrite)

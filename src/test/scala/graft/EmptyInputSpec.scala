@@ -66,6 +66,27 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(merged.collect().head.getBoolean(4))
   }
 
+  test("round-5 operators on empty inputs") {
+    // empty BATCH probing a populated index: nothing to report
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    assert(Dedup.minhashProbe(noDocs, index, "doc_id", "text").count() === 0)
+    // populated batch probing an EMPTY index (cold-start corpus): only
+    // intra-batch pairs can surface; a single doc yields none
+    val emptyIndex = Dedup.minhashIndex(noDocs, "doc_id", "text")
+    assert(Dedup.minhashProbe(corpus, emptyIndex, "doc_id", "text").count() === 0)
+    // BPE: learning from nothing yields no merges; tokenizing nothing
+    // yields no rows; encoding with an empty table falls back to chars
+    assert(graft.functions.Bpe.learnFromCorpus(noDocs, "text", 10, 100) === Seq.empty)
+    assert(graft.functions.Bpe.tokenize(spark, noDocs, "doc_id", "text",
+      Seq.empty).count() === 0)
+    assert(graft.functions.Bpe.encodeWord("ab", Map.empty) === Vector("a", "b"))
+    // chunking over an empty pre-tokenized relation
+    assert(Chunking.byArray(
+      Seq.empty[(Long, Seq[String])].toDF("doc_id", "toks"),
+      "doc_id", "toks", chunk = 8).count() === 0)
+  }
+
   test("joins and sampling on empty sides") {
     val pts = Seq.empty[Tuple1[Double]].toDF("v")
     val ivs = Seq((1L, 5L)).toDF("lo", "hi")

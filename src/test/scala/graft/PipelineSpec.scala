@@ -25,6 +25,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(Files.list(java.nio.file.Paths.get(s"$lake/exports")).count() >= 2)
   }
 
+  test("export refuses tables over the single-object row guard") {
+    val lake = Files.createTempDirectory("graft-export-guard").toString
+    val p = new Pipeline(spark, lake)
+    val big = spark.range(100).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      p.export(big, "too_big", maxRows = 10)
+    }
+    assert(e.getMessage.contains("single-object"))
+    // at-or-under the guard still exports both formats
+    p.export(big.limit(5), "small", maxRows = 10)
+    assert(Files.exists(java.nio.file.Paths.get(s"$lake/exports/small_csv")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$lake/exports/small_json")))
+  }
+
   test("compaction shrinks file count without changing rows") {
     val lake = Files.createTempDirectory("graft-compact").toString
     val p = new Pipeline(spark, lake)

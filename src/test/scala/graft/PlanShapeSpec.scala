@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-wide physical-plan audit: no query may plan a CartesianProduct,
+  * and BroadcastNestedLoopJoin is allowed only where it is the deliberate
+  * shape — a broadcast crossJoin against a 1-row scalar (global counts,
+  * query vectors, mixing mass) or a codebook-sized relation (IVF
+  * centroids). Any new query that accidentally introduces an unbounded
+  * cross or non-equi nested loop fails here before it ships.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // deliberate 1-row / codebook-sized broadcast crosses (audited round 5)
+  private val bnljAllowed = Set(
+    "j3_cross_join_scalars",  // 1-row scalar aggregate combine
+    "q_gold_top5_json",       // 1-row top-5 JSON export rollup
+    "q_quality_report",       // 1-row per-check rollup union
+    "q_quality_score",        // 1-row suite score
+    "sim_bruteforce_topk",    // broadcast 1-row query vector
+    "sim_ivf_topk",           // broadcast query vector + centroid codebook
+    "sim_kmeans_step",        // broadcast centroid codebook
+    "mm_embedding_search",    // broadcast codebook + query vector
+    "t_tfidf_keywords",       // broadcast 1-row corpus doc count
+    "t_mix_weights",          // broadcast 1-row total mass
+    "t_shard_pack")           // broadcast 1-row heavy-tail cutoff stats
+
+  // construction of q_pipeline_run executes a full medallion lake run —
+  // covered by PipelineSpec; everything it joins appears in other queries
+  private val skip = Set("q_pipeline_run")
+
+  test("no CartesianProduct anywhere; BNLJ only on the scalar allowlist") {
+    val offenders = SparkEntry.allDefs.filterNot(q => skip(q.name)).flatMap { q =>
+      val plan = q.run(spark, sf).queryExecution.sparkPlan.toString
+      val bad = Seq(
+        Option.when(plan.contains("CartesianProduct"))("CartesianProduct"),
+        Option.when(plan.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed(q.name))("unexpected BroadcastNestedLoopJoin")
+      ).flatten
+      if (bad.isEmpty) None else Some(s"${q.name}: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
