@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions.call_function
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
+    e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectOptimizerRule(BroadcastGuard)
   }
 }
@@ -25,6 +26,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1)): Expression)
 
+  private[graft] val dotProductDescriptor =
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression)
+
   /** Idempotent runtime registration into an existing session: the
     * cosine_sim expression plus the BroadcastGuard optimizer rule (via
     * experimental.extraOptimizations — the post-hoc injection point for
@@ -34,6 +40,10 @@ object GraftFunctions {
       "cosine_sim",
       children => CosineSim(children(0), children(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      children => DotProduct(children(0), children(1)),
+      "scala_udf")
     val existing = spark.experimental.extraOptimizations
     if (!existing.exists(_.isInstanceOf[BroadcastGuard]))
       spark.experimental.extraOptimizations = existing :+ BroadcastGuard(spark)
@@ -42,4 +52,7 @@ object GraftFunctions {
   /** Column-API call; requires the function registered in the session. */
   def cosine_sim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+
+  def dot_product(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
 }

@@ -465,6 +465,25 @@ object Extensions {
         .orderBy("cell", "dim")
     },
 
+    // Product-quantized ANN: per-subspace codebooks (8 subspaces × 8 dims,
+    // 16 codes — 64 floats compressed to 8 bytes per vector), ADC scan
+    // summing m LUT entries per vector, exact rescore of the 5k-deep
+    // shortlist. Deterministic (decimal-summed training means and ADC
+    // scores) but not SQL-expressible — PqSpec proves recall ≥ 0.9 vs the
+    // brute-force scan.
+    QueryDef.rowsOnly("sim_pq_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d).localCheckpoint()
+      val cb = graft.operators.Pq.train(emb, m = 8, dims = 64, k = 16,
+        iters = 2)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      // rescoreFactor 20: the synthetic embeddings are near-uniform random
+      // (no cluster structure — the ADC worst case), so the shortlist is
+      // deepened; it remains O(kTop), independent of corpus size
+      graft.operators.Pq.adcTopK(emb, cb, q, kTop = 11, m = 8, dims = 64,
+        rescoreFactor = 20)
+    },
+
     // The composed corpus-curation pipeline a training-data run ships:
     // quality filter → language filter → exact dedup (canonical per
     // content hash among SURVIVORS) → deterministic 80% sample. Every

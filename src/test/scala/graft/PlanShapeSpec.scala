@@ -22,6 +22,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_bruteforce_topk",    // broadcast 1-row query vector
     "sim_ivf_topk",           // broadcast query vector + centroid codebook
     "sim_kmeans_step",        // broadcast centroid codebook
+    "sim_pq_topk",            // broadcast query vector in the ADC rescore
     "mm_embedding_search",    // broadcast codebook + query vector
     "t_tfidf_keywords",       // broadcast 1-row corpus doc count
     "t_mix_weights",          // broadcast 1-row total mass
