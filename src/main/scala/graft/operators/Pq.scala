@@ -98,6 +98,42 @@ object Pq {
     cb
   }
 
+  /** ADC shortlist over a vector subset: score every encoded vector by
+    * summing its m partial-dot LUT entries, keep the top `limit`.
+    * Decimal-summed so the shortlist cutoff can't flutter on double
+    * accumulation order at a rank boundary. Returns (id, adc_score). */
+  private def adcShortlist(subset: DataFrame, codebooks: DataFrame,
+      query: DataFrame, limit: Int, m: Int, dims: Int,
+      idCol: String, embCol: String): DataFrame = {
+    GraftFunctions.register(subset.sparkSession)
+    val enc = encode(subVectors(subset, m, dims, idCol, embCol), codebooks)
+    val qSubs = subVectors(query.select(lit(0L).as("__qid"), col("q_emb")),
+      m, dims, "__qid", "q_emb").select(col("sub"), col("sv").as("qv"))
+    val lut = codebooks.join(broadcast(qSubs), Seq("sub"))
+      .select(col("sub"), col("code"),
+        GraftFunctions.dot_product(col("c_emb"), col("qv")).as("pd"))
+    enc.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("id")
+      .agg(sum(col("pd").cast(DecimalType(18, 9))).cast("double")
+        .as("adc_score"))
+      .orderBy(desc("adc_score"), col("id"))
+      .limit(limit)
+  }
+
+  /** Exact-cosine rescore of an ADC shortlist against the raw vectors.
+    * Returns (idCol, cosine, adc_score), cosine-ranked. */
+  private def rescore(vectors: DataFrame, shortlist: DataFrame,
+      query: DataFrame, kTop: Int, idCol: String,
+      embCol: String): DataFrame =
+    vectors.join(shortlist, col(idCol) === col("id"))
+      .crossJoin(broadcast(query))
+      .withColumn("cosine",
+        Det.roundN(GraftFunctions.cosine_sim(col(embCol), col("q_emb")), 6))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(kTop)
+      .select(col(idCol), col("cosine"),
+        Det.roundN(col("adc_score"), 6).as("adc_score"))
+
   /** ADC top-k with exact rescoring: the query builds its m×k partial-dot
     * LUT against the codebooks, encoded vectors are scored by summing m
     * LUT entries, and the top kTop×rescoreFactor shortlist is rescored
@@ -107,28 +143,43 @@ object Pq {
   def adcTopK(df: DataFrame, codebooks: DataFrame, query: DataFrame,
       kTop: Int, m: Int, dims: Int, rescoreFactor: Int = 5,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    GraftFunctions.register(df.sparkSession)
-    val enc = encode(subVectors(df, m, dims, idCol, embCol), codebooks)
-    val qSubs = subVectors(query.select(lit(0L).as("__qid"), col("q_emb")),
-      m, dims, "__qid", "q_emb").select(col("sub"), col("sv").as("qv"))
-    val lut = codebooks.join(broadcast(qSubs), Seq("sub"))
-      .select(col("sub"), col("code"),
-        GraftFunctions.dot_product(col("c_emb"), col("qv")).as("pd"))
-    // decimal-summed so the shortlist cutoff can't flutter on double
-    // accumulation order at a rank boundary
-    val shortlist = enc.join(broadcast(lut), Seq("sub", "code"))
-      .groupBy("id")
-      .agg(sum(col("pd").cast(DecimalType(18, 9))).cast("double")
-        .as("adc_score"))
-      .orderBy(desc("adc_score"), col("id"))
-      .limit(kTop * rescoreFactor)
-    df.join(shortlist, col(idCol) === col("id"))
+    val shortlist = adcShortlist(df, codebooks, query,
+      kTop * rescoreFactor, m, dims, idCol, embCol)
+    rescore(df, shortlist, query, kTop, idCol, embCol)
+  }
+
+  /** IVF-PQ: the coarse quantizer restricts the scan to the nProbe cells
+    * nearest the query (partition pruning at rest — a cell is a partition
+    * key), then the ADC scan + exact rescore runs over only those cells'
+    * members. This is the standard composition for ANN over corpora too
+    * large to scan flat: touched data = (nProbe / nCells) × corpus, and
+    * the touched part is read as m-byte codes, not float vectors.
+    *
+    * This variant quantizes raw vectors against global codebooks (the
+    * no-residual IVF-PQ); per-cell residual encoding sharpens recall at
+    * the cost of a per-cell LUT and belongs in the same seam.
+    *
+    * `preAssigned`: the (id, cell, …) table from [[Similarity.assignCells]]
+    * — pass it so assignment stays a one-time index-build step. */
+  def ivfPqTopK(vectors: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, query: DataFrame, kTop: Int, nProbe: Int,
+      m: Int, dims: Int, rescoreFactor: Int = 5,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      preAssigned: Option[DataFrame] = None): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val probes = centroids
       .crossJoin(broadcast(query))
-      .withColumn("cosine",
-        Det.roundN(GraftFunctions.cosine_sim(col(embCol), col("q_emb")), 6))
-      .orderBy(desc("cosine"), col(idCol))
-      .limit(kTop)
-      .select(col(idCol), col("cosine"),
-        Det.roundN(col("adc_score"), 6).as("adc_score"))
+      .withColumn("__sim",
+        GraftFunctions.cosine_sim(col("c_emb"), col("q_emb")))
+      .orderBy(desc("__sim"), col("cell"))
+      .limit(nProbe)
+      .select("cell")
+    val assigned = preAssigned.getOrElse(
+      Similarity.assignCells(vectors, centroids, idCol, embCol))
+    val members = assigned.join(broadcast(probes), Seq("cell"))
+      .select(col(idCol), col(embCol))
+    val shortlist = adcShortlist(members, codebooks, query,
+      kTop * rescoreFactor, m, dims, idCol, embCol)
+    rescore(members, shortlist, query, kTop, idCol, embCol)
   }
 }

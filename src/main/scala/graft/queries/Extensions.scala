@@ -484,6 +484,25 @@ object Extensions {
         rescoreFactor = 20)
     },
 
+    // The full IVF-PQ composition — coarse cells prune the scan to
+    // nProbe/nCells of the corpus, PQ codes make the touched part bytes
+    // instead of floats, exact rescore bounds the approximation: the
+    // standard 100 TB ANN stack end-to-end. Assignment is passed in
+    // pre-computed (the one-time index build), mirroring sim_ivf_topk.
+    QueryDef.rowsOnly("sim_ivfpq_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d).localCheckpoint()
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      val assigned = Similarity.assignCells(emb, centroids)
+      val cb = graft.operators.Pq.train(emb, m = 8, dims = 64, k = 16,
+        iters = 2)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      graft.operators.Pq.ivfPqTopK(emb, centroids, cb, q, kTop = 11,
+        nProbe = 8, m = 8, dims = 64, rescoreFactor = 20,
+        preAssigned = Some(assigned))
+    },
+
     // The composed corpus-curation pipeline a training-data run ships:
     // quality filter → language filter → exact dedup (canonical per
     // content hash among SURVIVORS) → deterministic 80% sample. Every

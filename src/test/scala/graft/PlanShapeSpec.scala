@@ -23,6 +23,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_ivf_topk",           // broadcast query vector + centroid codebook
     "sim_kmeans_step",        // broadcast centroid codebook
     "sim_pq_topk",            // broadcast query vector in the ADC rescore
+    "sim_ivfpq_topk",         // broadcast query vector + probe cells
     "mm_embedding_search",    // broadcast codebook + query vector
     "t_tfidf_keywords",       // broadcast 1-row corpus doc count
     "t_mix_weights",          // broadcast 1-row total mass

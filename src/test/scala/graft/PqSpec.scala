@@ -59,6 +59,23 @@ class PqSpec extends AnyFunSuite {
     assert(refined.values.map(_._2).sum === 4L, "every vector assigned")
   }
 
+  test("IVF-PQ with all cells probed matches flat ADC search") {
+    val emb = (1L to 100L).map { i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 13) % 17 - 8).toFloat / 8f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val centroids = emb.filter($"vec_id" <= 4)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+    val cb = Pq.train(emb, m = 2, dims = 4, k = 8, iters = 1)
+    val q = emb.filter($"vec_id" === 1).select($"embedding".as("q_emb"))
+    val flat = Pq.adcTopK(emb, cb, q, kTop = 5, m = 2, dims = 4,
+        rescoreFactor = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val ivfpq = Pq.ivfPqTopK(emb, centroids, cb, q, kTop = 5, nProbe = 4,
+        m = 2, dims = 4, rescoreFactor = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivfpq === flat, "probing every cell must equal the flat scan")
+  }
+
   test("ADC with exact rescore: recall@10 >= 0.9 vs brute force") {
     val docs = (1L to 300L).map { i =>
       (i, s"doc $i " + ("word " * (i % 17).toInt) + ("x" * (i % 13).toInt) +
