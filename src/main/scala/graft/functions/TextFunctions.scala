@@ -165,6 +165,53 @@ object TextFunctions {
         col("tfidf"), col("df"))
   }
 
+  /** Bigram language-model likelihood score — the LM-based quality filter
+    * (CCNet-style: docs scoring far from the corpus LM are boilerplate or
+    * word salad). Trains corpus bigram/unigram counts and scores each doc
+    * by the MEAN Laplace-smoothed conditional probability of its tokens:
+    *   p(w | prev) = (c(prev, w) + 1) / (c(prev) + |V|)
+    * Deliberately log-free: the mean-probability score ranks documents
+    * the same way as mean log-prob for filtering purposes, and rational
+    * arithmetic is bit-identical across engines while libm `ln` is not —
+    * so the whole train+score pipeline stays oracle-checkable.
+    *
+    * Shape: one explode, one per-doc lag window (partitioned by doc), two
+    * hash aggregates for the count tables, a sort-merge join on the
+    * bigram key, decimal-summed mean. Shuffle O(rows × tokens); the LM
+    * "model" is two aggregate tables, never driver-side.
+    *
+    * Returns (idCol, n_bigrams, lm_score) for EVERY input doc — docs with
+    * fewer than 2 tokens score 0.0 with n_bigrams 0. */
+  def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val bi = tok.withColumn("w_prev", lag(col("w"), 1).over(w))
+      .filter(col("w_prev").isNotNull)
+    val uni = tok.groupBy(col("w").as("w_prev"))
+      .agg(count(lit(1)).as("cu"))
+    val big = bi.groupBy("w_prev", "w").agg(count(lit(1)).as("cb"))
+    val vocab = tok.agg(countDistinct(col("w")).as("__v"))
+    val p = (coalesce(col("cb"), lit(0L)).cast("double") + 1.0) /
+      (coalesce(col("cu"), lit(0L)).cast("double") + col("__v"))
+    val scored = bi
+      .join(big, Seq("w_prev", "w"), "left")
+      .join(uni, Seq("w_prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        Det.roundN(
+          sum(p.cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") / count(lit(1)), 8).as("lm_score"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
   /** Corpus-scale quality scoring over [[tokenFeatures]]: every input
     * column EXCEPT textCol, plus word_count (long), avg_word_len,
     * stopword_ratio, and the 0-100 quality_score — the single source of

@@ -198,6 +198,40 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // LM-based quality scoring (the CCNet-style filter signal): corpus
+    // bigram/unigram counts → per-doc mean Laplace-smoothed conditional
+    // probability. Log-free rational form keeps the whole train+score
+    // chain oracle-checkable (libm ln differs across engines; this
+    // ranks documents identically for filtering).
+    QueryDef.sql(
+      "t_lm_score",
+      raw"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(str_split_regex(trim(lower(text)), '\s+')) AS w,
+         |    generate_subscripts(str_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+         |  FROM documents),
+         |bi AS (SELECT * FROM (
+         |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+         |  FROM tok) WHERE w_prev IS NOT NULL),
+         |uni AS (SELECT w AS w_prev, COUNT(*) AS cu FROM tok GROUP BY 1),
+         |big AS (SELECT w_prev, w, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+         |v AS (SELECT COUNT(DISTINCT w) AS vs FROM tok),
+         |sc AS (
+         |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         |    ${roundN(
+             "CAST(SUM(CAST((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + vs) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)",
+             8)} AS lm_score
+         |  FROM bi b LEFT JOIN big USING (w_prev, w)
+         |            LEFT JOIN uni USING (w_prev) CROSS JOIN v
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(lm_score, 0.0) AS lm_score
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextFunctions.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // PII redaction: find-and-mask emails / phone numbers with global
     // regexp_replace, plus per-row found-counts — the scrubbing pass a
     // training corpus runs before release. PII is synthesized from

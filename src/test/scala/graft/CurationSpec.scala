@@ -77,6 +77,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out(12L) === ((true, false)), "intra-batch duplicate")
   }
 
+  test("bigram LM score ranks in-distribution text above word salad") {
+    // 9 docs of the same fluent sentence train strong bigram counts; the
+    // salad doc's token SET overlaps but its bigrams are unseen, so its
+    // mean conditional probability must land far below the fluent docs'
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val docs = ((1L to 9L).map(i => (i, fluent)) :+
+      (10L, "rug the on dog mat cat the sat and on the the sat") :+
+      (11L, "x"))  // single token → no bigrams → score 0
+      .toDF("doc_id", "text")
+    val out = TextFunctions.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._2 === out(9L)._2, "identical docs score identically")
+    assert(out(1L)._2 > out(10L)._2 * 2,
+      s"fluent ${out(1L)._2} should dwarf salad ${out(10L)._2}")
+    assert(out(11L) === ((0L, 0.0)), "sub-bigram doc scores 0 with 0 bigrams")
+  }
+
   test("tf-idf surfaces each doc's distinctive term above shared boilerplate") {
     val docs = Seq(
       (1L, "common words plus zebra zebra"),

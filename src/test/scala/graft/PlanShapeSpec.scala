@@ -26,6 +26,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_ivfpq_topk",         // broadcast query vector + probe cells
     "mm_embedding_search",    // broadcast codebook + query vector
     "t_tfidf_keywords",       // broadcast 1-row corpus doc count
+    "t_lm_score",             // broadcast 1-row vocabulary size
     "t_mix_weights",          // broadcast 1-row total mass
     "t_shard_pack")           // broadcast 1-row heavy-tail cutoff stats
 
