@@ -356,6 +356,48 @@ object Dedup {
       .drop("__seen")
   }
 
+  /** Exact substring-duplication signal: every length-`window` token span
+    * in every document, counted corpus-wide; a document's duplication
+    * fraction is the share of its spans that occur more than once in the
+    * corpus (in another doc or repeated locally). This is the
+    * substring-level dedup flag (the train-data-dedup literature's exact
+    * substring match, at fixed window length) that doc-level hashing and
+    * shingle-set Jaccard both miss: a long quote inside an otherwise
+    * unique document.
+    *
+    * Shape: one posexplode, a (window−1)-lead per-doc window to form
+    * spans, one corpus-wide hash aggregate for span counts, one
+    * sort-merge join back, one per-doc aggregate — shuffle O(rows ×
+    * tokens), no pair enumeration anywhere (counts, not pairs, so no
+    * posting cap is needed). Returns every input doc:
+    * (idCol, n_spans, n_dup_spans, dup_fraction); docs shorter than
+    * `window` tokens report zeros. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t0")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val spanCols = (1 until window).map(i =>
+      lead(col("t0"), i).over(w).as(s"t$i"))
+    val spans = tok.select(col("id") +: col("pos") +: col("t0") +: spanCols: _*)
+      .filter(col(s"t${window - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (0 until window).map(i => col(s"t$i")): _*).as("span"))
+    val counts = spans.groupBy("span").agg(count(lit(1)).as("n_occ"))
+    val agg = spans.join(counts, Seq("span"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("n_occ") >= 2, 1)).as("n_dup_spans"))
+    df.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          Det.roundN(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+          .otherwise(0.0).as("dup_fraction"))
+  }
+
   /** N-gram Jaccard via inverted-index blocking: prune shingles to useful
     * postings (2..maxPosting docs), self-join the postings to count
     * co-occurrences — |A∩B| directly, no arrays — then Jaccard from

@@ -334,6 +334,35 @@ object Extensions {
         .orderBy("id_a", "id_b")
     },
 
+    // Substring-level duplication: share of each doc's 8-token spans that
+    // occur more than once corpus-wide — catches the duplicated quote
+    // inside an otherwise unique doc, which doc-hash and shingle-set
+    // Jaccard both miss. Counts, not pairs → no quadratic anywhere.
+    QueryDef.sql(
+      "dedup_dup_spans",
+      raw"""WITH toks AS (
+         |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(t[i:i+7], ' ') for i in generate_series(1, len(t)-7)]) AS span
+         |  FROM toks WHERE len(t) >= 8),
+         |counts AS (SELECT span, COUNT(*) AS n_occ FROM sp GROUP BY 1),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_spans,
+         |    COUNT(CASE WHEN n_occ >= 2 THEN 1 END) AS n_dup_spans
+         |  FROM sp JOIN counts USING (span) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
+         |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+         |  CASE WHEN COALESCE(n_spans, 0) > 0
+         |       THEN ${roundN("n_dup_spans * 1.0 / n_spans", 4)}
+         |       ELSE 0.0 END AS dup_fraction
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          window = 8)
+        .orderBy("doc_id")
+    },
+
     // Transitive closure of MinHash near-dup pairs: one row per clustered
     // doc with its canonical (minimum) cluster id — the keep-one-per-
     // cluster step a corpus dedup pipeline actually ships.

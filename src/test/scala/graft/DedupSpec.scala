@@ -105,6 +105,27 @@ class DedupSpec extends AnyFunSuite {
       "fixture sanity: corpus-internal near-dup exists")
   }
 
+  test("duplicate spans flag the shared quote, not the unique prose") {
+    // docs 1 and 2 are globally dissimilar (doc-level dedup misses them)
+    // but share one 10-token quote; doc 3 is fully unique; doc 4 repeats
+    // its own phrase (intra-doc duplication counts too)
+    val quote = (0 until 10).map(i => s"q$i").mkString(" ")
+    val ds = Seq(
+      (1L, (0 until 40).map(i => s"a$i").mkString(" ") + " " + quote),
+      (2L, (0 until 40).map(i => s"b$i").mkString(" ") + " " + quote),
+      (3L, (0 until 50).map(i => s"c$i").mkString(" ")),
+      (4L, ((0 until 8).map(i => s"r$i").mkString(" ") + " ") * 3))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(ds, "doc_id", "text", window = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the 10-token quote yields 3 fully-inside-quote 8-spans per doc
+    assert(out(1L)._2 === 3, s"doc1 dup spans ${out(1L)}")
+    assert(out(2L)._2 === 3)
+    assert(out(3L)._2 === 0, "unique doc clean")
+    assert(out(4L)._2 > 0, "self-repetition flagged")
+    assert(out(1L)._1 === 43, "50-token doc → 43 spans of 8")
+  }
+
   test("connected components: chains collapse to min-id clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)
