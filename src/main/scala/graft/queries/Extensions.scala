@@ -547,6 +547,36 @@ object Extensions {
         rescoreFactor = 20)
     },
 
+    // Per-label embedding centroids — the pooling aggregate behind class
+    // prototypes, cluster summaries, and mean-pooled doc embeddings:
+    // posexplode to (label, dim, x), decimal-summed per-dim means, long
+    // output so the oracle compares scalars. Shuffle O(rows × dims),
+    // map-side combinable.
+    QueryDef.sql(
+      "sim_label_centroids",
+      s"""WITH e AS (
+         |  SELECT label, generate_subscripts(embedding::DOUBLE[], 1) - 1 AS dim,
+         |         unnest(embedding::DOUBLE[]) AS x
+         |  FROM embeddings)
+         |SELECT label, CAST(dim AS BIGINT) AS dim,
+         |  ${Det.roundNSql(
+           "CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)", 6)} AS c_val,
+         |  COUNT(*) AS n_members
+         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(Det.roundN(
+            sum(col("x").cast("double")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+              .cast("double") / count(lit(1)), 6).as("c_val"),
+          count(lit(1)).as("n_members"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("c_val"), col("n_members"))
+        .orderBy("label", "dim")
+    },
+
     // The full IVF-PQ composition — coarse cells prune the scan to
     // nProbe/nCells of the corpus, PQ codes make the touched part bytes
     // instead of floats, exact rescore bounds the approximation: the
