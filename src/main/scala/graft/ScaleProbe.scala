@@ -94,6 +94,16 @@ object ScaleProbe {
         "doc_id", "text", chunk = 32, overlap = 8)
     }
 
+    // filter on the computed column: a bare count() over the final left
+    // join would let Catalyst ELIMINATE the whole scoring subtree (the
+    // right side is unique-keyed, so the join can't change row counts)
+    time("lm_score")(
+      TextFunctions.bigramLmScores(corpus, "doc_id", "text")
+        .filter(col("lm_score") > 0))
+    time("dup_spans")(
+      Dedup.duplicateSpans(corpus, "doc_id", "text", window = 8)
+        .filter(col("n_spans") > 0))
+
     // dimension/fact probes: replicate customer and orders with the same
     // id offsets so per-key join cardinality is scale-invariant
     val cust0 = graft.engine.Tables.customer(spark, sfDir)
