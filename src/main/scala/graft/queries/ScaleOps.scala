@@ -53,6 +53,42 @@ object ScaleOps {
           .orderBy("l_returnflag")
     },
 
+    // Skew diagnostics: the measurement that DECIDES when to salt — key
+    // cardinality, heaviest key, and the skew ratio (max key count over
+    // mean key count) for a join/group key. One hash aggregate + a 1-row
+    // rollup + a TakeOrdered argmax; nothing driver-side.
+    QueryDef.sql(
+      "a_skew_report",
+      s"""WITH counts AS (
+         |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |         CAST(SUM(n) AS BIGINT) AS n_rows,
+         |         CAST(MAX(n) AS BIGINT) AS max_key_rows
+         |  FROM counts),
+         |top AS (
+         |  SELECT user_id AS top_key FROM counts
+         |  ORDER BY n DESC, user_id LIMIT 1)
+         |SELECT n_keys, n_rows, max_key_rows,
+         |  ${Det.roundNSql("max_key_rows * n_keys * 1.0 / n_rows", 4)} AS skew_ratio,
+         |  top_key
+         |FROM stats CROSS JOIN top""".stripMargin) { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_key_rows"))
+      val top = counts.orderBy(desc("n"), col("user_id")).limit(1)
+        .select(col("user_id").as("top_key"))
+      stats.crossJoin(broadcast(top))
+        .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+          Det.roundN(
+            (col("max_key_rows") * col("n_keys")).cast("double") / col("n_rows"),
+            4).as("skew_ratio"),
+          col("top_key"))
+    },
+
     // approx_count_distinct — the 100 TB toggle for A5's exact
     // countDistinct (SURVEY §2.5). HLL± estimates differ across engines →
     // rows-only; the spec checks the estimate lands within rsd of exact.

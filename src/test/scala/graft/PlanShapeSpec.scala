@@ -27,6 +27,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "mm_embedding_search",    // broadcast codebook + query vector
     "t_tfidf_keywords",       // broadcast 1-row corpus doc count
     "t_lm_score",             // broadcast 1-row vocabulary size
+    "a_skew_report",          // broadcast 1-row argmax key
     "t_mix_weights",          // broadcast 1-row total mass
     "t_shard_pack")           // broadcast 1-row heavy-tail cutoff stats
 
