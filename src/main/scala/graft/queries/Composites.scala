@@ -160,16 +160,42 @@ object Composites {
          |    ELSE 'POOR' END AS quality_rating,
          |  ${roundN("COUNT(*) / 3600.0", 2)} AS records_per_second
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val errRate = count(when(col("event_type") === "error", 1)) * 100.0 /
-        count(lit(1))
-      Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("summary_date"))
-        .agg(count(lit(1)).as("records_processed"),
-          Det.dsum(col("value")).as("total_value"),
-          Det.roundN(errRate, 2).as("error_rate_pct"),
-          when(errRate < 5, "EXCELLENT").when(errRate < 10, "GOOD")
-            .when(errRate < 15, "FAIR").otherwise("POOR").as("quality_rating"),
-          Det.roundN(count(lit(1)) / 3600.0, 2).as("records_per_second"))
+      graft.engine.GoldMaintenance.dailyAgg(Tables.events(s, d))
+        .orderBy("summary_date")
+    },
+
+    // Incremental gold maintenance, oracle-proven equivalent to the full
+    // recompute: the "arriving batch" is the last two dates PLUS a late
+    // trickle on a 10-days-old date; existing gold is built from
+    // everything else, then incrementalDaily merges untouched gold rows
+    // with recomputed touched dates. The oracle is the FULL recompute
+    // over all events — hash equality proves partition-level maintenance
+    // loses nothing, bit-exactly (decimal sums make regrouping stable).
+    QueryDef.sql(
+      "q_gold_incremental",
+      s"""SELECT CAST(ts AS DATE) AS summary_date,
+         |  COUNT(*) AS records_processed,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  ${roundN("COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*)", 2)} AS error_rate_pct,
+         |  CASE
+         |    WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) < 5 THEN 'EXCELLENT'
+         |    WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) < 10 THEN 'GOOD'
+         |    WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) < 15 THEN 'FAIR'
+         |    ELSE 'POOR' END AS quality_rating,
+         |  ${roundN("COUNT(*) / 3600.0", 2)} AS records_per_second
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val evd = Tables.events(s, d).withColumn("__d", to_date(col("ts")))
+      val maxd = evd.agg(max(col("__d")).as("maxd"))
+      val flagged = evd.crossJoin(broadcast(maxd))
+        .withColumn("__is_batch",
+          col("__d") >= date_sub(col("maxd"), 1) ||
+            (col("__d") === date_sub(col("maxd"), 10) &&
+              col("user_id") % 7 === 0))
+      val existing = flagged.filter(!col("__is_batch")).localCheckpoint()
+      val batch = flagged.filter(col("__is_batch")).localCheckpoint()
+      val oldGold = graft.engine.GoldMaintenance.dailyAgg(existing)
+      val touched = batch.select(col("__d").as("touched_date")).distinct()
+      graft.engine.GoldMaintenance.incrementalDaily(oldGold, flagged, touched)
         .orderBy("summary_date")
     },
 

@@ -12,6 +12,38 @@ class GoldRollupsSpec extends AnyFunSuite {
   private def run(name: String) =
     GoldRollups.defs.find(_.name == name).get.run(spark, sfDir)
 
+  test("incremental gold merge equals full recompute, late events included") {
+    import spark.implicits._
+    import graft.engine.GoldMaintenance
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val all = Seq(
+      (ts(1, 1), "click", 10.0), (ts(1, 2), "error", 5.0),
+      (ts(2, 1), "click", 7.0), (ts(2, 2), "click", 1.5),
+      (ts(3, 1), "view", 2.0),
+      // the batch: all of day 4 plus a LATE event for day 1
+      (ts(4, 1), "click", 9.0), (ts(4, 2), "error", 3.0),
+      (ts(1, 5), "view", 4.0))
+      .toDF("ts", "event_type", "value")
+    // indices in (ts, event_type, value) sort order: the day-1 05:00 late
+    // event sorts to 2; day 4's two events are 6 and 7
+    val batchIdx = Set(2, 6, 7)
+    val withIdx = all.withColumn("__i",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+        "ts", "event_type", "value")) - 1)
+    val batch = withIdx.filter(col("__i").isin(batchIdx.toSeq: _*))
+    val existing = withIdx.filter(!col("__i").isin(batchIdx.toSeq: _*))
+    val oldGold = GoldMaintenance.dailyAgg(existing)
+    val touched = batch.select(to_date(col("ts")).as("touched_date")).distinct()
+    // day 1 is touched (late event) → recomputed; days 2-3 pass through
+    assert(touched.as[java.sql.Date].collect().map(_.toString).sorted.toSeq
+      === Seq("2024-01-01", "2024-01-04"))
+    val merged = GoldMaintenance.incrementalDaily(oldGold, all, touched)
+      .orderBy("summary_date").collect().toSeq
+    val full = GoldMaintenance.dailyAgg(all)
+      .orderBy("summary_date").collect().toSeq
+    assert(merged === full, "incremental maintenance must equal full recompute")
+  }
+
   test("top5 JSON export is a rank-ordered list of {rank,country,confirmed} structs") {
     val row = run("q_gold_top5_json").collect().head
     val elem = StructType(Seq(
