@@ -146,6 +146,45 @@ object Similarity {
         coalesce(col("n_members"), lit(0L)).as("n_members"))
   }
 
+  /** SemDeDup-style semantic deduplication: assign every vector to its
+    * nearest centroid (broadcast codebook), then prune WITHIN each cluster
+    * only — a vector is dropped when a lower-id vector in the same cluster
+    * has cosine ≥ threshold. The whole point of clustering first is the
+    * scale bound: pair enumeration is per-cell O(c²) instead of corpus
+    * O(N²), and the codebook granularity (k grows with N) keeps c roughly
+    * constant. `maxCluster` is the explicit guard: an over-full cell
+    * (degenerate codebook, all-near-zero vectors) is exempted from pruning
+    * rather than allowed to quadratically explode — its members are kept
+    * and the cell is left for a finer codebook pass.
+    *
+    * Deterministic end-to-end (argmax assignment tie-broken on cell id,
+    * keep-lowest-id pruning, cosine rounded before the threshold), so the
+    * full annotation is oracle-able. Returns every input vector:
+    * (idCol, cell, is_kept: 0/1 bigint). */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame,
+      threshold: Double, maxCluster: Int = 512,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val assigned = assignCells(vectors, centroids, idCol, embCol)
+      .withColumn("__cn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+    val prunable = assigned.filter(col("__cn") <= maxCluster)
+    // equi-join on cell: shuffles by cluster, pairs never leave a cell
+    val l = prunable.select(col("cell"), col(idCol).as("id_a"),
+      col(embCol).as("__e_a"))
+    val r = prunable.select(col("cell"), col(idCol).as("id_b"),
+      col(embCol).as("__e_b"))
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Det.roundN(GraftFunctions.cosine_sim(col("__e_a"), col("__e_b")), 6)
+        >= threshold)
+      .select(col("id_b").as("__dup_id")).distinct()
+    assigned
+      .join(dropped, assigned(idCol) === dropped("__dup_id"), "left")
+      .select(col(idCol), col("cell"),
+        when(col("__dup_id").isNull, 1L).otherwise(0L).as("is_kept"))
+  }
+
   /** Near-duplicate vector pairs: banded sign-LSH candidates + exact
     * cosine ≥ threshold. Returns (id_a, id_b, cosine).
     *

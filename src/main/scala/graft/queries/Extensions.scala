@@ -577,6 +577,44 @@ object Extensions {
         .orderBy("label", "dim")
     },
 
+    // SemDeDup-style semantic dedup: cluster by nearest centroid, prune
+    // near-identical vectors within clusters only (keep-lowest-id). The
+    // oracle re-derives assignment, the cluster-size guard, and the pair
+    // prune in SQL — the full 500-row annotation is hash-checked.
+    QueryDef.sql(
+      "dedup_semantic", {
+        def cos(a: String, b: String) =
+          s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) > 0" +
+            s" THEN list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))" +
+            s" ELSE 0.0 END"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+           |scored AS (
+           |  SELECT e.vec_id, e.emb, cent.cell, ${cos("e.emb", "ce")} AS sim
+           |  FROM e CROSS JOIN cent),
+           |assigned AS (
+           |  SELECT vec_id, emb, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+           |    FROM scored) WHERE rn = 1),
+           |sized AS (
+           |  SELECT *, COUNT(*) OVER (PARTITION BY cell) AS cn FROM assigned),
+           |p AS (SELECT * FROM sized WHERE cn <= 512),
+           |dropped AS (
+           |  SELECT DISTINCT b.vec_id AS dup_id
+           |  FROM p a JOIN p b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE ${Det.roundNSql(cos("a.emb", "b.emb"), 6)} >= 0.3)
+           |SELECT s.vec_id, s.cell,
+           |  CAST(CASE WHEN d.dup_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+           |FROM sized s LEFT JOIN dropped d ON s.vec_id = d.dup_id
+           |ORDER BY s.vec_id""".stripMargin
+      }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      Similarity.semanticDedup(emb, centroids, threshold = 0.3)
+        .orderBy("vec_id")
+    },
+
     // The full IVF-PQ composition — coarse cells prune the scan to
     // nProbe/nCells of the corpus, PQ codes make the touched part bytes
     // instead of floats, exact rescore bounds the approximation: the

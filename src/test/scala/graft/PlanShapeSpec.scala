@@ -22,6 +22,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_bruteforce_topk",    // broadcast 1-row query vector
     "sim_ivf_topk",           // broadcast query vector + centroid codebook
     "sim_kmeans_step",        // broadcast centroid codebook
+    "dedup_semantic",         // broadcast centroid codebook
     "sim_pq_topk",            // broadcast query vector in the ADC rescore
     "sim_ivfpq_topk",         // broadcast query vector + probe cells
     "mm_embedding_search",    // broadcast codebook + query vector

@@ -56,6 +56,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs === Set((0L, 1L)), s"got $pairs")
   }
 
+  test("semanticDedup prunes within clusters only, keeps lowest id") {
+    // centroids at x and y axes: {0,1,4} cluster to cell 0 or 4-ish, 2 to y.
+    // 1 is a near-dup of 0 in the same cluster → dropped; 4 is opposite
+    // (cosine -1) so it survives despite sharing a nearest centroid side.
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cell", "c_emb")
+    val out = Similarity.semanticDedup(vecs, centroids, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) === 1L, "lowest id kept")
+    assert(out(1L) === 0L, "near-dup of 0 dropped")
+    assert(out(2L) === 1L && out(3L) === 1L && out(4L) === 1L,
+      "orthogonal/opposite vectors survive")
+  }
+
+  test("semanticDedup exempts over-cap clusters from pruning") {
+    val centroids = Seq((0L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("cell", "c_emb")
+    val out = Similarity.semanticDedup(vecs, centroids, threshold = 0.9,
+        maxCluster = 2)
+      .select(sum("is_kept")).collect().head.getLong(0)
+    assert(out === 5L, "single over-cap cell: nothing pruned")
+  }
+
   test("kmeansStep retains empty cells with their previous centroid") {
     // centroid 9 points away from every vector, so it attracts no members;
     // a Lloyd step must keep it (old embedding, n_members = 0), not shrink
