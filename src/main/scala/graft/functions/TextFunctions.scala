@@ -133,6 +133,47 @@ object TextFunctions {
       .orderBy(desc("df"), asc("term"))
       .limit(maxTerms)
 
+  /** Corpus-frequency boilerplate strip — the CCNet-style rewrite that
+    * removes ubiquitous segments (here: tokens whose document frequency
+    * exceeds maxDfPct% of the corpus) and reassembles each document in
+    * original token order. Unlike [[vocabulary]] (which only reports the
+    * band), this is the REWRITE: the cleaned text ships downstream.
+    *
+    * Shape: one posexplode staged once (two consumers: the df aggregate
+    * and the reassembly join), distinct → hash-agg for per-token df, and a
+    * broadcast anti-join to drop boilerplate tokens. The boilerplate set
+    * is provably small — a token needs df > maxDfPct% · N, and a doc has
+    * L_avg tokens, so at most ~L_avg / (maxDfPct/100) tokens can qualify —
+    * which is what makes the broadcast safe at any corpus size.
+    * Reassembly is a per-doc collect_list(struct(pos, tok)) → array_sort —
+    * bounded by document length, never corpus-wide. Returns every input
+    * doc: (idCol, n_tokens, n_removed, clean_text); a fully-boilerplate
+    * doc yields an empty clean_text. */
+  def stripBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxDfPct: Int = 78): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .localCheckpoint()
+    val total = df.agg(count(lit(1)).as("__n_docs"))
+    val boiler = tok.select("id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(total))
+      // integer-exact threshold: df/N > pct/100 without float rounding
+      .filter(col("__df") * 100 > col("__n_docs") * maxDfPct)
+      .select("tok")
+    val rebuilt = tok.join(broadcast(boiler), Seq("tok"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"))
+    df.select(col(idCol).as("id"), wordCount(col(textCol)).as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-document top-k keywords by tf-idf. The idf is the SMOOTHED
     * RATIONAL form (N+1)/(df+1) — deliberately log-free: ln/pow are libm
     * calls whose last-ulp behavior differs across engines, while rational

@@ -150,6 +150,34 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Corpus-frequency boilerplate strip — the rewrite stage: tokens in
+    // more than 78% of documents are removed and each doc reassembled in
+    // original order. Oracle re-derives df counts, the integer-exact
+    // threshold, and the ordered string_agg reassembly; the cleaned TEXT
+    // itself is hash-checked, not just the counts.
+    QueryDef.sql(
+      "t_boilerplate_strip",
+      raw"""WITH tok AS (
+         |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+         |  FROM (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS toks
+         |        FROM documents)),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |boiler AS (SELECT tok FROM dfreq, n WHERE df * 100 > n_docs * 78),
+         |rebuilt AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM tok WHERE tok NOT IN (SELECT tok FROM boiler) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(str_split_regex(trim(lower(d.text)), '\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(str_split_regex(trim(lower(d.text)), '\s+')) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextFunctions.stripBoilerplate(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Repetition detection (the Gopher/RefinedWeb-style filter signal):
     // distinct-token ratio + most-frequent-trigram share per doc. Trigram
     // counts via the explode → lead-window → hash-agg shape (NOT the

@@ -110,6 +110,24 @@ class CurationSpec extends AnyFunSuite {
     assert(vocab === Set("common", "words", "plus"), s"got $vocab")
   }
 
+  test("boilerplate strip removes ubiquitous tokens, preserves order") {
+    // "filler" is in 4/4 docs (df 100% > 78%) → stripped; everything else
+    // survives in original order. Doc 4 is ONLY filler → empty clean text.
+    val docs = Seq(
+      (1L, "alpha filler beta"),
+      (2L, "filler gamma alpha filler"),
+      (3L, "delta filler"),
+      (4L, "filler filler"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.stripBoilerplate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 1L, "alpha beta")))
+    assert(out(2L) === ((4L, 2L, "gamma alpha")))
+    assert(out(3L) === ((2L, 1L, "delta")))
+    assert(out(4L) === ((2L, 2L, "")), "fully-boilerplate doc goes empty")
+  }
+
   test("shard assignment partitions the corpus and balances weight") {
     val docs = spark.range(2000).select(
       col("id").as("doc_id"),

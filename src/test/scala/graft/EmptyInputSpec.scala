@@ -85,6 +85,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Chunking.byArray(
       Seq.empty[(Long, Seq[String])].toDF("doc_id", "toks"),
       "doc_id", "toks", chunk = 8).count() === 0)
+    // boilerplate strip of an empty corpus: no rows, no div-by-zero
+    assert(graft.functions.TextFunctions.stripBoilerplate(
+      noDocs, "doc_id", "text").count() === 0)
+    // semantic dedup with empty vectors and a populated codebook
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val cb = Seq((0L, Array(1.0f, 0.0f))).toDF("cell", "c_emb")
+    assert(Similarity.semanticDedup(noVecs, cb, 0.9).count() === 0)
   }
 
   test("joins and sampling on empty sides") {

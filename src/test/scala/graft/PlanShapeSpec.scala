@@ -27,6 +27,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_ivfpq_topk",         // broadcast query vector + probe cells
     "mm_embedding_search",    // broadcast codebook + query vector
     "t_tfidf_keywords",       // broadcast 1-row corpus doc count
+    "t_boilerplate_strip",    // broadcast 1-row corpus doc count
     "t_lm_score",             // broadcast 1-row vocabulary size
     "a_skew_report",          // broadcast 1-row argmax key
     "q_gold_incremental",     // broadcast 1-row max-date anchor
