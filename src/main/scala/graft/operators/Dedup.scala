@@ -419,4 +419,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Canonical-representative selection over dedup clusters by SOURCE
+    * preference — the production rule is rarely "keep the lowest id": a
+    * curated dump beats a crawl of the same content. Within each cluster
+    * the member with the best (priority asc, id asc) wins; ties inside a
+    * source fall back to id, so selection stays total and deterministic.
+    *
+    * `clusters` is (id, cluster_id) — [[connectedComponents]] output;
+    * `attrs` maps id → source; `priorities` (source → priority asc =
+    * better) is a dimension-sized table, broadcast. A source missing from
+    * the dim ranks last (Long.MaxValue), never wins by accident. One
+    * equi-join per input plus a cluster-keyed min — shuffle O(cluster
+    * rows), no pair enumeration. Returns (id, cluster_id, source,
+    * canon_id, is_canonical) for every cluster member. */
+  def canonicalSelection(clusters: DataFrame, attrs: DataFrame,
+      priorities: DataFrame, idCol: String = "id",
+      sourceCol: String = "source"): DataFrame = {
+    val ranked = clusters
+      .join(attrs.select(col(idCol).as("id"), col(sourceCol).as("source")),
+        Seq("id"))
+      .join(broadcast(priorities), Seq("source"), "left")
+      .withColumn("__prio", coalesce(col("priority"), lit(Long.MaxValue)))
+    val canon = ranked.groupBy("cluster_id")
+      .agg(min(struct(col("__prio"), col("id"))).as("__best"))
+      .select(col("cluster_id"), col("__best.id").as("canon_id"))
+    ranked.join(canon, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("source"), col("canon_id"),
+        (col("id") === col("canon_id")).as("is_canonical"))
+  }
 }

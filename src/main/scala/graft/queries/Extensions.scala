@@ -452,6 +452,68 @@ object Extensions {
         .orderBy("cluster_id", "id")
     },
 
+    // Canonical-representative selection composed onto the oracled
+    // ngram-Jaccard closure: within each near-dup cluster keep the member
+    // from the most-preferred source (priority = the source's numeric
+    // suffix — "curated dump beats crawl"), ties by id. The oracle
+    // re-derives pairs → closure → priority-argmin end-to-end, so the
+    // keep-rule itself is hash-checked, not just the clustering.
+    QueryDef.sql(
+      "dedup_canonical_source",
+      raw"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id AS id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(t) >= 3
+         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+         |    ELSE [array_to_string(t, ' ')] END AS shingles
+         |  FROM toks),
+         |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
+         |useful AS (
+         |  SELECT id, shingle FROM (
+         |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s)
+         |  WHERE pn BETWEEN 2 AND 32),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+         |  FROM useful a JOIN useful b USING (shingle)
+         |  WHERE a.id < b.id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |  WHERE ${roundN("inter * 1.0 / (sa.n + sb.n - inter)", 4)} >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |walk(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
+         |  WHERE w.label < e.v),
+         |clusters AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+         |ranked AS (
+         |  SELECT c.id, c.cluster_id, d.source,
+         |    CAST(regexp_extract(d.source, 'src(\d+)', 1) AS BIGINT) AS prio
+         |  FROM clusters c JOIN documents d ON d.doc_id = c.id),
+         |sel AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY prio, id) AS rn FROM ranked),
+         |canon AS (SELECT cluster_id, id AS canon_id FROM sel WHERE rn = 1)
+         |SELECT r.id, r.cluster_id, r.source, c.canon_id,
+         |  r.id = c.canon_id AS is_canonical
+         |FROM ranked r JOIN canon c USING (cluster_id)
+         |ORDER BY cluster_id, id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardDups(docs, "doc_id", "text", threshold = 0.8))
+      val priorities = docs.select(col("source")).distinct()
+        .withColumn("priority",
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("long"))
+      Dedup.canonicalSelection(clusters,
+          docs.withColumnsRenamed(Map("doc_id" -> "id")), priorities)
+        .orderBy("cluster_id", "id")
+    },
+
     // Embedding near-dup via sign-LSH + cosine verify. The synthetic
     // embeddings have no true near-dups (max cos ≈ 0.51), so this reports
     // the top-20 most-similar LSH-candidate pairs instead of a threshold

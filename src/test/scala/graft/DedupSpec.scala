@@ -133,6 +133,29 @@ class DedupSpec extends AnyFunSuite {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("canonical selection prefers source priority over lowest id") {
+    // cluster {1,2,3}: doc 3 comes from the preferred source → canonical
+    // despite the highest id; cluster {7,9}: equal priority → lowest id
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster_id")
+    val attrs = Seq((1L, "crawl"), (2L, "crawl"), (3L, "curated"),
+      (7L, "crawl"), (9L, "crawl")).toDF("id", "source")
+    val prio = Seq(("curated", 0L), ("crawl", 5L)).toDF("source", "priority")
+    val out = Dedup.canonicalSelection(clusters, attrs, prio)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(3L) === ((3L, true)), "curated source wins the cluster")
+    assert(out(1L) === ((3L, false)) && out(2L) === ((3L, false)))
+    assert(out(7L) === ((7L, true)) && out(9L) === ((7L, false)),
+      "priority tie falls back to lowest id")
+    // a source absent from the dim ranks last, never wins
+    val out2 = Dedup.canonicalSelection(clusters, attrs,
+        prio.filter($"source" =!= "crawl"))
+      .filter($"cluster_id" === 7L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out2 === Map(7L -> true, 9L -> false))
+  }
+
   test("connected components matches union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
