@@ -103,6 +103,40 @@ object ScaleProbe {
     time("dup_spans")(
       Dedup.duplicateSpans(corpus, "doc_id", "text", window = 8)
         .filter(col("n_spans") > 0))
+    time("boilerplate_strip")(
+      TextFunctions.stripBoilerplate(corpus, "doc_id", "text")
+        .filter(col("n_removed") >= 0))
+    // the full keep-rule chain: pairs → closure → priority selection.
+    // MinHash pairs, not the ngram inverted index: the replicated corpus
+    // multiplies every posting count by k, so the ngram posting cap (its
+    // deliberate recall-for-scale guard) empties the pair set at 11× —
+    // the LSH band path is the one that still yields pairs at scale.
+    time("canonical_select") {
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.8))
+      val prio = corpus.select(col("source")).distinct()
+        .withColumn("priority",
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("long"))
+      Dedup.canonicalSelection(clusters,
+        corpus.withColumnsRenamed(Map("doc_id" -> "id")), prio)
+    }
+
+    // embeddings replicated the same way: every vector gains k−1 EXACT
+    // duplicates (cosine 1.0 — the within-cluster prune's worst case);
+    // 256 cells keep clusters under the maxCluster guard at 11×
+    val emb0 = graft.engine.Tables.embeddings(spark, sfDir)
+    (0 until k).map(i => emb0.withColumn("vec_id",
+        col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings")
+    val emb = spark.read.parquet(s"$dir/embeddings")
+    time("semantic_dedup") {
+      val centroids = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      graft.operators.Similarity.semanticDedup(emb, centroids,
+        threshold = 0.3, maxCluster = 2048)
+        .filter(col("is_kept") >= 0)
+    }
 
     // dimension/fact probes: replicate customer and orders with the same
     // id offsets so per-key join cardinality is scale-invariant

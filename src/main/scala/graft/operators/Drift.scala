@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.Det
+
+/** Per-group mean-shift drift detection — the corpus-monitoring check a
+  * production pipeline runs per ingest: does any group (source, day,
+  * shard) have a metric mean far from the corpus mean, where "far" is
+  * scaled by corpus variance and group size? The statistic is the squared
+  * z-score of the group mean under the corpus distribution:
+  *
+  *   stat = n_g · (mean_g − mean_all)² / var_all      (flag: stat > z²)
+  *
+  * Square form on purpose: no sqrt/abs on the flag path and no libm —
+  * with decimal-summed integer inputs the whole computation is plain IEEE
+  * arithmetic, bit-identical across engines, so the report hash-matches a
+  * SQL oracle.
+  *
+  * Shape: ONE scan — a per-group hash aggregate (sum, sum-of-squares,
+  * count in DECIMAL); corpus totals are re-aggregated FROM the group rows
+  * (group-count-sized, not another corpus scan) and broadcast back as a
+  * 1-row relation. Shuffle O(groups), no windows.
+  *
+  * Returns (keyCol, n_docs, mean_val, drift_stat, is_drifted) for every
+  * group; a zero-variance corpus flags nothing (stat 0). */
+object Drift {
+
+  def meanShift(df: DataFrame, keyCol: String, valCol: String,
+      z: Double = 2.0): DataFrame = {
+    val dec = col(valCol).cast("double").cast(DecimalType(28, 6))
+    val perGroup = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(dec).cast("double").as("__sum"),
+        sum(dec * dec).cast("double").as("__sumsq"))
+    val corpus = perGroup
+      .agg(sum(col("n_docs")).as("__n_all"),
+        sum(col("__sum").cast(DecimalType(28, 6))).cast("double").as("__sum_all"),
+        sum(col("__sumsq").cast(DecimalType(28, 6))).cast("double").as("__sumsq_all"))
+    val meanAll = col("__sum_all") / col("__n_all")
+    val varAll = col("__sumsq_all") / col("__n_all") - meanAll * meanAll
+    val meanG = col("__sum") / col("n_docs")
+    val stat = when(varAll > 0,
+      Det.roundN(col("n_docs") * (meanG - meanAll) * (meanG - meanAll) / varAll, 6))
+      .otherwise(0.0)
+    perGroup.crossJoin(broadcast(corpus))
+      .select(col(keyCol), col("n_docs"),
+        Det.roundN(meanG, 4).as("mean_val"),
+        stat.as("drift_stat"),
+        (stat > z * z).as("is_drifted"))
+  }
+}

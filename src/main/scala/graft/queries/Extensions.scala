@@ -226,6 +226,42 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Per-source mean-shift drift report — corpus monitoring: flag
+    // sources whose mean document length sits far from the corpus mean,
+    // scaled by corpus variance and group size (squared z-score, so no
+    // sqrt/abs — plain IEEE arithmetic over decimal-summed integer
+    // inputs keeps the whole report hash-checkable). One scan: corpus
+    // totals are re-aggregated from the group rows, not a second pass.
+    QueryDef.sql(
+      "t_source_drift",
+      s"""WITH g AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(n_chars AS DECIMAL(28,6)) * CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sq
+         |  FROM documents GROUP BY 1),
+         |c AS (
+         |  SELECT SUM(n_docs) AS n_all,
+         |    CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS s_all,
+         |    CAST(SUM(CAST(sq AS DECIMAL(28,6))) AS DOUBLE) AS sq_all
+         |  FROM g),
+         |sel AS (
+         |  SELECT source, n_docs, s, s / n_docs AS mg, s_all / n_all AS ma,
+         |    sq_all / n_all - (s_all / n_all) * (s_all / n_all) AS va
+         |  FROM g, c),
+         |st AS (
+         |  SELECT source, n_docs, s, mg,
+         |    CASE WHEN va > 0
+         |      THEN ${roundN("n_docs * (mg - ma) * (mg - ma) / va", 6)}
+         |      ELSE 0.0 END AS drift_stat
+         |  FROM sel)
+         |SELECT source, n_docs, ${roundN("mg", 4)} AS mean_val,
+         |  drift_stat, drift_stat > 4.0 AS is_drifted
+         |FROM st ORDER BY source""".stripMargin) { (s, d) =>
+      graft.operators.Drift.meanShift(Tables.documents(s, d),
+          "source", "n_chars", z = 2.0)
+        .orderBy("source")
+    },
+
     // LM-based quality scoring (the CCNet-style filter signal): corpus
     // bigram/unigram counts → per-doc mean Laplace-smoothed conditional
     // probability. Log-free rational form keeps the whole train+score

@@ -30,6 +30,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "t_boilerplate_strip",    // broadcast 1-row corpus doc count
     "t_lm_score",             // broadcast 1-row vocabulary size
     "a_skew_report",          // broadcast 1-row argmax key
+    "t_source_drift",         // broadcast 1-row corpus moments
     "q_gold_incremental",     // broadcast 1-row max-date anchor
     "t_mix_weights",          // broadcast 1-row total mass
     "t_shard_pack")           // broadcast 1-row heavy-tail cutoff stats

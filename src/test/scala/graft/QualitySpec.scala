@@ -78,4 +78,25 @@ class QualitySpec extends AnyFunSuite {
       .select(TextFunctions.fingerprint(col("text"))).as[String].collect()
     assert(fp(0) === fp(1))
   }
+
+  test("drift: shifted group flagged, in-family groups not, flat corpus silent") {
+    import graft.operators.Drift
+    // bulk groups a/b sit at 10±2; a SMALL group c at 30 — a clear mean
+    // shift that barely moves the corpus moments (the realistic shape:
+    // one bad source in a large corpus)
+    val rows = (Seq.fill(20)(("a", 8L)) ++ Seq.fill(20)(("a", 12L)) ++
+      Seq.fill(20)(("b", 9L)) ++ Seq.fill(20)(("b", 11L)) ++
+      Seq.fill(5)(("c", 30L))).toDF("src", "v")
+    val out = Drift.meanShift(rows, "src", "v")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(4))))
+      .toMap
+    assert(out("c")._2, s"shifted group must flag (got ${out("c")})")
+    assert(!out("a")._2 && !out("b")._2, s"in-family groups must not flag: $out")
+    assert(out("c")._1 === 30.0)
+    // zero-variance corpus: stat 0 everywhere, nothing flagged
+    val flat = Seq.fill(6)(("a", 5L)).++(Seq.fill(6)(("b", 5L)))
+      .toDF("src", "v")
+    assert(Drift.meanShift(flat, "src", "v")
+      .filter(col("is_drifted")).count() === 0)
+  }
 }
