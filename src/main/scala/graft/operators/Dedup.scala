@@ -420,6 +420,32 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Soft dedup — downweight duplicates instead of dropping them: every
+    * member of a near-dup cluster gets sampling weight 1/|cluster|, so a
+    * document duplicated n times contributes ONE document's worth of
+    * probability mass to training sampling, while singletons keep weight
+    * 1. The drop-vs-downweight choice is a curation policy; this is the
+    * policy the "dedup hurts rare data" line of work prefers.
+    *
+    * `clusters` is (id, cluster_id) — [[connectedComponents]] output over
+    * any pair generator; `docs` supplies the full corpus so un-clustered
+    * docs surface with n_dups 1. One cluster-keyed count + two
+    * unique-keyed joins; shuffle O(rows). Returns (idCol, cluster_id —
+    * the doc's own id when unclustered, n_dups, weight). */
+  def duplicationWeights(clusters: DataFrame, docs: DataFrame,
+      idCol: String = "id"): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_dups"))
+    val labeled = clusters.join(sizes, Seq("cluster_id"))
+      .withColumnsRenamed(Map("id" -> "__cid"))
+    docs.select(col(idCol).as("__cid"))
+      .join(labeled, Seq("__cid"), "left")
+      .select(col("__cid").as(idCol),
+        coalesce(col("cluster_id"), col("__cid")).as("cluster_id"),
+        coalesce(col("n_dups"), lit(1L)).as("n_dups"),
+        Det.roundN(lit(1.0) / coalesce(col("n_dups"), lit(1L)), 6)
+          .as("weight"))
+  }
+
   /** Canonical-representative selection over dedup clusters by SOURCE
     * preference — the production rule is rarely "keep the lowest id": a
     * curated dump beats a crawl of the same content. Within each cluster

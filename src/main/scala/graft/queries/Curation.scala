@@ -320,6 +320,37 @@ object Curation {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // JSONL export serialization — the literal bytes a training run
+    // reads: each context chunk rendered as one JSON line with a fixed
+    // key order. to_json parity (compact separators, int64-as-number,
+    // string escaping, struct field order) holds byte-for-byte across
+    // Spark and DuckDB, so the EXPORT FORMAT itself is hash-checked —
+    // not just the rows behind it.
+    QueryDef.sql(
+      "t_jsonl_export",
+      raw"""WITH toks AS (
+         |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |st AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(0, GREATEST(len(t) - 1, 0), 24)) AS start
+         |  FROM toks),
+         |ch AS (
+         |  SELECT doc_id, start // 24 AS chunk_id,
+         |    array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
+         |    CAST(len(t[start + 1 : start + 32]) AS BIGINT) AS n_tokens
+         |  FROM st)
+         |SELECT doc_id, chunk_id,
+         |  to_json(struct_pack(doc_id := doc_id, chunk_id := chunk_id,
+         |    n_tokens := n_tokens, text := chunk_text)) AS line
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Chunking.byTokens(Tables.documents(s, d), "doc_id", "text",
+          chunk = 32, overlap = 8)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          to_json(struct(col("id").as("doc_id"), col("chunk_id"),
+            col("n_tokens"), col("chunk_text").as("text"))).as("line"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Temperature-scaled source mixing (alpha = 1/T = 0.5): per-source
     // token-mass shares flattened by sqrt and renormalized — the sampling
     // weights a multi-source training run feeds to stratified sampling.

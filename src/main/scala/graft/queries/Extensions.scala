@@ -22,6 +22,46 @@ object Extensions {
       s" THEN list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))" +
       s" ELSE 0.0 END"
 
+  /** Shared oracle prefix: ngram-Jaccard pairs (inverted index, posting
+    * cap 2..32, threshold 0.8) → recursive min-label transitive closure →
+    * `clusters(id, cluster_id)`. Three queries build on this chain
+    * (closure itself, canonical-source selection, soft weights), so the
+    * CTE is defined once — the SQL stays in lockstep with
+    * [[graft.operators.Dedup.ngramJaccardDups]] +
+    * [[graft.operators.Dedup.connectedComponents]]. */
+  private val ngramClusterCte: String =
+    raw"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id AS id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT id, CASE WHEN len(t) >= 3
+       |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+       |    ELSE [array_to_string(t, ' ')] END AS shingles
+       |  FROM toks),
+       |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
+       |useful AS (
+       |  SELECT id, shingle FROM (
+       |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s)
+       |  WHERE pn BETWEEN 2 AND 32),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+       |  FROM useful a JOIN useful b USING (shingle)
+       |  WHERE a.id < b.id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |  WHERE ${Det.roundNSql("inter * 1.0 / (sa.n + sb.n - inter)", 4)} >= 0.8),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |walk(id, label) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
+       |  WHERE w.label < e.v),
+       |clusters AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis -------------------------------------------------
@@ -449,43 +489,38 @@ object Extensions {
     // the closure the rows-only minhash variant above relies on.
     QueryDef.sql(
       "dedup_clusters_ngram",
-      raw"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id AS id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
-         |sh AS (
-         |  SELECT id, CASE WHEN len(t) >= 3
-         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
-         |    ELSE [array_to_string(t, ' ')] END AS shingles
-         |  FROM toks),
-         |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
-         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
-         |useful AS (
-         |  SELECT id, shingle FROM (
-         |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s)
-         |  WHERE pn BETWEEN 2 AND 32),
-         |inter AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-         |  FROM useful a JOIN useful b USING (shingle)
-         |  WHERE a.id < b.id GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b
-         |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-         |  WHERE ${roundN("inter * 1.0 / (sa.n + sb.n - inter)", 4)} >= 0.8),
-         |edges AS (
-         |  SELECT id_a AS u, id_b AS v FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT u AS id FROM edges),
-         |walk(id, label) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
-         |  WHERE w.label < e.v)
-         |SELECT id, MIN(label) AS cluster_id, id = MIN(label) AS is_canonical
-         |FROM walk GROUP BY id ORDER BY cluster_id, id""".stripMargin) { (s, d) =>
+      s"""$ngramClusterCte
+         |SELECT id, cluster_id, id = cluster_id AS is_canonical
+         |FROM clusters ORDER BY cluster_id, id""".stripMargin) { (s, d) =>
       val pairs = Dedup.ngramJaccardDups(Tables.documents(s, d),
         "doc_id", "text", threshold = 0.8)
       Dedup.connectedComponents(pairs)
         .withColumn("is_canonical", col("id") === col("cluster_id"))
         .orderBy("cluster_id", "id")
+    },
+
+    // Soft dedup — downweight, don't drop: every cluster member samples
+    // at 1/|cluster| so duplicated content contributes one doc's worth of
+    // training mass; unclustered docs keep weight 1. The full per-doc
+    // weight table is hash-checked on top of the shared closure oracle.
+    QueryDef.sql(
+      "dedup_soft_weights",
+      s"""$ngramClusterCte,
+         |cs AS (SELECT cluster_id, COUNT(*) AS n_dups FROM clusters GROUP BY 1),
+         |lab AS (
+         |  SELECT c.id, c.cluster_id, s.n_dups
+         |  FROM clusters c JOIN cs s USING (cluster_id))
+         |SELECT d.doc_id,
+         |  COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         |  COALESCE(l.n_dups, 1) AS n_dups,
+         |  ${roundN("1.0 / COALESCE(l.n_dups, 1)", 6)} AS weight
+         |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardDups(docs, "doc_id", "text", threshold = 0.8))
+      Dedup.duplicationWeights(clusters, docs, idCol = "doc_id")
+        .orderBy("doc_id")
     },
 
     // Canonical-representative selection composed onto the oracled
@@ -496,37 +531,7 @@ object Extensions {
     // keep-rule itself is hash-checked, not just the clustering.
     QueryDef.sql(
       "dedup_canonical_source",
-      raw"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id AS id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
-         |sh AS (
-         |  SELECT id, CASE WHEN len(t) >= 3
-         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
-         |    ELSE [array_to_string(t, ' ')] END AS shingles
-         |  FROM toks),
-         |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
-         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
-         |useful AS (
-         |  SELECT id, shingle FROM (
-         |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s)
-         |  WHERE pn BETWEEN 2 AND 32),
-         |inter AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-         |  FROM useful a JOIN useful b USING (shingle)
-         |  WHERE a.id < b.id GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b
-         |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-         |  WHERE ${roundN("inter * 1.0 / (sa.n + sb.n - inter)", 4)} >= 0.8),
-         |edges AS (
-         |  SELECT id_a AS u, id_b AS v FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT u AS id FROM edges),
-         |walk(id, label) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
-         |  WHERE w.label < e.v),
-         |clusters AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+      raw"""$ngramClusterCte,
          |ranked AS (
          |  SELECT c.id, c.cluster_id, d.source,
          |    CAST(regexp_extract(d.source, 'src(\d+)', 1) AS BIGINT) AS prio

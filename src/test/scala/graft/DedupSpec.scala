@@ -156,6 +156,18 @@ class DedupSpec extends AnyFunSuite {
     assert(out2 === Map(7L -> true, 9L -> false))
   }
 
+  test("duplication weights: 1/cluster-size for members, 1 for singletons") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster_id")
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("id")
+    val out = Dedup.duplicationWeights(clusters, docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((1L, 3L, 0.333333)) && out(3L)._3 === 0.333333)
+    assert(out(7L) === ((7L, 2L, 0.5)) && out(9L)._3 === 0.5)
+    assert(out(5L) === ((5L, 1L, 1.0)), "unclustered doc keeps weight 1")
+  }
+
   test("connected components matches union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
