@@ -48,6 +48,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === src.count(), s"expected ${src.count()} unique ids, got $n")
   }
 
+  test("streaming near-dup ingest accumulates the full-corpus pair set") {
+    import graft.streaming.NearDupIngest
+    // 60-word docs: 2≈1 (tail swap, jaccard ~0.84), 4=3 exactly, 5 unrelated.
+    // Split so each near-dup pair SPANS batches or sits within one: batch A
+    // = {1, 3}, batch B = {2, 4, 5} → pair (1,2) is cross-batch, (3,4) too.
+    val words = (0 until 60).map(i => s"n$i")
+    val base = words.mkString(" ")
+    val variant = (words.dropRight(5) ++ (0 until 5).map(i => s"x$i")).mkString(" ")
+    val docsA = Seq((1L, base), (3L, "z " + base)).toDF("doc_id", "text")
+    val docsB = Seq((2L, variant), (4L, "z " + base), (5L, (0 until 60)
+      .map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val srcDir = Files.createTempDirectory("neardup-src").toString
+    docsA.coalesce(1).write.mode("append").parquet(srcDir)
+    docsB.coalesce(1).write.mode("append").parquet(srcDir)
+    val idxDir = Files.createTempDirectory("neardup-idx").toString + "/idx"
+    val pairsDir = Files.createTempDirectory("neardup-pairs").toString + "/pairs"
+    val stream = spark.readStream.schema(docsA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    NearDupIngest.start(stream, "doc_id", "text", idxDir, pairsDir,
+      threshold = 0.8)
+    val streamed = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val oneShot = graft.operators.Dedup.minhashNearDups(
+        docsA.unionByName(docsB), "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed === oneShot,
+      s"streamed $streamed must equal one-shot $oneShot")
+    assert(streamed.contains((3L, 4L)) || streamed.contains((1L, 2L)),
+      "cross-batch pairs surface")
+    // replaying the whole source against the SAME index/pairs dirs must
+    // not duplicate anything (dynamic partition overwrite per batch_id)
+    val stream2 = spark.readStream.schema(docsA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    NearDupIngest.start(stream2, "doc_id", "text", idxDir, pairsDir,
+      threshold = 0.8)
+    val replayed = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(replayed === oneShot, "replay is idempotent")
+    assert(spark.read.parquet(s"$idxDir/sizes").select("id").distinct()
+      .count() === 5, "index holds every doc exactly once")
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim without state") {
     val dim = graft.engine.Tables.customer(spark, "/root/testdata/sf0.001")
       .select(col("c_custkey"), col("c_mktsegment"))
