@@ -398,6 +398,55 @@ object Dedup {
           .otherwise(0.0).as("dup_fraction"))
   }
 
+  /** Exact-substring dedup REWRITE (the removal step on top of
+    * [[duplicateSpans]]' detection): every token position covered by at
+    * least one `window`-token span that occurs ≥2 times corpus-wide is
+    * dropped, and each document is reassembled from its surviving tokens
+    * in order — the "delete the duplicated substring itself, keep the
+    * unique prose" dedup of the exact-substring line of work.
+    *
+    * Shape: one posexplode staged once (span build + reassembly), a
+    * (window−1)-lead per-doc window for spans WITH their start position,
+    * one corpus-wide span-count aggregate, coverage = explode of `window`
+    * offsets per duplicated span occurrence (bounded: O(dup_spans ×
+    * window)), then an (id, pos) anti-join and a per-doc ordered
+    * reassembly. Counts and positions only — no pair enumeration, no
+    * posting caps needed. Returns every input doc:
+    * (idCol, n_tokens, n_removed, clean_text). */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t0")))
+      .localCheckpoint()
+    val w = Window.partitionBy("id").orderBy("pos")
+    val spanCols = (1 until window).map(i =>
+      lead(col("t0"), i).over(w).as(s"t$i"))
+    val spans = tok.select(col("id") +: col("pos") +: col("t0") +: spanCols: _*)
+      .filter(col(s"t${window - 1}").isNotNull)
+      .select(col("id"), col("pos").as("start"),
+        concat_ws(" ", (0 until window).map(i => col(s"t$i")): _*).as("span"))
+    val dupSpans = spans
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("span")))
+      .filter(col("__c") >= 2)
+    val covered = dupSpans
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(window - 1)))
+          .as("pos"))
+      .distinct()
+    val rebuilt = tok.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("t0")))),
+            s => s.getField("t0"))).as("clean_text"))
+    df.select(col(idCol).as("id"),
+        TextFunctions.wordCount(col(textCol)).as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** N-gram Jaccard via inverted-index blocking: prune shingles to useful
     * postings (2..maxPosting docs), self-join the postings to count
     * co-occurrences — |A∩B| directly, no arrays — then Jaccard from

@@ -467,6 +467,47 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // The REMOVAL on top of the detection above: drop every token
+    // position covered by a 4-token span occurring ≥2 times corpus-wide,
+    // reassemble the survivors in order — exact-substring dedup's "delete
+    // the duplicated substring, keep the unique prose". The cleaned TEXT
+    // is hash-checked. Window 4 removes ~18% of tokens on this corpus
+    // (organic n-gram repeats + the planted duplicate spans).
+    QueryDef.sql(
+      "dedup_strip_spans",
+      raw"""WITH toks AS (
+         |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i - 1 AS start, array_to_string(t[i:i+3], ' ') AS span
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i) u),
+         |counts AS (SELECT span, COUNT(*) AS c FROM sp GROUP BY 1),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.start + o AS pos
+         |  FROM sp s JOIN counts c USING (span),
+         |       LATERAL (SELECT unnest(generate_series(0, 3)) AS o) x
+         |  WHERE c.c >= 2),
+         |tok AS (
+         |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tk
+         |  FROM toks),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.pos, tok.tk
+         |  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+         |  WHERE cov.doc_id IS NULL),
+         |rebuilt AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(tk, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(str_split_regex(trim(lower(d.text)), '\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(str_split_regex(trim(lower(d.text)), '\s+')) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Dedup.stripDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          window = 4)
+        .orderBy("doc_id")
+    },
+
     // Transitive closure of MinHash near-dup pairs: one row per clustered
     // doc with its canonical (minimum) cluster id — the keep-one-per-
     // cluster step a corpus dedup pipeline actually ships.

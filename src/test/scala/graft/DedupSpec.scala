@@ -126,6 +126,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L)._1 === 43, "50-token doc → 43 spans of 8")
   }
 
+  test("strip spans removes the shared quote, keeps unique prose in order") {
+    // the 4-token quote "q1 q2 q3 q4" appears in docs 1 and 2; every other
+    // token is unique corpus-wide, so exactly the quote's positions go
+    val docs = Seq(
+      (1L, "a1 a2 q1 q2 q3 q4 a3 a4"),
+      (2L, "b1 q1 q2 q3 q4 b2"),
+      (3L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text", window = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((8L, 4L, "a1 a2 a3 a4")))
+    assert(out(2L) === ((6L, 4L, "b1 b2")))
+    assert(out(3L) === ((5L, 0L, "c1 c2 c3 c4 c5")), "untouched doc intact")
+    // intra-doc repetition is also removal-worthy: the span repeats
+    // within ONE doc, so both occurrences' positions are covered
+    val rep = Seq((9L, "r1 r2 r3 r4 x r1 r2 r3 r4")).toDF("doc_id", "text")
+    val r9 = Dedup.stripDuplicateSpans(rep, "doc_id", "text", window = 4)
+      .collect().head
+    assert(r9.getString(3) === "x" && r9.getLong(2) === 8L)
+  }
+
   test("connected components: chains collapse to min-id clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)

@@ -92,6 +92,15 @@ class EmptyInputSpec extends AnyFunSuite {
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val cb = Seq((0L, Array(1.0f, 0.0f))).toDF("cell", "c_emb")
     assert(Similarity.semanticDedup(noVecs, cb, 0.9).count() === 0)
+    // drift / weights / canonical selection over empty inputs
+    assert(graft.operators.Drift.meanShift(
+      Seq.empty[(String, Long)].toDF("src", "v"), "src", "v").count() === 0)
+    val noClusters = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    assert(Dedup.duplicationWeights(noClusters, noDocs.select(
+      col("doc_id").as("id"))).count() === 0)
+    assert(Dedup.canonicalSelection(noClusters,
+      Seq.empty[(Long, String)].toDF("id", "source"),
+      Seq.empty[(String, Long)].toDF("source", "priority")).count() === 0)
   }
 
   test("joins and sampling on empty sides") {
