@@ -351,6 +351,65 @@ object Curation {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // The round-5 composed curation chain, hash-checked end-to-end:
+    // exact-substring dedup REWRITE (drop positions covered by corpus-
+    // duplicated 4-spans) → content gate (≥20 surviving tokens) → context
+    // chunking of the CLEANED text → JSONL lines. Every stage reuses an
+    // operator verified on its own above; the oracle re-derives the whole
+    // chain including the literal export bytes.
+    QueryDef.sql(
+      "t_curation_export_v2",
+      raw"""WITH toks AS (
+         |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i - 1 AS start, array_to_string(t[i:i+3], ' ') AS span
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i) u),
+         |counts AS (SELECT span, COUNT(*) AS c FROM sp GROUP BY 1),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.start + o AS pos
+         |  FROM sp s JOIN counts c USING (span),
+         |       LATERAL (SELECT unnest(generate_series(0, 3)) AS o) x
+         |  WHERE c.c >= 2),
+         |tok AS (
+         |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tk
+         |  FROM toks),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.pos, tok.tk
+         |  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+         |  WHERE cov.doc_id IS NULL),
+         |rebuilt AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(tk, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY 1),
+         |ct AS (
+         |  SELECT doc_id, str_split_regex(clean_text, '\s+') AS t
+         |  FROM rebuilt WHERE n_kept >= 20),
+         |st AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(0, GREATEST(len(t) - 1, 0), 24)) AS start
+         |  FROM ct),
+         |ch AS (
+         |  SELECT doc_id, start // 24 AS chunk_id,
+         |    array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
+         |    CAST(len(t[start + 1 : start + 32]) AS BIGINT) AS n_tokens
+         |  FROM st)
+         |SELECT doc_id, chunk_id,
+         |  to_json(struct_pack(doc_id := doc_id, chunk_id := chunk_id,
+         |    n_tokens := n_tokens, text := chunk_text)) AS line
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      val stripped = graft.operators.Dedup.stripDuplicateSpans(
+        Tables.documents(s, d), "doc_id", "text", window = 4)
+      val gated = stripped
+        .filter(col("n_tokens") - col("n_removed") >= 20)
+        .select(col("doc_id"), col("clean_text"))
+      Chunking.byTokens(gated, "doc_id", "clean_text",
+          chunk = 32, overlap = 8)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          to_json(struct(col("id").as("doc_id"), col("chunk_id"),
+            col("n_tokens"), col("chunk_text").as("text"))).as("line"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Temperature-scaled source mixing (alpha = 1/T = 0.5): per-source
     // token-mass shares flattened by sqrt and renormalized — the sampling
     // weights a multi-source training run feeds to stratified sampling.

@@ -135,4 +135,69 @@ class PropertiesSpec extends AnyFunSuite {
       assert((chunks.size - 1) * step < math.max(toks.length, 1))
     }
   }
+
+  test("semanticDedup ≡ brute-force keep rule on random vectors") {
+    for (seed <- Seq(3, 17)) {
+      val rnd = new Random(seed)
+      val n = 40
+      val dims = 8
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+      val cents = (0 until 4).map(c =>
+        (c.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+      val out = graft.operators.Similarity.semanticDedup(
+          vecs.toDF("vec_id", "embedding"), cents.toDF("cell", "c_emb"),
+          threshold = 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      // driver-side reference: argmax-cosine cell (tie → lowest cell),
+      // dropped iff a lower-id same-cell vector has rounded cos ≥ 0.5
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+        val d = math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum)
+        if (d > 0) ad.zip(bd).map { case (x, y) => x * y }.sum / d else 0.0
+      }
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val cell = vecs.map { case (id, v) =>
+        id -> cents.map { case (c, cv) => (c, cos(v, cv)) }
+          .maxBy { case (c, s) => (s, -c) }._1
+      }.toMap
+      vecs.foreach { case (id, v) =>
+        assert(out(id)._1 === cell(id), s"seed $seed cell of $id")
+        val expectDropped = vecs.exists { case (j, w) =>
+          j < id && cell(j) == cell(id) && r6(cos(w, v)) >= 0.5
+        }
+        assert(out(id)._2 === (if (expectDropped) 0L else 1L),
+          s"seed $seed keep flag of $id")
+      }
+      // the lowest id of every cluster always survives
+      cell.groupBy(_._2).foreach { case (_, members) =>
+        assert(out(members.keys.min)._2 === 1L)
+      }
+    }
+  }
+
+  test("duplicationWeights conserve mass: one unit per cluster or singleton") {
+    val rnd = new Random(29)
+    val n = 200
+    // random pairs → clusters via the operator itself
+    val pairs = (0 until 80).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val clusters = graft.operators.Dedup.connectedComponents(
+      pairs.toDF("id_a", "id_b"))
+    val docs = (0L until n.toLong).toDF("id")
+    val out = graft.operators.Dedup.duplicationWeights(clusters, docs)
+    val total = out.agg(sum("weight")).collect().head.getDouble(0)
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    val nClustered = clusters.count()
+    val expected = nClusters + (n - nClustered)
+    // weights carry roundN(·, 6): a size-3 cluster sums to 0.999999, so
+    // conservation holds to ~5e-7 per cluster, not exactly
+    assert(math.abs(total - expected) < nClusters * 1e-6 + 1e-9,
+      s"total weight $total != clusters+singletons $expected")
+    // weights are positive and ≤ 1; cluster members share equal weight
+    assert(out.filter(col("weight") <= 0 || col("weight") > 1).count() === 0)
+  }
 }
