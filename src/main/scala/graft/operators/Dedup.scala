@@ -511,11 +511,15 @@ object Dedup {
   def canonicalSelection(clusters: DataFrame, attrs: DataFrame,
       priorities: DataFrame, idCol: String = "id",
       sourceCol: String = "source"): DataFrame = {
+    // staged once (cluster-member-sized): feeds the per-cluster argmin
+    // AND the final annotation join — otherwise the attrs join (a corpus
+    // scan at rest) runs twice
     val ranked = clusters
       .join(attrs.select(col(idCol).as("id"), col(sourceCol).as("source")),
         Seq("id"))
       .join(broadcast(priorities), Seq("source"), "left")
       .withColumn("__prio", coalesce(col("priority"), lit(Long.MaxValue)))
+      .localCheckpoint()
     val canon = ranked.groupBy("cluster_id")
       .agg(min(struct(col("__prio"), col("id"))).as("__best"))
       .select(col("cluster_id"), col("__best.id").as("canon_id"))

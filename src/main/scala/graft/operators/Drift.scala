@@ -30,10 +30,13 @@ object Drift {
   def meanShift(df: DataFrame, keyCol: String, valCol: String,
       z: Double = 2.0): DataFrame = {
     val dec = col(valCol).cast("double").cast(DecimalType(28, 6))
+    // staged once (group-count-sized): feeds both the corpus rollup and
+    // the final select — otherwise the corpus scan behind it runs twice
     val perGroup = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(dec).cast("double").as("__sum"),
         sum(dec * dec).cast("double").as("__sumsq"))
+      .localCheckpoint()
     val corpus = perGroup
       .agg(sum(col("n_docs")).as("__n_all"),
         sum(col("__sum").cast(DecimalType(28, 6))).cast("double").as("__sum_all"),

@@ -165,9 +165,14 @@ object Similarity {
       threshold: Double, maxCluster: Int = 512,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
+    // staged once: the assignment pass (a full corpus scan against the
+    // codebook) feeds BOTH sides of the pair self-join and the final
+    // annotation join — without the checkpoint Catalyst recomputes the
+    // whole subtree three times (three corpus scans at 100 TB)
     val assigned = assignCells(vectors, centroids, idCol, embCol)
       .withColumn("__cn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+      .localCheckpoint()
     val prunable = assigned.filter(col("__cn") <= maxCluster)
     // equi-join on cell: shuffles by cluster, pairs never leave a cell
     val l = prunable.select(col("cell"), col(idCol).as("id_a"),
