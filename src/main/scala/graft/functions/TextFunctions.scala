@@ -183,9 +183,13 @@ object TextFunctions {
     * (partitioned by doc, WindowGroupLimit prunes below the exchange). */
   def tfidfKeywords(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    // staged once: terms feeds tf and docLen; tf feeds dfreq and the
+    // score join — unstaged, the documents scan ran four times
     val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .localCheckpoint()
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val docLen = terms.groupBy(col(idCol)).agg(count(lit(1)).as("doc_len"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("__n"))
@@ -225,12 +229,17 @@ object TextFunctions {
     * fewer than 2 tokens score 0.0 with n_bigrams 0. */
   def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
+    // staged once: tok feeds the bigram window, the unigram counts, and
+    // the vocab size; bi feeds the bigram counts AND the scoring join —
+    // unstaged, the documents scan ran five times (PlanAudit rescan check)
     val tok = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
     val bi = tok.withColumn("w_prev", lag(col("w"), 1).over(w))
       .filter(col("w_prev").isNotNull)
+      .localCheckpoint()
     val uni = tok.groupBy(col("w").as("w_prev"))
       .agg(count(lit(1)).as("cu"))
     val big = bi.groupBy("w_prev", "w").agg(count(lit(1)).as("cb"))

@@ -25,8 +25,12 @@ object Mixing {
     def powA(c: org.apache.spark.sql.Column) =
       if (alpha == 0.5) sqrt(c) else pow(c, alpha)
     import org.apache.spark.sql.types.DecimalType
+    // perSrc and scored are each read twice (their own rollup + the
+    // combine) — staged once (source-count-sized), the corpus scan behind
+    // them runs once instead of four times
     val perSrc = df.groupBy(col(srcCol).as("source"))
       .agg(Det.dsum(col(weightCol), 0).as("total_weight"))
+      .localCheckpoint()
     // both renormalization sums route through DECIMAL so they are
     // partial-agg-order-independent and engine-identical
     val scored = perSrc.crossJoin(broadcast(
@@ -36,6 +40,7 @@ object Mixing {
       .withColumn("share", when(col("__total") > 0,
         col("total_weight") / col("__total")).otherwise(0.0))
       .withColumn("__raw", powA(col("share")))
+      .localCheckpoint()
     scored.crossJoin(broadcast(
         scored.agg(sum(col("__raw").cast(DecimalType(18, 12)))
           .cast("double").as("__rawsum"))))

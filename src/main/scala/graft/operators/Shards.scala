@@ -49,9 +49,12 @@ object Shards {
   /** Per-shard totals + the relative imbalance (max shard weight over the
     * ideal equal split) — the number an export job alerts on. */
   def summary(assigned: DataFrame, weightCol: String): DataFrame = {
+    // staged once (shard-count-sized): read by its own rollup AND the
+    // final combine — otherwise the whole assignment recomputes twice
     val perShard = assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col(weightCol)).cast("long").as("total_weight"))
+      .localCheckpoint()
     // the global total rides as a broadcast 1-row aggregate — one plan,
     // no driver-side .first() actions recomputing the assignment
     val totals = perShard.agg(

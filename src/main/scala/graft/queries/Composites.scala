@@ -84,9 +84,12 @@ object Composites {
         |LEFT JOIN daily p ON p.user_id = l.user_id AND p.d = mx.maxd - 1
         |LEFT JOIN daily w ON w.user_id = l.user_id AND w.d = mx.maxd - 7
         |ORDER BY l.user_id""".stripMargin) { (s, d) =>
+      // staged once (user×day-sized): daily feeds the max-date rollup and
+      // all three join sides — unstaged, the events scan ran four times
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), to_date(col("ts")).as("d"))
         .agg(Det.dsum(col("value")).as("v"))
+        .localCheckpoint()
       val mx = daily.agg(max(col("d")).as("maxd"))
       val latest = daily.join(broadcast(mx), col("d") === col("maxd"))
         .select(col("user_id"), col("v").as("v_today"), col("maxd"))

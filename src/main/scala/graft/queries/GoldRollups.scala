@@ -223,9 +223,13 @@ object GoldRollups {
          |     confirmed := confirmed) ORDER BY rank)) FROM top5) AS top_5_countries,
          |  (SELECT to_json(list(struct_pack(rank := rank, country := country,
          |     confirmed := confirmed) ORDER BY rank)) FROM bot5) AS bottom_5_countries""".stripMargin) { (s, d) =>
+      // staged once (country×day-sized): daily feeds the max-date rollup
+      // and the latest snapshot, which both top AND bottom rankings read —
+      // unstaged, the events scan ran four times
       val daily = Tables.events(s, d)
         .groupBy(col("user_id").as("country"), to_date(col("ts")).as("d"))
         .agg(Det.dsum(col("value")).as("confirmed"))
+        .localCheckpoint()
       val mx = daily.agg(max(col("d")).as("maxd"))
       val latest = daily.join(broadcast(mx), col("d") === col("maxd"))
         .select("country", "confirmed")
