@@ -59,4 +59,22 @@ object Sampling {
     }
     df.filter(bucket(col(keyCol), salt) < frac)
   }
+
+  /** [[sampleByStratum]] with the fractions as a RELATION instead of a
+    * driver-side map — the shape that composes with plan-side rate
+    * derivation ([[Mixing.temperatureWeights]] → keep-rates) without a
+    * collect, and scales to unbounded strata. `rates` is
+    * (strataCol, rate ∈ [0,1]), dimension-sized, broadcast; strata absent
+    * from it are dropped (inner join — same contract as the map variant).
+    * Thresholds round exactly like sample()/sampleByStratum, so for equal
+    * fractions all three select IDENTICAL rows (SamplingSpec proves the
+    * map ≡ relation equivalence). */
+  def sampleByRates(df: DataFrame, strataCol: String, keyCol: String,
+      rates: DataFrame, salt: Int = 0): DataFrame = {
+    val threshold = round(col("rate") * Buckets).cast("long")
+    df.join(broadcast(rates.select(col(strataCol), col("rate"))),
+        Seq(strataCol))
+      .filter(bucket(col(keyCol), salt) < threshold)
+      .drop("rate")
+  }
 }

@@ -410,6 +410,30 @@ object Curation {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // The sampling step that CONSUMES the mixing weights: per-source
+    // keep-rates derived plan-side (mix_weight/share, normalized so the
+    // most-upweighted source keeps everything), then deterministic
+    // hash-bucket stratified sampling through the relation-shaped
+    // sampleByRates — no driver-side fraction map, no collect. Rows-only
+    // (xxhash64 membership); SamplingSpec proves map ≡ relation variants
+    // and the composition's achieved rates.
+    QueryDef.rowsOnly("t_temperature_sample") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // staged once (source-count-sized): feeds the max rollup + rates
+      val w = graft.operators.Mixing
+        .temperatureWeights(docs, "source", "n_chars", alpha = 0.5)
+        .filter(col("share") > 0)
+        .withColumn("__rel", col("mix_weight") / col("share"))
+        .localCheckpoint()
+      val rates = w.crossJoin(broadcast(w.agg(max(col("__rel")).as("__mx"))))
+        .select(col("source"), Det.roundN(col("__rel") / col("__mx"), 6)
+          .as("rate"))
+      graft.operators.Sampling.sampleByRates(docs, "source", "doc_id", rates)
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+        .join(rates, Seq("source"))
+        .orderBy("source")
+    },
+
     // Temperature-scaled source mixing (alpha = 1/T = 0.5): per-source
     // token-mass shares flattened by sqrt and renormalized — the sampling
     // weights a multi-source training run feeds to stratified sampling.

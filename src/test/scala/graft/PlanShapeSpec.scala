@@ -33,6 +33,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "t_source_drift",         // broadcast 1-row corpus moments
     "q_gold_incremental",     // broadcast 1-row max-date anchor
     "t_mix_weights",          // broadcast 1-row total mass
+    "t_temperature_sample",   // broadcast 1-row max keep-rate
     "t_shard_pack")           // broadcast 1-row heavy-tail cutoff stats
 
   // construction of q_pipeline_run executes a full medallion lake run —

@@ -59,4 +59,18 @@ class SamplingSpec extends AnyFunSuite {
       Map("s" -> 0.1)).select("doc_id").as[Long].collect().toSet
     assert(uniform == strat)
   }
+
+  test("relation-shaped rates select the same rows as the map variant") {
+    val fractions = Map("0" -> 0.5, "1" -> 0.1, "2" -> 0.97)
+    val viaMap = Sampling.sampleByStratum(docs, "stratum", "doc_id", fractions)
+      .select("doc_id").as[Long].collect().toSet
+    val rates = fractions.toSeq.toDF("stratum", "rate")
+    val viaRel = Sampling.sampleByRates(docs, "stratum", "doc_id", rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaMap == viaRel, "map and relation variants must agree exactly")
+    // a stratum missing from the rates relation is dropped, like the map
+    val partial = Sampling.sampleByRates(docs, "stratum", "doc_id",
+      rates.filter($"stratum" =!= "2"))
+    assert(partial.filter($"stratum" === "2").count() === 0)
+  }
 }
