@@ -114,6 +114,45 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Gopher-style HARD rule gate — named boolean rules, not the additive
+    // score: length band, degenerate word length, no-stopword word salad.
+    // Every rule flag plus the conjunction is hash-checked per doc; the
+    // feature source is the same qualityFeatures aggregate as the score
+    // and the quantile gate, so the three filters can never disagree on
+    // the underlying measurements.
+    QueryDef.sql(
+      "t_rule_gate",
+      raw"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(str_split_regex(trim(lower(text)), '\s+')) AS words,
+         |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+         |    len(list_filter(str_split_regex(trim(lower(text)), '\s+'),
+         |        t -> t IN (${TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")}))) AS stop_hits
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, words,
+         |    CASE WHEN words > 0 THEN ${roundN("chars * 1.0 / words", 2)} ELSE 0.0 END AS awl,
+         |    CASE WHEN words > 0 THEN ${roundN("stop_hits * 1.0 / words", 4)} ELSE 0.0 END AS sr
+         |  FROM f)
+         |SELECT doc_id,
+         |  words < 30 AS fail_short,
+         |  words > 80 AS fail_long,
+         |  awl < 3.0 OR awl > 10.0 AS fail_word_len,
+         |  sr = 0.0 AS fail_no_stopwords,
+         |  NOT (words < 30 OR words > 80 OR awl < 3.0 OR awl > 10.0 OR sr = 0.0) AS passes
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val failShort = col("word_count") < 30
+      val failLong = col("word_count") > 80
+      val failWl = col("avg_word_len") < 3.0 || col("avg_word_len") > 10.0
+      val failStop = col("stopword_ratio") === 0.0
+      TextFunctions.qualityFeatures(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          failShort.as("fail_short"), failLong.as("fail_long"),
+          failWl.as("fail_word_len"), failStop.as("fail_no_stopwords"),
+          (!(failShort || failLong || failWl || failStop)).as("passes"))
+        .orderBy("doc_id")
+    },
+
     // Real merge-table BPE (not the regex proxy in t_token_count): merges
     // learned from the corpus's word-frequency table (bounded driver-side
     // learn, the tokenizer-training split production uses), encoding
