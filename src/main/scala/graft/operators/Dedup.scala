@@ -498,6 +498,32 @@ object Dedup {
           .as("weight"))
   }
 
+  /** Leakage-safe dataset splitting: assign train/val/test BY NEAR-DUP
+    * CLUSTER, not by document — a near-duplicate pair straddling the
+    * split leaks training data into evaluation (the eval-contamination
+    * failure mode doc-level hash splits cannot prevent). Every cluster
+    * member inherits its cluster's split; singletons split by their own
+    * id, so the operator degrades to the plain [[Sampling.split]] when no
+    * duplicates exist.
+    *
+    * `clusters` is (id, cluster_id) — [[connectedComponents]] output.
+    * One left join + the usual map-side hash-bucket filters; split
+    * membership stays a pure function of the data (stable under
+    * re-runs, partitioning, and cluster size). Returns one DataFrame per
+    * weight, complete and disjoint. */
+  def leakageSafeSplit(clusters: DataFrame, docs: DataFrame, idCol: String,
+      weights: Seq[Double], salt: Int = 0): Seq[DataFrame] = {
+    val labeled = docs
+      .join(clusters.withColumnsRenamed(Map("id" -> idCol)), Seq(idCol),
+        "left")
+      .withColumn("__split_g", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+      // staged once: every split's filter re-reads the labeled relation
+      .localCheckpoint()
+    Sampling.split(labeled, "__split_g", weights, salt)
+      .map(_.drop("__split_g"))
+  }
+
   /** Canonical-representative selection over dedup clusters by SOURCE
     * preference — the production rule is rarely "keep the lowest id": a
     * curated dump beats a crawl of the same content. Within each cluster

@@ -635,6 +635,27 @@ object Extensions {
         .orderBy("cluster_id", "id")
     },
 
+    // Leakage-safe 80/20 split: split membership decided per near-dup
+    // CLUSTER, so no near-duplicate pair straddles train/eval (the
+    // contamination a doc-hash split cannot prevent). Rows-only
+    // (xxhash64 membership); DedupSpec proves co-location, completeness,
+    // and the singleton degradation to the plain split.
+    QueryDef.rowsOnly("t_leakage_safe_split") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.connectedComponents(
+          Dedup.ngramJaccardDups(docs, "doc_id", "text", threshold = 0.8))
+        .localCheckpoint()
+      Dedup.leakageSafeSplit(clusters, docs, "doc_id", Seq(0.8, 0.2))
+        .zipWithIndex.map { case (df, i) =>
+          df.join(clusters.withColumnsRenamed(Map("id" -> "doc_id")),
+              Seq("doc_id"), "left")
+            .agg(count(lit(1)).as("n_docs"),
+              count(col("cluster_id")).as("n_clustered"))
+            .select(lit(i).cast("long").as("split_id"), col("n_docs"),
+              col("n_clustered"))
+        }.reduce(_ unionByName _).orderBy("split_id")
+    },
+
     // Embedding near-dup via sign-LSH + cosine verify. The synthetic
     // embeddings have no true near-dups (max cos ≈ 0.51), so this reports
     // the top-20 most-similar LSH-candidate pairs instead of a threshold

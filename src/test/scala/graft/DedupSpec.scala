@@ -177,6 +177,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out2 === Map(7L -> true, 9L -> false))
   }
 
+  test("leakage-safe split co-locates near-dup clusters, stays complete") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster_id")
+    val docs = (0L until 50L).toDF("doc_id")
+    val splits = Dedup.leakageSafeSplit(clusters, docs, "doc_id",
+      Seq(0.5, 0.5))
+    val sets = splits.map(_.select("doc_id").as[Long].collect().toSet)
+    // complete + disjoint over all 50 docs
+    assert(sets.map(_.size).sum === 50)
+    assert((sets(0) ++ sets(1)).size === 50)
+    // every cluster lands whole in exactly one split
+    for (cluster <- Seq(Set(1L, 2L, 3L), Set(7L, 9L)))
+      assert(cluster.subsetOf(sets(0)) || cluster.subsetOf(sets(1)),
+        s"cluster $cluster straddles the split")
+    // with no clusters at all, identical to the plain doc-id split
+    val noClusters = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    val plain = graft.operators.Sampling.split(docs, "doc_id", Seq(0.5, 0.5))
+      .map(_.select("doc_id").as[Long].collect().toSet)
+    val degraded = Dedup.leakageSafeSplit(noClusters, docs, "doc_id",
+      Seq(0.5, 0.5)).map(_.select("doc_id").as[Long].collect().toSet)
+    assert(degraded === plain)
+  }
+
   test("duplication weights: 1/cluster-size for members, 1 for singletons") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
       .toDF("id", "cluster_id")
