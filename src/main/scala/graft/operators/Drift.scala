@@ -53,4 +53,49 @@ object Drift {
         stat.as("drift_stat"),
         (stat > z * z).as("is_drifted"))
   }
+
+  /** Reference moments of a metric — (ref_mean, ref_var) as a 1-row
+    * relation, decimal-summed. Compute ONCE over the training-time
+    * corpus and persist; [[meanShiftAgainst]] checks arriving data
+    * against it. */
+  def referenceMoments(df: DataFrame, valCol: String): DataFrame = {
+    val dec = col(valCol).cast("double").cast(DecimalType(28, 6))
+    df.agg(count(lit(1)).as("ref_n"),
+        sum(dec).cast("double").as("__s"),
+        sum(dec * dec).cast("double").as("__sq"))
+      .select(col("ref_n"),
+        (col("__s") / col("ref_n")).as("ref_mean"),
+        (col("__sq") / col("ref_n") -
+          (col("__s") / col("ref_n")) * (col("__s") / col("ref_n")))
+          .as("ref_var"))
+  }
+
+  /** Drift against a FROZEN baseline — the production monitoring shape:
+    * the reference moments come from training time (persisted once via
+    * [[referenceMoments]]), and each arriving batch/group is tested
+    * against THEM, not against itself — so a corpus-wide shift is
+    * detected rather than absorbed into the same batch's own mean (the
+    * blind spot of the self-referential [[meanShift]], which this
+    * complements). Same squared-z statistic and flag:
+    *   stat = n_g · (mean_g − ref_mean)² / ref_var   (flag: stat > z²)
+    *
+    * One per-group aggregate + a broadcast of the 1-row reference.
+    * Returns (keyCol, n_docs, mean_val, drift_stat, is_drifted). */
+  def meanShiftAgainst(df: DataFrame, keyCol: String, valCol: String,
+      reference: DataFrame, z: Double = 2.0): DataFrame = {
+    val dec = col(valCol).cast("double").cast(DecimalType(28, 6))
+    val perGroup = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(dec).cast("double").as("__sum"))
+    val meanG = col("__sum") / col("n_docs")
+    val stat = when(col("ref_var") > 0,
+      Det.roundN(col("n_docs") * (meanG - col("ref_mean")) *
+        (meanG - col("ref_mean")) / col("ref_var"), 6))
+      .otherwise(0.0)
+    perGroup.crossJoin(broadcast(reference))
+      .select(col(keyCol), col("n_docs"),
+        Det.roundN(meanG, 4).as("mean_val"),
+        stat.as("drift_stat"),
+        (stat > z * z).as("is_drifted"))
+  }
 }

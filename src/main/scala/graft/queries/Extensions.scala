@@ -341,6 +341,46 @@ object Extensions {
         .orderBy("source")
     },
 
+    // Drift against a FROZEN baseline — the production monitoring shape:
+    // reference moments computed over the "training-time" half of the
+    // corpus (even doc_ids), each arriving source tested against THEM —
+    // a corpus-wide shift can't hide in the batch's own mean. Both the
+    // reference derivation and the per-source test are hash-checked.
+    QueryDef.sql(
+      "t_drift_vs_baseline",
+      s"""WITH ref AS (
+         |  SELECT COUNT(*) AS ref_n,
+         |    CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(n_chars AS DECIMAL(28,6)) * CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sq
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |r2 AS (
+         |  SELECT s / ref_n AS ref_mean,
+         |    sq / ref_n - (s / ref_n) * (s / ref_n) AS ref_var
+         |  FROM ref),
+         |g AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS s
+         |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         |sel AS (
+         |  SELECT source, n_docs, s / n_docs AS mg, ref_mean, ref_var
+         |  FROM g, r2),
+         |st AS (
+         |  SELECT source, n_docs, mg,
+         |    CASE WHEN ref_var > 0
+         |      THEN ${roundN("n_docs * (mg - ref_mean) * (mg - ref_mean) / ref_var", 6)}
+         |      ELSE 0.0 END AS drift_stat
+         |  FROM sel)
+         |SELECT source, n_docs, ${roundN("mg", 4)} AS mean_val,
+         |  drift_stat, drift_stat > 4.0 AS is_drifted
+         |FROM st ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ref = graft.operators.Drift.referenceMoments(
+        docs.filter(col("doc_id") % 2 === 0), "n_chars")
+      graft.operators.Drift.meanShiftAgainst(
+          docs.filter(col("doc_id") % 2 === 1), "source", "n_chars", ref)
+        .orderBy("source")
+    },
+
     // LM-based quality scoring (the CCNet-style filter signal): corpus
     // bigram/unigram counts → per-doc mean Laplace-smoothed conditional
     // probability. Log-free rational form keeps the whole train+score

@@ -31,6 +31,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "t_lm_score",             // broadcast 1-row vocabulary size
     "a_skew_report",          // broadcast 1-row argmax key
     "t_source_drift",         // broadcast 1-row corpus moments
+    "t_drift_vs_baseline",    // broadcast 1-row frozen reference moments
     "q_gold_incremental",     // broadcast 1-row max-date anchor
     "t_mix_weights",          // broadcast 1-row total mass
     "t_temperature_sample",   // broadcast 1-row max keep-rate

@@ -99,4 +99,25 @@ class QualitySpec extends AnyFunSuite {
     assert(Drift.meanShift(flat, "src", "v")
       .filter(col("is_drifted")).count() === 0)
   }
+
+  test("frozen-baseline drift catches a corpus-wide shift self-drift absorbs") {
+    import graft.operators.Drift
+    // baseline at 10±2; EVERY group in the current batch shifted to 20 —
+    // the self-referential check sees identical groups (no relative
+    // shift), the frozen-baseline check flags them all
+    val baseline = (Seq.fill(20)(("a", 8L)) ++ Seq.fill(20)(("a", 12L)) ++
+      Seq.fill(20)(("b", 9L)) ++ Seq.fill(20)(("b", 11L))).toDF("src", "v")
+    val current = (Seq.fill(10)(("a", 20L)) ++ Seq.fill(10)(("b", 20L)))
+      .toDF("src", "v")
+    val ref = Drift.referenceMoments(baseline, "v")
+    val vsRef = Drift.meanShiftAgainst(current, "src", "v", ref)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(vsRef("a") && vsRef("b"), s"corpus-wide shift must flag: $vsRef")
+    val selfRef = Drift.meanShift(current, "src", "v")
+      .filter(col("is_drifted")).count()
+    assert(selfRef === 0, "self-referential check absorbs the shift")
+    // in-distribution data (the baseline itself) stays quiet
+    val calm = Drift.meanShiftAgainst(baseline, "src", "v", ref)
+    assert(calm.filter(col("is_drifted")).count() === 0)
+  }
 }
