@@ -70,6 +70,69 @@ object Drift {
           .as("ref_var"))
   }
 
+  /** Histogram drift — the distribution-shape check mean-shift cannot
+    * see (a variance explosion or bimodal split can keep the mean
+    * intact): fixed-width bins over [lo, hi) with out-of-range values
+    * clamped to the edge bins, per-group observed bin fractions tested
+    * against the FROZEN baseline's expected fractions with the chi-square
+    * statistic in rational form (no logs — the PSI alternative needs ln):
+    *
+    *   stat_g = n_g · Σ_bins (p_obs − p_exp)² / p_exp
+    *
+    * Empty bins contribute their expected mass ((0−p)²/p = p), so the
+    * per-group bin frame is completed by an explode of the literal bin
+    * range before the join — groups missing a bin are not silently
+    * under-counted. Baseline bins with zero mass are excluded from the
+    * sum (their Pearson term is undefined; an observation landing there
+    * still shifts every other fraction). Flag: stat > 2·nBins (a
+    * crude-but-deterministic critical value ≈ 2·df; callers with a real
+    * alpha can threshold `drift_stat` themselves).
+    *
+    * `referenceHistogram` computes the expected fractions once at
+    * training time (persist it); both sides are counts and divisions on
+    * identical integers, so the whole report hash-matches a SQL oracle.
+    * Returns (keyCol, n_docs, drift_stat, is_drifted). */
+  def referenceHistogram(df: DataFrame, valCol: String, nBins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    val n = df.count().toDouble
+    binned(df, valCol, nBins, lo, hi)
+      .groupBy("bin").agg(count(lit(1)).as("__c"))
+      .select(col("bin"), (col("__c") / n).as("p_exp"))
+  }
+
+  private def binned(df: DataFrame, valCol: String, nBins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    val w = (hi - lo) / nBins
+    df.withColumn("bin",
+      least(greatest(floor((col(valCol).cast("double") - lo) / w), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("long"))
+  }
+
+  def histogramShift(df: DataFrame, keyCol: String, valCol: String,
+      reference: DataFrame, nBins: Int, lo: Double, hi: Double): DataFrame = {
+    val obs2 = binned(df, valCol, nBins, lo, hi)
+      .groupBy(col(keyCol), col("bin")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val totals = obs2.groupBy(col(keyCol)).agg(sum(col("__c")).as("n_docs"))
+    // complete key×bin frame so empty bins still contribute p_exp
+    val frame = totals.select(col(keyCol), col("n_docs"),
+      explode(sequence(lit(0L), lit((nBins - 1).toLong))).as("bin"))
+    val terms = frame
+      .join(obs2, Seq(keyCol, "bin"), "left")
+      .join(broadcast(reference), Seq("bin"), "left")
+      .filter(col("p_exp").isNotNull && col("p_exp") > 0)
+      .withColumn("__p_obs", coalesce(col("__c"), lit(0L)) / col("n_docs"))
+      .withColumn("__term",
+        (col("__p_obs") - col("p_exp")) * (col("__p_obs") - col("p_exp")) /
+          col("p_exp"))
+    terms.groupBy(col(keyCol))
+      .agg(max(col("n_docs")).as("n_docs"),
+        Det.roundN(max(col("n_docs")) *
+          sum(col("__term").cast(DecimalType(28, 12))).cast("double"), 6)
+          .as("drift_stat"))
+      .withColumn("is_drifted", col("drift_stat") > 2.0 * nBins)
+  }
+
   /** Drift against a FROZEN baseline — the production monitoring shape:
     * the reference moments come from training time (persisted once via
     * [[referenceMoments]]), and each arriving batch/group is tested

@@ -343,7 +343,7 @@ object Extensions {
 
     // Drift against a FROZEN baseline — the production monitoring shape:
     // reference moments computed over the "training-time" half of the
-    // corpus (even doc_ids), each arriving source tested against THEM —
+    // corpus (doc_id%8<=3 — id parity correlates with source here), each arriving source tested against THEM —
     // a corpus-wide shift can't hide in the batch's own mean. Both the
     // reference derivation and the per-source test are hash-checked.
     QueryDef.sql(
@@ -352,7 +352,7 @@ object Extensions {
          |  SELECT COUNT(*) AS ref_n,
          |    CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS s,
          |    CAST(SUM(CAST(n_chars AS DECIMAL(28,6)) * CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sq
-         |  FROM documents WHERE doc_id % 2 = 0),
+         |  FROM documents WHERE doc_id % 8 <= 3),
          |r2 AS (
          |  SELECT s / ref_n AS ref_mean,
          |    sq / ref_n - (s / ref_n) * (s / ref_n) AS ref_var
@@ -360,7 +360,7 @@ object Extensions {
          |g AS (
          |  SELECT source, COUNT(*) AS n_docs,
          |    CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS s
-         |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         |  FROM documents WHERE doc_id % 8 > 3 GROUP BY 1),
          |sel AS (
          |  SELECT source, n_docs, s / n_docs AS mg, ref_mean, ref_var
          |  FROM g, r2),
@@ -375,9 +375,51 @@ object Extensions {
          |FROM st ORDER BY source""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val ref = graft.operators.Drift.referenceMoments(
-        docs.filter(col("doc_id") % 2 === 0), "n_chars")
+        docs.filter(col("doc_id") % 8 <= 3), "n_chars")
       graft.operators.Drift.meanShiftAgainst(
-          docs.filter(col("doc_id") % 2 === 1), "source", "n_chars", ref)
+          docs.filter(col("doc_id") % 8 > 3), "source", "n_chars", ref)
+        .orderBy("source")
+    },
+
+    // Histogram (chi-square) drift — the distribution-SHAPE check the
+    // mean tests can't see. Reference bin fractions from the id-block
+    // half (doc_id%8<=3 — parity correlates with source in the fixture), per-source observed fractions from the odd-id half, Pearson
+    // statistic in rational form with the empty-bin completion. Both the
+    // reference histogram and every per-source statistic hash-checked.
+    QueryDef.sql(
+      "t_histogram_drift",
+      s"""WITH ref0 AS (
+         |  SELECT CAST(least(greatest(floor((n_chars - 0.0) / 100.0), 0), 9) AS BIGINT) AS bin
+         |  FROM documents WHERE doc_id % 8 <= 3),
+         |refn AS (SELECT COUNT(*) AS n FROM ref0),
+         |ref AS (
+         |  SELECT bin, CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE) AS p_exp
+         |  FROM ref0, refn GROUP BY bin, n),
+         |cur AS (
+         |  SELECT source, CAST(least(greatest(floor((n_chars - 0.0) / 100.0), 0), 9) AS BIGINT) AS bin
+         |  FROM documents WHERE doc_id % 8 > 3),
+         |oc AS (SELECT source, bin, COUNT(*) AS c FROM cur GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM oc GROUP BY 1),
+         |frame AS (
+         |  SELECT source, n_docs, CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin
+         |  FROM tot),
+         |terms AS (
+         |  SELECT f.source, f.n_docs,
+         |    (COALESCE(o.c, 0) / f.n_docs - r.p_exp) * (COALESCE(o.c, 0) / f.n_docs - r.p_exp) / r.p_exp AS term
+         |  FROM frame f
+         |  LEFT JOIN oc o ON o.source = f.source AND o.bin = f.bin
+         |  JOIN ref r ON r.bin = f.bin AND r.p_exp > 0)
+         |SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+         |  ${roundN("MAX(n_docs) * CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)", 6)} AS drift_stat,
+         |  ${roundN("MAX(n_docs) * CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)", 6)} > 20.0 AS is_drifted
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ref = graft.operators.Drift.referenceHistogram(
+        docs.filter(col("doc_id") % 8 <= 3), "n_chars",
+        nBins = 10, lo = 0.0, hi = 1000.0)
+      graft.operators.Drift.histogramShift(
+          docs.filter(col("doc_id") % 8 > 3), "source", "n_chars", ref,
+          nBins = 10, lo = 0.0, hi = 1000.0)
         .orderBy("source")
     },
 

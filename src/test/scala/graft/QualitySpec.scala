@@ -120,4 +120,27 @@ class QualitySpec extends AnyFunSuite {
     val calm = Drift.meanShiftAgainst(baseline, "src", "v", ref)
     assert(calm.filter(col("is_drifted")).count() === 0)
   }
+
+  test("histogram drift flags a variance explosion the mean tests miss") {
+    import graft.operators.Drift
+    // baseline is a 40/60 mix (mean 50, real variance); group a matches
+    // it; group b is split to the extremes 5/95 — SAME mean 50, totally
+    // different shape
+    val baseline = (Seq.fill(50)(("x", 40L)) ++ Seq.fill(50)(("x", 60L)))
+      .toDF("src", "v")
+    val current = (Seq.fill(15)(("a", 40L)) ++ Seq.fill(15)(("a", 60L)) ++
+      Seq.fill(15)(("b", 5L)) ++ Seq.fill(15)(("b", 95L))).toDF("src", "v")
+    val refH = Drift.referenceHistogram(baseline, "v", nBins = 10,
+      lo = 0.0, hi = 100.0)
+    val hist = Drift.histogramShift(current, "src", "v", refH,
+        nBins = 10, lo = 0.0, hi = 100.0)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(!hist("a"), "matching shape stays quiet")
+    assert(hist("b"), "variance explosion flagged")
+    // ...while BOTH mean checks are blind to it
+    val refM = Drift.referenceMoments(baseline, "v")
+    val meanB = Drift.meanShiftAgainst(current.filter($"src" === "b"),
+      "src", "v", refM).collect().head
+    assert(!meanB.getBoolean(4), "mean-vs-baseline cannot see the split")
+  }
 }
