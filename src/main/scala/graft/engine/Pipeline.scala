@@ -100,6 +100,26 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
       .json(s"$lakeDir/exports/${name}_json")
   }
 
+  /** The training export at rest: token-balanced shards written as JSONL
+    * text, one directory per shard — the physical layout a training run
+    * mounts (shard directories of newline-delimited examples with
+    * near-equal token mass). Assignment is [[graft.operators.Shards]]'
+    * deterministic hash-bulk + ranked-heavies split; `lineCol` carries
+    * the pre-rendered JSON line (e.g. the t_jsonl_export shape). The
+    * repartition by shard makes each output directory a small number of
+    * whole files instead of nShards slivers per input task. */
+  def exportTrainingShards(df: DataFrame, idCol: String, weightCol: String,
+      lineCol: String, nShards: Int,
+      heavyCutoff: Long = Long.MaxValue): String = {
+    val dir = s"$lakeDir/exports/training_shards"
+    graft.operators.Shards
+      .assign(df, idCol, weightCol, nShards, heavyCutoff)
+      .select(col("shard"), col(lineCol).as("value"))
+      .repartition(col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").text(dir)
+    dir
+  }
+
   /** Small-file compaction: rewrite a lake table into files of
     * ~targetMB. Long-running append/upsert tables accrete small files
     * (every micro-batch or incremental run adds some); scan cost then

@@ -39,6 +39,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(s"$lake/exports/small_json")))
   }
 
+  test("sharded training export: one JSONL dir per shard, nothing lost") {
+    val lake = Files.createTempDirectory("graft-shard-export").toString
+    val p = new Pipeline(spark, lake)
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      (col("id") % 97 + 1).as("tokens"),
+      concat(lit("""{"doc_id":"""), col("id"), lit("}")).as("line"))
+    val dir = p.exportTrainingShards(docs, "doc_id", "tokens", "line",
+      nShards = 4)
+    val back = spark.read.option("basePath", dir).text(s"$dir/shard=*")
+      .withColumn("shard", regexp_extract(input_file_name(),
+        "shard=(\\d+)", 1).cast("int"))
+    assert(back.count() === 500, "every line lands")
+    assert(back.select("value").distinct().count() === 500)
+    val perShard = back.groupBy("shard").count()
+      .as[(Int, Long)].collect().toMap
+    assert(perShard.keySet === Set(0, 1, 2, 3), "all shard dirs populated")
+    // re-export is idempotent overwrite
+    p.exportTrainingShards(docs, "doc_id", "tokens", "line", nShards = 4)
+    assert(spark.read.text(s"$dir/shard=*").count() === 500)
+  }
+
   test("compaction shrinks file count without changing rows") {
     val lake = Files.createTempDirectory("graft-compact").toString
     val p = new Pipeline(spark, lake)
