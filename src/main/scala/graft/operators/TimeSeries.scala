@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.Det
+
+/** Time-series similarity search over keyed series — "which entities move
+  * like this one": top-k keys by Pearson correlation of their
+  * (time, value) series against a query series (EDBT'19-style streaming
+  * similarity search, expressed as one aggregate).
+  *
+  * Correlation in the sqrt-safe rational form
+  *   r = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))
+  * — sums in DECIMAL (order-independent), sqrt is IEEE-correctly-rounded
+  * on every engine (unlike pow/ln), so the whole search hash-matches a
+  * SQL oracle. Degenerate series (zero variance on either side) score
+  * 0.0 rather than NULL/NaN.
+  *
+  * Shape: one broadcast join on the time key (the query series is
+  * `n_points` rows), one hash aggregate per key computing all five sums,
+  * a TakeOrdered top-k — shuffle O(keys), no windows, no self-join.
+  * `minPoints` drops keys with too few aligned observations to
+  * correlate meaningfully. */
+object TimeSeries {
+
+  def correlationTopK(series: DataFrame, keyCol: String, timeCol: String,
+      valCol: String, query: DataFrame, k: Int,
+      minPoints: Long = 2L): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(28, 6))
+    val joined = series.join(broadcast(query), Seq(timeCol))
+    val stats = joined.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col(valCol))).cast("double").as("sx"),
+        sum(dec(col("qv"))).cast("double").as("sy"),
+        sum(dec(col(valCol) * col("qv"))).cast("double").as("sxy"),
+        sum(dec(col(valCol) * col(valCol))).cast("double").as("sxx"),
+        sum(dec(col("qv") * col("qv"))).cast("double").as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    stats.filter(col("n") >= minPoints)
+      .withColumn("corr_r", Det.roundN(
+        when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))).otherwise(0.0),
+        6))
+      .orderBy(desc("corr_r"), col(keyCol))
+      .limit(k)
+      .select(col(keyCol), col("n"), col("corr_r"))
+  }
+}

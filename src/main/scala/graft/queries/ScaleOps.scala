@@ -39,6 +39,49 @@ object ScaleOps {
         .orderBy("c_nationkey")
     },
 
+    // Time-series similarity search: top-10 users whose daily value
+    // series correlates with user 1's series — Pearson in the sqrt-safe
+    // rational form over decimal sums, so the whole search (alignment
+    // join, five sums, guard, ranking) is hash-checked.
+    QueryDef.sql(
+      "w_ts_correlation_topk",
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS d,
+         |    ${Det.dsumSql("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |q AS (SELECT d, v AS qv FROM daily WHERE user_id = 1),
+         |j AS (
+         |  SELECT s.user_id, s.v, q.qv
+         |  FROM daily s JOIN q USING (d) WHERE s.user_id <> 1),
+         |st AS (
+         |  SELECT user_id, COUNT(*) AS n,
+         |    CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(qv AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(v * qv AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(v * v AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(qv * qv AS DECIMAL(28,6))) AS DOUBLE) AS syy
+         |  FROM j GROUP BY 1),
+         |r AS (
+         |  SELECT user_id, n,
+         |    CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |      THEN ${Det.roundNSql("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 6)}
+         |      ELSE 0.0 END AS corr_r
+         |  FROM st WHERE n >= 10)
+         |SELECT user_id, n, corr_r FROM r
+         |ORDER BY corr_r DESC, user_id LIMIT 10""".stripMargin) { (s, d) =>
+      // staged once (user×day-sized): feeds the query slice AND the
+      // candidate side
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(Det.dsum(col("value")).as("v"))
+        .localCheckpoint()
+      val q = daily.filter(col("user_id") === 1).select(col("d"),
+        col("v").as("qv"))
+      graft.operators.TimeSeries.correlationTopK(
+        daily.filter(col("user_id") =!= 1), "user_id", "d", "v", q,
+        k = 10, minPoints = 10L)
+    },
+
     // Salted two-phase aggregation; decimal partials make the total
     // salt-invariant, so the plain GROUP BY is the oracle.
     QueryDef.sql(

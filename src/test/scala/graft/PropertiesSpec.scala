@@ -177,6 +177,26 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("series correlation: affine copy r=1, negated r=-1, flat guarded to 0") {
+    import graft.operators.TimeSeries
+    val days = (1 to 10).map(i => java.sql.Date.valueOf(f"2024-01-$i%02d"))
+    val q = days.zipWithIndex.map { case (d, i) => (d, (i + 1).toDouble) }
+      .toDF("d", "qv")
+    val series = days.zipWithIndex.flatMap { case (d, i) =>
+      val x = (i + 1).toDouble
+      Seq(("a", d, 2 * x + 5), ("b", d, -x), ("c", d, 7.0))
+    }.toDF("k", "d", "v")
+    val out = TimeSeries.correlationTopK(series, "k", "d", "v", q, k = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("a") === 1.0, "affine transform correlates perfectly")
+    assert(out("b") === -1.0, "negated series anti-correlates")
+    assert(out("c") === 0.0, "zero-variance series guarded to 0")
+    // minPoints drops keys with too few aligned observations
+    val sparse = Seq(("s", days.head, 1.0)).toDF("k", "d", "v")
+    assert(TimeSeries.correlationTopK(series.unionByName(sparse),
+      "k", "d", "v", q, k = 5, minPoints = 10).count() === 3)
+  }
+
   test("duplicationWeights conserve mass: one unit per cluster or singleton") {
     val rnd = new Random(29)
     val n = 200
