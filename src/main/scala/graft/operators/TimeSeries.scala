@@ -47,4 +47,44 @@ object TimeSeries {
       .limit(k)
       .select(col(keyCol), col("n"), col("corr_r"))
   }
+
+  /** Cross-correlation argmax — lead/lag detection: for every key, the
+    * day shift in [−maxLag, +maxLag] at which its series best correlates
+    * with the query series (positive best_lag = the key TRAILS the query
+    * by that many days). The query series is exploded once into 2·maxLag+1
+    * shifted copies (still a broadcast-sized relation), then the same
+    * one-aggregate Pearson runs per (key, lag) and a per-key argmax picks
+    * the winner — ties broken toward the smallest |shift|-ish (lowest
+    * lag). Shuffle O(keys × lags); no windows, no self-joins. Returns
+    * every qualifying key: (keyCol, best_lag, n, corr_r). */
+  def bestLagCorrelation(series: DataFrame, keyCol: String, timeCol: String,
+      valCol: String, query: DataFrame, maxLag: Int,
+      minPoints: Long = 2L): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(28, 6))
+    val shifted = query
+      .select(col(timeCol), col("qv"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .select(date_add(col(timeCol), col("lag")).as(timeCol), col("lag"),
+        col("qv"))
+    val joined = series.join(broadcast(shifted), Seq(timeCol))
+    val stats = joined.groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col(valCol))).cast("double").as("sx"),
+        sum(dec(col("qv"))).cast("double").as("sy"),
+        sum(dec(col(valCol) * col("qv"))).cast("double").as("sxy"),
+        sum(dec(col(valCol) * col(valCol))).cast("double").as("sxx"),
+        sum(dec(col("qv") * col("qv"))).cast("double").as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    stats.filter(col("n") >= minPoints)
+      .withColumn("corr_r", Det.roundN(
+        when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))).otherwise(0.0),
+        6))
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("corr_r").as("c"), (-col("lag")).as("neg_lag"),
+        col("n").as("n"))).as("__best"))
+      .select(col(keyCol), (-col("__best.neg_lag")).cast("int").as("best_lag"),
+        col("__best.n").as("n"), col("__best.c").as("corr_r"))
+  }
 }

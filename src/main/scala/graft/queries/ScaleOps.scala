@@ -82,6 +82,56 @@ object ScaleOps {
         k = 10, minPoints = 10L)
     },
 
+    // Cross-correlation argmax — lead/lag detection: the shift at which
+    // each user's series best tracks user 1's (positive best_lag = the
+    // user trails). Same one-aggregate Pearson per (user, lag) over the
+    // exploded shifted query, per-user argmax; all hash-checked.
+    QueryDef.sql(
+      "w_ts_best_lag",
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS d,
+         |    ${Det.dsumSql("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |q AS (SELECT d, v AS qv FROM daily WHERE user_id = 1),
+         |lags AS (SELECT CAST(unnest(generate_series(-3, 3)) AS INTEGER) AS lag),
+         |shifted AS (SELECT q.d + lag AS d, lag, qv FROM q, lags),
+         |j AS (
+         |  SELECT s.user_id, shifted.lag, s.v, shifted.qv
+         |  FROM daily s JOIN shifted ON s.d = shifted.d
+         |  WHERE s.user_id <> 1),
+         |st AS (
+         |  SELECT user_id, lag, COUNT(*) AS n,
+         |    CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(qv AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(v * qv AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(v * v AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(qv * qv AS DECIMAL(28,6))) AS DOUBLE) AS syy
+         |  FROM j GROUP BY 1, 2),
+         |r AS (
+         |  SELECT user_id, lag, n,
+         |    CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |      THEN ${Det.roundNSql("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 6)}
+         |      ELSE 0.0 END AS corr_r
+         |  FROM st WHERE n >= 10),
+         |best AS (
+         |  SELECT user_id, lag, n, corr_r,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY corr_r DESC, lag ASC) AS rn
+         |  FROM r)
+         |SELECT user_id, CAST(lag AS INT) AS best_lag, n, corr_r
+         |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(Det.dsum(col("value")).as("v"))
+        .localCheckpoint()
+      val q = daily.filter(col("user_id") === 1).select(col("d"),
+        col("v").as("qv"))
+      graft.operators.TimeSeries.bestLagCorrelation(
+          daily.filter(col("user_id") =!= 1), "user_id", "d", "v", q,
+          maxLag = 3, minPoints = 10L)
+        .orderBy("user_id")
+    },
+
     // Salted two-phase aggregation; decimal partials make the total
     // salt-invariant, so the plain GROUP BY is the oracle.
     QueryDef.sql(

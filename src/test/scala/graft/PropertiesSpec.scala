@@ -197,6 +197,25 @@ class PropertiesSpec extends AnyFunSuite {
       "k", "d", "v", q, k = 5, minPoints = 10).count() === 3)
   }
 
+  test("best-lag detection finds the planted shift, zero for the sync copy") {
+    import graft.operators.TimeSeries
+    val days = (1 to 14).map(i => java.sql.Date.valueOf(f"2024-01-$i%02d"))
+    // distinctive non-monotone reference values
+    val qvals = (1 to 14).map(i => ((i * i * 7) % 13 + 1).toDouble)
+    val q = days.zip(qvals).toDF("d", "qv")
+    val series = (
+      // trails the reference by 2 days: v(day i) = q(day i-2)
+      days.drop(2).zip(qvals).map { case (d, x) => ("t2", d, x) } ++
+      days.zip(qvals).map { case (d, x) => ("sync", d, x) })
+      .toDF("k", "d", "v")
+    val out = TimeSeries.bestLagCorrelation(series, "k", "d", "v", q,
+        maxLag = 3, minPoints = 5)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(3))))
+      .toMap
+    assert(out("t2") === ((2, 1.0)), s"planted 2-day trail: ${out("t2")}")
+    assert(out("sync") === ((0, 1.0)), s"synchronous copy: ${out("sync")}")
+  }
+
   test("duplicationWeights conserve mass: one unit per cluster or singleton") {
     val rnd = new Random(29)
     val n = 200
