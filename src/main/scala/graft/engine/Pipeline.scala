@@ -185,6 +185,11 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
       .withColumn("check_timestamp", current_timestamp())
     writeAppend(report, "silver", "quality_logs")
 
+    // ---- silver: clean_posts feature set (transform_silver.py:82-95) ---
+    val posts = GoldEngagement.attribute(SilverPosts.transform(
+      Tables.documents(spark, sfDir), titleCol = "source", bodyCol = "text"))
+    writeOverwrite(posts, "silver", "clean_posts")
+
     // ---- gold: daily summary + trend labels (MV-refresh semantics) -----
     val covid = read("silver", "covid_timeseries")
     val daily = covid.groupBy("record_date").agg(
@@ -194,11 +199,19 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
     upsertByDate(daily, "gold", "daily_global_summary", "record_date")
     export(daily, "daily_global_summary")
 
+    // ---- gold: user_engagement_metrics (model_gold.py:93-103) ----------
+    val engagement = GoldEngagement.transform(read("silver", "clean_posts"))
+    upsertByDate(engagement, "gold", "user_engagement_metrics",
+      "engagement_date")
+
     // ---- run metadata (K6) --------------------------------------------
     val counts = Map(
       "bronze_events" -> read("bronze", "events").count(),
       "silver_covid" -> covid.count(),
+      "silver_posts" -> read("silver", "clean_posts").count(),
       "gold_daily" -> read("gold", "daily_global_summary").count(),
+      "gold_engagement" ->
+        read("gold", "user_engagement_metrics").count(),
       "quality_checks" -> read("silver", "quality_logs").count())
     val meta =
       s"""{"pipeline":"graft-medallion","status":"SUCCESS",

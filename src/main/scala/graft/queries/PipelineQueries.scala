@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.engine.{Det, Pipeline, SilverPosts, SilverUsers, Tables}
+import graft.engine.{Det, GoldEngagement, Pipeline, SilverPosts, SilverUsers, Tables}
 import graft.sources.Sources
 
 /** Queries exposing the medallion modules (Bronze/Silver/Gold/Pipeline)
@@ -178,6 +178,43 @@ object PipelineQueries {
       val lake = java.nio.file.Files.createTempDirectory("graft-lake").toString
       val counts = new Pipeline(s, lake).run(d)
       counts.toSeq.sortBy(_._1).toDF("stage", "rows")
+    },
+
+    // gold.user_engagement_metrics: the reference's declared-but-never-
+    // populated engagement rollup (model_gold.py:93-103, indexed at :132)
+    // over silver clean_posts — per (engagement_date, user_id) counts /
+    // lengths / additive score / activity CASE / last-active window. The
+    // oracle rebuilds GoldEngagement.attribute's deterministic user/date
+    // stand-in (the reference's posts feed carries userId natively).
+    QueryDef.sql(
+      "q_user_engagement",
+      raw"""WITH f AS (
+           |  SELECT doc_id, length(text) AS body_length,
+           |    len(str_split_regex(trim(lower(text)), '\s+')) AS word_count
+           |  FROM documents),
+           |posts AS (
+           |  SELECT CAST(doc_id % ${GoldEngagement.nUsers} + 1 AS BIGINT) AS user_id,
+           |    DATE '${GoldEngagement.epoch}' + CAST(doc_id % ${GoldEngagement.nDays} AS INTEGER) AS engagement_date,
+           |    body_length, word_count
+           |  FROM f),
+           |agg AS (
+           |  SELECT engagement_date, user_id, COUNT(*) AS post_count,
+           |    ${Det.roundNSql(Det.davgSql("body_length"), 2)} AS avg_post_length,
+           |    CAST(SUM(word_count) AS BIGINT) AS total_words
+           |  FROM posts GROUP BY 1, 2)
+           |SELECT engagement_date, user_id, post_count, avg_post_length,
+           |  total_words,
+           |  ${Det.roundNSql("post_count * 10.0 + total_words * 0.1 + avg_post_length * 0.05", 2)} AS engagement_score,
+           |  CASE WHEN post_count >= 5 THEN 'power_user'
+           |       WHEN post_count >= 3 THEN 'active'
+           |       WHEN post_count >= 2 THEN 'casual'
+           |       ELSE 'occasional' END AS activity_level,
+           |  MAX(engagement_date) OVER (PARTITION BY user_id) AS last_active_date
+           |FROM agg ORDER BY engagement_date, user_id""".stripMargin) { (s, d) =>
+      val posts = SilverPosts.transform(
+        Tables.documents(s, d), titleCol = "source", bodyCol = "text")
+      GoldEngagement.transform(GoldEngagement.attribute(posts))
+        .orderBy("engagement_date", "user_id")
     },
   )
 }

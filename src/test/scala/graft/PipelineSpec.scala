@@ -16,11 +16,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts("bronze_events") === 1000)
     assert(counts("silver_covid") > 0)
     assert(counts("gold_daily") > 0)
+    assert(counts("silver_posts") > 0)
+    // gold.user_engagement_metrics: keyed per (engagement_date, user_id),
+    // so it has at most one row per clean_posts row and a populated schema
+    assert(counts("gold_engagement") > 0 &&
+      counts("gold_engagement") <= counts("silver_posts"))
+    val eng = spark.read.parquet(s"$lake/gold/user_engagement_metrics")
+    assert(eng.columns.toSet === Set("engagement_date", "user_id",
+      "post_count", "avg_post_length", "total_words", "engagement_score",
+      "activity_level", "last_active_date"))
     assert(counts("quality_checks") === 3)
     assert(Files.exists(java.nio.file.Paths.get(s"$lake/run_metadata.json")))
     // K4 idempotency: second run must not duplicate date partitions
     val c2 = new Pipeline(spark, lake).run("/root/testdata/sf0.001")
     assert(c2("gold_daily") === counts("gold_daily"))
+    assert(c2("gold_engagement") === counts("gold_engagement"))
     // exports landed
     assert(Files.list(java.nio.file.Paths.get(s"$lake/exports")).count() >= 2)
   }
