@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * scalar combines legitimately plan as BNLJ; anything else is a bug.
   * Also reports REDUNDANT SOURCE SCANS: a query whose plan reads the
   * same base table ≥3 times is usually recomputing a shared subtree that
-  * should be staged (localCheckpoint) — each extra read is a full corpus
+  * should be staged (graft.engine.Stage) — each extra read is a full corpus
   * scan at 100 TB. Self-joins legitimately read twice; 3+ is the smell
   * (found the semantic-dedup triple assignment in round 5, plus rescans
   * in lm_score ×5, tfidf ×4, mix/shard/j2/top5 ×4, dup_spans ×3 — all

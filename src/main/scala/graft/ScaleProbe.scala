@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.Det
 import graft.functions.TextFunctions
 import graft.operators.{Chunking, Contamination, Dedup, Scd2, Shards}
+import graft.engine.Stage.syntax._
 
 /** Dev utility: scale-probe the corpus operators beyond the fixtures.
   * Replicates the sfDir documents table k× with offset ids (each doc
@@ -69,7 +70,7 @@ object ScaleProbe {
     time("quantile_gate") {
       val scored = TextFunctions.qualityFeatures(corpus, "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("quality_score"))
-        .localCheckpoint()
+        .staged
       val th = scored.groupBy("lang")
         .agg(expr("percentile(quality_score, 0.25D)").as("lang_p25"))
       scored.join(broadcast(th), Seq("lang"))
@@ -81,7 +82,7 @@ object ScaleProbe {
       val bench = corpus.filter(col("doc_id") % 20 === 0)
       val scored = TextFunctions.qualityFeatures(c, "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("quality_score"))
-        .localCheckpoint()
+        .staged
       val th = scored.groupBy("lang")
         .agg(expr("percentile(quality_score, 0.25D)").as("lang_p25"))
       val gated = scored.join(broadcast(th), Seq("lang"))

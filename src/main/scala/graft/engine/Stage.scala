@@ -1,0 +1,101 @@
+package graft.engine
+
+import java.util.UUID
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The engine's single staging primitive: cut lineage and materialize an
+  * intermediate exactly once, so iterative algorithms (connected
+  * components, k-means/PQ training) and multi-consumer intermediates
+  * (ngram pair sets, minhash signatures) don't recompute or grow an
+  * unbounded plan.
+  *
+  * HOW to materialize is a durability/cost trade the caller should not
+  * hard-code — it differs between a local run and a 1000-executor
+  * cluster — so it's config-keyed on `spark.graft.stage.mode`:
+  *
+  *   - `local` (default): `localCheckpoint` — executor-memory blocks
+  *     (MEMORY_AND_DISK), fastest, but blocks are NON-RECOMPUTABLE: an
+  *     executor loss mid-job kills the query. Right for local[] and for
+  *     short jobs where re-running on failure is acceptable.
+  *   - `reliable`: RDD `checkpoint` to the fault-tolerant checkpoint dir
+  *     (`spark.graft.stage.dir`, or the session's checkpoint dir) —
+  *     survives executor loss; the multi-hour-dedup-on-a-cluster mode.
+  *   - `parquet`: write/read a parquet round-trip under
+  *     `spark.graft.stage.dir` — also fault-tolerant, and unlike RDD
+  *     checkpoints the restaged read gets column pruning + a fresh
+  *     size estimate (AQE can re-plan downstream joins), at the cost of
+  *     encode/decode. Best when the staged relation is wide but consumers
+  *     are narrow.
+  *   - `none`: no-op — recompute instead of staging. For the cases where
+  *     recomputation is measured cheaper than materialization (see
+  *     duplicateSpans' probe in ARCHITECTURE.md) or for plan debugging.
+  *     NOTE: iterative callers (pointer-doubling closure, PQ training)
+  *     still need a real lineage cut to avoid exponential plans, so they
+  *     use [[materializeAlways]], which treats `none` as `local`.
+  *
+  * All modes are semantically identical (StageSpec proves equal results);
+  * only durability and cost differ.
+  */
+object Stage {
+
+  val modeKey = "spark.graft.stage.mode"
+  val dirKey = "spark.graft.stage.dir"
+
+  private def stageDir(df: DataFrame): String = {
+    val spark = df.sparkSession
+    spark.conf.getOption(dirKey).getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft-stage").toString
+      spark.conf.set(dirKey, d)
+      d
+    }
+  }
+
+  /** Materialize `df` per the configured mode; `none` → return as-is. */
+  def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(modeKey).getOrElse("local") match {
+      case "none" => df
+      case mode   => force(df, mode)
+    }
+
+  /** Like [[materialize]] but never a no-op — iterative algorithms call
+    * this: without a genuine lineage cut each round's plan would embed
+    * the previous round's, going exponential. */
+  def materializeAlways(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(modeKey).getOrElse("local") match {
+      case "none" => force(df, "local")
+      case mode   => force(df, mode)
+    }
+
+  private def force(df: DataFrame, mode: String): DataFrame = mode match {
+    case "local" =>
+      df.localCheckpoint()
+    case "reliable" =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(stageDir(df))
+      df.checkpoint()
+    case "parquet" =>
+      val path = s"${stageDir(df)}/${UUID.randomUUID()}"
+      df.write.parquet(path)
+      df.sparkSession.read.parquet(path)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$modeKey=$other (expected local | reliable | parquet | none)")
+  }
+
+  /** Persist-based staging for a frame that is consumed a bounded number
+    * of times within one job and can safely be recomputed on block loss —
+    * cheaper than a checkpoint (no copy), recomputable (cluster-safe),
+    * but does NOT cut lineage, so not for iterative loops. */
+  def cache(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** `import graft.engine.Stage.syntax._` for chainable `.staged` /
+    * `.stagedAlways` at the former `.localCheckpoint()` call sites. */
+  object syntax {
+    implicit class StageOps(private val df: DataFrame) extends AnyVal {
+      def staged: DataFrame = materialize(df)
+      def stagedAlways: DataFrame = materializeAlways(df)
+    }
+  }
+}

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.engine.Det
+import graft.engine.Stage.syntax._
 
 /** Text-analysis primitives for large-scale corpus pipelines: tokenization,
   * token counting, quality scoring, language ID, fingerprinting. All pure
@@ -153,7 +154,7 @@ object TextFunctions {
       textCol: String, maxDfPct: Int = 78): org.apache.spark.sql.DataFrame = {
     val tok = df.select(col(idCol).as("id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .localCheckpoint()
+      .staged
     val total = df.agg(count(lit(1)).as("__n_docs"))
     val boiler = tok.select("id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("__df"))
@@ -186,10 +187,10 @@ object TextFunctions {
     // staged once: terms feeds tf and docLen; tf feeds dfreq and the
     // score join — unstaged, the documents scan ran four times
     val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .localCheckpoint()
+      .staged
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .staged
     val docLen = terms.groupBy(col(idCol)).agg(count(lit(1)).as("doc_len"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("__n"))
@@ -234,12 +235,12 @@ object TextFunctions {
     // unstaged, the documents scan ran five times (PlanAudit rescan check)
     val tok = df.select(col(idCol),
         posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-      .localCheckpoint()
+      .staged
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
     val bi = tok.withColumn("w_prev", lag(col("w"), 1).over(w))
       .filter(col("w_prev").isNotNull)
-      .localCheckpoint()
+      .staged
     val uni = tok.groupBy(col("w").as("w_prev"))
       .agg(count(lit(1)).as("cu"))
     val big = bi.groupBy("w_prev", "w").agg(count(lit(1)).as("cb"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Det
 import graft.functions.TextFunctions
+import graft.engine.Stage.syntax._
 
 /** Deduplication operators for corpus-scale pipelines: exact, MinHash-LSH,
   * SimHash, n-gram-Jaccard (inverted-index blocking), all shuffle-bounded
@@ -50,7 +51,7 @@ object Dedup {
   }
 
   /** One (id, shingle) row per distinct shingle per doc. The token array
-    * is materialized FIRST (eager localCheckpoint): that boundary stops
+    * is materialized FIRST (Stage.materialize): that boundary stops
     * CollapseProject from inlining the tokenize regex into the shingle
     * lambda (inlined, the regex re-runs once per shingle — the measured
     * round-1 pathology), so the single non-nested `transform` below only
@@ -60,7 +61,7 @@ object Dedup {
     * shingle size fall back to one whole-text shingle, selected by token
     * count.
     *
-    * The result is itself a localCheckpoint — every caller feeds it into
+    * The result is itself staged — every caller feeds it into
     * 2-3 different shuffles (signatures, co-occurrence joins, sizes), so
     * it is computed exactly once, its lineage is truncated, and AQE has
     * already sized its partitions to the real (post-explode) row count.
@@ -72,7 +73,7 @@ object Dedup {
       textCol: String, shingleSize: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
-      .localCheckpoint()
+      .staged
     val shingle = transform(
       sequence(lit(0), size(col("toks")) - shingleSize),
       i => concat_ws(" ",
@@ -89,7 +90,7 @@ object Dedup {
     // (no CSE across aggregate functions; measured 1.7× slower).
     full.unionByName(short)
       .withColumn("shash", xxhash64(col("shingle")))
-      .localCheckpoint()
+      .staged
   }
 
   /** Jaccard from intersection count + per-doc set sizes:
@@ -285,13 +286,14 @@ object Dedup {
     * cluster is its minimum id.
     *
     * Scale shape: the (possibly expensive) pair pipeline is materialized
-    * exactly once via eager localCheckpoint, which also truncates lineage
+    * exactly once via Stage.materializeAlways, which also truncates lineage
     * — round N's plan reads two small flat relations, not an
     * N-times-nested join tree — and lets AQE size shuffle partitions to
     * the real (post-LSH) edge count rather than the input's. One
     * materializing job per round; the convergence test is a cheap scan of
     * the already-materialized round output. On a multi-executor cluster
-    * swap localCheckpoint for reliable checkpoint/parquet staging.
+    * set spark.graft.stage.mode=reliable|parquet (graft.engine.Stage)
+    * for fault-tolerant staging.
     *
     * Returns (id, cluster_id) for every id appearing in `pairs`. Logs a
     * warning if maxIter rounds were not enough to converge (with doubling
@@ -299,10 +301,10 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
+      .stagedAlways
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+      .stagedAlways
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -321,7 +323,7 @@ object Dedup {
           least(col("cluster_id"),
             coalesce(col("nmin"), col("cluster_id")),
             coalesce(col("lmin"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+        .stagedAlways
       changed = next.filter(col("cluster_id") =!= col("__old")).count()
       labels = next.select("id", "cluster_id")
       iter += 1
@@ -422,7 +424,7 @@ object Dedup {
       window: Int = 4): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t0")))
-      .localCheckpoint()
+      .staged
     val w = Window.partitionBy("id").orderBy("pos")
     val spanCols = (1 until window).map(i =>
       lead(col("t0"), i).over(w).as(s"t$i"))
@@ -521,7 +523,7 @@ object Dedup {
       .withColumn("__split_g", coalesce(col("cluster_id"), col(idCol)))
       .drop("cluster_id")
       // staged once: every split's filter re-reads the labeled relation
-      .localCheckpoint()
+      .staged
     Sampling.split(labeled, "__split_g", weights, salt)
       .map(_.drop("__split_g"))
   }
@@ -550,7 +552,7 @@ object Dedup {
         Seq("id"))
       .join(broadcast(priorities), Seq("source"), "left")
       .withColumn("__prio", coalesce(col("priority"), lit(Long.MaxValue)))
-      .localCheckpoint()
+      .staged
     val canon = ranked.groupBy("cluster_id")
       .agg(min(struct(col("__prio"), col("id"))).as("__best"))
       .select(col("cluster_id"), col("__best.id").as("canon_id"))

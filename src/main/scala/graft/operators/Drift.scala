@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.Det
+import graft.engine.Stage.syntax._
 
 /** Per-group mean-shift drift detection — the corpus-monitoring check a
   * production pipeline runs per ingest: does any group (source, day,
@@ -36,7 +37,7 @@ object Drift {
       .agg(count(lit(1)).as("n_docs"),
         sum(dec).cast("double").as("__sum"),
         sum(dec * dec).cast("double").as("__sumsq"))
-      .localCheckpoint()
+      .staged
     val corpus = perGroup
       .agg(sum(col("n_docs")).as("__n_all"),
         sum(col("__sum").cast(DecimalType(28, 6))).cast("double").as("__sum_all"),
@@ -112,7 +113,7 @@ object Drift {
       reference: DataFrame, nBins: Int, lo: Double, hi: Double): DataFrame = {
     val obs2 = binned(df, valCol, nBins, lo, hi)
       .groupBy(col(keyCol), col("bin")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+      .staged
     val totals = obs2.groupBy(col(keyCol)).agg(sum(col("__c")).as("n_docs"))
     // complete key×bin frame so empty bins still contribute p_exp
     val frame = totals.select(col(keyCol), col("n_docs"),

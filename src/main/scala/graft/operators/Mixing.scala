@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.engine.Det
+import graft.engine.Stage.syntax._
 
 /** Training-mix weighting: given per-source token masses, compute the
   * temperature-scaled sampling weights a multi-source training run uses —
@@ -30,7 +31,7 @@ object Mixing {
     // them runs once instead of four times
     val perSrc = df.groupBy(col(srcCol).as("source"))
       .agg(Det.dsum(col(weightCol), 0).as("total_weight"))
-      .localCheckpoint()
+      .staged
     // both renormalization sums route through DECIMAL so they are
     // partial-agg-order-independent and engine-identical
     val scored = perSrc.crossJoin(broadcast(
@@ -40,7 +41,7 @@ object Mixing {
       .withColumn("share", when(col("__total") > 0,
         col("total_weight") / col("__total")).otherwise(0.0))
       .withColumn("__raw", powA(col("share")))
-      .localCheckpoint()
+      .staged
     scored.crossJoin(broadcast(
         scored.agg(sum(col("__raw").cast(DecimalType(18, 12)))
           .cast("double").as("__rawsum"))))

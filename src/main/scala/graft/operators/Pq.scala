@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.Det
 import graft.expressions.GraftFunctions
+import graft.engine.Stage.syntax._
 
 /** Product quantization (PQ) — the vector-compression half of IVF-PQ, the
   * standard shape for ANN over corpora too large to keep raw vectors hot.
@@ -90,10 +91,10 @@ object Pq {
     * materializes a codebook-sized result. */
   def train(df: DataFrame, m: Int, dims: Int, k: Int, iters: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val sv = subVectors(df, m, dims, idCol, embCol).localCheckpoint()
-    var cb = seedCodebooks(df, m, dims, k, idCol, embCol).localCheckpoint()
+    val sv = subVectors(df, m, dims, idCol, embCol).stagedAlways
+    var cb = seedCodebooks(df, m, dims, k, idCol, embCol).stagedAlways
     (0 until iters).foreach { _ =>
-      cb = pqStep(sv, cb).select("sub", "code", "c_emb").localCheckpoint()
+      cb = pqStep(sv, cb).select("sub", "code", "c_emb").stagedAlways
     }
     cb
   }

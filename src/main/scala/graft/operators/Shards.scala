@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Det
+import graft.engine.Stage.syntax._
 
 /** Output-shard assignment for training exports: map every document to one
   * of nShards shards so each shard carries a near-equal total token
@@ -54,7 +55,7 @@ object Shards {
     val perShard = assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col(weightCol)).cast("long").as("total_weight"))
-      .localCheckpoint()
+      .staged
     // the global total rides as a broadcast 1-row aggregate — one plan,
     // no driver-side .first() actions recomputing the assignment
     val totals = perShard.agg(

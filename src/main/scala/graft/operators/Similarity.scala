@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.engine.Det
 import graft.expressions.GraftFunctions
+import graft.engine.Stage.syntax._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>).
@@ -172,7 +173,7 @@ object Similarity {
     val assigned = assignCells(vectors, centroids, idCol, embCol)
       .withColumn("__cn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cell")))
-      .localCheckpoint()
+      .staged
     val prunable = assigned.filter(col("__cn") <= maxCluster)
     // equi-join on cell: shuffles by cluster, pairs never leave a cell
     val l = prunable.select(col("cell"), col(idCol).as("id_a"),
@@ -203,7 +204,7 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bits = nBits / bands
     // consumed by 3 downstream shuffles (signature agg, dot join, norms) —
-    // staged once via eager localCheckpoint: computed exactly once, lineage
+    // staged once via Stage.materialize: computed exactly once, lineage
     // truncated, partitions AQE-sized, and blocks are released by the
     // ContextCleaner when the result goes out of scope (no cache leak into
     // library callers). Cluster equivalent: a reliable checkpoint/parquet
@@ -211,7 +212,7 @@ object Similarity {
     val dims = vectors.select(col(idCol).as("id"),
       posexplode(col(embCol)).as(Seq("dim", "x")))
       .select(col("id"), col("dim"), col("x").cast("double").as("x"))
-      .localCheckpoint()
+      .staged
     val projCols = (0 until nBits).map(p =>
       sum(col("x") * when(xxhash64(lit(p), col("dim")).bitwiseAND(1) === 1, 1.0)
         .otherwise(-1.0)).as(s"__p$p"))

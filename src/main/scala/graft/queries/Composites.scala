@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, SilverCovid, Tables}
+import graft.engine.Stage.syntax._
 
 /** Composite lineages mirroring the reference's silver/gold pipelines
   * (SURVEY §3.2, §3.3): the flagship covid silver transform, the
@@ -89,7 +90,7 @@ object Composites {
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), to_date(col("ts")).as("d"))
         .agg(Det.dsum(col("value")).as("v"))
-        .localCheckpoint()
+        .staged
       val mx = daily.agg(max(col("d")).as("maxd"))
       val latest = daily.join(broadcast(mx), col("d") === col("maxd"))
         .select(col("user_id"), col("v").as("v_today"), col("maxd"))
@@ -194,8 +195,8 @@ object Composites {
           col("__d") >= date_sub(col("maxd"), 1) ||
             (col("__d") === date_sub(col("maxd"), 10) &&
               col("user_id") % 7 === 0))
-      val existing = flagged.filter(!col("__is_batch")).localCheckpoint()
-      val batch = flagged.filter(col("__is_batch")).localCheckpoint()
+      val existing = flagged.filter(!col("__is_batch")).staged
+      val batch = flagged.filter(col("__is_batch")).staged
       val oldGold = graft.engine.GoldMaintenance.dailyAgg(existing)
       val touched = batch.select(col("__d").as("touched_date")).distinct()
       graft.engine.GoldMaintenance.incrementalDaily(oldGold, flagged, touched)

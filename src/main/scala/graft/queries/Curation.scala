@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.functions.TextFunctions
 import graft.operators.{Chunking, Contamination, Dedup, Mixing, Scd2, Shards}
+import graft.engine.Stage.syntax._
 
 /** Warehouse history merge + the remaining training-data curation passes:
   * SCD2 dimension versioning, benchmark decontamination, per-language
@@ -201,7 +202,7 @@ object Curation {
       val scored = TextFunctions.qualityFeatures(
           Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("quality_score"))
-        .localCheckpoint()
+        .staged
       // 4 languages → a tiny threshold table; broadcast it so the corpus
       // side joins map-side with zero extra shuffle
       val th = scored.groupBy("lang")
@@ -424,7 +425,7 @@ object Curation {
         .temperatureWeights(docs, "source", "n_chars", alpha = 0.5)
         .filter(col("share") > 0)
         .withColumn("__rel", col("mix_weight") / col("share"))
-        .localCheckpoint()
+        .staged
       val rates = w.crossJoin(broadcast(w.agg(max(col("__rel")).as("__mx"))))
         .select(col("source"), Det.roundN(col("__rel") / col("__mx"), 6)
           .as("rate"))
@@ -533,7 +534,7 @@ object Curation {
       // staged once — threshold aggregate + gate join both read it
       val scored = TextFunctions.qualityFeatures(corpus, "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("quality_score"))
-        .localCheckpoint()
+        .staged
       val th = scored.groupBy("lang")
         .agg(Det.roundN(expr("percentile(quality_score, 0.25D)"), 4)
           .as("lang_p25"))

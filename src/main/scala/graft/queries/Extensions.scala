@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.engine.Stage.syntax._
 
 /** Training-data-pipeline extensions (BASELINE.json north star): text
   * analysis, dedup family, similarity search, multimodal plumbing — each
@@ -726,7 +727,7 @@ object Extensions {
       val docs = Tables.documents(s, d)
       val clusters = Dedup.connectedComponents(
           Dedup.ngramJaccardDups(docs, "doc_id", "text", threshold = 0.8))
-        .localCheckpoint()
+        .staged
       Dedup.leakageSafeSplit(clusters, docs, "doc_id", Seq(0.8, 0.2))
         .zipWithIndex.map { case (df, i) =>
           df.join(clusters.withColumnsRenamed(Map("id" -> "doc_id")),
@@ -849,7 +850,7 @@ object Extensions {
     // scores) but not SQL-expressible — PqSpec proves recall ≥ 0.9 vs the
     // brute-force scan.
     QueryDef.rowsOnly("sim_pq_topk") { (s, d) =>
-      val emb = Tables.embeddings(s, d).localCheckpoint()
+      val emb = Tables.embeddings(s, d).staged
       val cb = graft.operators.Pq.train(emb, m = 8, dims = 64, k = 16,
         iters = 2)
       val q = emb.filter(col("vec_id") === 0)
@@ -935,7 +936,7 @@ object Extensions {
     // standard 100 TB ANN stack end-to-end. Assignment is passed in
     // pre-computed (the one-time index build), mirroring sim_ivf_topk.
     QueryDef.rowsOnly("sim_ivfpq_topk") { (s, d) =>
-      val emb = Tables.embeddings(s, d).localCheckpoint()
+      val emb = Tables.embeddings(s, d).staged
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
       val assigned = Similarity.assignCells(emb, centroids)
@@ -1076,7 +1077,7 @@ object Extensions {
       // probe all re-read this relation
       val emb = Multimodal.pseudoEmbed(Multimodal.extractFeatures(s, media).toDF())
         .select(col("id").as("vec_id"), col("embedding"))
-        .localCheckpoint()
+        .staged
       val seeds = emb.filter(col("vec_id") <= 16)
         .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
       // one Lloyd step turns arbitrary seed docs into data-shaped
@@ -1086,7 +1087,7 @@ object Extensions {
       val codebook = Similarity.kmeansStep(emb, seeds)
         .select(col("cell"),
           transform(col("c_emb"), x => x.cast("float")).as("c_emb"))
-        .localCheckpoint()
+        .staged
       // index-build step: assignment happens ONCE here (at rest this is
       // the table's partition key), not per query
       val assigned = Similarity.assignCells(emb, codebook)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
+import graft.engine.Stage.syntax._
 
 /** Weekly/monthly gold rollups and reporting views the reference declares
   * (aggregate_gold.py:45-72 weekly_aggregates + monthly_kpis DDL;
@@ -229,7 +230,7 @@ object GoldRollups {
       val daily = Tables.events(s, d)
         .groupBy(col("user_id").as("country"), to_date(col("ts")).as("d"))
         .agg(Det.dsum(col("value")).as("confirmed"))
-        .localCheckpoint()
+        .staged
       val mx = daily.agg(max(col("d")).as("maxd"))
       val latest = daily.join(broadcast(mx), col("d") === col("maxd"))
         .select("country", "confirmed")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.operators.{AsOfJoin, Salting}
+import graft.engine.Stage.syntax._
 
 /** Scale-path operator variants: salted skew joins/aggregations, the
   * approximate-distinct toggle, and the window-form of the time-shift
@@ -74,7 +75,7 @@ object ScaleOps {
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), to_date(col("ts")).as("d"))
         .agg(Det.dsum(col("value")).as("v"))
-        .localCheckpoint()
+        .staged
       val q = daily.filter(col("user_id") === 1).select(col("d"),
         col("v").as("qv"))
       graft.operators.TimeSeries.correlationTopK(
@@ -123,7 +124,7 @@ object ScaleOps {
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), to_date(col("ts")).as("d"))
         .agg(Det.dsum(col("value")).as("v"))
-        .localCheckpoint()
+        .staged
       val q = daily.filter(col("user_id") === 1).select(col("d"),
         col("v").as("qv"))
       graft.operators.TimeSeries.bestLagCorrelation(

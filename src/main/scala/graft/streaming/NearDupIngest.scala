@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.Dedup
 import graft.operators.Dedup.MinhashLshIndex
+import graft.engine.Stage.syntax._
 
 /** Streaming near-duplicate ingest — the ingest-time dedup loop at rest:
   * every micro-batch (1) probes the PERSISTENT MinHash band index for
@@ -62,7 +63,7 @@ object NearDupIngest {
         val spark = batch.sparkSession
         // staged once: consumed by the probe (twice: buckets + verify)
         // and by the index-entry build
-        val b = batch.localCheckpoint()
+        val b = batch.staged
         val idx0 = loadIndex(spark, indexDir, b, idCol, textCol,
           numHashes, bands, shingleSize)
         // SELF-EXCLUSION: a replayed batch (checkpoint restart after a
