@@ -54,7 +54,16 @@ object Bench {
     val errs = results.collect { case (n, _, Left(m)) => jsonStr(n) + ":" + jsonStr(m) }
     val total = results.map(_._2).sum
     val errJson = if (errs.isEmpty) "" else ",\"errors\":" + errs.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
+    println(line)
+    // the stdout line can be lost to log truncation (the driver keeps a
+    // bounded tail); the file is the complete round-comparable artifact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
