@@ -140,8 +140,22 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
     // delete the input before the new files are written
     val tmp = new org.apache.hadoop.fs.Path(s"$dir.__compact")
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    // Swap via two renames, not delete-then-rename: the no-table window is
+    // two metadata ops, not a recursive delete whose duration scales with
+    // file count. A concurrent reader can still race the swap — the
+    // contract here is SINGLE-WRITER, READERS-OFF-HOT-PATH (compaction is
+    // maintenance); a multi-writer lake with live readers needs a
+    // manifest-indirected table format (Delta/Iceberg) where the swap is
+    // one atomic metadata commit.
+    val old = new org.apache.hadoop.fs.Path(s"$dir.__old")
+    fs.delete(old, true) // leftover from a crashed prior compact
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"compact: could not stage out $dir")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // roll back so the table never stays missing
+      throw new java.io.IOException(s"compact: could not swap in $tmp")
+    }
+    fs.delete(old, true)
   }
 
   /** Columnar archive sink in ORC: the interchange format when a consumer

@@ -289,9 +289,9 @@ object Dedup {
     * exactly once via Stage.materializeAlways, which also truncates lineage
     * — round N's plan reads two small flat relations, not an
     * N-times-nested join tree — and lets AQE size shuffle partitions to
-    * the real (post-LSH) edge count rather than the input's. One
-    * materializing job per round; the convergence test is a cheap scan of
-    * the already-materialized round output. On a multi-executor cluster
+    * the real (post-LSH) edge count rather than the input's. ONE
+    * materializing job per round — the convergence count rides the same
+    * job via an accumulator instead of a second scan. On a multi-executor cluster
     * set spark.graft.stage.mode=reliable|parquet (graft.engine.Stage)
     * for fault-tolerant staging.
     *
@@ -316,15 +316,29 @@ object Dedup {
         .join(labels.select(col("id").as("cluster_id"), col("cluster_id").as("lmin")),
           Seq("cluster_id"))
         .select(col("id"), col("lmin"))
-      val next = labels
+      val next0 = labels
         .join(neighborMin, Seq("id"), "left")
         .join(hop, Seq("id"), "left")
         .select(col("id"), col("cluster_id").as("__old"),
           least(col("cluster_id"),
             coalesce(col("nmin"), col("cluster_id")),
             coalesce(col("lmin"), col("cluster_id"))).as("cluster_id"))
-        .stagedAlways
-      changed = next.filter(col("cluster_id") =!= col("__old")).count()
+      // Convergence count folded into the round's materialization: rows
+      // stream through a LongAccumulator on their way into the staged
+      // blocks — ONE job per round instead of materialize + count-scan.
+      // Task retries can only over-count a nonzero round (a retried task
+      // re-adds); a converged round adds nothing from any attempt, so the
+      // changed==0 exit is exact, and over-counting a nonzero round only
+      // repeats the (idempotent) label refinement.
+      val acc = pairs.sparkSession.sparkContext
+        .longAccumulator(s"graft_cc_changed_$iter")
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(next0.schema)
+      val next = next0.map { r =>
+        if (r.get(1) != r.get(2)) acc.add(1L)
+        r
+      }.stagedAlways
+      changed = acc.value
       labels = next.select("id", "cluster_id")
       iter += 1
     }

@@ -630,18 +630,13 @@ object Extensions {
         .orderBy("doc_id")
     },
 
-    // Transitive closure of MinHash near-dup pairs: one row per clustered
-    // doc with its canonical (minimum) cluster id — the keep-one-per-
-    // cluster step a corpus dedup pipeline actually ships.
-    QueryDef.rowsOnly("dedup_clusters") { (s, d) =>
-      val pairs = Dedup.minhashNearDups(Tables.documents(s, d),
-        "doc_id", "text", threshold = 0.8)
-      Dedup.connectedComponents(pairs)
-        .withColumn("is_canonical", col("id") === col("cluster_id"))
-        .orderBy("cluster_id", "id")
-    },
+    // (A former `dedup_clusters` entry ran the same closure over MinHash
+    // pairs; retired as redundant — the pair generation is DedupSpec-
+    // verified, the closure is hash-verified below over the ngram pair
+    // set, and the minhash→closure COMPOSITION is exercised across all
+    // staging modes by StageSpec — so the no-oracle list stays honest.)
 
-    // The same transitive-closure operator, but over the ngram-Jaccard
+    // Transitive-closure operator over the ngram-Jaccard
     // pair set — whose generation is itself hash-verified above and is
     // hash-INDEPENDENT (no xxhash64 in the pair semantics), so the whole
     // pairs → connected-components → canonical-per-cluster chain is
@@ -935,7 +930,95 @@ object Extensions {
     // instead of floats, exact rescore bounds the approximation: the
     // standard 100 TB ANN stack end-to-end. Assignment is passed in
     // pre-computed (the one-time index build), mirroring sim_ivf_topk.
-    QueryDef.rowsOnly("sim_ivfpq_topk") { (s, d) =>
+    //
+    // The oracle recomposes the ENTIRE chain in SQL: seed codebooks from
+    // the 16 lowest-id vectors, two unrolled Lloyd refinements (L2-argmin
+    // encode with lowest-code tiebreak, decimal-summed dimension means,
+    // REAL-rounded centroids — the Spark side stores float arrays —
+    // dead-code retention via LEFT JOIN/COALESCE), coarse-probe selection,
+    // ADC (query LUT per (sub, code), decimal-summed per-id score, 220-deep
+    // shortlist), exact-cosine rescore. Every step is deterministic double/
+    // decimal math, so it hash-matches bit-for-bit.
+    QueryDef.sql(
+      "sim_ivfpq_topk", {
+        def d2(v: String, c: String) =
+          s"list_dot_product($v, $v) - 2.0 * list_dot_product($v, $c)" +
+            s" + list_dot_product($c, $c)"
+        // one Lloyd refinement: encode vs cb$p, per-(sub,code,dim) decimal
+        // means, rebuild with float rounding + dead-code retention
+        def lloyd(n: Int, p: Int) =
+          s"""enc$n AS (
+             |  SELECT id, sub, code FROM (
+             |    SELECT s.id, s.sub, c.code, row_number() OVER (
+             |      PARTITION BY s.id, s.sub
+             |      ORDER BY ${d2("s.v", "c.cv")}, c.code) AS rn
+             |    FROM sv s JOIN cb$p c ON s.sub = c.sub)
+             |  WHERE rn = 1),
+             |m$n AS (
+             |  SELECT x.sub, x.code, x.dim,
+             |    CAST(SUM(CAST(x.xv AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mv
+             |  FROM (
+             |    SELECT s.sub, n.code, generate_subscripts(s.v, 1) - 1 AS dim,
+             |           unnest(s.v) AS xv
+             |    FROM enc$n n JOIN sv s ON n.id = s.id AND n.sub = s.sub) x
+             |  GROUP BY 1, 2, 3),
+             |cb$n AS (
+             |  SELECT c.sub, c.code, COALESCE(r.cv, c.cv) AS cv
+             |  FROM cb$p c LEFT JOIN (
+             |    SELECT sub, code,
+             |      list(CAST(CAST(mv AS REAL) AS DOUBLE) ORDER BY dim) AS cv
+             |    FROM m$n GROUP BY sub, code) r
+             |    ON c.sub = r.sub AND c.code = r.code)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+           |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+           |sv AS (
+           |  SELECT vec_id AS id, sub, list_slice(emb, sub*8 + 1, sub*8 + 8) AS v
+           |  FROM e CROSS JOIN subs),
+           |seeds AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, emb
+           |  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16)),
+           |cb0 AS (
+           |  SELECT sub, code, list_slice(emb, sub*8 + 1, sub*8 + 8) AS cv
+           |  FROM seeds CROSS JOIN subs),
+           |${lloyd(1, 0)},
+           |${lloyd(2, 1)},
+           |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+           |probes AS (
+           |  SELECT cell FROM cent, q
+           |  ORDER BY (${cosSql("ce", "qe")}) DESC, cell LIMIT 8),
+           |scored AS (
+           |  SELECT e.vec_id, e.emb, cent.cell, ${cosSql("e.emb", "ce")} AS sim
+           |  FROM e CROSS JOIN cent),
+           |assigned AS (
+           |  SELECT vec_id, emb, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+           |    FROM scored) WHERE rn = 1),
+           |members AS (
+           |  SELECT a.vec_id AS id, a.emb FROM assigned a JOIN probes USING (cell)),
+           |menc AS (
+           |  SELECT id, sub, code FROM (
+           |    SELECT s.id, s.sub, c.code, row_number() OVER (
+           |      PARTITION BY s.id, s.sub
+           |      ORDER BY ${d2("s.v", "c.cv")}, c.code) AS rn
+           |    FROM sv s JOIN members mm ON s.id = mm.id
+           |    JOIN cb2 c ON s.sub = c.sub)
+           |  WHERE rn = 1),
+           |qsv AS (
+           |  SELECT sub, list_slice(qe, sub*8 + 1, sub*8 + 8) AS qv
+           |  FROM q CROSS JOIN subs),
+           |lut AS (
+           |  SELECT c.sub, c.code, list_dot_product(c.cv, s.qv) AS pd
+           |  FROM cb2 c JOIN qsv s ON c.sub = s.sub),
+           |adc AS (
+           |  SELECT n.id, CAST(SUM(CAST(l.pd AS DECIMAL(18,9))) AS DOUBLE) AS adc_score
+           |  FROM menc n JOIN lut l ON n.sub = l.sub AND n.code = l.code
+           |  GROUP BY n.id ORDER BY adc_score DESC, n.id LIMIT 220)
+           |SELECT m.id AS vec_id, ${roundN(cosSql("m.emb", "qe"), 6)} AS cosine,
+           |  ${roundN("a.adc_score", 6)} AS adc_score
+           |FROM members m JOIN adc a ON m.id = a.id CROSS JOIN q
+           |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin
+      }) { (s, d) =>
       val emb = Tables.embeddings(s, d).staged
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))

@@ -85,6 +85,14 @@ class PipelineSpec extends AnyFunSuite {
     p.compact("bronze", "tiny", targetMB = 128)
     assert(files() < 5, s"still ${files()} files after compaction")
     assert(p.read("bronze", "tiny").orderBy("id").collect().toSeq === rows)
+    // swap leaves no staging dirs behind (single-writer contract: the
+    // no-table window is two renames; __old/__compact must not persist)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake/bronze/tiny.__old")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake/bronze/tiny.__compact")))
+    // a second compact works from the already-compacted state (and cleans
+    // any leftover staging from a hypothetical crashed run)
+    p.compact("bronze", "tiny", targetMB = 128)
+    assert(p.read("bronze", "tiny").orderBy("id").collect().toSeq === rows)
   }
 
   test("bucketed tables join with no exchange on either side") {
