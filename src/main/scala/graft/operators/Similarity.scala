@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Det
 import graft.expressions.GraftFunctions
@@ -101,6 +102,45 @@ object Similarity {
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
       .select(col(idCol), col("cell"), col("cosine"))
+  }
+
+  /** Batched IVF top-k: N query vectors answered in ONE pass — the
+    * fan-out shape a real retrieval workload needs (a training run
+    * resolves thousands of queries per batch, not one). `queries` has
+    * (query_id, q_emb).
+    *
+    * Shape: the centroid×query grid is broadcast-small (codebook × batch),
+    * so per-query probe selection is a window over that grid; the big side
+    * (cell-assigned members) is then touched once, each member row joining
+    * only the queries that probe its cell — work is Σ_cell members(cell) ×
+    * queries-probing(cell), never members × batch. The final per-query
+    * top-k is a window partitioned by query_id (shuffle cardinality =
+    * batch size). At rest, `preAssigned` partitioned by cell makes the
+    * probe join partition-pruned exactly like the single-query path. */
+  def ivfTopKBatch(vectors: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int, idCol: String = "vec_id",
+      embCol: String = "embedding",
+      preAssigned: Option[DataFrame] = None): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("__sim"), col("cell"))
+    val probes = centroids
+      .crossJoin(broadcast(queries))
+      .withColumn("__sim", GraftFunctions.cosine_sim(col("c_emb"), col("q_emb")))
+      .withColumn("__rk", row_number().over(probeW))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("cell"), col("q_emb"))
+    val assigned = preAssigned.getOrElse(
+      assignCells(vectors, centroids, idCol, embCol))
+    val topW = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col(idCol))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("cosine",
+        Det.roundN(GraftFunctions.cosine_sim(col(embCol), col("q_emb")), 6))
+      .withColumn("__rk", row_number().over(topW))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col(idCol), col("cell"), col("cosine"))
   }
 
   /** One Lloyd (k-means) iteration over an embedding column: assign every

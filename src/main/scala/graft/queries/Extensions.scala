@@ -797,6 +797,49 @@ object Extensions {
       Similarity.ivfTopK(emb, centroids, q, k = 11, nProbe = 4)
     },
 
+    // Batched IVF: 8 query vectors answered in one pass — per-query probe
+    // selection windowed over the broadcast centroid×query grid, members
+    // fanned only to the queries probing their cell, per-query top-5 via
+    // a window partitioned by query_id. The oracle re-derives the whole
+    // thing (assignment argmax, per-query probe rank, rounded-cosine
+    // rank), so the batch fan-out shape is hash-verified, not just
+    // recall-checked.
+    QueryDef.sql(
+      "sim_ivf_batch",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+         |qs AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT query_id, cell, qe FROM (
+         |    SELECT q.query_id, c.cell, q.qe,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY (${cosSql("c.ce", "q.qe")}) DESC, c.cell) AS rk
+         |    FROM cent c CROSS JOIN qs q) WHERE rk <= 4),
+         |scored AS (
+         |  SELECT e.vec_id, e.emb, cent.cell, ${cosSql("e.emb", "ce")} AS sim
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |hits AS (
+         |  SELECT p.query_id, a.vec_id, a.cell,
+         |    ${roundN(cosSql("a.emb", "p.qe"), 6)} AS cosine
+         |  FROM assigned a JOIN probes p USING (cell))
+         |SELECT query_id, vec_id, cell, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, vec_id) AS rk FROM hits)
+         |WHERE rk <= 5
+         |ORDER BY query_id, cosine DESC, vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      Similarity.ivfTopKBatch(emb, centroids, qs, k = 5, nProbe = 4)
+        .orderBy(col("query_id"), desc("cosine"), col("vec_id"))
+    },
+
     // One Lloyd iteration refreshing the IVF codebook: assignment argmax +
     // decimal-summed dimension means. Long (cell, dim) output so the
     // oracle compares scalars, not arrays.

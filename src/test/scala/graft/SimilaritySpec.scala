@@ -49,6 +49,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.toSeq === bf.toSeq)
   }
 
+  test("batched IVF matches per-query IVF for every query in the batch") {
+    val centroids = vecs.select($"vec_id".as("cell"),
+      $"embedding".as("c_emb"))
+    val qs = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val batch = Similarity.ivfTopKBatch(vecs, centroids, qs,
+        k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for (qid <- Seq(0L, 1L, 2L)) {
+      val q = vecs.filter($"vec_id" === qid).select($"embedding".as("q_emb"))
+      val single = Similarity.ivfTopK(vecs, centroids, q, k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(qid) === single, s"query $qid diverged")
+    }
+  }
+
   test("embedding near-dup LSH surfaces the planted pair") {
     val pairs = Similarity.embeddingNearDups(vecs, threshold = 0.9,
       nBits = 8, bands = 4, maxBucket = 16)
