@@ -23,6 +23,69 @@ object Extensions {
       s" THEN list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))" +
       s" ELSE 0.0 END"
 
+  /** Squared L2 between two DOUBLE[] lists, in the exact expression order
+    * the Spark PQ encoder computes it. */
+  private def pqD2(v: String, c: String) =
+    s"list_dot_product($v, $v) - 2.0 * list_dot_product($v, $c)" +
+      s" + list_dot_product($c, $c)"
+
+  /** One Lloyd refinement of the PQ codebooks: L2-argmin encode vs cb$p
+    * (lowest-code tiebreak), per-(sub,code,dim) decimal means, rebuild
+    * with float (REAL) rounding — the Spark side stores float arrays —
+    * and dead-code retention via LEFT JOIN/COALESCE. */
+  private def pqLloyd(n: Int, p: Int) =
+    s"""enc$n AS (
+       |  SELECT id, sub, code FROM (
+       |    SELECT s.id, s.sub, c.code, row_number() OVER (
+       |      PARTITION BY s.id, s.sub
+       |      ORDER BY ${pqD2("s.v", "c.cv")}, c.code) AS rn
+       |    FROM sv s JOIN cb$p c ON s.sub = c.sub)
+       |  WHERE rn = 1),
+       |m$n AS (
+       |  SELECT x.sub, x.code, x.dim,
+       |    CAST(SUM(CAST(x.xv AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mv
+       |  FROM (
+       |    SELECT s.sub, n.code, generate_subscripts(s.v, 1) - 1 AS dim,
+       |           unnest(s.v) AS xv
+       |    FROM enc$n n JOIN sv s ON n.id = s.id AND n.sub = s.sub) x
+       |  GROUP BY 1, 2, 3),
+       |cb$n AS (
+       |  SELECT c.sub, c.code, COALESCE(r.cv, c.cv) AS cv
+       |  FROM cb$p c LEFT JOIN (
+       |    SELECT sub, code,
+       |      list(CAST(CAST(mv AS REAL) AS DOUBLE) ORDER BY dim) AS cv
+       |    FROM m$n GROUP BY sub, code) r
+       |    ON c.sub = r.sub AND c.code = r.code)""".stripMargin
+
+  /** Shared PQ-oracle prefix mirroring Pq.train(m=8, dims=64, k=16,
+    * iters=2) bit-for-bit: double-cast embeddings `e`, query vector `q`,
+    * long-form subvectors `sv`, seed codebooks `cb0` from the 16
+    * lowest-id vectors, two unrolled Lloyd refinements → trained
+    * codebooks `cb2`, plus the query's subvectors `qsv` and its
+    * per-(sub, code) partial-dot LUT `lut`. Used by both sim_pq_topk and
+    * sim_ivfpq_topk so the two oracles cannot drift apart. */
+  private val pqTrainCte =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+       |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       |sv AS (
+       |  SELECT vec_id AS id, sub, list_slice(emb, sub*8 + 1, sub*8 + 8) AS v
+       |  FROM e CROSS JOIN subs),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, emb
+       |  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16)),
+       |cb0 AS (
+       |  SELECT sub, code, list_slice(emb, sub*8 + 1, sub*8 + 8) AS cv
+       |  FROM seeds CROSS JOIN subs),
+       |${pqLloyd(1, 0)},
+       |${pqLloyd(2, 1)},
+       |qsv AS (
+       |  SELECT sub, list_slice(qe, sub*8 + 1, sub*8 + 8) AS qv
+       |  FROM q CROSS JOIN subs),
+       |lut AS (
+       |  SELECT c.sub, c.code, list_dot_product(c.cv, s.qv) AS pd
+       |  FROM cb2 c JOIN qsv s ON c.sub = s.sub)""".stripMargin
+
   /** Shared oracle prefix: ngram-Jaccard pairs (inverted index, posting
     * cap 2..32, threshold 0.8) → recursive min-label transitive closure →
     * `clusters(id, cluster_id)`. Three queries build on this chain
@@ -883,11 +946,28 @@ object Extensions {
 
     // Product-quantized ANN: per-subspace codebooks (8 subspaces × 8 dims,
     // 16 codes — 64 floats compressed to 8 bytes per vector), ADC scan
-    // summing m LUT entries per vector, exact rescore of the 5k-deep
-    // shortlist. Deterministic (decimal-summed training means and ADC
-    // scores) but not SQL-expressible — PqSpec proves recall ≥ 0.9 vs the
-    // brute-force scan.
-    QueryDef.rowsOnly("sim_pq_topk") { (s, d) =>
+    // summing m LUT entries per vector, exact rescore of the 220-deep
+    // shortlist. PqSpec proves recall ≥ 0.9 vs the brute-force scan; the
+    // oracle recomposes the full train→encode→ADC→rescore chain over the
+    // shared pqTrainCte (every step is deterministic decimal/double math).
+    QueryDef.sql(
+      "sim_pq_topk",
+      s"""WITH $pqTrainCte,
+         |menc AS (
+         |  SELECT id, sub, code FROM (
+         |    SELECT s.id, s.sub, c.code, row_number() OVER (
+         |      PARTITION BY s.id, s.sub
+         |      ORDER BY ${pqD2("s.v", "c.cv")}, c.code) AS rn
+         |    FROM sv s JOIN cb2 c ON s.sub = c.sub)
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT n.id, CAST(SUM(CAST(l.pd AS DECIMAL(18,9))) AS DOUBLE) AS adc_score
+         |  FROM menc n JOIN lut l ON n.sub = l.sub AND n.code = l.code
+         |  GROUP BY n.id ORDER BY adc_score DESC, n.id LIMIT 220)
+         |SELECT e.vec_id, ${roundN(cosSql("e.emb", "qe"), 6)} AS cosine,
+         |  ${roundN("a.adc_score", 6)} AS adc_score
+         |FROM e JOIN adc a ON e.vec_id = a.id CROSS JOIN q
+         |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).staged
       val cb = graft.operators.Pq.train(emb, m = 8, dims = 64, k = 16,
         iters = 2)
@@ -983,85 +1063,37 @@ object Extensions {
     // shortlist), exact-cosine rescore. Every step is deterministic double/
     // decimal math, so it hash-matches bit-for-bit.
     QueryDef.sql(
-      "sim_ivfpq_topk", {
-        def d2(v: String, c: String) =
-          s"list_dot_product($v, $v) - 2.0 * list_dot_product($v, $c)" +
-            s" + list_dot_product($c, $c)"
-        // one Lloyd refinement: encode vs cb$p, per-(sub,code,dim) decimal
-        // means, rebuild with float rounding + dead-code retention
-        def lloyd(n: Int, p: Int) =
-          s"""enc$n AS (
-             |  SELECT id, sub, code FROM (
-             |    SELECT s.id, s.sub, c.code, row_number() OVER (
-             |      PARTITION BY s.id, s.sub
-             |      ORDER BY ${d2("s.v", "c.cv")}, c.code) AS rn
-             |    FROM sv s JOIN cb$p c ON s.sub = c.sub)
-             |  WHERE rn = 1),
-             |m$n AS (
-             |  SELECT x.sub, x.code, x.dim,
-             |    CAST(SUM(CAST(x.xv AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mv
-             |  FROM (
-             |    SELECT s.sub, n.code, generate_subscripts(s.v, 1) - 1 AS dim,
-             |           unnest(s.v) AS xv
-             |    FROM enc$n n JOIN sv s ON n.id = s.id AND n.sub = s.sub) x
-             |  GROUP BY 1, 2, 3),
-             |cb$n AS (
-             |  SELECT c.sub, c.code, COALESCE(r.cv, c.cv) AS cv
-             |  FROM cb$p c LEFT JOIN (
-             |    SELECT sub, code,
-             |      list(CAST(CAST(mv AS REAL) AS DOUBLE) ORDER BY dim) AS cv
-             |    FROM m$n GROUP BY sub, code) r
-             |    ON c.sub = r.sub AND c.code = r.code)""".stripMargin
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-           |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
-           |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
-           |sv AS (
-           |  SELECT vec_id AS id, sub, list_slice(emb, sub*8 + 1, sub*8 + 8) AS v
-           |  FROM e CROSS JOIN subs),
-           |seeds AS (
-           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, emb
-           |  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16)),
-           |cb0 AS (
-           |  SELECT sub, code, list_slice(emb, sub*8 + 1, sub*8 + 8) AS cv
-           |  FROM seeds CROSS JOIN subs),
-           |${lloyd(1, 0)},
-           |${lloyd(2, 1)},
-           |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
-           |probes AS (
-           |  SELECT cell FROM cent, q
-           |  ORDER BY (${cosSql("ce", "qe")}) DESC, cell LIMIT 8),
-           |scored AS (
-           |  SELECT e.vec_id, e.emb, cent.cell, ${cosSql("e.emb", "ce")} AS sim
-           |  FROM e CROSS JOIN cent),
-           |assigned AS (
-           |  SELECT vec_id, emb, cell FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
-           |    FROM scored) WHERE rn = 1),
-           |members AS (
-           |  SELECT a.vec_id AS id, a.emb FROM assigned a JOIN probes USING (cell)),
-           |menc AS (
-           |  SELECT id, sub, code FROM (
-           |    SELECT s.id, s.sub, c.code, row_number() OVER (
-           |      PARTITION BY s.id, s.sub
-           |      ORDER BY ${d2("s.v", "c.cv")}, c.code) AS rn
-           |    FROM sv s JOIN members mm ON s.id = mm.id
-           |    JOIN cb2 c ON s.sub = c.sub)
-           |  WHERE rn = 1),
-           |qsv AS (
-           |  SELECT sub, list_slice(qe, sub*8 + 1, sub*8 + 8) AS qv
-           |  FROM q CROSS JOIN subs),
-           |lut AS (
-           |  SELECT c.sub, c.code, list_dot_product(c.cv, s.qv) AS pd
-           |  FROM cb2 c JOIN qsv s ON c.sub = s.sub),
-           |adc AS (
-           |  SELECT n.id, CAST(SUM(CAST(l.pd AS DECIMAL(18,9))) AS DOUBLE) AS adc_score
-           |  FROM menc n JOIN lut l ON n.sub = l.sub AND n.code = l.code
-           |  GROUP BY n.id ORDER BY adc_score DESC, n.id LIMIT 220)
-           |SELECT m.id AS vec_id, ${roundN(cosSql("m.emb", "qe"), 6)} AS cosine,
-           |  ${roundN("a.adc_score", 6)} AS adc_score
-           |FROM members m JOIN adc a ON m.id = a.id CROSS JOIN q
-           |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin
-      }) { (s, d) =>
+      "sim_ivfpq_topk",
+      s"""WITH $pqTrainCte,
+         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+         |probes AS (
+         |  SELECT cell FROM cent, q
+         |  ORDER BY (${cosSql("ce", "qe")}) DESC, cell LIMIT 8),
+         |scored AS (
+         |  SELECT e.vec_id, e.emb, cent.cell, ${cosSql("e.emb", "ce")} AS sim
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |members AS (
+         |  SELECT a.vec_id AS id, a.emb FROM assigned a JOIN probes USING (cell)),
+         |menc AS (
+         |  SELECT id, sub, code FROM (
+         |    SELECT s.id, s.sub, c.code, row_number() OVER (
+         |      PARTITION BY s.id, s.sub
+         |      ORDER BY ${pqD2("s.v", "c.cv")}, c.code) AS rn
+         |    FROM sv s JOIN members mm ON s.id = mm.id
+         |    JOIN cb2 c ON s.sub = c.sub)
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT n.id, CAST(SUM(CAST(l.pd AS DECIMAL(18,9))) AS DOUBLE) AS adc_score
+         |  FROM menc n JOIN lut l ON n.sub = l.sub AND n.code = l.code
+         |  GROUP BY n.id ORDER BY adc_score DESC, n.id LIMIT 220)
+         |SELECT m.id AS vec_id, ${roundN(cosSql("m.emb", "qe"), 6)} AS cosine,
+         |  ${roundN("a.adc_score", 6)} AS adc_score
+         |FROM members m JOIN adc a ON m.id = a.id CROSS JOIN q
+         |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).staged
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
