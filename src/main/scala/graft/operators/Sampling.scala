@@ -77,4 +77,25 @@ object Sampling {
       .filter(bucket(col(keyCol), salt) < threshold)
       .drop("rate")
   }
+
+  /** Per-group frequency cap — the per-domain cap web-corpus curation
+    * applies so an over-crawled domain cannot dominate the training mix:
+    * rank rows within each group by `priority` (best first) and mark the
+    * top `k` kept. Returns the input plus (group_rank, is_kept) so the
+    * caller can filter or just audit.
+    *
+    * Scale: one window shuffle keyed by the group column (cardinality =
+    * #domains, not #rows). A mega-domain ranks inside its own partition
+    * only — no global sort. At rest, bucket the corpus by the group key
+    * and the window runs exchange-free. `priority` must totally order
+    * rows within a group (include a unique id as the last key) or the
+    * cap boundary is nondeterministic. */
+  def capPerGroup(df: DataFrame, groupCol: String, priority: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(priority: _*)
+    df.withColumn("group_rank", row_number().over(w))
+      .withColumn("is_kept", col("group_rank") <= k)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Contamination, Dedup, Mixing, Scd2, Shards}
+import graft.operators.{Chunking, Contamination, Dedup, Mixing, Sampling, Scd2, Shards}
 import graft.engine.Stage.syntax._
 
 /** Warehouse history merge + the remaining training-data curation passes:
@@ -561,6 +561,95 @@ object Curation {
       val assigned = Shards.assign(Tables.documents(s, d), "doc_id",
         "n_chars", nShards = 8, heavyCutoff = 500)
       Shards.summary(assigned, "n_chars").orderBy("shard")
+    },
+
+    // Per-domain cap (the RefinedWeb/C4 move): at most 15 docs per
+    // source, ranked longest-first (n_chars DESC, doc_id tiebreak) —
+    // stops an over-crawled source from dominating the mix. Full per-doc
+    // annotation is hash-checked, cap boundary included.
+    QueryDef.sql(
+      "t_source_cap",
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS group_rank,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) <= 15 AS is_kept
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.capPerGroup(Tables.documents(s, d), "source",
+          Seq(col("n_chars").desc, col("doc_id")), k = 15)
+        .select("doc_id", "source", "group_rank", "is_kept")
+        .orderBy("doc_id")
+    },
+
+    // Corpus snapshot diff — dataset versioning: old = 90% of the corpus
+    // (ids % 10 != 0 — the rest read as `added`), new = current corpus
+    // with every 7th doc revised (`changed`); removed is exercised by ids
+    // present only in old (none here — full-outer join still proves the
+    // branch). Content compared by sha256 so document bytes never cross
+    // the exchange.
+    QueryDef.sql(
+      "t_snapshot_diff",
+      """WITH snap_old AS (
+        |  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 10 != 0),
+        |snap_new AS (
+        |  SELECT doc_id, sha256(
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+        |  FROM documents)
+        |SELECT COALESCE(snap_old.doc_id, snap_new.doc_id) AS doc_id,
+        |  CASE WHEN snap_old.h IS NULL THEN 'added'
+        |       WHEN snap_new.h IS NULL THEN 'removed'
+        |       WHEN snap_old.h != snap_new.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM snap_old FULL OUTER JOIN snap_new ON snap_old.doc_id = snap_new.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      val newSnap = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      graft.operators.Snapshot.diff(oldSnap, newSnap, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR-style importance weights: per-doc average per-token
+    // discriminant between the target distribution (sources src0..src4)
+    // and the raw corpus over the top-64 vocabulary. Decimal-summed
+    // deltas, rational math only — the full per-doc weight table is
+    // hash-checked.
+    QueryDef.sql(
+      "t_importance_weights",
+      raw"""WITH toks AS (
+         |  SELECT doc_id,
+         |    source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS t,
+         |    unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
+         |  FROM documents),
+         |counts AS (
+         |  SELECT w, COUNT(*) AS n_raw,
+         |    COUNT(CASE WHEN t THEN 1 END) AS n_tgt
+         |  FROM toks GROUP BY 1),
+         |totals AS (
+         |  SELECT COUNT(*) AS nr, COUNT(CASE WHEN t THEN 1 END) AS nt
+         |  FROM toks),
+         |vocab AS (SELECT w, n_raw, n_tgt FROM counts
+         |  ORDER BY n_raw DESC, w LIMIT 64),
+         |deltas AS (
+         |  SELECT w, n_tgt * 1.0 / nt - n_raw * 1.0 / nr AS delta
+         |  FROM vocab CROSS JOIN totals),
+         |dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
+         |hits AS (
+         |  SELECT toks.doc_id, COUNT(*) AS n_hits,
+         |    CAST(SUM(CAST(delta AS DECIMAL(18,12))) AS DOUBLE) AS sum_delta
+         |  FROM toks JOIN deltas ON toks.w = deltas.w GROUP BY 1)
+         |SELECT dl.doc_id, COALESCE(n_hits, 0) AS n_hits,
+         |  ${roundN("COALESCE(sum_delta, 0.0) * 1000.0 / doc_len", 8)} AS weight
+         |FROM dl LEFT JOIN hits ON dl.doc_id = hits.doc_id
+         |ORDER BY dl.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("is_target",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      graft.operators.Importance.weights(docs, "doc_id", "text",
+          "is_target", vocabSize = 64)
+        .orderBy("doc_id")
     },
   )
 }

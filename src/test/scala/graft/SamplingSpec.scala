@@ -73,4 +73,56 @@ class SamplingSpec extends AnyFunSuite {
       rates.filter($"stratum" =!= "2"))
     assert(partial.filter($"stratum" === "2").count() === 0)
   }
+
+  test("capPerGroup keeps exactly k per group with deterministic boundary") {
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), // 3-way tie on size
+      ("a", 4L, 50L),
+      ("b", 5L, 10L))
+      .toDF("source", "doc_id", "n_chars")
+    val out = Sampling.capPerGroup(rows, "source",
+        Seq(col("n_chars").desc, col("doc_id")), k = 2)
+      .collect().map(r => r.getLong(1) -> (r.getInt(3), r.getBoolean(4))).toMap
+    // ties broken by doc_id: 1,2 kept; 3 over the cap despite equal size
+    assert(out(1L) === ((1, true)))
+    assert(out(2L) === ((2, true)))
+    assert(out(3L) === ((3, false)))
+    assert(out(4L) === ((4, false)))
+    assert(out(5L) === ((1, true)), "small group entirely kept")
+  }
+
+  test("snapshot diff classifies all four statuses") {
+    import graft.operators.Snapshot
+    val oldSnap = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Snapshot.diff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val sums = Snapshot.summary(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums === Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("importance weights pull target-typical docs positive") {
+    import graft.operators.Importance
+    // 'wiki wiki' dominates target rows; 'spam' dominates the raw rest
+    val docs = Seq(
+      (1L, "wiki wiki wiki", true),
+      (2L, "wiki wiki spam", true),
+      (3L, "spam spam spam", false),
+      (4L, "spam spam wiki", false),
+      (5L, "neutral words here", false))
+      .toDF("doc_id", "text", "is_target")
+    val w = Importance.weights(docs, "doc_id", "text", "is_target",
+        vocabSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > 0, "all-target-vocab doc must score positive")
+    assert(w(3L) < 0, "all-raw-vocab doc must score negative")
+    assert(w(1L) > w(2L), s"more target mass must rank higher: $w")
+    assert(w(3L) < w(4L), s"more raw mass must rank lower: $w")
+  }
 }
