@@ -980,6 +980,46 @@ object Extensions {
         rescoreFactor = 20)
     },
 
+    // Int8-quantized cosine top-k: per-vector symmetric quantization
+    // (scale = max|x|/127, floor(x/scale + 0.5) codes), search over the
+    // DEQUANTIZED column against the full-precision query — the
+    // codebook-free 4×-compression path. The oracle recomputes codes and
+    // reconstruction per element, so quantize → dequantize → rank is
+    // hash-verified end-to-end (float-rounded reconstruction included).
+    QueryDef.sql(
+      "sim_int8_topk",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT vec_id, emb,
+         |    list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+         |  FROM e),
+         |dq AS (
+         |  SELECT vec_id, scale,
+         |    CASE WHEN scale > 0 THEN list_transform(emb, x ->
+         |      CAST(CAST(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale AS REAL) AS DOUBLE))
+         |    ELSE list_transform(emb, x -> 0.0) END AS demb
+         |  FROM sc)
+         |SELECT vec_id, ${roundN(cosSql("demb", "qe"), 6)} AS cosine,
+         |  ${roundN("scale", 9)} AS q_scale
+         |FROM dq CROSS JOIN q
+         |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin) { (s, d) =>
+      graft.expressions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val quantized = graft.operators.Quantize.int8(emb, "embedding")
+        .withColumn("demb", graft.operators.Quantize.dequantize(
+          col("q_emb8"), col("q_scale")))
+      quantized.crossJoin(broadcast(q))
+        .withColumn("cosine", Det.roundN(
+          graft.expressions.GraftFunctions.cosine_sim(col("demb"), col("q_emb")), 6))
+        .select(col("vec_id"), col("cosine"),
+          Det.roundN(col("q_scale"), 9).as("q_scale"))
+        .orderBy(desc("cosine"), col("vec_id"))
+        .limit(11)
+    },
+
     // Per-label embedding centroids — the pooling aggregate behind class
     // prototypes, cluster summaries, and mean-pooled doc embeddings:
     // posexplode to (label, dim, x), decimal-summed per-dim means, long

@@ -66,6 +66,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: codes in range, reconstruction close, zero-safe") {
+    import graft.operators.Quantize
+    val withZero = vecs.unionByName(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val q = Quantize.int8(withZero, "embedding")
+      .withColumn("demb",
+        Quantize.dequantize(col("q_emb8"), col("q_scale")))
+      .select("vec_id", "q_emb8", "q_scale", "demb")
+    val rows = q.collect().map { r =>
+      r.getLong(0) -> (r.getSeq[Int](1), r.getDouble(2), r.getSeq[Float](3))
+    }.toMap
+    for ((id, (codes, scale, demb)) <- rows) {
+      assert(codes.forall(c => c >= -127 && c <= 127), s"$id codes $codes")
+      if (id == 9L) {
+        assert(scale === 0.0 && codes.forall(_ == 0) && demb.forall(_ == 0f))
+      } else {
+        assert(codes.exists(c => math.abs(c) == 127),
+          s"$id max-magnitude element must hit the int8 edge")
+        val orig = vecs.filter($"vec_id" === id)
+          .select("embedding").collect()(0).getSeq[Float](0)
+        orig.zip(demb).foreach { case (o, d) =>
+          assert(math.abs(o - d) <= scale / 2 + 1e-6,
+            s"$id reconstruction error beyond half a step")
+        }
+      }
+    }
+  }
+
   test("embedding near-dup LSH surfaces the planted pair") {
     val pairs = Similarity.embeddingNearDups(vecs, threshold = 0.9,
       nBits = 8, bands = 4, maxBucket = 16)
