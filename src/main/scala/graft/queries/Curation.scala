@@ -612,6 +612,34 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Sequence packing: per-source contiguous fill into 128-token training
+    // sequences — each doc lands in the sequence where its first token
+    // falls (window cumulative sum per shard; no global sort). Full
+    // per-doc (seq_id, offset) assignment is hash-checked.
+    QueryDef.sql(
+      "t_seq_pack",
+      raw"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    len(str_split_regex(trim(lower(text)), '\s+')) AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, toks,
+         |    COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+         |  FROM t)
+         |SELECT doc_id, source, CAST(toks AS BIGINT) AS toks,
+         |  CAST(FLOOR(tokens_before * 1.0 / 128) AS BIGINT) AS seq_id,
+         |  CAST(tokens_before
+         |    - CAST(FLOOR(tokens_before * 1.0 / 128) AS BIGINT) * 128 AS BIGINT) AS offset
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", TextFunctions.wordCount(col("text")))
+      graft.operators.Packing.contiguous(docs, "source", "doc_id",
+          "toks", maxTokens = 128)
+        .select("doc_id", "source", "toks", "seq_id", "offset")
+        .orderBy("doc_id")
+    },
+
     // DSIR-style importance weights: per-doc average per-token
     // discriminant between the target distribution (sources src0..src4)
     // and the raw corpus over the top-64 vocabulary. Decimal-summed

@@ -153,4 +153,22 @@ class CurationSpec extends AnyFunSuite {
       .agg(max("imbalance")).as[Double].collect().head
     assert(imb < 1.25, s"max shard carries ${imb}x the ideal share")
   }
+
+  test("contiguous packing fills sequences in order, overflow bounded") {
+    import graft.operators.Packing
+    val docs = Seq(
+      // shard s: 60+60 fill seq 0 to 120; 30 starts at offset 120 of seq 0
+      // (first token before the 128 boundary), 100 starts seq 1+
+      ("s", 1L, 60L), ("s", 2L, 60L), ("s", 3L, 30L), ("s", 4L, 100L),
+      ("r", 9L, 300L), ("r", 10L, 5L)) // oversized doc owns its start bin
+      .toDF("shard", "doc_id", "toks")
+    val out = Packing.contiguous(docs, "shard", "doc_id", "toks", 128)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((0L, 0L)))
+    assert(out(2L) === ((0L, 60L)))
+    assert(out(3L) === ((0L, 120L)), "doc starting before the boundary stays")
+    assert(out(4L) === ((1L, 22L)), "next doc lands past the overflow")
+    assert(out(9L) === ((0L, 0L)), "shards pack independently")
+    assert(out(10L) === ((2L, 44L)), "300-token doc pushes successor to seq 2")
+  }
 }
