@@ -60,4 +60,30 @@ object Det {
     val p = math.pow(10, n)
     s"FLOOR(($e) * $p + 0.5) / $p"
   }
+
+  /** Cross-engine deterministic 56-bit hash of a string column.
+    *
+    * Spark's fast hashes (xxhash64, murmur) don't exist in other engines,
+    * so anything keyed on them — sampling membership, split assignment,
+    * LSH families — can only ever be checked rows-only. md5 is the one
+    * hash every engine agrees on byte-for-byte, and 14 hex chars (56 bits)
+    * parse into a non-negative BIGINT with headroom for affine
+    * combinations (h1 + i·h2 stays under 2^63 for i < 64 — the MinHash
+    * family construction) without overflow on either engine.
+    *
+    * Mirror in DuckDB via [[h56Sql]]. `pos` selects the hex span (1 and 17
+    * give two independent 56-bit values from one digest). Cost: ~100 ns/row
+    * vs ~10 ns for xxhash64 — negligible against scan+decode at 100 TB, and
+    * cross-engine reproducibility is part of the contract for splits (a
+    * train/test split must be recomputable by ANY engine reading the
+    * corpus, not just Spark).
+    *
+    * The input must already BE a string (callers cast keys explicitly):
+    * implicit numeric→string casts are where engines disagree (double
+    * formatting), so keep keys integral or string. */
+  def h56(s: Column, pos: Int = 1): Column =
+    conv(substring(md5(s), pos, 14), 16, 10).cast("long")
+
+  def h56Sql(e: String, pos: Int = 1): String =
+    s"CAST('0x' || substring(md5($e), $pos, 14) AS BIGINT)"
 }

@@ -83,15 +83,20 @@ object Dedup {
       .distinct()
     val short = toks.filter(size(col("toks")) < shingleSize)
       .select(col("id"), concat_ws(" ", col("toks")).as("shingle"))
-    // shash: the shingle string hashed ONCE into the staged relation.
-    // Consumers that derive per-component hashes (minhash) key off this
-    // 64-bit id instead of rehashing the string per component — an
-    // expression in the aggregate would be re-evaluated per component
-    // (no CSE across aggregate functions; measured 1.7× slower).
+    // __h1/__h2: the shingle string hashed ONCE into the staged relation
+    // (two independent 56-bit md5 spans). Consumers that derive
+    // per-component hashes (minhash) combine these affinely instead of
+    // rehashing the string per component — an expression in the aggregate
+    // would be re-evaluated per component (no CSE across aggregate
+    // functions; measured 1.7× slower) — and the md5 basis makes the
+    // whole LSH family recomputable in oracle SQL.
     full.unionByName(short)
-      .withColumn("shash", xxhash64(col("shingle")))
+      .withColumn("__h1", Det.h56(col("shingle")))
+      .withColumn("__h2", Det.h56(col("shingle"), pos = 17))
       .staged
   }
+
+  private def dropHashes(df: DataFrame): DataFrame = df.drop("__h1", "__h2")
 
   /** Jaccard from intersection count + per-doc set sizes:
     * |A∩B| / (|A| + |B| − |A∩B|). */
@@ -119,22 +124,25 @@ object Dedup {
 
   /** MinHash signatures + LSH band keys from a staged shingle relation.
     * One codegen'd aggregate computes every minhash component + set size.
-    * Components derive from the staged 64-bit shingle hash (`shash`):
-    * xxhash64 over two longs per component, instead of rehashing the
-    * shingle string per component — the string is hashed once at staging
-    * time. Still an independent-enough family: each component is a
-    * different keyed hash of the shingle's 64-bit id.
+    * The component family is the affine construction h_i = h1 + i·h2 over
+    * the two staged 56-bit md5 spans (`__h1`/`__h2`) — the standard
+    * two-base-hash MinHash family, overflow-free (max h1 + 63·h2 < 2^62),
+    * pure arithmetic in the aggregate (cheaper than a per-component hash
+    * call), and — because both engines compute md5 identically —
+    * recomputable in oracle SQL end-to-end. Band keys are the plain
+    * comma-joined component strings (no re-hash: the string IS a unique
+    * key for the band's component vector).
     * Returns (sizes: (id, n), keyed: (id, band_id, band_hash)). */
   private[operators] def sigKeyed(exploded: DataFrame, numHashes: Int,
       bands: Int): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i.toLong), col("shash"))).as(s"__h$i"))
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"__h$i"))
     val aggCols = count(lit(1)).as("n") +: minCols
     val sigs = exploded.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
-      xxhash64(lit(b), concat_ws(",",
-        (0 until rows).map(r => col(s"__h${b * rows + r}").cast("string")): _*))
+      concat_ws(",",
+        (0 until rows).map(r => col(s"__h${b * rows + r}").cast("string")): _*)
     }
     val keyed = sigs.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
@@ -155,8 +163,8 @@ object Dedup {
     // past the 8 GB cap — AQE picks a broadcast join at runtime when the
     // candidate set actually is small.
     val inter = cands
-      .join(exploded.drop("shash").withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
-      .join(exploded.drop("shash").withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
+      .join(dropHashes(exploded).withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
+      .join(dropHashes(exploded).withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     jaccardFromCounts(inter, sizes)
       .filter(col("jaccard") >= threshold)
@@ -180,7 +188,7 @@ object Dedup {
       shingleSize: Int = 3): MinhashLshIndex = {
     val exploded = explodedShingles(corpus, idCol, textCol, shingleSize)
     val (sizes, keyed) = sigKeyed(exploded, numHashes, bands)
-    MinhashLshIndex(keyed, exploded.drop("shash"), sizes,
+    MinhashLshIndex(keyed, dropHashes(exploded), sizes,
       numHashes, bands, shingleSize)
   }
 
@@ -226,7 +234,7 @@ object Dedup {
         greatest(col("id"), col("id_r")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    val shingles = exploded.drop("shash").unionByName(index.shingles)
+    val shingles = dropHashes(exploded).unionByName(index.shingles)
     val sizes = bSizes.unionByName(index.sizes)
     val inter = cands
       .join(shingles.withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
@@ -237,24 +245,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup pairs: 64-bit majority-vote signatures (explode →
-    * 64 signed sums → pack), 4×16-bit band blocking, xor-popcount verify. */
+  /** SimHash near-dup pairs: 56-bit majority-vote signatures (explode →
+    * 56 signed sums → pack), 4×14-bit band blocking, xor-popcount verify.
+    *
+    * 56 bits, not 64: the per-token hash is the cross-engine md5-derived
+    * [[Det.h56]], which makes the ENTIRE pipeline — signatures, banding,
+    * bucket cap, Hamming verify — expressible in oracle SQL and therefore
+    * hash-checked against DuckDB, not just spec-checked. The 8 lost bits
+    * shift the Hamming-distance-per-cosine-angle scale by 56/64 ≈ 0.9 —
+    * immaterial next to end-to-end verifiability. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6, maxBucket: Int = 256): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(b =>
+      .select(col("id"), Det.h56(col("t")).as("h"))
+    val bitSums = (0 until 56).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"__s$b"))
     val packed = tok.groupBy(col("id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b =>
+        (0 until 56).map(b =>
           when(col(s"__s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
     val bandCols = (0 until 4).map(b =>
-      shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)))
+      shiftright(col("simhash"), 14 * b).bitwiseAND(lit(16383L)))
     // carry the signature through the bucket join so the Hamming filter
     // runs INSIDE the join — only surviving pairs reach the distinct,
     // instead of shuffling every bucket collision first

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Det
 
 /** Deterministic sampling and dataset splitting for training pipelines.
   *
@@ -12,8 +13,13 @@ import org.apache.spark.sql.functions._
   * 1 executor or 1000, today or in a backfill, which is what training /
   * eval splits require (a row must never migrate between train and test).
   *
-  * All selections are single map-side filters (no shuffle); the hash is
-  * codegen'd xxhash64. Fractions resolve at `buckets` granularity
+  * All selections are single map-side filters (no shuffle). The hash is
+  * the cross-engine md5-derived [[Det.h56]], not xxhash64: a split is a
+  * CONTRACT with downstream consumers (eval harnesses, other engines
+  * re-reading the corpus), so membership must be recomputable outside
+  * Spark — and it makes every sampling query here fully
+  * oracle-checkable in DuckDB. The ~100 ns/row md5 cost is noise against
+  * scan+decode. Fractions resolve at `buckets` granularity
   * (default 1/10000).
   */
 object Sampling {
@@ -21,9 +27,14 @@ object Sampling {
   val Buckets = 10000
 
   /** Stable bucket in [0, Buckets) from the row key (+ optional salt so
-    * different samples over the same data are independent). */
+    * different samples over the same data are independent). Mirror in SQL
+    * with [[bucketSql]]. */
   def bucket(key: Column, salt: Int = 0): Column =
-    pmod(xxhash64(lit(salt), key), lit(Buckets))
+    pmod(Det.h56(concat(lit(s"$salt:"), key.cast("string"))), lit(Buckets))
+
+  /** DuckDB mirror of [[bucket]]: `e` is a SQL expression for the key. */
+  def bucketSql(e: String, salt: Int = 0): String =
+    s"(${Det.h56Sql(s"'$salt:' || CAST($e AS VARCHAR)")} % $Buckets)"
 
   /** Keep ~`fraction` of rows, deterministically. */
   def sample(df: DataFrame, keyCol: String, fraction: Double,
@@ -71,7 +82,11 @@ object Sampling {
     * map ≡ relation equivalence). */
   def sampleByRates(df: DataFrame, strataCol: String, keyCol: String,
       rates: DataFrame, salt: Int = 0): DataFrame = {
-    val threshold = round(col("rate") * Buckets).cast("long")
+    // floor(x + 0.5), not round(): identical to Scala's Double.round used
+    // by the map variants, and exactly mirrorable in oracle SQL (Spark's
+    // round() routes through BigDecimal shortest-repr HALF_UP, which other
+    // engines don't reproduce)
+    val threshold = floor(col("rate") * Buckets + 0.5).cast("long")
     df.join(broadcast(rates.select(col(strataCol), col("rate"))),
         Seq(strataCol))
       .filter(bucket(col(keyCol), salt) < threshold)

@@ -14,7 +14,9 @@ import graft.engine.Stage.syntax._
   * Two-tier assignment, both deterministic (pure functions of the data —
   * reruns, retries, and repartitioning cannot move a doc between shards):
   *   - LIGHT rows (weight < heavyCutoff): stable-hash round robin,
-  *     shard = xxhash64(salt, id) mod nShards. Map-side only, no shuffle;
+  *     shard = h56(salt:id) mod nShards (cross-engine md5-derived hash —
+  *     shard membership, like split membership, is a contract other
+  *     engines must be able to recompute). Map-side only, no shuffle;
   *     by concentration the relative token imbalance this leaves is
   *     O(sqrt(heavyCutoff / totalWeight)) — negligible when the cutoff is
   *     chosen so no single doc is a meaningful fraction of a shard.
@@ -38,7 +40,8 @@ object Shards {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val light = df.filter(col(weightCol) < heavyCutoff)
       .withColumn("shard",
-        pmod(xxhash64(lit(salt), col(idCol)), lit(nShards)).cast("int"))
+        pmod(Det.h56(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+          lit(nShards)).cast("int"))
     val heavy = df.filter(col(weightCol) >= heavyCutoff)
       .withColumn("__rn",
         row_number().over(Window.orderBy(desc(weightCol), col(idCol))))

@@ -235,13 +235,22 @@ object Similarity {
     * cosine ≥ threshold. Returns (id_a, id_b, cosine).
     *
     * Sign-LSH bit p = sign of the projection onto a deterministic
-    * Rademacher hyperplane (±1 entries from xxhash64(p, dim)). Computed in
-    * the codegen-friendly explode shape — one posexplode of the vector,
-    * one aggregate with nBits signed-sum columns — not nested HOFs (see
-    * Dedup's scaladoc for why). */
+    * Rademacher hyperplane (±1 entries = bit p of the dim's 56-bit md5
+    * hash — one hash per exploded row, and a family both engines can
+    * recompute, so bucket membership is oracle-checkable; nBits ≤ 56).
+    * The projections sum DECIMAL(18,9)-quantized components, not raw
+    * doubles: a double sum is partial-aggregation-order-dependent, and a
+    * projection near zero could flip its SIGN (hence its bucket) between
+    * engines — decimal sums are exact, and a binary float can never sit
+    * exactly on a decimal rounding boundary, so the quantization itself
+    * is also engine-identical. Computed in the codegen-friendly explode
+    * shape — one posexplode of the vector, one aggregate with nBits
+    * signed-sum columns — not nested HOFs (see Dedup's scaladoc for
+    * why). */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
       nBits: Int = 16, bands: Int = 4, maxBucket: Int = 256,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(nBits <= 56, s"nBits must fit the 56-bit dim hash: $nBits")
     val bits = nBits / bands
     // consumed by 3 downstream shuffles (signature agg, dot join, norms) —
     // staged once via Stage.materialize: computed exactly once, lineage
@@ -253,14 +262,18 @@ object Similarity {
       posexplode(col(embCol)).as(Seq("dim", "x")))
       .select(col("id"), col("dim"), col("x").cast("double").as("x"))
       .staged
+    val dimsH = dims
+      .withColumn("__dh", Det.h56(col("dim").cast("string")))
+      .withColumn("__xq",
+        col("x").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
     val projCols = (0 until nBits).map(p =>
-      sum(col("x") * when(xxhash64(lit(p), col("dim")).bitwiseAND(1) === 1, 1.0)
-        .otherwise(-1.0)).as(s"__p$p"))
-    val sig = dims.groupBy(col("id")).agg(projCols.head, projCols.tail: _*)
+      sum(when(shiftright(col("__dh"), p).bitwiseAND(1) === 1, col("__xq"))
+        .otherwise(-col("__xq"))).as(s"__p$p"))
+    val sig = dimsH.groupBy(col("id")).agg(projCols.head, projCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
-      xxhash64(lit(b), concat_ws("",
+      concat_ws("",
         (0 until bits).map(r =>
-          when(col(s"__p${b * bits + r}") >= 0, "1").otherwise("0")): _*))
+          when(col(s"__p${b * bits + r}") >= 0, "1").otherwise("0")): _*)
     }
     val keyed = sig.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))

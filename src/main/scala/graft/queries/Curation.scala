@@ -246,10 +246,18 @@ object Curation {
 
     // Ingest-time incremental NEAR-dup: the arriving batch (doc_id % 10 =
     // 7) probes the stored corpus band-bucket index — batch×bucket joins
-    // only, never a corpus×corpus re-run. Bucket membership depends on
-    // xxhash64 → rows-only; DedupSpec proves probe ≡ full re-run
-    // restricted to batch-involving pairs.
-    QueryDef.rowsOnly("dedup_incremental_minhash") { (s, d) =>
+    // only, never a corpus×corpus re-run. The probe's contract is
+    // probe ≡ full re-run restricted to batch-involving pairs (DedupSpec
+    // proves it mechanically), and the oracle checks exactly that
+    // contract: the full MinHash chain over corpus ∪ batch (the shared
+    // CTE — combined bucket populations, same cap) filtered to pairs
+    // with at least one batch side.
+    QueryDef.sql(
+      "dedup_incremental_minhash",
+      s"""${Extensions.minhashPairsCte}
+         |SELECT id_a, id_b, jaccard FROM mh_pairs
+         |WHERE jaccard >= 0.8 AND (id_a % 10 = 7 OR id_b % 10 = 7)
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val index = Dedup.minhashIndex(docs.filter(col("doc_id") % 10 =!= 7),
         "doc_id", "text")
@@ -415,10 +423,40 @@ object Curation {
     // keep-rates derived plan-side (mix_weight/share, normalized so the
     // most-upweighted source keeps everything), then deterministic
     // hash-bucket stratified sampling through the relation-shaped
-    // sampleByRates — no driver-side fraction map, no collect. Rows-only
-    // (xxhash64 membership); SamplingSpec proves map ≡ relation variants
-    // and the composition's achieved rates.
-    QueryDef.rowsOnly("t_temperature_sample") { (s, d) =>
+    // sampleByRates — no driver-side fraction map, no collect. The oracle
+    // recomputes the whole chain: temperature weights → relative
+    // keep-rates → per-doc h56 bucket membership → per-source counts;
+    // SamplingSpec additionally proves map ≡ relation variants.
+    QueryDef.sql(
+      "t_temperature_sample",
+      s"""WITH per AS (
+         |  SELECT source, ${Det.dsumSql("n_chars", 0)} AS total_weight
+         |  FROM documents GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(SUM(CAST(total_weight AS DECIMAL(18,0))) AS DOUBLE) AS t
+         |  FROM per),
+         |sc AS (
+         |  SELECT source,
+         |    CASE WHEN t > 0 THEN total_weight / t ELSE 0.0 END AS share,
+         |    sqrt(CASE WHEN t > 0 THEN total_weight / t ELSE 0.0 END) AS raw
+         |  FROM per, tot),
+         |rs AS (
+         |  SELECT CAST(SUM(CAST(raw AS DECIMAL(18,12))) AS DOUBLE) AS rsum
+         |  FROM sc),
+         |w AS (
+         |  SELECT source, ${roundN("share", 6)} AS share_r,
+         |    ${roundN("CASE WHEN rsum > 0 THEN raw / rsum ELSE 0.0 END", 6)} AS mixw
+         |  FROM sc, rs),
+         |rel AS (SELECT source, mixw / share_r AS r FROM w WHERE share_r > 0),
+         |mx AS (SELECT MAX(r) AS m FROM rel),
+         |rates AS (SELECT source, ${roundN("r / m", 6)} AS rate FROM rel, mx),
+         |samp AS (
+         |  SELECT d.source FROM documents d JOIN rates USING (source)
+         |  WHERE ${Sampling.bucketSql("d.doc_id")}
+         |        < CAST(FLOOR(rate * ${Sampling.Buckets} + 0.5) AS BIGINT))
+         |SELECT s.source, COUNT(*) AS n_sampled, r.rate
+         |FROM samp s JOIN rates r USING (source)
+         |GROUP BY s.source, r.rate ORDER BY s.source""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       // staged once (source-count-sized): feeds the max rollup + rates
       val w = graft.operators.Mixing
@@ -555,9 +593,27 @@ object Curation {
 
     // Token-balanced shard packing: hash round robin for the bulk, rank
     // round robin for the heavy tail (n_chars >= 500 ≈ the p95 here).
-    // Assignment depends on xxhash64 → rows-only; ShardsSpec proves the
-    // partition is complete/disjoint/deterministic and bounds imbalance.
-    QueryDef.rowsOnly("t_shard_pack") { (s, d) =>
+    // The oracle re-derives both tiers — h56 mod for the bulk, global
+    // weight-rank round robin for the tail — plus the summary rollup;
+    // ShardsSpec proves completeness/disjointness and bounds imbalance.
+    QueryDef.sql(
+      "t_shard_pack",
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(${Det.h56Sql("'0:' || CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+         |  FROM documents WHERE n_chars < 500
+         |  UNION ALL
+         |  SELECT doc_id, n_chars,
+         |    CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8 AS INT) AS shard
+         |  FROM documents WHERE n_chars >= 500),
+         |per AS (
+         |  SELECT shard, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_weight
+         |  FROM u GROUP BY shard),
+         |tot AS (SELECT SUM(total_weight) AS t, COUNT(*) AS nsh FROM per)
+         |SELECT shard, n_docs, total_weight,
+         |  ${roundN("total_weight * nsh / t", 4)} AS imbalance
+         |FROM per, tot ORDER BY shard""".stripMargin) { (s, d) =>
       val assigned = Shards.assign(Tables.documents(s, d), "doc_id",
         "n_chars", nShards = 8, heavyCutoff = 500)
       Shards.summary(assigned, "n_chars").orderBy("shard")

@@ -126,6 +126,56 @@ object Extensions {
        |  WHERE w.label < e.v),
        |clusters AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)""".stripMargin
 
+  /** Shared MinHash-LSH oracle chain mirroring
+    * [[graft.operators.Dedup.minhashNearDups]] (numHashes=64, bands=16,
+    * shingleSize=3, maxBucket=64) bit-for-bit: distinct 3-gram shingles
+    * (whole-text fallback), two 56-bit md5 spans per shingle, affine
+    * component family h1 + i·h2, 16 bands of 4 comma-joined components,
+    * bucket cap on band-key population, exact-Jaccard verify from
+    * co-occurrence counts. Ends with `mh_pairs(id_a, id_b, jaccard)` —
+    * UNTHRESHOLDED; callers apply their own threshold/scope filters.
+    * Used by both the full-corpus and the incremental-probe oracles so
+    * the two cannot drift apart. */
+  private[queries] val minhashPairsCte: String =
+    raw"""WITH toks AS (
+       |  SELECT doc_id AS id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT id, CASE WHEN len(t) >= 3
+       |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+       |    ELSE [array_to_string(t, ' ')] END AS shingles
+       |  FROM toks),
+       |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
+       |shh AS (
+       |  SELECT id, shingle, ${Det.h56Sql("shingle")} AS h1,
+       |    ${Det.h56Sql("shingle", 17)} AS h2
+       |  FROM s),
+       |comp AS (
+       |  SELECT id, i, MIN(h1 + i * h2) AS c
+       |  FROM shh, (SELECT unnest(generate_series(0, 63)) AS i) ii
+       |  GROUP BY id, i),
+       |keyed AS (
+       |  SELECT id, i // 4 AS band_id,
+       |    string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS band_hash
+       |  FROM comp GROUP BY id, i // 4),
+       |bsized AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bn
+       |  FROM keyed),
+       |okb AS (SELECT id, band_id, band_hash FROM bsized WHERE bn <= 64),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM okb a JOIN okb b USING (band_id, band_hash) WHERE a.id < b.id),
+       |minter AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+       |  FROM cands c
+       |  JOIN s sa ON sa.id = c.id_a
+       |  JOIN s sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT id_a, id_b,
+       |    ${Det.roundNSql("inter * 1.0 / (sa.n + sb.n - inter)", 4)} AS jaccard
+       |  FROM minter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis -------------------------------------------------
@@ -578,13 +628,51 @@ object Extensions {
         .orderBy("doc_id")
     },
 
-    QueryDef.rowsOnly("dedup_minhash_lsh") { (s, d) =>
+    // Full-chain MinHash-LSH oracle (shared CTE above): the candidate
+    // generation — signatures, banding, bucket cap — AND the exact-Jaccard
+    // verify are all recomputed in DuckDB, so the pair set is hash-checked
+    // end-to-end; DedupSpec additionally proves recall vs brute force.
+    QueryDef.sql(
+      "dedup_minhash_lsh",
+      s"""$minhashPairsCte
+         |SELECT id_a, id_b, jaccard FROM mh_pairs WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.8)
         .orderBy("id_a", "id_b")
     },
 
-    QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
+    // Full-chain SimHash oracle: per-token h56 → 56 signed bit sums →
+    // majority-vote pack → 4×14-bit band buckets (cap 256) → xor/popcount
+    // Hamming verify. Every stage is plain bit math both engines compute
+    // identically, so the pair set is hash-checked, not just spec-checked.
+    QueryDef.sql(
+      "dedup_simhash",
+      raw"""WITH toks AS (
+         |  SELECT doc_id AS id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS tk
+         |  FROM documents),
+         |th AS (SELECT id, ${Det.h56Sql("tk")} AS h FROM toks),
+         |bits AS (
+         |  SELECT id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, (SELECT unnest(generate_series(0, 55)) AS b) bb
+         |  GROUP BY id, b),
+         |sig AS (
+         |  SELECT id, CAST(SUM(
+         |    CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY id),
+         |keyed AS (
+         |  SELECT id, simhash, band_id,
+         |    (simhash >> (14 * band_id)) & 16383 AS band_hash
+         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+         |sized AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bn
+         |  FROM keyed),
+         |ok AS (SELECT * FROM sized WHERE bn <= 256)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM ok a JOIN ok b USING (band_id, band_hash)
+         |WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
           maxHamming = 6)
         .orderBy("id_a", "id_b")
@@ -778,10 +866,25 @@ object Extensions {
 
     // Leakage-safe 80/20 split: split membership decided per near-dup
     // CLUSTER, so no near-duplicate pair straddles train/eval (the
-    // contamination a doc-hash split cannot prevent). Rows-only
-    // (xxhash64 membership); DedupSpec proves co-location, completeness,
-    // and the singleton degradation to the plain split.
-    QueryDef.rowsOnly("t_leakage_safe_split") { (s, d) =>
+    // contamination a doc-hash split cannot prevent). The oracle
+    // re-derives the whole chain — ngram pairs → recursive closure →
+    // per-CLUSTER h56 bucket membership → per-split counts; DedupSpec
+    // additionally proves co-location, completeness, and the singleton
+    // degradation to the plain split.
+    QueryDef.sql(
+      "t_leakage_safe_split",
+      s"""$ngramClusterCte,
+         |lab AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS g
+         |  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id),
+         |parts AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${Sampling.bucketSql("g")} < 8000 THEN 0 ELSE 1 END AS sid
+         |  FROM lab)
+         |SELECT CAST(sid AS BIGINT) AS split_id, COUNT(*) AS n_docs,
+         |  COUNT(c.cluster_id) AS n_clustered
+         |FROM parts p LEFT JOIN clusters c ON c.id = p.doc_id
+         |GROUP BY 1 ORDER BY split_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val clusters = Dedup.connectedComponents(
           Dedup.ngramJaccardDups(docs, "doc_id", "text", threshold = 0.8))
@@ -804,7 +907,50 @@ object Extensions {
     // buckets (256 per band) well under the maxBucket cap at sf0.1 — 4-bit
     // bands would average 300+ docs per bucket there, tripping the cap
     // (recall loss) while the surviving buckets emit quadratic pair sets.
-    QueryDef.rowsOnly("dedup_embedding_cosine") { (s, d) =>
+    // The oracle re-derives the whole chain: md5-bit Rademacher signs,
+    // DECIMAL-exact projections (sign can't flip between engines), band
+    // buckets + cap, dim-aligned dot/norm cosine verify.
+    QueryDef.sql(
+      "dedup_embedding_cosine",
+      s"""WITH dims AS (
+         |  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |dh AS (
+         |  SELECT DISTINCT dim, ${Det.h56Sql("CAST(dim AS VARCHAR)")} AS dhash
+         |  FROM dims),
+         |proj AS (
+         |  SELECT id, p,
+         |    SUM(CASE WHEN (dhash >> p) & 1 = 1 THEN CAST(x AS DECIMAL(18,9))
+         |             ELSE -CAST(x AS DECIMAL(18,9)) END) AS s
+         |  FROM dims JOIN dh USING (dim),
+         |       (SELECT unnest(generate_series(0, 31)) AS p) pp
+         |  GROUP BY id, p),
+         |sig AS (
+         |  SELECT id, p // 8 AS band_id,
+         |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+         |      AS band_hash
+         |  FROM proj GROUP BY id, p // 8),
+         |bsized AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bn
+         |  FROM sig),
+         |okb AS (SELECT id, band_id, band_hash FROM bsized WHERE bn <= 256),
+         |cands AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM okb a JOIN okb b USING (band_id, band_hash) WHERE a.id < b.id),
+         |norms AS (SELECT id, sqrt(SUM(x * x)) AS nrm FROM dims GROUP BY id),
+         |dots AS (
+         |  SELECT c.id_a, c.id_b, SUM(da.x * db.x) AS dot
+         |  FROM cands c
+         |  JOIN dims da ON da.id = c.id_a
+         |  JOIN dims db ON db.id = c.id_b AND db.dim = da.dim
+         |  GROUP BY 1, 2),
+         |cs AS (
+         |  SELECT id_a, id_b,
+         |    ${roundN("CASE WHEN na.nrm * nb.nrm > 0 THEN dot / (na.nrm * nb.nrm) ELSE 0.0 END", 6)} AS cosine
+         |  FROM dots JOIN norms na ON na.id = id_a JOIN norms nb ON nb.id = id_b)
+         |SELECT id_a, id_b, cosine FROM cs WHERE cosine >= -1.0
+         |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, d) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, d),
           threshold = -1.0, nBits = 32, bands = 4)
         .orderBy(desc("cosine"), col("id_a"), col("id_b"))
@@ -1225,17 +1371,28 @@ object Extensions {
 
     // Hash-bucket sample: membership is a pure function of the key, so the
     // same docs are kept on any cluster size / retry (rand() is neither).
-    // Deterministic output → stable rows-only check; SamplingSpec covers
-    // the properties.
-    QueryDef.rowsOnly("t_hash_sample") { (s, d) =>
+    // The bucket hash is the cross-engine md5-derived h56, so the EXACT
+    // membership set is hash-checked against DuckDB — the oracle
+    // recomputes which docs are in the sample, not just how many.
+    QueryDef.sql(
+      "t_hash_sample",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Sampling.bucketSql("doc_id")} < 1000
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Sampling.sample(Tables.documents(s, d), "doc_id", fraction = 0.1)
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
 
     // 80/10/10 train/val/test split summary: disjoint contiguous bucket
-    // ranges over the key hash.
-    QueryDef.rowsOnly("t_train_test_split") { (s, d) =>
+    // ranges over the key hash, oracle-recomputed per doc.
+    QueryDef.sql(
+      "t_train_test_split",
+      s"""WITH b AS (SELECT ${Sampling.bucketSql("doc_id")} AS bk FROM documents)
+         |SELECT CASE WHEN bk < 8000 THEN 'train'
+         |            WHEN bk < 9000 THEN 'val' ELSE 'test' END AS part,
+         |  COUNT(*) AS n_docs
+         |FROM b GROUP BY 1 ORDER BY part""".stripMargin) { (s, d) =>
       val parts = Sampling.split(Tables.documents(s, d), "doc_id",
         Seq(0.8, 0.1, 0.1))
       Seq("train", "val", "test").zip(parts).map { case (name, df) =>
