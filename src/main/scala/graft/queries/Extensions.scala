@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Bloom, Dedup, Multimodal, Sampling, Similarity}
 import graft.engine.Stage.syntax._
 
 /** Training-data-pipeline extensions (BASELINE.json north star): text
@@ -640,6 +640,63 @@ object Extensions {
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.8)
         .orderBy("id_a", "id_b")
+    },
+
+    // Bloom-filter membership pre-check — the ingest-time shape that
+    // SKIPS the corpus join for the overwhelmingly-common novel key: the
+    // corpus content-hash set is folded into a sharded (word_idx, bits)
+    // relation; an arriving batch probes k bit positions per key and only
+    // maybe_present keys need exact verification. The oracle rebuilds the
+    // filter AND the probe bit math in SQL, and the query carries the
+    // exact ground truth alongside so the no-false-negative contract is
+    // itself hash-checked (every is_dup row must be maybe_present).
+    QueryDef.sql(
+      "dedup_bloom_probe",
+      raw"""WITH hashed AS (
+         |  SELECT doc_id,
+         |    sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS ch
+         |  FROM documents),
+         |ck AS (SELECT DISTINCT ch FROM hashed WHERE doc_id % 10 <> 7),
+         |jj AS (SELECT unnest(generate_series(0, 4)) AS j),
+         |bpos AS (
+         |  SELECT ch,
+         |    (${Det.h56Sql("ch")} + j * ${Det.h56Sql("ch", 17)}) % 65536 AS p
+         |  FROM ck, jj),
+         |bloom AS (
+         |  SELECT p >> 5 AS word_idx,
+         |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS BIGINT) AS bits
+         |  FROM bpos GROUP BY 1),
+         |batch AS (SELECT doc_id, ch FROM hashed WHERE doc_id % 10 = 7),
+         |bk AS (SELECT DISTINCT ch FROM batch),
+         |qpos AS (
+         |  SELECT ch,
+         |    (${Det.h56Sql("ch")} + j * ${Det.h56Sql("ch", 17)}) % 65536 AS p
+         |  FROM bk, jj),
+         |hit AS (
+         |  SELECT ch, MIN(CASE WHEN (b.bits >> CAST(p % 32 AS INT)) & 1 = 1
+         |                      THEN 1 ELSE 0 END) AS allset
+         |  FROM qpos q LEFT JOIN bloom b ON b.word_idx = (q.p >> 5)
+         |  GROUP BY ch)
+         |SELECT t.doc_id, h.allset = 1 AS maybe_present,
+         |  c.ch IS NOT NULL AS is_dup,
+         |  (h.allset = 1 AND c.ch IS NULL) AS false_positive
+         |FROM batch t
+         |JOIN hit h USING (ch)
+         |LEFT JOIN ck c ON c.ch = t.ch
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), sha2(Dedup.normalize(col("text")), 256).as("ch"))
+      val corpus = hashed.filter(col("doc_id") % 10 =!= 7)
+      val batch = hashed.filter(col("doc_id") % 10 === 7)
+      val bloom = Bloom.build(corpus, "ch")
+      val truthKeys = corpus.select("ch").distinct()
+        .withColumn("__in", lit(true))
+      Bloom.probe(batch, bloom, "ch")
+        .join(truthKeys, Seq("ch"), "left")
+        .select(col("doc_id"), col("maybe_present"),
+          col("__in").isNotNull.as("is_dup"),
+          (col("maybe_present") && col("__in").isNull).as("false_positive"))
+        .orderBy("doc_id")
     },
 
     // Full-chain SimHash oracle: per-token h56 → 56 signed bit sums →
