@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Det
+
+/** KMV (k-minimum-values) distinct-count sketch as a relation — the
+  * DETERMINISTIC alternative to HyperLogLog (`approx_count_distinct`).
+  *
+  * HLL's register layout is engine-internal: the same data gives different
+  * estimates in Spark, DuckDB, and a re-run after an upgrade, so an
+  * HLL-based metric can never be hash-verified and silently shifts under
+  * engine migrations. KMV keeps the k smallest [[Det.h56]] values of the
+  * distinct keys per group — a pure function of the data that any engine
+  * recomputes bit-for-bit, with the standard (k−1)·2^56/h_k estimator
+  * (relative error ≈ 1/√(k−2)).
+  *
+  * The sketch IS a relation, (group, h) with ≤ k rows per group: store it
+  * next to the corpus stats, merge increments by union + re-rank
+  * (KmvSpec proves merge(sketch(A), sketch(B)) == sketch(A ∪ B)), estimate
+  * with one aggregate. Scale shape: one distinct shuffle on (group, h) —
+  * the same cost class as exact countDistinct's first phase — then
+  * bounded-size top-k; a two-level rank (per (group, h mod 64) bucket
+  * first) caps the final per-group sort at 64·k candidates, so a
+  * billion-distinct group never funnels through one sort partition.
+  */
+object Kmv {
+
+  /** Sketch relation: the k smallest distinct key hashes per group —
+    * (grpCol, h). */
+  def sketch(df: DataFrame, grpCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val hashed = df
+      .select(col(grpCol), Det.h56(col(keyCol).cast("string")).as("h"))
+      .distinct()
+    val pre = hashed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(grpCol), pmod(col("h"), lit(64))).orderBy("h")))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+    topK(pre, grpCol, k)
+  }
+
+  /** Merge two sketch relations into the sketch of the union corpus. */
+  def merge(a: DataFrame, b: DataFrame, grpCol: String, k: Int): DataFrame =
+    topK(a.unionByName(b).distinct(), grpCol, k)
+
+  private def topK(sk: DataFrame, grpCol: String, k: Int): DataFrame =
+    sk.withColumn("__rn",
+        row_number().over(Window.partitionBy(grpCol).orderBy("h")))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+
+  /** (grpCol, est_distinct): exact when the group holds fewer than k
+    * distinct keys, else (k−1)·2^56/h_k. */
+  def estimate(sk: DataFrame, grpCol: String, k: Int): DataFrame =
+    sk.groupBy(grpCol)
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__hk"))
+      .select(col(grpCol),
+        Det.roundN(
+          when(col("__n") < k, col("__n").cast("double"))
+            .otherwise(lit((k - 1).toDouble * math.pow(2, 56)) / col("__hk")),
+          2).as("est_distinct"))
+}

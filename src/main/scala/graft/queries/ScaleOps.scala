@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
-import graft.operators.{AsOfJoin, Salting}
+import graft.operators.{AsOfJoin, Kmv, Salting}
 import graft.engine.Stage.syntax._
 
 /** Scale-path operator variants: salted skew joins/aggregations, the
@@ -192,6 +192,47 @@ object ScaleOps {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
           countDistinct(col("o_custkey")).as("exact_customers"))
         .orderBy("order_date")
+    },
+
+    // KMV distinct sketch — the DETERMINISTIC approx-distinct: unlike the
+    // HLL entry above (engine-internal registers → rows-only forever),
+    // the k-minimum-values sketch is a pure function of the data, so the
+    // estimate, the exact count, and the realized relative error are all
+    // hash-checked against DuckDB. k=64 ⇒ ~12% error bound; the observed
+    // rel_err column keeps the estimator honest in the artifact itself.
+    QueryDef.sql(
+      "a_kmv_distinct",
+      s"""WITH h AS (
+         |  SELECT DISTINCT o_orderpriority AS grp,
+         |    ${Det.h56Sql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders),
+         |r AS (
+         |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+         |  FROM h),
+         |sk AS (SELECT grp, h FROM r WHERE rn <= 64),
+         |est AS (
+         |  SELECT grp, ${Det.roundNSql(
+              "CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE) " +
+                "ELSE 63e0 * 72057594037927936e0 / MAX(h) END", 2)} AS est_distinct
+         |  FROM sk GROUP BY grp),
+         |ex AS (
+         |  SELECT o_orderpriority AS grp,
+         |    COUNT(DISTINCT o_custkey) AS exact_distinct
+         |  FROM orders GROUP BY 1)
+         |SELECT grp AS o_orderpriority, est_distinct, exact_distinct,
+         |  ${Det.roundNSql("abs(est_distinct - exact_distinct) / exact_distinct", 4)} AS rel_err
+         |FROM est JOIN ex USING (grp)
+         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val sk = Kmv.sketch(orders, "o_orderpriority", "o_custkey", 64)
+      val exact = orders.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      Kmv.estimate(sk, "o_orderpriority", 64)
+        .join(exact, Seq("o_orderpriority"))
+        .withColumn("rel_err", Det.roundN(
+          abs(col("est_distinct") - col("exact_distinct"))
+            / col("exact_distinct"), 4))
+        .orderBy("o_orderpriority")
     },
 
     // percentile_approx — the 100 TB toggle for a_percentiles_exact: one
