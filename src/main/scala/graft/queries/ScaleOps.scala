@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
-import graft.operators.{AsOfJoin, Kmv, Salting}
+import graft.operators.{AsOfJoin, Kmv, Salting, ZOrder}
 import graft.engine.Stage.syntax._
 
 /** Scale-path operator variants: salted skew joins/aggregations, the
@@ -192,6 +192,82 @@ object ScaleOps {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
           countDistinct(col("o_custkey")).as("exact_customers"))
         .orderBy("order_date")
+    },
+
+    // Z-order layout + min-max pruning: the multi-dim data-skipping
+    // story. Files laid out in Morton order vs single-column order, then
+    // three box predicates (first dim, second dim, both) pruned against
+    // per-file min/max stats. The z layout skips files for EITHER dim;
+    // the linear layout only for its sort column — and those pruning
+    // counts are what the oracle hash-checks (bit math + equal-frequency
+    // file boundaries are engine-identical). day = epoch-µs div 86400e6.
+    QueryDef.sql(
+      "z_order_pruning",
+      s"""WITH evs AS (
+         |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |zf AS (
+         |  SELECT user_id, day, (row_number() OVER (ORDER BY
+         |      ${ZOrder.zValueSql("user_id", "day", 11)}, event_id) - 1) // 512
+         |    AS file_id
+         |  FROM evs),
+         |lf AS (
+         |  SELECT user_id, day,
+         |    (row_number() OVER (ORDER BY user_id, event_id) - 1) // 512 AS file_id
+         |  FROM evs),
+         |stats AS (
+         |  SELECT 'zorder' AS layout, file_id, COUNT(*) AS n_rows,
+         |    MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+         |    MIN(day) AS min_d, MAX(day) AS max_d
+         |  FROM zf GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'linear', file_id, COUNT(*),
+         |    MIN(user_id), MAX(user_id), MIN(day), MAX(day)
+         |  FROM lf GROUP BY 2),
+         |boxes(query_name, a_lo, a_hi, b_lo, b_hi) AS (VALUES
+         |  ('user_only', 40, 70, 0, 1000000000),
+         |  ('day_only', 0, 1000000000, 19732, 19734),
+         |  ('both', 40, 70, 19732, 19734)),
+         |tot AS (SELECT layout, COUNT(*) AS n_files FROM stats GROUP BY 1),
+         |sc AS (
+         |  SELECT b.query_name, s.layout, COUNT(*) AS files_scanned,
+         |    CAST(SUM(s.n_rows) AS BIGINT) AS rows_scanned
+         |  FROM stats s JOIN boxes b
+         |    ON s.min_u <= b.a_hi AND s.max_u >= b.a_lo
+         |   AND s.min_d <= b.b_hi AND s.max_d >= b.b_lo
+         |  GROUP BY 1, 2)
+         |SELECT query_name, layout, n_files, files_scanned, rows_scanned
+         |FROM sc JOIN tot USING (layout)
+         |ORDER BY query_name, layout""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val evs = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val zed = ZOrder.fileLayout(evs,
+        Seq(ZOrder.zValue(col("user_id"), col("day"), 11), col("event_id")),
+        rowsPerFile = 512)
+      val lin = ZOrder.fileLayout(evs, Seq(col("user_id"), col("event_id")),
+        rowsPerFile = 512)
+      val stats = ZOrder.fileStats(zed, Seq("user_id", "day"))
+        .withColumn("layout", lit("zorder"))
+        .unionByName(ZOrder.fileStats(lin, Seq("user_id", "day"))
+          .withColumn("layout", lit("linear")))
+        .staged
+      val boxes = Seq(
+        ("user_only", 40L, 70L, 0L, 1000000000L),
+        ("day_only", 0L, 1000000000L, 19732L, 19734L),
+        ("both", 40L, 70L, 19732L, 19734L))
+        .toDF("query_name", "a_lo", "a_hi", "b_lo", "b_hi")
+      val totals = stats.groupBy("layout").agg(count(lit(1)).as("n_files"))
+      stats.join(broadcast(boxes),
+          col("min_user_id") <= col("a_hi") && col("max_user_id") >= col("a_lo")
+            && col("min_day") <= col("b_hi") && col("max_day") >= col("b_lo"))
+        .groupBy("query_name", "layout")
+        .agg(count(lit(1)).as("files_scanned"),
+          sum(col("n_rows")).cast("long").as("rows_scanned"))
+        .join(totals, Seq("layout"))
+        .select("query_name", "layout", "n_files", "files_scanned",
+          "rows_scanned")
+        .orderBy("query_name", "layout")
     },
 
     // KMV distinct sketch — the DETERMINISTIC approx-distinct: unlike the
