@@ -37,8 +37,12 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("media"),
       element_at(array(lit("png"), lit("jpeg"), lit("webp")),
         (col(idCol) % 3 + 1).cast("int")).as("format"))
-      .withColumn("width", (pmod(xxhash64(col("id")), lit(1920)) + 1).cast("int"))
-      .withColumn("height", (pmod(xxhash64(col("id"), lit(1)), lit(1080)) + 1).cast("int"))
+      // dims from the cross-engine h56 so the media table's metadata —
+      // and every query over it — stays oracle-recomputable
+      .withColumn("width", (pmod(graft.engine.Det.h56(
+        concat(lit("w:"), col("id").cast("string"))), lit(1920)) + 1).cast("int"))
+      .withColumn("height", (pmod(graft.engine.Det.h56(
+        concat(lit("h:"), col("id").cast("string"))), lit(1080)) + 1).cast("int"))
 
   /** STUB decode: deterministic 16-bin byte histogram, L1-normalized.
     * Replace with a real codec at the same call site. */
@@ -77,12 +81,17 @@ object Multimodal {
     * `(id, embedding: array<float>)`, ready for [[Similarity]] ANN — real
     * and tested while the encoder is stubbed. Pure column expressions
     * (fixed 16 source dims → no HOFs, stays in codegen). */
+  /** Fixed data-independent Rademacher sign for [[pseudoEmbed]] (j =
+    * output dim, i = feature dim) — public so oracle SQL generation uses
+    * the SAME constants as the plan. */
+  def rademacherSign(j: Int, i: Int): Double =
+    if ((((j * 31 + i) * 2654435761L >>> 16) & 1) == 1) 1.0 else -1.0
+
   def pseudoEmbed(features: DataFrame, dims: Int = 8,
       featCol: String = "features"): DataFrame = {
-    def sign(j: Int, i: Int): Double =
-      if ((((j * 31 + i) * 2654435761L >>> 16) & 1) == 1) 1.0 else -1.0
     val comps = (0 until dims).map { j =>
-      (0 until 16).map(i => element_at(col(featCol), i + 1) * lit(sign(j, i)))
+      (0 until 16).map(i =>
+        element_at(col(featCol), i + 1) * lit(rademacherSign(j, i)))
         .reduce(_ + _).as(s"__e$j")
     }
     val withComps = features.select(col("*") +: comps: _*)

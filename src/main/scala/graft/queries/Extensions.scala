@@ -1459,7 +1459,30 @@ object Extensions {
 
     // ---- multimodal ----------------------------------------------------
 
-    QueryDef.rowsOnly("mm_features") { (s, d) =>
+    // Feature extraction through the mapPartitions codec seam. The stub
+    // decode is a REAL feature (L1-normalized byte histogram — a standard
+    // content fingerprint), so the whole row — metadata + first histogram
+    // bin — is oracle-checked: DuckDB recounts high-nibble-0 bytes via the
+    // hex expansion of the payload. A neural codec swapped into the seam
+    // would drop this entry back to rows-only; the plumbing (schema,
+    // batching, partitioning) is what the operator actually claims.
+    QueryDef.sql(
+      "mm_features",
+      s"""WITH m AS (
+         |  SELECT doc_id AS id, encode(text) AS media,
+         |    (['png','jpeg','webp'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+         |    CAST(${Det.h56Sql("'w:' || CAST(doc_id AS VARCHAR)")} % 1920 + 1 AS INT) AS width,
+         |    CAST(${Det.h56Sql("'h:' || CAST(doc_id AS VARCHAR)")} % 1080 + 1 AS INT) AS height
+         |  FROM documents),
+         |f AS (
+         |  SELECT id, format, CAST(octet_length(media) AS INT) AS byte_len,
+         |    width, height,
+         |    len([i for i in generate_series(1, GREATEST(len(hex(media)), 1), 2)
+         |         if hex(media)[i:i] = '0']) AS n0
+         |  FROM m)
+         |SELECT id, format, byte_len, width, height,
+         |  ${roundN("n0 * 1.0 / GREATEST(byte_len, 1)", 6)} AS hist_bin_0
+         |FROM f ORDER BY id""".stripMargin) { (s, d) =>
       val media = Multimodal.toMediaTable(Tables.documents(s, d), "doc_id", "text")
       Multimodal.extractFeatures(s, media).toDF()
         .select(col("id"), col("format"), col("byte_len"), col("width"),
@@ -1468,7 +1491,25 @@ object Extensions {
         .orderBy("id")
     },
 
-    QueryDef.rowsOnly("mm_frame_sample") { (s, d) =>
+    // Frame sampling is pure offset arithmetic + byte slicing — no decode
+    // involved — so frame positions, lengths, and content hashes are all
+    // oracle-checked. The oracle slices the VARCHAR because DuckDB v1.0
+    // can't slice BLOBs; the corpus is ASCII (bytes == chars) and the
+    // operator itself stays byte-correct for any payload.
+    QueryDef.sql(
+      "mm_frame_sample",
+      s"""WITH m AS (
+         |  SELECT doc_id AS id, text, octet_length(encode(text)) AS blen
+         |  FROM documents),
+         |fr AS (
+         |  SELECT id, f AS frame_id,
+         |    substring(text,
+         |      CAST(trunc(f * GREATEST(blen - 32, 1) / 3.0 + 1) AS INT),
+         |      32) AS fb
+         |  FROM m, (SELECT unnest(generate_series(0, 3)) AS f) ff)
+         |SELECT id, frame_id, CAST(length(fb) AS INT) AS frame_len,
+         |  substring(sha256(fb), 1, 16) AS frame_hash
+         |FROM fr ORDER BY id, frame_id""".stripMargin) { (s, d) =>
       val media = Multimodal.toMediaTable(Tables.documents(s, d), "doc_id", "text")
       Multimodal.frameSample(media, nFrames = 4, frameBytes = 32)
         .select(col("id"), col("frame_id"), col("frame_len"),
@@ -1483,7 +1524,80 @@ object Extensions {
     // top-k. Decoder is the disclosed stub; every Spark seam downstream of
     // it is the real shape. The O(N) brute-force scan this replaced
     // remains the recall baseline in SimilaritySpec (recall@10 ≥ 0.9).
-    QueryDef.rowsOnly("mm_embedding_search") { (s, d) =>
+    // The oracle recomposes the ENTIRE chain in SQL — byte histograms via
+    // hex expansion, the same Rademacher matrix (signs interpolated from
+    // Multimodal.rademacherSign, so plan and oracle share one source of
+    // truth), left-assoc float normalization, decimal-summed Lloyd means
+    // with REAL rounding + dead-cell retention, assignment argmax, and
+    // the probe-restricted cosine top-10.
+    QueryDef.sql(
+      "mm_embedding_search", {
+        def chain(terms: Seq[String]) = terms.reduce((a, b) => s"($a + $b)")
+        val fcols = (0 until 16).map { b =>
+          val dch = "0123456789ABCDEF".charAt(b)
+          s"len([i for i in generate_series(1, GREATEST(len(h), 1), 2) " +
+            s"if h[i:i] = '$dch']) * 1.0 / GREATEST(blen, 1) AS f$b"
+        }.mkString(",\n         |    ")
+        val comps = (0 until 8).map { j =>
+          chain((0 until 16).map(i =>
+            s"(f$i * ${Multimodal.rademacherSign(j, i)})")) + s" AS c$j"
+        }.mkString(",\n         |    ")
+        val nrm = s"sqrt(${chain((0 until 8).map(j => s"(c$j * c$j)"))})"
+        val emList = "[" + (0 until 8).map(j =>
+          s"CAST(CASE WHEN nrm > 0 THEN c$j / nrm ELSE 0.0 END AS REAL)")
+          .mkString(", ") + "]"
+        s"""WITH hx AS (
+           |  SELECT doc_id AS id, hex(encode(text)) AS h,
+           |    octet_length(encode(text)) AS blen
+           |  FROM documents),
+           |ft AS (
+           |  SELECT id,
+           |    $fcols
+           |  FROM hx),
+           |cp AS (
+           |  SELECT id,
+           |    $comps
+           |  FROM ft),
+           |nr AS (SELECT *, $nrm AS nrm FROM cp),
+           |em AS (SELECT id, ($emList)::DOUBLE[] AS emb FROM nr),
+           |cent0 AS (SELECT id AS cell, emb AS ce FROM em WHERE id <= 16),
+           |sc0 AS (
+           |  SELECT em.id, em.emb, cent0.cell, ${cosSql("em.emb", "ce")} AS sim
+           |  FROM em CROSS JOIN cent0),
+           |as0 AS (
+           |  SELECT id, emb, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell ASC) AS rn
+           |    FROM sc0) WHERE rn = 1),
+           |mdims AS (
+           |  SELECT cell, generate_subscripts(emb, 1) - 1 AS dim, unnest(emb) AS x
+           |  FROM as0),
+           |means AS (
+           |  SELECT cell, dim,
+           |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM mdims GROUP BY 1, 2),
+           |cdims AS (
+           |  SELECT cell, generate_subscripts(ce, 1) - 1 AS dim, unnest(ce) AS pv
+           |  FROM cent0),
+           |cb AS (
+           |  SELECT c.cell,
+           |    list(CAST(CAST(COALESCE(m.m, c.pv) AS REAL) AS DOUBLE) ORDER BY c.dim) AS ce
+           |  FROM cdims c LEFT JOIN means m ON m.cell = c.cell AND m.dim = c.dim
+           |  GROUP BY c.cell),
+           |q AS (SELECT emb AS qe FROM em WHERE id = 1),
+           |probes AS (
+           |  SELECT cell FROM cb, q
+           |  ORDER BY (${cosSql("ce", "qe")}) DESC, cell LIMIT 4),
+           |sc AS (
+           |  SELECT em.id, em.emb, cb.cell, ${cosSql("em.emb", "ce")} AS sim
+           |  FROM em CROSS JOIN cb),
+           |asg AS (
+           |  SELECT id, emb, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell ASC) AS rn
+           |    FROM sc) WHERE rn = 1)
+           |SELECT a.id AS vec_id, a.cell, ${roundN(cosSql("a.emb", "qe"), 6)} AS cosine
+           |FROM asg a JOIN probes USING (cell) CROSS JOIN q
+           |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
       val media = Multimodal.toMediaTable(Tables.documents(s, d), "doc_id", "text")
       // staged once: seeds, the Lloyd refine, assignment, and the final
       // probe all re-read this relation
