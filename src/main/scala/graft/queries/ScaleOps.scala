@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
-import graft.operators.{AsOfJoin, Kmv, Salting, ZOrder}
+import graft.operators.{AsOfJoin, CountMin, Kmv, Salting, ZOrder}
 import graft.engine.Stage.syntax._
 
 /** Scale-path operator variants: salted skew joins/aggregations, the
@@ -192,6 +192,53 @@ object ScaleOps {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
           countDistinct(col("o_custkey")).as("exact_customers"))
         .orderBy("order_date")
+    },
+
+    // Count-min sketch frequency estimation: the heavy-hitter check when
+    // per-key exact counts are too wide to keep. 1024x4 cells vs 1500
+    // distinct custkeys forces real collisions, so the hash-checked
+    // overshoot column exercises the interesting side of the CM bound —
+    // estimates never undercount (CountMinSpec proves it for every key),
+    // and the oracle recomputes sketch + probes + overshoot in SQL.
+    QueryDef.sql(
+      "a_cms_heavy_hitters", {
+        def pos(k: String) =
+          s"(${Det.h56Sql(k)} + j * ${Det.h56Sql(k, 17)}) % 1024"
+        s"""WITH src AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+           |jj AS (SELECT unnest(generate_series(0, 3)) AS j),
+           |cells AS (
+           |  SELECT k, j AS row_id, ${pos("k")} AS col_id
+           |  FROM src, jj),
+           |sk AS (SELECT row_id, col_id, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+           |ex AS (SELECT o_custkey, COUNT(*) AS exact_count FROM orders GROUP BY 1),
+           |top AS (
+           |  SELECT o_custkey, exact_count FROM ex
+           |  ORDER BY exact_count DESC, o_custkey LIMIT 10),
+           |qc AS (
+           |  SELECT t.o_custkey, t.exact_count, j AS row_id,
+           |    ${pos("CAST(t.o_custkey AS VARCHAR)")} AS col_id
+           |  FROM top t, jj),
+           |est AS (
+           |  SELECT o_custkey, exact_count, MIN(COALESCE(s.cnt, 0)) AS est_count
+           |  FROM qc LEFT JOIN sk s ON s.row_id = qc.row_id AND s.col_id = qc.col_id
+           |  GROUP BY 1, 2)
+           |SELECT o_custkey, exact_count, est_count,
+           |  est_count - exact_count AS overshoot
+           |FROM est ORDER BY exact_count DESC, o_custkey""".stripMargin
+      }) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val sketch = CountMin.build(orders, "o_custkey", width = 1024, depth = 4)
+      val top = orders.groupBy("o_custkey")
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(desc("exact_count"), col("o_custkey"))
+        .limit(10)
+      CountMin.estimate(top, sketch, "o_custkey", width = 1024, depth = 4)
+        .join(top.withColumn("o_custkey", col("o_custkey").cast("string")),
+          Seq("o_custkey"))
+        .select(col("o_custkey").cast("long").as("o_custkey"),
+          col("exact_count"), col("est_count"),
+          (col("est_count") - col("exact_count")).as("overshoot"))
+        .orderBy(desc("exact_count"), col("o_custkey"))
     },
 
     // Z-order layout + min-max pruning: the multi-dim data-skipping
