@@ -35,7 +35,13 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_gold_incremental",     // broadcast 1-row max-date anchor
     "t_mix_weights",          // broadcast 1-row total mass
     "t_temperature_sample",   // broadcast 1-row max keep-rate
-    "t_shard_pack")           // broadcast 1-row heavy-tail cutoff stats
+    "t_shard_pack",           // broadcast 1-row heavy-tail cutoff stats
+    "sim_ivf_batch",          // broadcast 8-query vector batch x codebook
+    "sim_int8_topk",          // broadcast 1-row query vector + scale stats
+    "t_importance_weights",   // broadcast 1-row target/corpus LM moments
+    "z_order_pruning")        // broadcast 3-row box-predicate relation
+                              // range-joined against the file-stats
+                              // manifest (files x boxes, both bounded)
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
