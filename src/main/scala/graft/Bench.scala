@@ -45,8 +45,17 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       // drop any staging relations an operator persisted, so cached data
       // from earlier queries can't pressure later ones — cleanup cost is
-      // deliberately OUTSIDE the timed region
+      // deliberately OUTSIDE the timed region. clearCache() only covers
+      // the SQL cache manager; localCheckpoint blocks (Stage.materialize
+      // mode=local) live as persistent RDDs the ContextCleaner frees only
+      // after a driver GC notices the reference drop — with 141 staged
+      // queries in one session that lag let blocks pile into the storage
+      // fraction and progressively slow the whole suite (r6 bench: 2x
+      // degradation by the tail). Unpersist them eagerly: queries never
+      // reuse checkpoints across entries, so this is safe.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, secs, outcome)
     }
     val qs = results.map { case (n, v, _) => jsonStr(n) + ":" + v }

@@ -33,6 +33,11 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         spark.catalog.clearCache()
+        // also free localCheckpoint blocks (see Bench.scala: the SQL cache
+        // manager doesn't own them, and ContextCleaner lag lets them pile
+        // into the storage fraction across 141 queries)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
