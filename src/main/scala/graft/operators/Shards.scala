@@ -50,6 +50,29 @@ object Shards {
     light.unionByName(heavy)
   }
 
+  /** Deterministic training-order shuffle: the global random permutation
+    * a training run needs, WITHOUT a global sort surviving to runtime.
+    * Order is by a salted h56 of the id — a pure function of the data, so
+    * the epoch order is reproducible across reruns/engines (and
+    * oracle-checkable) — materialized as (shard, shard_pos): shard = the
+    * hash's range bucket, shard_pos = rank within the shard. Dataloaders
+    * consume shards in parallel and read each sequentially; concatenating
+    * shards 0..n-1 IS the global hash order, but no single node ever
+    * ranks the full corpus — the window partitions by shard. New salt =
+    * new independent epoch order. */
+  def shuffled(df: DataFrame, idCol: String, nShards: Int,
+      salt: Int = 0): DataFrame = {
+    require(nShards > 0 && ((1L << 56) % nShards == 0),
+      s"nShards must divide 2^56 (use a power of two): $nShards")
+    val width = (1L << 56) / nShards
+    df.withColumn("__sh",
+        Det.h56(concat(lit(s"shuffle$salt:"), col(idCol).cast("string"))))
+      .withColumn("shard", expr(s"__sh div ${width}L").cast("int"))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__sh"), col(idCol))))
+      .drop("__sh")
+  }
+
   /** Per-shard totals + the relative imbalance (max shard weight over the
     * ideal equal split) — the number an export job alerts on. */
   def summary(assigned: DataFrame, weightCol: String): DataFrame = {

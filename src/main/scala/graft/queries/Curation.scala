@@ -619,6 +619,96 @@ object Curation {
       Shards.summary(assigned, "n_chars").orderBy("shard")
     },
 
+    // Deterministic epoch shuffle: the training order as (shard,
+    // shard_pos) — hash-range buckets ranked within shard, so
+    // concatenating shards IS the global salted-hash permutation but no
+    // node ever sorts the full corpus. Reproducible across engines
+    // (h56), so the exact order every loader will see is hash-checked.
+    QueryDef.sql(
+      "t_corpus_shuffle",
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${Det.h56Sql("'shuffle0:' || CAST(doc_id AS VARCHAR)")} AS sh
+         |  FROM documents)
+         |SELECT doc_id, CAST(sh // ${(1L << 56) / 8} AS INT) AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY sh // ${(1L << 56) / 8}
+         |    ORDER BY sh, doc_id) AS INT) AS shard_pos
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Shards.shuffled(Tables.documents(s, d), "doc_id", nShards = 8)
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("doc_id")
+    },
+
+    // Dataset card: the per-source datasheet a curation run ships with
+    // its export — volume, language spread, token mass, exact-dup rate,
+    // mean quality — every number composed from the SAME operators the
+    // standalone queries exercise (qualityFeatures scoring, sha256 exact
+    // dedup), so the card can never disagree with the pipeline it
+    // describes. Fully hash-checked.
+    QueryDef.sql(
+      "t_dataset_card",
+      raw"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(str_split_regex(trim(lower(text)), '\s+')) AS words,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+         |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+         |    len(list_filter(str_split_regex(trim(lower(text)), '\s+'),
+         |        t -> t IN (${TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")}))) AS stop_hits,
+         |    punct * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+         |    CASE WHEN len(str_split_regex(trim(lower(text)), '\s+')) > 0
+         |      THEN ${Det.roundNSql(raw"length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(str_split_regex(trim(lower(text)), '\s+'))", 2)}
+         |      ELSE 0.0 END AS avg_word_len
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, words,
+         |    GREATEST(0, 100
+         |      - CASE WHEN words < 5 THEN 40 ELSE 0 END
+         |      - CASE WHEN punct_ratio > 0.2 THEN 20 ELSE 0 END
+         |      - CASE WHEN avg_word_len < 3.0 OR avg_word_len > 12.0 THEN 20 ELSE 0 END
+         |      - CASE WHEN stop_hits = 0 THEN 20 ELSE 0 END) AS score
+         |  FROM f),
+         |canon AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    PARTITION BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+         |    ORDER BY doc_id) = 1 AS is_canonical
+         |  FROM documents),
+         |per AS (
+         |  SELECT d.source, COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT d.lang) AS n_langs,
+         |    CAST(SUM(s.words) AS BIGINT) AS total_words,
+         |    COUNT(CASE WHEN c.is_canonical THEN 1 END) AS n_unique,
+         |    CAST(SUM(s.score) AS BIGINT) AS score_sum
+         |  FROM documents d
+         |  JOIN sc s ON s.doc_id = d.doc_id
+         |  JOIN canon c ON c.doc_id = d.doc_id
+         |  GROUP BY d.source)
+         |SELECT source, n_docs, n_langs, total_words, n_unique,
+         |  ${Det.roundNSql("(n_docs - n_unique) * 1.0 / n_docs", 4)} AS dup_rate,
+         |  ${Det.roundNSql("score_sum * 1.0 / n_docs", 2)} AS avg_quality
+         |FROM per ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val q = TextFunctions.qualityFeatures(docs, "doc_id", "text")
+        .select(col("doc_id"), col("word_count"), col("quality_score"))
+      val e = Dedup.exact(docs, "doc_id", "text")
+        .select(col("doc_id"), col("is_canonical"))
+      docs.select("doc_id", "source", "lang")
+        .join(q, Seq("doc_id")).join(e, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("word_count")).cast("long").as("total_words"),
+          count(when(col("is_canonical"), 1)).as("n_unique"),
+          sum(col("quality_score")).cast("long").as("__score_sum"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("total_words"), col("n_unique"),
+          Det.roundN((col("n_docs") - col("n_unique"))
+            * lit(1.0) / col("n_docs"), 4).as("dup_rate"),
+          Det.roundN(col("__score_sum") * lit(1.0) / col("n_docs"), 2)
+            .as("avg_quality"))
+        .orderBy("source")
+    },
+
     // Per-domain cap (the RefinedWeb/C4 move): at most 15 docs per
     // source, ranked longest-first (n_chars DESC, doc_id tiebreak) —
     // stops an over-crawled source from dominating the mix. Full per-doc

@@ -154,6 +154,29 @@ class CurationSpec extends AnyFunSuite {
     assert(imb < 1.25, s"max shard carries ${imb}x the ideal share")
   }
 
+  test("shuffled: a complete permutation, reproducible, salt-independent") {
+    val docs = spark.range(2000).select(col("id").as("doc_id"))
+    val a = Shards.shuffled(docs, "doc_id", nShards = 8)
+    // complete + disjoint: every doc exactly once, positions dense 1..n
+    assert(a.count() === 2000)
+    assert(a.select("doc_id").distinct().count() === 2000)
+    val dense = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"))
+      .filter(col("n") =!= col("mx")).count()
+    assert(dense === 0, "shard_pos must be dense 1..n per shard")
+    // reproducible under repartitioning
+    val b = Shards.shuffled(docs.repartition(13), "doc_id", nShards = 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a different salt is a genuinely different epoch order
+    val c = Shards.shuffled(docs, "doc_id", nShards = 8, salt = 1)
+    assert(a.exceptAll(c).count() > 0)
+    // id order and shuffle order decorrelated: the first 10 of shard 0
+    // are not simply the 10 lowest ids
+    val first = a.filter(col("shard") === 0 && col("shard_pos") <= 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(first != (0L until 10L).toSet)
+  }
+
   test("contiguous packing fills sequences in order, overflow bounded") {
     import graft.operators.Packing
     val docs = Seq(
