@@ -43,6 +43,10 @@ object ScaleProbe {
       val c = df.count()
       println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$c")
       spark.catalog.clearCache()
+      // free localCheckpoint blocks too (see Bench.scala) so one probe's
+      // staging can't pressure the next measurement
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
 
     time("chunking")(
@@ -107,6 +111,29 @@ object ScaleProbe {
     time("boilerplate_strip")(
       TextFunctions.stripBoilerplate(corpus, "doc_id", "text")
         .filter(col("n_removed") >= 0))
+    // sketch family + shuffle: all single-aggregate / single-window
+    // shapes — the probe documents that their cost tracks corpus size
+    // linearly (no pair enumeration anywhere to go quadratic)
+    time("bloom_build_probe") {
+      val hashed = corpus.select(col("doc_id"),
+        sha2(Dedup.normalize(col("text")), 256).as("ch"))
+      val bloom = graft.operators.Bloom.build(
+        hashed.filter(col("doc_id") % 10 =!= 7), "ch", mBits = 1 << 20)
+      graft.operators.Bloom.probe(
+        hashed.filter(col("doc_id") % 10 === 7), bloom, "ch",
+        mBits = 1 << 20)
+    }
+    time("kmv_distinct") {
+      graft.operators.Kmv.estimate(
+        graft.operators.Kmv.sketch(corpus, "source", "doc_id", 256),
+        "source", 256)
+    }
+    time("cms_build") {
+      graft.operators.CountMin.build(corpus, "source", width = 4096)
+    }
+    time("epoch_shuffle")(
+      Shards.shuffled(corpus, "doc_id", nShards = 64))
+
     // the full keep-rule chain: pairs → closure → priority selection.
     // MinHash pairs, not the ngram inverted index: the replicated corpus
     // multiplies every posting count by k, so the ngram posting cap (its
