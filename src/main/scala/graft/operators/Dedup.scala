@@ -122,22 +122,35 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Largest prime below 2^56 — the affine MinHash family's modulus.
+    * WITHOUT the mod, h1 + i·h2 is order-preserving in h2 for large i, so
+    * every component past the first few is minimized by each doc's
+    * min-h2 shingle — and every doc containing the corpus-wide min-h2
+    * COMMON shingle lands in one band mega-bucket. The cap filters those
+    * (recall survives) but the per-bucket count window degenerates to
+    * 100k+-row single-task partitions first (measured: 5× on the 11×
+    * probe). Reducing mod a prime wraps i·h2 around, restoring the
+    * classic universal family ((a + i·b) mod p) with independent minima
+    * per component. Sum stays under 2^62 — exact on both engines. */
+  val MinhashPrime = 72057594037927931L
+
   /** MinHash signatures + LSH band keys from a staged shingle relation.
     * One codegen'd aggregate computes every minhash component + set size.
-    * The component family is the affine construction h_i = h1 + i·h2 over
-    * the two staged 56-bit md5 spans (`__h1`/`__h2`) — the standard
-    * two-base-hash MinHash family, overflow-free (max h1 + 63·h2 < 2^62),
-    * pure arithmetic in the aggregate (cheaper than a per-component hash
-    * call), and — because both engines compute md5 identically —
-    * recomputable in oracle SQL end-to-end. Band keys are the plain
-    * comma-joined component strings (no re-hash: the string IS a unique
-    * key for the band's component vector).
+    * The component family is the affine construction
+    * h_i = (h1 + i·h2) mod [[MinhashPrime]] over the two staged 56-bit
+    * md5 spans (`__h1`/`__h2`) — the standard two-base-hash MinHash
+    * family, overflow-free, pure arithmetic in the aggregate (cheaper
+    * than a per-component hash call), and — because both engines compute
+    * md5 identically — recomputable in oracle SQL end-to-end. Band keys
+    * are the plain comma-joined component strings (no re-hash: the
+    * string IS a unique key for the band's component vector).
     * Returns (sizes: (id, n), keyed: (id, band_id, band_hash)). */
   private[operators] def sigKeyed(exploded: DataFrame, numHashes: Int,
       bands: Int): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val minCols = (0 until numHashes).map(i =>
-      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"__h$i"))
+      min((col("__h1") + lit(i.toLong) * col("__h2")) % MinhashPrime)
+        .as(s"__h$i"))
     val aggCols = count(lit(1)).as("n") +: minCols
     val sigs = exploded.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*)
     val bandCols = (0 until bands).map { b =>

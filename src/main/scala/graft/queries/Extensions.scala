@@ -151,7 +151,7 @@ object Extensions {
        |    ${Det.h56Sql("shingle", 17)} AS h2
        |  FROM s),
        |comp AS (
-       |  SELECT id, i, MIN(h1 + i * h2) AS c
+       |  SELECT id, i, MIN((h1 + i * h2) % ${Dedup.MinhashPrime}) AS c
        |  FROM shh, (SELECT unnest(generate_series(0, 63)) AS i) ii
        |  GROUP BY id, i),
        |keyed AS (
