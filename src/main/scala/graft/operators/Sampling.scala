@@ -57,6 +57,24 @@ object Sampling {
     }.toSeq
   }
 
+  /** 0-based part index for [[split]]'s membership, in ONE expression —
+    * the single-scan form: split() filters the corpus once PER PART
+    * (fine when each part is materialized separately anyway; a
+    * `write.partitionBy` over this index is the one-scan alternative),
+    * but a split SUMMARY over k parts must not pay k corpus scans.
+    * Index = how many interior cut points the key's bucket has passed;
+    * identical membership to split() by construction (same cuts, same
+    * bucket — SamplingSpec proves it). */
+  def partIndex(key: Column, weights: Seq[Double], salt: Int = 0): Column = {
+    require(weights.nonEmpty && weights.forall(_ > 0), s"bad weights: $weights")
+    val total = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _).map(w => (w / total * Buckets).round)
+    val b = bucket(key, salt)
+    cuts.drop(1).dropRight(1)
+      .map(c => when(b >= c, 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+  }
+
   /** Per-stratum fractions (the reference for df.stat.sampleBy, made
     * deterministic): `fractions` maps stratum value → keep fraction;
     * strata not listed are dropped. */

@@ -1442,7 +1442,10 @@ object Extensions {
     },
 
     // 80/10/10 train/val/test split summary: disjoint contiguous bucket
-    // ranges over the key hash, oracle-recomputed per doc.
+    // ranges over the key hash, oracle-recomputed per doc. Single-scan
+    // form (Sampling.partIndex), not one filtered scan per part — the
+    // k-scans shape PlanAudit flagged; split() itself remains the right
+    // API when each part is materialized separately.
     QueryDef.sql(
       "t_train_test_split",
       s"""WITH b AS (SELECT ${Sampling.bucketSql("doc_id")} AS bk FROM documents)
@@ -1450,11 +1453,12 @@ object Extensions {
          |            WHEN bk < 9000 THEN 'val' ELSE 'test' END AS part,
          |  COUNT(*) AS n_docs
          |FROM b GROUP BY 1 ORDER BY part""".stripMargin) { (s, d) =>
-      val parts = Sampling.split(Tables.documents(s, d), "doc_id",
-        Seq(0.8, 0.1, 0.1))
-      Seq("train", "val", "test").zip(parts).map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("part"), col("n_docs"))
-      }.reduce(_ unionByName _).orderBy("part")
+      Tables.documents(s, d)
+        .select(element_at(array(lit("train"), lit("val"), lit("test")),
+          Sampling.partIndex(col("doc_id"), Seq(0.8, 0.1, 0.1)) + 1)
+          .as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_docs"))
+        .orderBy("part")
     },
 
     // ---- multimodal ----------------------------------------------------

@@ -228,10 +228,13 @@ object ScaleOps {
       }) { (s, d) =>
       val orders = Tables.orders(s, d)
       val sketch = CountMin.build(orders, "o_custkey", width = 1024, depth = 4)
+      // staged (10 rows): read twice — estimate probes + the join back —
+      // and each read would otherwise recompute the full corpus count-agg
       val top = orders.groupBy("o_custkey")
         .agg(count(lit(1)).as("exact_count"))
         .orderBy(desc("exact_count"), col("o_custkey"))
         .limit(10)
+        .staged
       CountMin.estimate(top, sketch, "o_custkey", width = 1024, depth = 4)
         .join(top.withColumn("o_custkey", col("o_custkey").cast("string")),
           Seq("o_custkey"))

@@ -37,6 +37,27 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDups(noVecs, threshold = 0.5).count() === 0)
   }
 
+  test("sketch and layout family on empty inputs") {
+    val noKeys = Seq.empty[Tuple1[String]].toDF("k")
+    val emptyBloom = Bloom.build(noKeys, "k")
+    assert(emptyBloom.count() === 0)
+    // probing an empty filter: nothing can be present
+    val probed = Bloom.probe(Seq(Tuple1("x")).toDF("k"), emptyBloom, "k")
+    assert(probed.filter(col("maybe_present")).count() === 0)
+    assert(Bloom.probe(noKeys, emptyBloom, "k").count() === 0)
+    assert(Kmv.estimate(Kmv.sketch(
+      Seq.empty[(String, String)].toDF("grp", "key"), "grp", "key", 16),
+      "grp", 16).count() === 0)
+    assert(CountMin.build(noKeys, "k").count() === 0)
+    assert(CountMin.estimate(Seq(Tuple1("x")).toDF("k"),
+      CountMin.build(noKeys, "k"), "k")
+      .select("est_count").as[Long].head() === 0L)
+    assert(ZOrder.fileStats(ZOrder.fileLayout(
+      Seq.empty[(Long, Long)].toDF("a", "id"),
+      Seq(col("a"), col("id")), 10), Seq("a")).count() === 0)
+    assert(Shards.shuffled(noDocs, "doc_id", nShards = 8).count() === 0)
+  }
+
   test("curation family on empty inputs") {
     import java.sql.Date
     assert(Contamination.ngramOverlap(noDocs, noDocs, "doc_id", "text")

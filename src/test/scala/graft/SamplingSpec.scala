@@ -38,6 +38,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(parts == re)
   }
 
+  test("partIndex agrees with split() membership for every row") {
+    val weights = Seq(0.8, 0.1, 0.1)
+    val byFilter = Sampling.split(docs, "doc_id", weights).zipWithIndex
+      .map { case (df, i) =>
+        df.select(col("doc_id"), lit(i).as("pi"))
+      }.reduce(_ unionByName _)
+      .as[(Long, Int)].collect().toMap
+    val byIndex = docs
+      .select(col("doc_id"), Sampling.partIndex(col("doc_id"), weights).as("pi"))
+      .as[(Long, Int)].collect().toMap
+    assert(byFilter == byIndex)
+  }
+
   test("stratified sampling applies per-stratum fractions, drops unlisted strata") {
     val out = Sampling.sampleByStratum(docs, "stratum", "doc_id",
       Map("0" -> 0.5, "1" -> 0.1))
