@@ -53,6 +53,33 @@ object Kmv {
       .filter(col("__rn") <= k)
       .drop("__rn")
 
+  /** Set-operation estimates from two single-group sketch relations
+    * (column `h`): the classic KMV algebra — the k smallest of the
+    * union of the two k-sets IS the sketch of A ∪ B (→ est_union), and
+    * the fraction ρ of that merged k-set present in BOTH input sketches
+    * estimates the Jaccard similarity, so est_inter = ρ · est_union.
+    * One row: (est_union, est_inter, jaccard_est). Everything is
+    * rank/semi-join relational algebra over ≤ 3k hash rows —
+    * oracle-checkable and cheap no matter how large the sketched
+    * corpora were. */
+  def setOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val tag = (df: DataFrame) => df.select(col("h")).withColumn("__g", lit(1))
+    val merged = topK(tag(a).unionByName(tag(b)).distinct(), "__g", k)
+    val estU = estimate(merged, "__g", k)
+    val inBoth = merged
+      .join(a.select("h").distinct(), Seq("h"), "left_semi")
+      .join(b.select("h").distinct(), Seq("h"), "left_semi")
+    val stats = merged.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .join(inBoth.groupBy("__g").agg(count(lit(1)).as("__nb")),
+        Seq("__g"), "left")
+    estU.join(stats, Seq("__g"))
+      .select(col("est_distinct").as("est_union"),
+        Det.roundN(coalesce(col("__nb"), lit(0L)) * col("est_distinct")
+          / col("__n"), 2).as("est_inter"),
+        Det.roundN(coalesce(col("__nb"), lit(0L)) * lit(1.0) / col("__n"), 4)
+          .as("jaccard_est"))
+  }
+
   /** (grpCol, est_distinct): exact when the group holds fewer than k
     * distinct keys, else (k−1)·2^56/h_k. */
   def estimate(sk: DataFrame, grpCol: String, k: Int): DataFrame =

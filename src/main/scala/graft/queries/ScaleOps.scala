@@ -361,6 +361,69 @@ object ScaleOps {
         .orderBy("o_orderpriority")
     },
 
+    // KMV set algebra — the question sketches exist to answer at 100 TB:
+    // how many distinct users does segment A share with segment B,
+    // WITHOUT re-scanning either corpus. Merged k-set = the union
+    // sketch; the fraction of it present in both input sketches
+    // estimates Jaccard, hence the intersection. Estimates AND the
+    // exact union/intersection ride in the same hash-checked row, so
+    // the artifact itself shows the estimator's realized error.
+    QueryDef.sql(
+      "a_kmv_set_ops", {
+        def side(name: String, prio: String) =
+          s"""h$name AS (
+             |  SELECT DISTINCT ${Det.h56Sql("CAST(o_custkey AS VARCHAR)")} AS h
+             |  FROM orders WHERE o_orderpriority = '$prio'),
+             |sk$name AS (
+             |  SELECT h FROM (
+             |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h$name)
+             |  WHERE rn <= 256)""".stripMargin
+        s"""WITH ${side("a", "1-URGENT")},
+           |${side("b", "5-LOW")},
+           |mg AS (
+           |  SELECT h FROM (
+           |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+           |    FROM (SELECT h FROM ska UNION SELECT h FROM skb))
+           |  WHERE rn <= 256),
+           |st AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM mg),
+           |bt AS (
+           |  SELECT COUNT(*) AS nb FROM mg
+           |  WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+           |eu AS (
+           |  SELECT ${Det.roundNSql(
+              "CASE WHEN n < 256 THEN CAST(n AS DOUBLE) " +
+                "ELSE 255e0 * 72057594037927936e0 / hk END", 2)} AS est_union,
+           |    n FROM st),
+           |ex AS (
+           |  SELECT COUNT(DISTINCT o_custkey) AS exact_union FROM orders
+           |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+           |exi AS (
+           |  SELECT COUNT(*) AS exact_inter FROM (
+           |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           |    INTERSECT
+           |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
+           |SELECT eu.est_union,
+           |  ${Det.roundNSql("nb * est_union / n", 2)} AS est_inter,
+           |  ${Det.roundNSql("nb * 1.0 / n", 4)} AS jaccard_est,
+           |  exact_union, exact_inter
+           |FROM eu, bt, ex, exi""".stripMargin
+      }) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      def sideSk(prio: String) =
+        Kmv.sketch(orders.filter(col("o_orderpriority") === prio)
+            .withColumn("__one", lit(1)), "__one", "o_custkey", 256)
+      val a = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct()
+      val b = orders.filter(col("o_orderpriority") === "5-LOW")
+        .select("o_custkey").distinct()
+      val exact = a.unionByName(b).distinct()
+        .agg(count(lit(1)).as("exact_union"))
+        .crossJoin(a.join(b, Seq("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("exact_inter")))
+      Kmv.setOps(sideSk("1-URGENT"), sideSk("5-LOW"), 256)
+        .crossJoin(broadcast(exact))
+    },
+
     // percentile_approx — the 100 TB toggle for a_percentiles_exact: one
     // mergeable sketch pass instead of a per-group sort. Sketch internals
     // are engine-specific → rows-only; PropertiesSpec bounds the error vs

@@ -42,6 +42,28 @@ class KmvSpec extends AnyFunSuite {
     assert(merged == mono)
   }
 
+  test("setOps: union/intersection estimates track a planted overlap") {
+    // A = keys 0..7999, B = keys 4000..11999 -> union 12000, inter 4000
+    def side(lo: Int, hi: Int) = Kmv.sketch(
+      (lo until hi).map(i => ("g", s"k$i")).toDF("grp", "key"),
+      "grp", "key", 512)
+    val got = Kmv.setOps(side(0, 8000), side(4000, 12000), 512)
+      .as[(Double, Double, Double)].head()
+    val (estU, estI, jac) = got
+    assert(math.abs(estU - 12000) / 12000 < 0.2, s"union est $estU")
+    assert(math.abs(estI - 4000) / 4000 < 0.35, s"inter est $estI")
+    assert(math.abs(jac - 1.0 / 3) < 0.12, s"jaccard est $jac")
+  }
+
+  test("setOps: disjoint sets estimate zero intersection") {
+    def side(lo: Int, hi: Int) = Kmv.sketch(
+      (lo until hi).map(i => ("g", s"k$i")).toDF("grp", "key"),
+      "grp", "key", 128)
+    val (_, estI, jac) = Kmv.setOps(side(0, 3000), side(3000, 6000), 128)
+      .as[(Double, Double, Double)].head()
+    assert(estI == 0.0 && jac == 0.0)
+  }
+
   test("sketch is deterministic under repartitioning") {
     val s1 = Kmv.sketch(rows, "grp", "key", 64)
       .as[(String, Long)].collect().toSet

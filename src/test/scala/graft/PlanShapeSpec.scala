@@ -36,6 +36,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "t_mix_weights",          // broadcast 1-row total mass
     "t_temperature_sample",   // broadcast 1-row max keep-rate
     "t_shard_pack",           // broadcast 1-row heavy-tail cutoff stats
+    "a_kmv_set_ops",          // 1-row estimate x 1-row exact combine
     "sim_ivf_batch",          // broadcast 8-query vector batch x codebook
     "sim_int8_topk",          // broadcast 1-row query vector + scale stats
     "t_importance_weights",   // broadcast 1-row target/corpus LM moments
