@@ -90,6 +90,45 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 5, "index holds every doc exactly once")
   }
 
+  test("streaming Bloom-prefiltered exact dedup matches sequential ground truth") {
+    import graft.streaming.BloomIngest
+    // batch A: two distinct docs + an intra-batch duplicate of doc 1;
+    // batch B: a cross-batch duplicate of doc 1, a new doc, a dup of 2
+    val docsA = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "ALPHA  beta GAMMA")).toDF("doc_id", "text") // 3 normalizes == 1
+    val docsB = Seq((4L, "alpha beta gamma"), (5L, "zeta eta theta"),
+      (6L, "delta epsilon")).toDF("doc_id", "text")
+    val srcDir = Files.createTempDirectory("bloom-src").toString
+    docsA.coalesce(1).write.mode("append").parquet(srcDir)
+    docsB.coalesce(1).write.mode("append").parquet(srcDir)
+    val stDir = Files.createTempDirectory("bloom-state").toString + "/st"
+    val outDir = Files.createTempDirectory("bloom-out").toString + "/out"
+    val stream = spark.readStream.schema(docsA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    BloomIngest.start(stream, "doc_id", "text", stDir, outDir)
+    val out = spark.read.parquet(outDir)
+      .select("doc_id", "maybe_present", "batch_canonical", "is_new")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // is_new = content unseen in PRIOR batches (intra-batch dups are
+    // still new; batch_canonical resolves them)
+    assert(out(1L)._3 && out(2L)._3 && out(3L)._3, "batch A all new")
+    assert(out(1L)._2 && !out(3L)._2, "intra-batch dup: first id canonical")
+    assert(!out(4L)._3 && out(5L)._3 && !out(6L)._3, "cross-batch dups flagged")
+    // the pre-filter contract: every prior-corpus dup was maybe_present
+    assert(out(4L)._1 && out(6L)._1, "no false negatives")
+    // replay against the same state must reproduce identical rows
+    val stream2 = spark.readStream.schema(docsA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    BloomIngest.start(stream2, "doc_id", "text", stDir, outDir)
+    val replayed = spark.read.parquet(outDir)
+      .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
+    assert(replayed === out.map { case (k, v) => k -> v._3 },
+      "replay is idempotent")
+    assert(spark.read.parquet(s"$stDir/hashes").select("doc_id")
+      .distinct().count() === 6, "state holds every doc exactly once")
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim without state") {
     val dim = graft.engine.Tables.customer(spark, "/root/testdata/sf0.001")
       .select(col("c_custkey"), col("c_mktsegment"))
