@@ -145,6 +145,48 @@ object Drift {
     *
     * One per-group aggregate + a broadcast of the 1-row reference.
     * Returns (keyCol, n_docs, mean_val, drift_stat, is_drifted). */
+  /** Per-segment EMBEDDING drift: cosine between each segment's centroid
+    * and the corpus centroid — the representation-space monitor an
+    * embedding pipeline runs per ingest (an encoder version bump, a new
+    * scraper, or a language shift moves a segment's centroid long before
+    * scalar metrics notice). Low cosine = the segment's vectors point
+    * somewhere else.
+    *
+    * Shape: one posexplode → two decimal-summed (key, dim) / (dim)
+    * aggregates → a dim-aligned join folded into per-key dot/norm sums —
+    * shuffle O(rows × dims) then O(segments × dims), no pair work. Every
+    * sum (per-dim means AND the 64-term dot products) routes through
+    * DECIMAL, so the cosine is partial-aggregation-order-independent and
+    * the whole report hash-matches a SQL oracle.
+    *
+    * Returns (keyCol, n_vecs, centroid_cosine) per segment. */
+  def embeddingDrift(df: DataFrame, keyCol: String,
+      embCol: String = "embedding"): DataFrame = {
+    val dims = df.select(col(keyCol),
+        posexplode(col(embCol)).as(Seq("dim", "x")))
+      .select(col(keyCol), col("dim"), col("x").cast("double").as("x"))
+      .staged
+    def centroid(grouped: Seq[String]) = dims
+      .groupBy(grouped.map(col): _*)
+      .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
+        / count(lit(1))).as("m"))
+    val per = centroid(Seq(keyCol, "dim"))
+    val glob = centroid(Seq("dim")).withColumnsRenamed(Map("m" -> "g"))
+    val d30 = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast(DecimalType(38, 30))).cast("double")
+    val dots = per.join(glob, Seq("dim"))
+      .groupBy(col(keyCol))
+      .agg(d30(col("m") * col("g")).as("__dot"),
+        d30(col("m") * col("m")).as("__na"),
+        d30(col("g") * col("g")).as("__ng"))
+    val nv = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_vecs"))
+    dots.join(nv, Seq(keyCol))
+      .select(col(keyCol), col("n_vecs"),
+        Det.roundN(when(sqrt(col("__na")) * sqrt(col("__ng")) > 0,
+          col("__dot") / (sqrt(col("__na")) * sqrt(col("__ng"))))
+          .otherwise(0.0), 6).as("centroid_cosine"))
+  }
+
   def meanShiftAgainst(df: DataFrame, keyCol: String, valCol: String,
       reference: DataFrame, z: Double = 2.0): DataFrame = {
     val dec = col(valCol).cast("double").cast(DecimalType(28, 6))

@@ -495,6 +495,40 @@ object Extensions {
         .orderBy("source")
     },
 
+    // Embedding-space drift: cosine of each label segment's centroid vs
+    // the corpus centroid — the representation monitor that catches an
+    // encoder bump or a content shift long before scalar metrics move.
+    // Per-dim means AND the dot/norm folds are decimal-summed, so the
+    // cosine itself is hash-checked against the SQL re-derivation.
+    QueryDef.sql(
+      "t_embedding_drift",
+      s"""WITH dims AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |per AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM dims GROUP BY 1, 2),
+         |gcent AS (
+         |  SELECT dim,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS g
+         |  FROM dims GROUP BY 1),
+         |dots AS (
+         |  SELECT label,
+         |    CAST(SUM(CAST(m * g AS DECIMAL(38,30))) AS DOUBLE) AS dot,
+         |    CAST(SUM(CAST(m * m AS DECIMAL(38,30))) AS DOUBLE) AS na,
+         |    CAST(SUM(CAST(g * g AS DECIMAL(38,30))) AS DOUBLE) AS ng
+         |  FROM per JOIN gcent USING (dim) GROUP BY label),
+         |nv AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1)
+         |SELECT label, n_vecs,
+         |  ${roundN("CASE WHEN sqrt(na) * sqrt(ng) > 0 THEN dot / (sqrt(na) * sqrt(ng)) ELSE 0.0 END", 6)} AS centroid_cosine
+         |FROM dots JOIN nv USING (label)
+         |ORDER BY label""".stripMargin) { (s, d) =>
+      graft.operators.Drift.embeddingDrift(Tables.embeddings(s, d), "label")
+        .orderBy("label")
+    },
+
     // Histogram (chi-square) drift — the distribution-SHAPE check the
     // mean tests can't see. Reference bin fractions from the id-block
     // half (doc_id%8<=3 — parity correlates with source in the fixture), per-source observed fractions from the odd-id half, Pearson
