@@ -44,9 +44,9 @@ object ScaleProbe {
       println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$c")
       spark.catalog.clearCache()
       // free localCheckpoint blocks too (see Bench.scala) so one probe's
-      // staging can't pressure the next measurement
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // staging can't pressure the next measurement — scoped to the ids
+      // Stage registered, not all persistent RDDs
+      graft.engine.Stage.releaseStaged(spark)
     }
 
     time("chunking")(

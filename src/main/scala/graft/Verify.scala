@@ -35,9 +35,9 @@ object Verify {
         spark.catalog.clearCache()
         // also free localCheckpoint blocks (see Bench.scala: the SQL cache
         // manager doesn't own them, and ContextCleaner lag lets them pile
-        // into the storage fraction across 141 queries)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // into the storage fraction across 145 queries). Scoped to the
+        // ids Stage registered, not all persistent RDDs.
+        graft.engine.Stage.releaseStaged(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

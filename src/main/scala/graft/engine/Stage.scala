@@ -42,6 +42,39 @@ object Stage {
   val modeKey = "spark.graft.stage.mode"
   val dirKey = "spark.graft.stage.dir"
 
+  // ids of persistent RDDs created by staging (mode=local leaves a
+  // localCheckpoint block registered in sparkContext.getPersistentRDDs).
+  // Harness mains (Bench/Verify/ScaleProbe) unpersist exactly these
+  // between queries instead of sweeping ALL persistent RDDs — a global
+  // sweep would silently evict any intentionally long-lived cache and
+  // re-inflate timings with no error.
+  private val stagedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Atomically return-and-clear the staged-block ids accumulated since
+    * the last drain. Harness cleanup loops call this after each query. */
+  def drainStagedIds(): Set[Int] = {
+    val it = stagedIds.iterator()
+    val b = Set.newBuilder[Int]
+    while (it.hasNext) { b += it.next(); it.remove() }
+    b.result()
+  }
+
+  /** Unpersist exactly the staged blocks created since the last call —
+    * the between-queries cleanup for harness mains. */
+  def releaseStaged(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    drainStagedIds().foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Run `body`, recording any persistent-RDD ids it registered. */
+  private def tracked(df: DataFrame)(body: => DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = body
+    (sc.getPersistentRDDs.keySet -- before).foreach(stagedIds.add(_))
+    out
+  }
+
   private def stageDir(df: DataFrame): String = {
     val spark = df.sparkSession
     spark.conf.getOption(dirKey).getOrElse {
@@ -69,7 +102,7 @@ object Stage {
 
   private def force(df: DataFrame, mode: String): DataFrame = mode match {
     case "local" =>
-      df.localCheckpoint()
+      tracked(df)(df.localCheckpoint())
     case "reliable" =>
       val sc = df.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(stageDir(df))
@@ -88,7 +121,7 @@ object Stage {
     * cheaper than a checkpoint (no copy), recomputable (cluster-safe),
     * but does NOT cut lineage, so not for iterative loops. */
   def cache(df: DataFrame): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked(df)(df.persist(StorageLevel.MEMORY_AND_DISK))
 
   /** `import graft.engine.Stage.syntax._` for chainable `.staged` /
     * `.stagedAlways` at the former `.localCheckpoint()` call sites. */

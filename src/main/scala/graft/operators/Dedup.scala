@@ -147,6 +147,15 @@ object Dedup {
     * Returns (sizes: (id, n), keyed: (id, band_id, band_hash)). */
   private[operators] def sigKeyed(exploded: DataFrame, numHashes: Int,
       bands: Int): (DataFrame, DataFrame) = {
+    // overflow guard: h1,h2 < 2^56, so h1 + i·h2 stays under 2^63 only
+    // for i ≤ 64 — beyond that the Long wraps negative and Spark's %
+    // keeps the sign, silently corrupting components (degraded recall
+    // with no error). Bloom/CountMin carry the same k<64 guard.
+    require(numHashes <= 64 && numHashes >= 1,
+      s"numHashes=$numHashes out of the overflow-safe range [1,64] " +
+        "for the affine h1+i*h2 family")
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     val minCols = (0 until numHashes).map(i =>
       min((col("__h1") + lit(i.toLong) * col("__h2")) % MinhashPrime)

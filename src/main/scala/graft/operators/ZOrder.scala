@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * mirrored in oracle SQL, so the pruning COUNTS themselves are
   * hash-checked against DuckDB.
   *
-  * At rest the file assignment is `repartitionByRange(zCol)` + one file
-  * per partition (a distributed range sort); the `row_number` used here
-  * computes the same equal-frequency boundaries deterministically so the
-  * demo's file population is engine-identical. Pruning correctness never
+  * File assignment ships in two equivalent forms: [[fileLayout]] (one
+  * global `row_number` window — fine for a demo/fixture, but a
+  * single-reducer sort at corpus scale) and [[fileLayoutRanged]], the
+  * scale path — `repartitionByRange` on the layout order, per-partition
+  * ranks, then broadcast cumulative partition counts to rebuild the EXACT
+  * global rank. Same total order → bit-identical `file_id` assignment
+  * (ZOrderSpec proves it), but the sort is a distributed range shuffle
+  * and no row ever funnels through one reducer. Pruning correctness never
   * depends on the z-math: files are pruned on REAL min/max stats, so a
   * dimension overflowing `bitsPer` only degrades locality, never results.
   */
@@ -45,13 +49,56 @@ object ZOrder {
 
   /** Equal-frequency file assignment in `order` order: adds `file_id`
     * (0-based, `rowsPerFile` rows each). `order` must totally order the
-    * rows (end with a unique id) or file boundaries are nondeterministic. */
+    * rows (end with a unique id) or file boundaries are nondeterministic.
+    *
+    * DEMO-SCALE ONLY: the unpartitioned window is a single-reducer global
+    * sort. Production layout jobs use [[fileLayoutRanged]], which computes
+    * the identical assignment distributed. */
   def fileLayout(df: DataFrame, order: Seq[Column],
       rowsPerFile: Int): DataFrame = {
     require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
     df.withColumn("file_id",
       ((row_number().over(Window.orderBy(order: _*)) - 1) / rowsPerFile)
         .cast("long"))
+  }
+
+  /** Scale-path [[fileLayout]]: the same equal-frequency assignment,
+    * computed without a global window. Classic two-phase global rank:
+    *
+    *   1. `repartitionByRange(order)` — a distributed range sort; equal
+    *      keys co-locate, so per-partition order is a contiguous slice of
+    *      the global order (`order` must still end with a unique id).
+    *   2. per-partition `row_number` (window is partitioned — no funnel),
+    *   3. cumulative partition counts (numPartitions rows — driver-tiny,
+    *      the one remaining global window runs over THAT, the same
+    *      caller-bounded discipline as Shards.assign) broadcast back to
+    *      convert local ranks to exact global ranks.
+    *
+    * Bit-identical `file_id`s to [[fileLayout]] (ZOrderSpec), so oracle
+    * SQL mirroring the global `row_number` stays valid for either path.
+    * The ranged relation is staged once: ranks and counts both read it. */
+  def fileLayoutRanged(df: DataFrame, order: Seq[Column], rowsPerFile: Int,
+      numPartitions: Int = 0): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = graft.engine.Stage.materialize(
+      df.repartitionByRange(parts, order: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val local = ranged.withColumn("__rn", row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(order: _*)))
+    val offsets = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("file_id",
+        ((col("__off") + col("__rn") - 1) / rowsPerFile).cast("long"))
+      .drop("__pid", "__rn", "__off")
   }
 
   /** Per-file stats over the given dims: (file_id, n_rows,

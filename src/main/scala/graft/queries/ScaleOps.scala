@@ -290,9 +290,19 @@ object ScaleOps {
          |FROM sc JOIN tot USING (layout)
          |ORDER BY query_name, layout""".stripMargin) { (s, d) =>
       import s.implicits._
+      // day via FLOOR division to match DuckDB `//`: Spark's `div`
+      // truncates toward zero, which disagrees with the oracle for
+      // pre-1970 timestamps. (a - pmod(a,b)) div b is exact integer
+      // floor-division for any sign of a.
+      val us = expr("unix_micros(ts)")
       val evs = Tables.events(s, d).select(col("event_id"), col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
-      val zed = ZOrder.fileLayout(evs,
+        ((us - pmod(us, lit(86400000000L)))
+          .divide(lit(86400000000L))).cast("long").as("day"))
+      // z layout via the SCALE path (range shuffle + two-phase rank) —
+      // bit-identical file ids to the demo global window, so the oracle's
+      // row_number mirror still hash-matches; linear layout keeps the
+      // demo path so both code paths stay exercised by the same oracle
+      val zed = ZOrder.fileLayoutRanged(evs,
         Seq(ZOrder.zValue(col("user_id"), col("day"), 11), col("event_id")),
         rowsPerFile = 512)
       val lin = ZOrder.fileLayout(evs, Seq(col("user_id"), col("event_id")),

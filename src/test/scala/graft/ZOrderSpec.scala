@@ -33,6 +33,28 @@ class ZOrderSpec extends AnyFunSuite {
     assert(sizes == Set(100))
   }
 
+  test("scale-path ranged layout assigns bit-identical file ids to the demo window") {
+    val df = spark.range(5000).select(col("id"),
+      (col("id") * 131 % 997).as("a"), (col("id") * 17 % 64).as("b"))
+    val order = Seq(ZOrder.zValue(col("a"), col("b"), 10), col("id"))
+    val demo = ZOrder.fileLayout(df, order, 256)
+      .select("id", "file_id").as[(Long, Long)].collect().toMap
+    // several partition counts, including 1 (degenerate = demo shape) and
+    // more partitions than files
+    for (parts <- Seq(1, 7, 32)) {
+      val ranged = ZOrder.fileLayoutRanged(df, order, 256, numPartitions = parts)
+        .select("id", "file_id").as[(Long, Long)].collect().toMap
+      assert(ranged == demo, s"parts=$parts diverged from demo layout")
+    }
+    // and therefore identical pruning stats
+    val sDemo = ZOrder.fileStats(ZOrder.fileLayout(df, order, 256), Seq("a", "b"))
+      .collect().toSet
+    val sRanged = ZOrder.fileStats(
+      ZOrder.fileLayoutRanged(df, order, 256), Seq("a", "b"))
+      .select(sDemo.head.schema.fieldNames.map(col): _*).collect().toSet
+    assert(sDemo == sRanged)
+  }
+
   test("z layout prunes second-dim box queries; linear layout cannot") {
     // 64x64 grid, one row per cell — second-dim predicate b in [8, 15]
     val grid = spark.range(4096).select(
