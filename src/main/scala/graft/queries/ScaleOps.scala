@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
-import graft.operators.{AsOfJoin, CountMin, Kmv, Salting, ZOrder}
+import graft.operators.{AsOfJoin, CountMin, Kmv, QuantileSketch, Salting, ZOrder}
 import graft.engine.Stage.syntax._
 
 /** Scale-path operator variants: salted skew joins/aggregations, the
@@ -721,6 +721,62 @@ object ScaleOps {
           Det.roundN(expr("percentile(value, 0.25D)"), 4).as("p25"),
           Det.roundN(expr("percentile(value, 0.50D)"), 4).as("p50"),
           Det.roundN(expr("percentile(value, 0.90D)"), 4).as("p90"))
+        .orderBy("event_type")
+    },
+
+    // Bottom-k quantile sketch — the VERIFIABLE approximate percentile:
+    // percentile_approx's KLL registers are engine-internal (rows-only
+    // forever, see a_approx_percentiles), but a deterministic bottom-k
+    // h56 row sample is a pure function of the data, so the estimate, the
+    // exact quantile, and the realized error are all hash-checked against
+    // DuckDB — the same flip a_kmv_distinct made for HLL. k=256 ⇒ rank
+    // error O(1/√256) ≈ 6% worst-case at the median; observed err rides
+    // in the artifact.
+    QueryDef.sql(
+      "a_kmv_quantiles", {
+        val (ctes, sel) = QuantileSketch.oracleSql(
+          "events", "event_type", "event_id", "value", 256,
+          Seq(0.25, 0.5, 0.9))
+        s"""WITH $ctes,
+           |est AS (SELECT grp, $sel FROM __qs_r GROUP BY grp),
+           |ex AS (
+           |  SELECT event_type AS grp,
+           |    quantile_cont(value, 0.25) AS p25x,
+           |    quantile_cont(value, 0.50) AS p50x,
+           |    quantile_cont(value, 0.90) AS p90x
+           |  FROM events GROUP BY 1)
+           |SELECT grp AS event_type,
+           |  ${Det.roundNSql("p25_est", 4)} AS p25_est,
+           |  ${Det.roundNSql("p50_est", 4)} AS p50_est,
+           |  ${Det.roundNSql("p90_est", 4)} AS p90_est,
+           |  ${Det.roundNSql("p25x", 4)} AS p25_exact,
+           |  ${Det.roundNSql("p50x", 4)} AS p50_exact,
+           |  ${Det.roundNSql("p90x", 4)} AS p90_exact,
+           |  ${Det.roundNSql("abs(p25_est - p25x)", 4)} AS err25,
+           |  ${Det.roundNSql("abs(p50_est - p50x)", 4)} AS err50,
+           |  ${Det.roundNSql("abs(p90_est - p90x)", 4)} AS err90
+           |FROM est JOIN ex USING (grp)
+           |ORDER BY event_type""".stripMargin
+      }) { (s, d) =>
+      val evs = Tables.events(s, d)
+      val sk = QuantileSketch.sample(evs, "event_type", "event_id", "value",
+        256)
+      val est = QuantileSketch.quantiles(sk, "event_type", Seq(0.25, 0.5, 0.9))
+      val exact = evs.groupBy("event_type").agg(
+        expr("percentile(value, 0.25D)").as("p25x"),
+        expr("percentile(value, 0.50D)").as("p50x"),
+        expr("percentile(value, 0.90D)").as("p90x"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          Det.roundN(col("p25_est"), 4).as("p25_est"),
+          Det.roundN(col("p50_est"), 4).as("p50_est"),
+          Det.roundN(col("p90_est"), 4).as("p90_est"),
+          Det.roundN(col("p25x"), 4).as("p25_exact"),
+          Det.roundN(col("p50x"), 4).as("p50_exact"),
+          Det.roundN(col("p90x"), 4).as("p90_exact"),
+          Det.roundN(abs(col("p25_est") - col("p25x")), 4).as("err25"),
+          Det.roundN(abs(col("p50_est") - col("p50x")), 4).as("err50"),
+          Det.roundN(abs(col("p90_est") - col("p90x")), 4).as("err90"))
         .orderBy("event_type")
     },
   )
