@@ -14,7 +14,8 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     Relational.defs ++ Aggregates.defs ++ Windows.defs ++ Scalars.defs ++
       Composites.defs ++ GoldRollups.defs ++ QualityQueries.defs ++
-      Extensions.defs ++ PipelineQueries.defs ++ ScaleOps.defs ++ Curation.defs
+      Extensions.defs ++ PipelineQueries.defs ++ ScaleOps.defs ++
+      Curation.defs ++ StreamingQueries.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names")
