@@ -167,28 +167,39 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
 
   /** Full run over the testdata tables: events-as-covid through the
     * flagship silver transform, gold models, quality suite, exports,
-    * run metadata. Returns per-stage row counts. */
+    * run metadata. Returns per-stage row counts.
+    *
+    * Counting discipline: each overwrite/upsert stage's count comes from
+    * the STAGED pre-write frame — identical rows to a read-back (the
+    * write is this frame), without re-scanning the lake it just wrote
+    * (at 100 TB the re-read counts were the run's most expensive no-op).
+    * The one append table (quality_logs) still counts by read-back:
+    * its total legitimately includes prior runs' appends. */
   def run(sfDir: String): Map[String, Long] = {
     val t0 = System.currentTimeMillis()
+    import Stage.syntax._
 
     // ---- bronze: land raw tables with audit columns (K3 idempotent) ----
+    // staged once: consumed by the bronze write, the silver filter, the
+    // P11 rewrite, and the metadata count — and staging freezes the
+    // current_timestamp audit column so all four see identical rows
     val events = Tables.events(spark, sfDir)
-    val bronzeEvents = Bronze.withAudit(Bronze.blanksToNull(events))
+    val bronzeEvents = Bronze.withAudit(Bronze.blanksToNull(events)).staged
     writeOverwrite(bronzeEvents, "bronze", "events")
 
     // ---- silver: flagship covid lineage from bronze (P7 incremental) ---
-    val pending = read("bronze", "events")
+    val pending = bronzeEvents
       .filter(col("validation_status") === "pending")
       .drop("ingestion_timestamp", "validation_status", "data_hash")
     val silver = SilverCovid.transform(
       SilverCovid.fromEvents(pending),
       SilverCovid.Thresholds(outlierConfirmed = 5000, outlierDaily = 400))
+      .staged
     upsertByDate(silver, "silver", "covid_timeseries", "record_date")
 
     // P11: flip consumed rows to processed (state-column rewrite)
     writeOverwrite(
-      read("bronze", "events")
-        .withColumn("validation_status", lit("processed")),
+      bronzeEvents.withColumn("validation_status", lit("processed")),
       "bronze", "events_processed")
 
     // ---- quality: config-driven checks + log append (K7) ---------------
@@ -202,30 +213,30 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
     // ---- silver: clean_posts feature set (transform_silver.py:82-95) ---
     val posts = GoldEngagement.attribute(SilverPosts.transform(
       Tables.documents(spark, sfDir), titleCol = "source", bodyCol = "text"))
+      .staged
     writeOverwrite(posts, "silver", "clean_posts")
 
     // ---- gold: daily summary + trend labels (MV-refresh semantics) -----
-    val covid = read("silver", "covid_timeseries")
-    val daily = covid.groupBy("record_date").agg(
+    val daily = silver.groupBy("record_date").agg(
       countDistinct(col("country")).as("n_countries"),
       Det.dsum(col("daily_new_cases")).as("total_new_cases"),
       Det.davg(col("mortality_rate")).as("avg_mortality_rate"))
+      .staged
     upsertByDate(daily, "gold", "daily_global_summary", "record_date")
     export(daily, "daily_global_summary")
 
     // ---- gold: user_engagement_metrics (model_gold.py:93-103) ----------
-    val engagement = GoldEngagement.transform(read("silver", "clean_posts"))
+    val engagement = GoldEngagement.transform(posts).staged
     upsertByDate(engagement, "gold", "user_engagement_metrics",
       "engagement_date")
 
     // ---- run metadata (K6) --------------------------------------------
     val counts = Map(
-      "bronze_events" -> read("bronze", "events").count(),
-      "silver_covid" -> covid.count(),
-      "silver_posts" -> read("silver", "clean_posts").count(),
-      "gold_daily" -> read("gold", "daily_global_summary").count(),
-      "gold_engagement" ->
-        read("gold", "user_engagement_metrics").count(),
+      "bronze_events" -> bronzeEvents.count(),
+      "silver_covid" -> silver.count(),
+      "silver_posts" -> posts.count(),
+      "gold_daily" -> daily.count(),
+      "gold_engagement" -> engagement.count(),
       "quality_checks" -> read("silver", "quality_logs").count())
     val meta =
       s"""{"pipeline":"graft-medallion","status":"SUCCESS",
