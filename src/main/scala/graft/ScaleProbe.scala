@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Det
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Contamination, Dedup, Scd2, Shards}
+import graft.operators.{Chunking, Contamination, CountMin, Dedup, Importance,
+  Packing, QuantileSketch, Scd2, Shards, Snapshot, ZOrder}
 import graft.engine.Stage.syntax._
 
 /** Dev utility: scale-probe the corpus operators beyond the fixtures.
@@ -129,8 +130,50 @@ object ScaleProbe {
         "source", 256)
     }
     time("cms_build") {
-      graft.operators.CountMin.build(corpus, "source", width = 4096)
+      CountMin.build(corpus, "source", width = 4096)
     }
+    time("cms_estimate") {
+      val sk = CountMin.buildSketch(corpus, "source", width = 4096)
+      CountMin.estimate(corpus.select("source").distinct(), sk, "source")
+    }
+    time("kmv_quantiles") {
+      QuantileSketch.quantiles(
+        QuantileSketch.sample(corpus, "source", "doc_id", "n_chars", 256),
+        "source", Seq(0.25, 0.5, 0.9))
+    }
+    // scale-path z-order layout: distributed range sort + two-phase rank
+    // + per-file stats — the whole OPTIMIZE ZORDER job shape
+    time("zorder_layout") {
+      ZOrder.fileStats(
+        ZOrder.fileLayoutRanged(
+          corpus.select(col("doc_id"), col("n_chars")),
+          Seq(ZOrder.zValue(pmod(col("n_chars"), lit(1024)),
+            pmod(col("doc_id"), lit(1024)), 10), col("doc_id")),
+          rowsPerFile = 4096),
+        Seq("n_chars"))
+    }
+    // filters on computed columns below: same Catalyst-elimination trap
+    // as lm_score — a bare count over the join/projection would let the
+    // optimizer drop the hash/weight computation entirely
+    time("snapshot_diff") {
+      val newSnap = corpus.withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      Snapshot.diff(corpus.filter(col("doc_id") % 10 =!= 0), newSnap,
+          "doc_id", "text")
+        .filter(col("status") =!= "unchanged")
+    }
+    time("seq_pack")(
+      Packing.contiguous(
+          corpus.withColumn("toks", TextFunctions.wordCount(col("text"))),
+          "source", "doc_id", "toks", maxTokens = 128)
+        .filter(col("seq_id") >= 0))
+    time("importance_weights")(
+      Importance.weights(
+          corpus.withColumn("is_target",
+            col("source").isin("src0", "src1", "src2", "src3", "src4")),
+          "doc_id", "text", "is_target", vocabSize = 64)
+        .filter(col("weight") > -1e18))
     time("epoch_shuffle")(
       Shards.shuffled(corpus, "doc_id", nShards = 64))
 

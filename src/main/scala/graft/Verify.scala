@@ -22,6 +22,10 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); read as long, normalized in
       // graft.engine.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // cross-mode correctness runs (scripts/crossmode_verify.sh) set the
+      // staging durability mode here; default matches Stage's default
+      .config(graft.engine.Stage.modeKey,
+        sys.env.getOrElse("SPARK_GRAFT_STAGE_MODE", "local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
