@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
-import graft.operators.{AsOfJoin, CountMin, Kmv, QuantileSketch, Salting, ZOrder}
+import graft.operators.{AsOfJoin, CountMin, Graph, Kmv, QuantileSketch,
+  Salting, ZOrder}
 import graft.engine.Stage.syntax._
 
 /** Scale-path operator variants: salted skew joins/aggregations, the
@@ -778,6 +779,36 @@ object ScaleOps {
           Det.roundN(abs(col("p50_est") - col("p50x")), 4).as("err50"),
           Det.roundN(abs(col("p90_est") - col("p90x")), 4).as("err90"))
         .orderBy("event_type")
+    },
+
+    // Iterative graph centrality — PageRank over a deterministic synthetic
+    // link graph on the documents table (3 hash-derived out-links per doc,
+    // self-loops dropped), 3 pregel-by-join rounds with per-round decimal
+    // sums + rank pinning so the trajectory is engine-identical; the
+    // oracle replays the LOOP itself as unrolled CTEs. The
+    // quality-propagation prior a crawl-scale curation pipeline computes
+    // over its link graph, as one declarative plan per round with
+    // Stage-cut lineage.
+    QueryDef.sql(
+      "g_pagerank",
+      s"""WITH nd AS (SELECT doc_id FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM nd),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+         |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |${Graph.pagerankSql("doc_id", iterations = 3)}
+         |SELECT id AS doc_id, pr AS pagerank
+         |FROM pr3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      Graph.pagerank(docs, edges, "doc_id", iterations = 3)
+        .orderBy("doc_id")
     },
   )
 }
