@@ -5,7 +5,7 @@ import java.nio.file.attribute.FileTime
 
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
-import graft.streaming.BloomIngest
+import graft.streaming.{BloomIngest, NearDupIngest}
 
 /** Batch-driven, oracle-checked replays of the streaming ingest loops.
   *
@@ -28,10 +28,10 @@ object StreamingQueries {
     * -timestamped parquet file so the file source's mtime ordering is the
     * batch order by construction. */
   private def stageBatches(docs: org.apache.spark.sql.DataFrame,
-      srcDir: Path): Unit = {
-    (0 until NumBatches).foreach { i =>
+      srcDir: Path, nBatches: Int = NumBatches): Unit = {
+    (0 until nBatches).foreach { i =>
       val tmp = Files.createTempDirectory(s"replay-b$i")
-      docs.filter(pmod(col("doc_id"), lit(NumBatches)) === i)
+      docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.getFileName.toString
         .startsWith("part-")).findFirst().get()
@@ -97,6 +97,37 @@ object StreamingQueries {
         .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
           col("maybe_present"), col("batch_canonical"), col("is_new"))
         .orderBy("doc_id")
+    },
+
+    // End state of the MinHash near-dup ingest after 2 deterministic
+    // micro-batches (batch b = doc_id mod 2). The streamed pair lake
+    // must equal the one-shot corpus LSH run EXACTLY (the probe caps
+    // buckets at the combined corpus+batch population, so prefix caps
+    // can only be tighter; on these corpora no bucket approaches the cap
+    // — max population 8 at sf0.1), with each pair attributed to the
+    // batch where its LATER member arrived (exactly-once reporting).
+    // Oracle = the same banded-LSH + exact-Jaccard re-derivation that
+    // checks dedup_minhash_lsh, plus the arrival attribution.
+    QueryDef.sql(
+      "q_stream_neardup_replay",
+      s"""${Extensions.minhashPairsCte}
+         |SELECT id_a, id_b, jaccard,
+         |  GREATEST(id_a % 2, id_b % 2) AS reported_batch
+         |FROM mh_pairs WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val srcDir = Files.createTempDirectory("neardup-replay-src")
+      val idxDir = Files.createTempDirectory("neardup-replay-idx").toString
+      val pairsDir = Files.createTempDirectory("neardup-replay-out").toString
+      stageBatches(docs, srcDir, nBatches = 2)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      NearDupIngest.start(stream, "doc_id", "text", idxDir, pairsDir,
+        threshold = 0.8)
+      s.read.parquet(pairsDir)
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("batch_id").cast("long").as("reported_batch"))
+        .orderBy("id_a", "id_b")
     },
   )
 }
