@@ -230,9 +230,25 @@ object Dedup {
     * and keeping the batch-involving pairs — DedupSpec proves it. */
   def minhashProbe(batch: DataFrame, index: MinhashLshIndex, idCol: String,
       textCol: String, threshold: Double = 0.8,
-      maxBucket: Int = 64): DataFrame = {
-    val exploded = explodedShingles(batch, idCol, textCol, index.shingleSize)
-    val (bSizes, bKeyed) = sigKeyed(exploded, index.numHashes, index.bands)
+      maxBucket: Int = 64): DataFrame =
+    minhashProbeIndexed(
+      minhashIndex(batch, idCol, textCol, index.numHashes, index.bands,
+        index.shingleSize),
+      index, threshold, maxBucket)
+
+  /** [[minhashProbe]] with the batch's OWN index pre-built: callers that
+    * also append the batch to the store (the ingest loop,
+    * [[graft.streaming.NearDupIngest]]) build the batch's
+    * shingle→minhash family exactly once and pass it to both the probe
+    * and the store append — the family is the dominant cost per batch,
+    * so recomputing it inside the probe doubled every micro-batch. */
+  def minhashProbeIndexed(batch: MinhashLshIndex, index: MinhashLshIndex,
+      threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    require(batch.numHashes == index.numHashes && batch.bands == index.bands
+      && batch.shingleSize == index.shingleSize,
+      "batch and corpus indexes were built with different LSH parameters")
+    val bKeyed = batch.buckets
+    val bSizes = batch.sizes
     // combined per-bucket population = stored corpus count + batch count;
     // only buckets the batch touches are ever aggregated on the corpus side
     val touched = bKeyed.groupBy("band_id", "band_hash")
@@ -256,7 +272,7 @@ object Dedup {
         greatest(col("id"), col("id_r")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    val shingles = dropHashes(exploded).unionByName(index.shingles)
+    val shingles = batch.shingles.unionByName(index.shingles)
     val sizes = bSizes.unionByName(index.sizes)
     val inter = cands
       .join(shingles.withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
@@ -521,6 +537,67 @@ object Dedup {
     val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))
       .join(useful.withColumnsRenamed(Map("id" -> "id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, sizes)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** EXACT set-similarity self-join via prefix filtering (the PPJoin
+    * family: order each doc's shingles by global rarity, and only the
+    * first `|set| - ceil(t·|set|) + 1` tokens of each doc generate
+    * candidates). Complements [[ngramJaccardDups]]: the inverted-index
+    * pass caps posting lists at `maxPosting` (a skew guard that can DROP
+    * true pairs whose only shared shingles are boilerplate), while this
+    * join is provably complete — if J(a,b) ≥ t then |A∩B| ≥ t·max(|A|,|B|),
+    * so prefixes of the stated length must share a token, and every true
+    * pair survives candidate generation. Exactness with NO posting cap is
+    * affordable because prefixes hold each doc's RAREST shingles: a
+    * shingle's candidate-join fan-out is its prefix-posting count, and
+    * frequent (boilerplate) shingles sit at the tail of the order where
+    * they are never indexed. Worst-case fan-out is a clone cluster
+    * sharing rare shingles — O(cluster²) pairs, which is the true output
+    * size, not accidental skew. Two more standard prunes bound the
+    * verify set: the length filter (J ≥ t ⟹ min(n) ≥ t·max(n)) at
+    * candidate time, and intersection counting on the shared exploded
+    * relation (never array materialization).
+    *
+    * Threshold arithmetic nudges the safe way: `ceil(t·n)` and the
+    * length filter subtract 1e-9 before rounding, so binary-double noise
+    * (0.8·5 = 4.000000000000001 would otherwise ceil to 5) can only
+    * lengthen a prefix / keep a candidate — false positives the exact
+    * verify removes, never false negatives.
+    *
+    * Reference's near-dup pass (scripts/silver/clean_covid.py:61) keeps
+    * pandas' first-of-exact-duplicates; this is the corpus-scale exact
+    * generalization. */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3): DataFrame = {
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n")).staged
+    // global total order on tokens: rarest first (document frequency asc,
+    // shingle asc — total because shingle is unique in the freq relation)
+    val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val prefix = exploded.join(freq, Seq("shingle"))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("__df"), col("shingle"))))
+      .join(sizes, Seq("id"))
+      .filter(col("__pos") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select("id", "shingle", "n")
+    val cands = prefix
+      .select(col("id").as("id_a"), col("shingle"), col("n").as("__na"))
+      .join(prefix
+        .select(col("id").as("id_b"), col("shingle"), col("n").as("__nb")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("__na"), col("__nb")) >=
+        lit(threshold) * greatest(col("__na"), col("__nb")) - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    val inter = cands
+      .join(exploded.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(exploded.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     jaccardFromCounts(inter, sizes)
       .filter(col("jaccard") >= threshold)

@@ -79,11 +79,16 @@ object NearDupIngest {
           idx0.shingles.join(broadcast(ids), Seq("id"), "left_anti"),
           idx0.sizes.join(broadcast(ids), Seq("id"), "left_anti"),
           numHashes, bands, shingleSize)
-        val pairs = Dedup.minhashProbe(b, idx, idCol, textCol,
-          threshold, maxBucket)
-        write(pairs, batchId, pairsDir)
-        val mine = Dedup.minhashIndex(b, idCol, textCol,
+        // the batch's own index is built ONCE (staged: buckets feed the
+        // probe twice — touched + members — plus the store append) and
+        // serves both the probe and the append; rebuilding the
+        // shingle→minhash family inside the probe doubled per-batch cost
+        val mine0 = Dedup.minhashIndex(b, idCol, textCol,
           numHashes, bands, shingleSize)
+        val mine = MinhashLshIndex(mine0.buckets.staged, mine0.shingles,
+          mine0.sizes.staged, numHashes, bands, shingleSize)
+        val pairs = Dedup.minhashProbeIndexed(mine, idx, threshold, maxBucket)
+        write(pairs, batchId, pairsDir)
         write(mine.buckets, batchId, s"$indexDir/buckets")
         write(mine.shingles, batchId, s"$indexDir/shingles")
         write(mine.sizes, batchId, s"$indexDir/sizes")
