@@ -802,6 +802,37 @@ object Extensions {
         .orderBy("id_a", "id_b")
     },
 
+    // EXACT similarity join (prefix filtering): the oracle is the full
+    // uncapped all-pairs Jaccard — no posting cap, no banding, no
+    // approximation to mirror. The operator must reproduce the complete
+    // ground truth through candidate pruning alone, which is exactly the
+    // zero-false-negative claim the prefix filter makes.
+    QueryDef.sql(
+      "dedup_prefix_join",
+      raw"""WITH toks AS (
+         |  SELECT doc_id AS id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(t) >= 3
+         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+         |    ELSE [array_to_string(t, ' ')] END AS shingles
+         |  FROM toks),
+         |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+         |  FROM s a JOIN s b USING (shingle)
+         |  WHERE a.id < b.id GROUP BY 1, 2),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    ${roundN("inter * 1.0 / (sa.n + sb.n - inter)", 4)} AS jaccard
+         |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.prefixJaccardJoin(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
     // Substring-level duplication: share of each doc's 8-token spans that
     // occur more than once corpus-wide — catches the duplicated quote
     // inside an otherwise unique doc, which doc-hash and shingle-set

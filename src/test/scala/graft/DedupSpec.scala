@@ -257,4 +257,55 @@ class DedupSpec extends AnyFunSuite {
       threshold = 0.0, maxPosting = 8).count()
     assert(n < 100, s"cap failed: $n pairs")
   }
+
+  // brute-force ground truth with the operators' exact tokenize/shingle
+  // semantics: lowercase+trim, \s+ split, distinct 3-grams, whole-text
+  // fallback for short docs
+  private def bruteJaccardPairs(rows: Seq[(Long, String)],
+      threshold: Double): Set[(Long, Long, Double)] = {
+    def sh(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      if (w.size >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val sets = rows.map { case (id, t) => id -> sh(t) }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = sa.intersect(sb).size
+      j = math.floor(inter.toDouble / (sa.size + sb.size - inter) * 10000 + 0.5) / 10000
+      if j >= threshold
+    } yield (a, b, j)).toSet
+  }
+
+  test("prefix join equals brute-force exact jaccard (no approximation)") {
+    // sliding windows over a word line → a spread of pairwise jaccards
+    // crossing the threshold, plus exact dups and a short-doc fallback
+    val ws = (0 until 80).map(i => s"t$i")
+    val rows = (0 until 20).map(i =>
+      (i.toLong, ws.slice(i * 3, i * 3 + 24).mkString(" "))) ++
+      Seq((100L, ws.slice(0, 24).mkString(" ")),         // exact dup of 0
+          (101L, "only two"), (102L, "only two"))        // short-doc fallback
+    val df = rows.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.prefixJaccardJoin(df, "doc_id", "text", threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === bruteJaccardPairs(rows, t), s"threshold $t")
+    }
+  }
+
+  test("prefix join finds the boilerplate-only pair the posting cap drops") {
+    // docs 1,2 are clones; 33 more docs carry every base shingle plus a
+    // unique tail — all base postings exceed the cap, so the inverted
+    // index drops the (1,2) pair entirely; the prefix join, which needs
+    // no cap (prefixes index only each doc's rarest shingles), keeps its
+    // completeness guarantee
+    val rows = Seq((1L, base), (2L, base)) ++ (3L to 35L).map(i =>
+      (i, base + " " + (0 until 40).map(j => s"u${i}_$j").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardDups(df, "doc_id", "text",
+      threshold = 0.8).count() === 0L)
+    val got = Dedup.prefixJaccardJoin(df, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 1.0)))
+  }
 }
