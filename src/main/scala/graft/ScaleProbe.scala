@@ -39,7 +39,10 @@ object ScaleProbe {
     val corpus = spark.read.parquet(s"$dir/documents")
     println(s"[scale] corpus: ${corpus.count()} docs (k=$k) at $dir")
 
+    // optional: probe names after k restrict the run (local iteration)
+    val only = args.drop(2).toSet
     def time(name: String)(df: => DataFrame): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val t0 = System.nanoTime()
       val c = df.count()
       println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$c")
@@ -176,6 +179,28 @@ object ScaleProbe {
         .filter(col("weight") > -1e18))
     time("epoch_shuffle")(
       Shards.shuffled(corpus, "doc_id", nShards = 64))
+    // exact prefix-filter similarity join: the replicated corpus is its
+    // WORST case by construction — every doc is an 11-clone cluster, so
+    // the true pair set (and thus the candidate set, which the prefix
+    // filter keeps near it) grows k² per cluster; the probe verifies cost
+    // tracks that inherent output growth, not an accidental quadratic in
+    // corpus size
+    time("prefix_join")(
+      Dedup.prefixJaccardJoin(corpus, "doc_id", "text", threshold = 0.8))
+    // iterative centrality: 3 pregel-by-join rounds over a 3-out-link
+    // synthetic graph — per-round cost is one edge join + one dst agg,
+    // both linear in |E| = 3·|V|
+    time("pagerank") {
+      val docs = corpus.select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      graft.operators.Graph.pagerank(docs, edges, "doc_id", iterations = 3)
+        .filter(col("pagerank") > 0)
+    }
 
     // the full keep-rule chain: pairs → closure → priority selection.
     // MinHash pairs, not the ngram inverted index: the replicated corpus
