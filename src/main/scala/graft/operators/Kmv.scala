@@ -80,6 +80,64 @@ object Kmv {
           .as("jaccard_est"))
   }
 
+  /** Counted KMV sketch for JOIN-SIZE estimation (the AKMV-with-counts
+    * shape): the k smallest distinct-KEY hashes of one relation, each
+    * carrying the key's exact row count — (h, cnt), ≤ k rows. Built once
+    * per table/column, stored next to the corpus stats, and any two such
+    * sketches answer "how big would this join be" in [[joinCardinality]]
+    * without touching either table again — the planner-statistics
+    * question (broadcast? salt? pre-aggregate?) at 100 TB, where an
+    * exact pre-join count costs as much as the join. */
+  def countedSketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val counted = df.groupBy(col(keyCol).cast("string").as("__key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(Det.h56(col("__key")).as("h"), col("cnt"), lit(1).as("__g"))
+    // same two-level rank as sketch(): the final single-group sort sees
+    // at most 64·k pre-capped candidates, never the full key domain
+    val pre = counted.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__g"), pmod(col("h"), lit(64))).orderBy("h")))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+    topK(pre, "__g", k).drop("__g")
+  }
+
+  /** Join-cardinality estimate |A ⋈ B| from two [[countedSketch]]
+    * relations built at the same k. KMV algebra: the k smallest of the
+    * merged hash sets sketch the UNION of the key domains; the merged
+    * hashes present in BOTH sketches are a uniform sample of A∩B keys,
+    * each carrying its exact per-side counts, so
+    *   est_join = est_union · Σ(cnt_a·cnt_b over sample) / |merged|
+    * (the per-key product estimator over a distinct-value sample —
+    * multiplicity skew in the sample is real skew in the join). One row:
+    * (est_join, est_inter, sampled_keys). All rank/semi-join algebra
+    * over ≤ 3k rows, engine-recomputable like the rest of the family. */
+  def joinCardinality(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val ha = a.select(col("h"), col("cnt").as("cnt_a"))
+    val hb = b.select(col("h"), col("cnt").as("cnt_b"))
+    val merged = topK(
+      ha.select("h").unionByName(hb.select("h")).distinct()
+        .withColumn("__g", lit(1)), "__g", k)
+    val st = merged.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__hk"))
+    val bs = merged.join(ha, Seq("h")).join(hb, Seq("h"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("cnt_a") * col("cnt_b")).as("__ps"))
+    st.join(bs, Seq("__g"), "left")
+      .select(
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2, 56)) / col("__hk"))
+          .as("__eu"),
+        col("__n"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"),
+        coalesce(col("__ps"), lit(0L)).as("__ps"))
+      .select(
+        Det.roundN(col("__eu") * col("__ps") / col("__n"), 2).as("est_join"),
+        Det.roundN(col("__eu") * col("__nb") / col("__n"), 2).as("est_inter"),
+        col("__nb").as("sampled_keys"))
+  }
+
   /** A sketch relation paired with the k it was built at. Prefer this over
     * passing (DataFrame, k) separately: [[estimate]] with a LARGER k than
     * the build's sees __n < k and silently reports the sketch size as an

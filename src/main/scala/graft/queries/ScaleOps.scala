@@ -435,6 +435,72 @@ object ScaleOps {
         .crossJoin(broadcast(exact))
     },
 
+    // Join-size estimation from counted KMV sketches (AKMV-with-counts):
+    // the planner question — how big is events ⋈ orders on user key? —
+    // answered from two ≤256-row sketches, no table touched. The merged
+    // k-set sketches the key-domain union; merged hashes present in BOTH
+    // sketches are a uniform distinct-key sample of the intersection,
+    // each carrying exact per-side counts, so est_join scales the mean
+    // sampled count product by the estimated intersection size. Oracle
+    // re-derives sketches, algebra, AND the exact join size; realized
+    // error rides in the artifact.
+    QueryDef.sql(
+      "a_kmv_join_card", {
+        def side(name: String, keyExpr: String, table: String) =
+          s"""c$name AS (
+             |  SELECT CAST($keyExpr AS VARCHAR) AS key, COUNT(*) AS cnt
+             |  FROM $table GROUP BY 1),
+             |h$name AS (
+             |  SELECT h, cnt FROM (
+             |    SELECT ${Det.h56Sql("key")} AS h, cnt,
+             |      row_number() OVER (ORDER BY ${Det.h56Sql("key")}) AS rn
+             |    FROM c$name)
+             |  WHERE rn <= 256)""".stripMargin
+        s"""WITH ${side("a", "user_id", "events")},
+           |${side("b", "o_custkey", "orders")},
+           |mg AS (
+           |  SELECT h FROM (
+           |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+           |    FROM (SELECT h FROM ha UNION SELECT h FROM hb))
+           |  WHERE rn <= 256),
+           |st AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM mg),
+           |bs AS (
+           |  SELECT COUNT(*) AS nb, COALESCE(SUM(ha.cnt * hb.cnt), 0) AS ps
+           |  FROM mg JOIN ha USING (h) JOIN hb USING (h)),
+           |eu AS (
+           |  SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+           |    ELSE 255e0 * 72057594037927936e0 / hk END AS eu, n FROM st),
+           |ex AS (
+           |  SELECT CAST(COALESCE(SUM(ca.cnt * cb.cnt), 0) AS BIGINT)
+           |    AS exact_join
+           |  FROM ca JOIN cb USING (key)),
+           |res AS (
+           |  SELECT ${Det.roundNSql("eu.eu * bs.ps / eu.n", 2)} AS est_join,
+           |    ${Det.roundNSql("eu.eu * bs.nb / eu.n", 2)} AS est_inter,
+           |    CAST(bs.nb AS BIGINT) AS sampled_keys, ex.exact_join
+           |  FROM eu, bs, ex)
+           |SELECT est_join, est_inter, sampled_keys, exact_join,
+           |  ${Det.roundNSql("abs(est_join - exact_join) / exact_join", 4)}
+           |    AS rel_err
+           |FROM res ORDER BY sampled_keys""".stripMargin
+      }) { (s, d) =>
+      val events = Tables.events(s, d)
+      val orders = Tables.orders(s, d)
+      val ec = events.groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).as("ce"))
+      val oc = orders.groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("co"))
+      val exact = ec.join(oc, Seq("key"))
+        .agg(coalesce(sum(col("ce") * col("co")), lit(0L)).as("exact_join"))
+      Kmv.joinCardinality(
+          Kmv.countedSketch(events, "user_id", 256),
+          Kmv.countedSketch(orders, "o_custkey", 256), 256)
+        .crossJoin(broadcast(exact))
+        .withColumn("rel_err", Det.roundN(
+          abs(col("est_join") - col("exact_join")) / col("exact_join"), 4))
+        .orderBy("sampled_keys")
+    },
+
     // percentile_approx — the 100 TB toggle for a_percentiles_exact: one
     // mergeable sketch pass instead of a per-group sort. Sketch internals
     // are engine-specific → rows-only; PropertiesSpec bounds the error vs

@@ -71,4 +71,44 @@ class KmvSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet
     assert(s1 == s2)
   }
+
+  test("joinCardinality: exact when both key domains fit in k") {
+    // A: keys 0..99 with count i%5+1; B: keys 50..149 with count 2
+    val a = (0 until 100).flatMap(i => Seq.fill(i % 5 + 1)(("r", s"k$i")))
+      .toDF("tag", "key")
+    val b = (50 until 150).flatMap(i => Seq.fill(2)(("r", s"k$i")))
+      .toDF("tag", "key")
+    val exact = (50 until 100).map(i => (i % 5 + 1) * 2).sum.toDouble
+    val got = Kmv.joinCardinality(
+      Kmv.countedSketch(a, "key", 256),
+      Kmv.countedSketch(b, "key", 256), 256)
+      .as[(Double, Double, Long)].head()
+    assert(got === ((exact, 50.0, 50L)), s"got $got")
+  }
+
+  test("joinCardinality: estimate tracks exact on a sketched domain") {
+    // 6000-key sides with a 2000-key overlap and varying multiplicities
+    val a = (0 until 6000).flatMap(i => Seq.fill(i % 3 + 1)(("r", s"k$i")))
+      .toDF("tag", "key")
+    val b = (4000 until 10000).flatMap(i => Seq.fill(i % 2 + 1)(("r", s"k$i")))
+      .toDF("tag", "key")
+    val exact = (4000 until 6000).map(i => (i % 3 + 1) * (i % 2 + 1)).sum
+    val (est, _, nb) = Kmv.joinCardinality(
+      Kmv.countedSketch(a, "key", 512),
+      Kmv.countedSketch(b, "key", 512), 512)
+      .as[(Double, Double, Long)].head()
+    assert(nb > 0)
+    assert(math.abs(est - exact) / exact < 0.4,
+      s"est $est vs exact $exact (sampled $nb)")
+  }
+
+  test("joinCardinality: disjoint domains estimate zero") {
+    val a = (0 until 3000).map(i => ("r", s"k$i")).toDF("tag", "key")
+    val b = (3000 until 6000).map(i => ("r", s"k$i")).toDF("tag", "key")
+    val (est, inter, nb) = Kmv.joinCardinality(
+      Kmv.countedSketch(a, "key", 128),
+      Kmv.countedSketch(b, "key", 128), 128)
+      .as[(Double, Double, Long)].head()
+    assert(est == 0.0 && inter == 0.0 && nb == 0L)
+  }
 }
