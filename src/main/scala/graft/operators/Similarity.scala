@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.Det
+import graft.engine.{Det, Stage}
 import graft.expressions.GraftFunctions
 import graft.engine.Stage.syntax._
 
@@ -185,6 +185,42 @@ object Similarity {
       .select(col("cell"),
         coalesce(col("c_emb"), col("__prev")).as("c_emb"),
         coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
+
+  /** Full Lloyd iteration — [[kmeansStep]] repeated `rounds` times, the
+    * IVF codebook TRAINING loop (the single step is the refine primitive;
+    * this is what actually builds a codebook from scratch).
+    *
+    * Each round's centroid values are PINNED — `Det.roundN(scale)` then a
+    * float cast, the PQ-codebook discipline — before feeding the next
+    * assignment: with per-round decimal means and pinned values, every
+    * engine computes the identical assignment trajectory, so the whole
+    * multi-round loop is oracle-replayable as unrolled SQL (round +
+    * `CAST AS REAL` mirror), and the trained codebook is exactly the
+    * float array the IVF/PQ consumers store. (Pinning is idempotent
+    * through the float roundtrip: re-pinning a pinned value is a no-op,
+    * which is what makes the empty-cell carry-forward path safe.)
+    *
+    * Scale shape: `rounds` × (broadcast assign + one (cell, dim)
+    * hash-aggregate); [[Stage.materializeAlways]] cuts lineage every
+    * round so round r's plan never embeds r−1's. The codebook relation
+    * (cells × dims) is the only thing staged — vectors are re-scanned
+    * per round, never cached, so the loop holds at any corpus size. */
+  def kmeansIterate(vectors: DataFrame, initCentroids: DataFrame,
+      rounds: Int, scale: Int = 6, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds: $rounds")
+    val p = math.pow(10, scale)
+    var cent = initCentroids
+    for (_ <- 1 to rounds) {
+      val stepped = kmeansStep(vectors, cent, idCol, embCol)
+      cent = Stage.materializeAlways(
+        stepped.select(col("cell"),
+          transform(col("c_emb"),
+            x => (floor(x * p + 0.5) / p).cast("float")).as("c_emb"),
+          col("n_members")))
+    }
+    cent
   }
 
   /** SemDeDup-style semantic deduplication: assign every vector to its

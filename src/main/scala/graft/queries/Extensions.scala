@@ -1212,6 +1212,71 @@ object Extensions {
         .orderBy("cell", "dim")
     },
 
+    // Full Lloyd TRAINING loop (3 rounds, k=16) — the codebook-build
+    // iteration behind every IVF/PQ query, verified as a LOOP: per-round
+    // decimal means pinned to 6 decimals feed the next round's
+    // assignment, so the whole trajectory is engine-identical and the
+    // oracle replays all three rounds as unrolled CTEs (the PageRank
+    // discipline applied to centroid training). Empty cells carry their
+    // previous pinned position forward on both sides.
+    QueryDef.sql(
+      "sim_kmeans_train", {
+        def round(r: Int, prev: String) =
+          s"""sc$r AS (
+             |  SELECT e.vec_id, e.emb, c.cell,
+             |    ${cosSql("e.emb", "(c.ce::DOUBLE[])")} AS sim
+             |  FROM e CROSS JOIN $prev c),
+             |asg$r AS (
+             |  SELECT vec_id, emb, cell FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY sim DESC, cell ASC) AS rn
+             |    FROM sc$r) WHERE rn = 1),
+             |mn$r AS (
+             |  SELECT cell, dim,
+             |    ${roundN(
+                  "CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)",
+                  6)} AS mv,
+             |    COUNT(*) AS n
+             |  FROM (
+             |    SELECT cell, generate_subscripts(emb, 1) - 1 AS dim,
+             |      unnest(emb) AS x
+             |    FROM asg$r)
+             |  GROUP BY 1, 2),
+             |cent$r AS (
+             |  SELECT p.cell,
+             |    list(CAST(COALESCE(m.mv, ${roundN("p.pv", 6)}) AS REAL)
+             |      ORDER BY p.dim) AS ce,
+             |    COALESCE(MAX(m.n), 0) AS n
+             |  FROM (
+             |    SELECT cell, generate_subscripts(ce, 1) - 1 AS dim,
+             |      unnest(ce) AS pv
+             |    FROM $prev) p
+             |  LEFT JOIN mn$r m ON m.cell = p.cell AND m.dim = p.dim
+             |  GROUP BY p.cell)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |cent0 AS (
+           |  SELECT vec_id AS cell, emb AS ce, 0 AS n FROM e
+           |  WHERE vec_id < 16),
+           |${round(1, "cent0")},
+           |${round(2, "cent1")},
+           |${round(3, "cent2")}
+           |SELECT cell,
+           |  CAST(generate_subscripts(ce, 1) - 1 AS BIGINT) AS dim,
+           |  unnest(ce) AS c_val, n AS n_members
+           |FROM cent3 ORDER BY cell, dim""".stripMargin
+      }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val init = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      Similarity.kmeansIterate(emb, init, rounds = 3, scale = 6)
+        .select(col("cell"), col("n_members"),
+          posexplode(col("c_emb")).as(Seq("dim", "c_val")))
+        .select(col("cell"), col("dim").cast("long").as("dim"),
+          col("c_val"), col("n_members"))
+        .orderBy("cell", "dim")
+    },
+
     // Product-quantized ANN: per-subspace codebooks (8 subspaces × 8 dims,
     // 16 codes — 64 floats compressed to 8 bytes per vector), ADC scan
     // summing m LUT entries per vector, exact rescore of the 220-deep

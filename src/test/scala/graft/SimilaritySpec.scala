@@ -143,6 +143,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0L)._2 === 4L)
   }
 
+  test("kmeansIterate: one round equals a pinned kmeansStep") {
+    val init = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+    def pinned(df: org.apache.spark.sql.DataFrame) = df
+      .select($"cell", transform($"c_emb",
+        x => (floor(x * 1e6 + 0.5) / 1e6).cast("float")).as("c_emb"),
+        $"n_members")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+      .toSet
+    val one = Similarity.kmeansIterate(vecs, init, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+      .toSet
+    assert(one === pinned(Similarity.kmeansStep(vecs, init)))
+  }
+
+  test("kmeansIterate converges on separated clusters") {
+    // two tight clusters around the x and y axes; init centroids both
+    // inside cluster 1 — iteration must migrate one to cluster 2 and
+    // then sit still (round 3 == round 2: the fixed point)
+    val pts = Seq(
+      (0L, Array(1.0f, 0.05f, 0f)), (1L, Array(1.0f, -0.05f, 0f)),
+      (2L, Array(0.95f, 0.0f, 0f)), (3L, Array(0.05f, 1.0f, 0f)),
+      (4L, Array(-0.05f, 1.0f, 0f)), (5L, Array(0.0f, 0.95f, 0f)))
+      .toDF("vec_id", "embedding")
+    val init = pts.filter($"vec_id" <= 1)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+    def state(r: Int) = Similarity.kmeansIterate(pts, init, rounds = r)
+      .collect().map(x => (x.getLong(0), x.getSeq[Float](1), x.getLong(2)))
+      .toSet
+    val r2 = state(2)
+    assert(r2 === state(3), "fixed point by round 2")
+    assert(r2.map(_._3) === Set(3L), "3 members per cluster")
+  }
+
   test("media embeddings: unit norm, self-similarity 1.0, deterministic") {
     val media = Multimodal.toMediaTable(
       Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
