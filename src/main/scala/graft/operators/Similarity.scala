@@ -223,6 +223,48 @@ object Similarity {
     cent
   }
 
+  /** kNN GRAPH over the whole corpus — every vector gets its k nearest
+    * neighbors by cosine, searched IVF-style in its nProbe nearest cells.
+    * The all-pairs self-join no engine can afford becomes a cell-keyed
+    * equi-join of two corpus-sized relations: the member side carries
+    * each vector once (its assigned cell), the query side carries each
+    * vector nProbe times (the cells it probes), and per-cell work is
+    * O(|cell| × probes-into-cell) — the graph-construction primitive
+    * behind SemDeDup clustering, graph-based curation, and kNN label
+    * propagation. Neighbor lists are exact within the probed cells;
+    * recall vs brute force is the usual IVF trade (spec-measured).
+    *
+    * Unlike [[ivfTopKBatch]] nothing corpus-sized is broadcast — only
+    * the codebook — so the shape survives any corpus. A vector appears
+    * in exactly one cell, so no cross-probe dedup is needed. Returns
+    * (src, dst, cosine) with cosine pinned via Det.roundN(6) (ranking
+    * runs on the pinned value — engine-identical). */
+  def knnGraph(vectors: DataFrame, centroids: DataFrame, k: Int,
+      nProbe: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val probeW = Window.partitionBy(idCol)
+      .orderBy(desc("__sim"), col("cell"))
+    val probes = vectors.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim",
+        GraftFunctions.cosine_sim(col(embCol), col("c_emb")))
+      .withColumn("__rk", row_number().over(probeW))
+      .filter(col("__rk") <= nProbe)
+      .select(col(idCol).as("src"), col("cell"), col(embCol).as("__q"))
+    val members = assignCells(vectors, centroids, idCol, embCol)
+      .select(col("cell"), col(idCol).as("dst"), col(embCol).as("__m"))
+    val topW = Window.partitionBy("src")
+      .orderBy(desc("cosine"), col("dst"))
+    probes.join(members, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cosine",
+        Det.roundN(GraftFunctions.cosine_sim(col("__q"), col("__m")), 6))
+      .withColumn("__rk", row_number().over(topW))
+      .filter(col("__rk") <= k)
+      .select(col("src"), col("dst"), col("cosine"))
+  }
+
   /** SemDeDup-style semantic deduplication: assign every vector to its
     * nearest centroid (broadcast codebook), then prune WITHIN each cluster
     * only — a vector is dropped when a lower-id vector in the same cluster

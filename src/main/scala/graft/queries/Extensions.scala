@@ -1212,6 +1212,43 @@ object Extensions {
         .orderBy("cell", "dim")
     },
 
+    // Corpus-wide kNN graph (3 neighbors, 2-probe IVF): the all-pairs
+    // self-join reshaped as a cell-keyed equi-join — member side carries
+    // each vector once, query side nProbe times; nothing corpus-sized is
+    // broadcast. Oracle re-derives assignment, probe choice, in-cell
+    // ranking on the pinned cosine. The graph SemDeDup clustering and
+    // kNN label propagation consume.
+    QueryDef.sql(
+      "sim_knn_graph",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+         |rk AS (
+         |  SELECT e.vec_id, e.emb, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cell) AS rn
+         |  FROM e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, emb, cell FROM rk WHERE rn = 1),
+         |pr AS (SELECT vec_id AS src, emb AS qe, cell FROM rk WHERE rn <= 2),
+         |nb AS (
+         |  SELECT src, dst, cosine FROM (
+         |    SELECT p.src, a.vec_id AS dst,
+         |      ${roundN(cosSql("p.qe", "a.emb"), 6)} AS cosine,
+         |      row_number() OVER (PARTITION BY p.src
+         |        ORDER BY ${roundN(cosSql("p.qe", "a.emb"), 6)} DESC,
+         |          a.vec_id) AS rk
+         |    FROM pr p JOIN asg a USING (cell)
+         |    WHERE a.vec_id <> p.src)
+         |  WHERE rk <= 3)
+         |SELECT src, dst, cosine FROM nb
+         |ORDER BY src, dst""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      Similarity.knnGraph(emb, centroids, k = 3, nProbe = 2)
+        .orderBy("src", "dst")
+    },
+
     // Full Lloyd TRAINING loop (3 rounds, k=16) — the codebook-build
     // iteration behind every IVF/PQ query, verified as a LOOP: per-round
     // decimal means pinned to 6 decimals feed the next round's

@@ -143,6 +143,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0L)._2 === 4L)
   }
 
+  test("knnGraph with all cells probed equals brute-force neighbors") {
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cell", "c_emb")
+    val got = Similarity.knnGraph(vecs, centroids, k = 2, nProbe = 2)
+      .select("src", "dst").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // brute force with the operator's semantics: rank by round6(cosine)
+    // desc then dst asc, self excluded
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb > 0) dot / (na * nb) else 0.0
+    }
+    val rows = vecs.as[(Long, Array[Float])].collect()
+    val expected = rows.map { case (id, v) =>
+      id -> rows.filter(_._1 != id)
+        .map { case (j, w) =>
+          (math.floor(cos(v, w) * 1e6 + 0.5) / 1e6, j) }
+        .sortBy { case (c, j) => (-c, j) }.take(2).map(_._2).toSet
+    }.toMap
+    assert(got === expected)
+  }
+
   test("kmeansIterate: one round equals a pinned kmeansStep") {
     val init = vecs.filter($"vec_id" < 2)
       .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
