@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.Det
+import graft.engine.Stage.syntax._
+
+/** Product-analytics composites over an event log — the gold-layer
+  * questions (conversion, retention) the reference's analytics tables
+  * stop just short of (gold daily/weekly rollups exist; ordered-sequence
+  * metrics do not — reference/scripts/gold/model_gold.py builds
+  * per-period aggregates only).
+  *
+  * Both operators are sequences of keyed aggregates and equi-joins on the
+  * entity id — no windows over the full log, no self-joins on time, so
+  * the shapes hold on an event log of any size: per-step funnel work is
+  * one filtered scan + one entity-keyed join; retention is two aggregates
+  * and a join on the (entity, week) relation.
+  */
+object EventAnalytics {
+
+  /** Ordered multi-step funnel: step i counts an entity when an event of
+    * step i's type occurs STRICTLY AFTER the entity's earliest qualifying
+    * time for step i−1 (the "did they view, then click, then purchase —
+    * in that order" question; a purchase before the first view does not
+    * count). Earliest-qualifying times compose left to right:
+    * t_1 = min ts of step-1 events; t_i = min ts of step-i events with
+    * ts > t_{i−1}.
+    *
+    * Returns one row per step: (step, step_type, n_entities,
+    * pct_of_first), pct pinned via Det.roundN(4). Each step's
+    * reached-relation is staged — it feeds both the next step's join and
+    * the count. */
+  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val reached = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (stepType, _)) =>
+        val evs = events.filter(col(typeCol) === stepType)
+          .select(col(entityCol).as("__e2"), col(tsCol).as("__ts"))
+        val cur = acc.headOption match {
+          case None =>
+            evs.groupBy(col("__e2")).agg(min(col("__ts")).as("__t"))
+          case Some(prev) =>
+            evs.join(prev, col("__e2") === col("__e"))
+              .filter(col("__ts") > col("__t"))
+              .groupBy(col("__e2")).agg(min(col("__ts")).as("__t"))
+        }
+        cur.withColumnRenamed("__e2", "__e").staged :: acc
+    }.reverse
+    val counts = reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(i + 1L).as("step"), lit(steps(i)).as("step_type"),
+          col("n"))
+    }.reduce(_ unionByName _)
+    val first = counts.filter(col("step") === 1L)
+      .select(col("n").as("__n1"))
+    counts.crossJoin(broadcast(first))
+      .select(col("step"), col("step_type"), col("n").as("n_entities"),
+        when(col("__n1") > 0,
+          Det.roundN(col("n") * lit(1.0) / col("__n1"), 4))
+          .otherwise(lit(0.0)).as("pct_of_first"))
+  }
+
+  /** Weekly retention cohorts: an entity's cohort is the Monday-truncated
+    * week of its FIRST event; for every (cohort_week, week_offset) cell,
+    * how many cohort members were active that many weeks later, and what
+    * fraction of the cohort that is. Monday alignment makes the day
+    * difference an exact multiple of 7, so the offset is integer on any
+    * engine.
+    *
+    * Returns (cohort_week, week_offset, n_active, n_cohort,
+    * retention_pct). The distinct (entity, week) relation is staged — it
+    * feeds both the cohort min-aggregate and the activity join. */
+  def retentionCohorts(events: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val weekly = events
+      .select(col(entityCol).as("__e"),
+        date_trunc("week", col(tsCol)).cast("date").as("__w"))
+      .distinct()
+      .staged
+    val cohort = weekly.groupBy("__e").agg(min(col("__w")).as("__cw"))
+    val sizes = cohort.groupBy(col("__cw").as("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    // (entity, week) is unique and each entity has one cohort, so the
+    // per-cell count needs no distinct aggregate
+    weekly.join(cohort, Seq("__e"))
+      .select(col("__cw").as("cohort_week"),
+        (datediff(col("__w"), col("__cw")) / 7).cast("long")
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        Det.roundN(col("n_active") * lit(1.0) / col("n_cohort"), 4)
+          .as("retention_pct"))
+  }
+}

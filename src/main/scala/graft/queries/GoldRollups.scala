@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.engine.Stage.syntax._
+import graft.operators.EventAnalytics
 
 /** Weekly/monthly gold rollups and reporting views the reference declares
   * (aggregate_gold.py:45-72 weekly_aggregates + monthly_kpis DDL;
@@ -246,6 +247,67 @@ object GoldRollups {
             .as(if (top) "top_5_countries" else "bottom_5_countries"))
       }
       packed(top = true).crossJoin(packed(top = false))
+    },
+
+    // Ordered conversion funnel view → click → purchase: step i counts a
+    // user only when a step-i event lands STRICTLY AFTER their earliest
+    // qualifying time for step i−1 (a purchase before the first view
+    // doesn't convert). Oracle composes the same earliest-qualifying
+    // min-chain; each step is one filtered scan + one user-keyed join on
+    // any log size.
+    QueryDef.sql(
+      "q_funnel_conversion",
+      s"""WITH s1 AS (
+         |  SELECT user_id, MIN(ts) AS t FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+         |  JOIN s1 ON s1.user_id = e.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+         |s3 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+         |  JOIN s2 ON s2.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+         |c AS (
+         |  SELECT 1 AS step, 'view' AS step_type, COUNT(*) AS n FROM s1
+         |  UNION ALL
+         |  SELECT 2, 'click', COUNT(*) FROM s2
+         |  UNION ALL
+         |  SELECT 3, 'purchase', COUNT(*) FROM s3),
+         |f AS (SELECT n AS n1 FROM c WHERE step = 1)
+         |SELECT CAST(step AS BIGINT) AS step, step_type,
+         |  n AS n_entities,
+         |  CASE WHEN n1 > 0 THEN ${roundN("n * 1.0 / n1", 4)}
+         |    ELSE 0.0 END AS pct_of_first
+         |FROM c, f ORDER BY step""".stripMargin) { (s, d) =>
+      EventAnalytics.funnel(Tables.events(s, d), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    },
+
+    // Weekly retention cohorts: cohort = Monday-truncated week of a
+    // user's first event; each (cohort, week-offset) cell reports active
+    // members and the retained fraction. Monday alignment keeps the
+    // offset exactly integer on both engines.
+    QueryDef.sql(
+      "q_retention_cohorts",
+      s"""WITH wk AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(date_trunc('week', ts) AS DATE) AS w
+         |  FROM events),
+         |co AS (SELECT user_id, MIN(w) AS cw FROM wk GROUP BY 1),
+         |sz AS (SELECT cw, COUNT(*) AS n_cohort FROM co GROUP BY 1),
+         |act AS (
+         |  SELECT co.cw AS cohort_week, (wk.w - co.cw) // 7 AS week_offset,
+         |    COUNT(*) AS n_active
+         |  FROM wk JOIN co USING (user_id) GROUP BY 1, 2)
+         |SELECT act.cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+         |  n_active, n_cohort,
+         |  ${roundN("n_active * 1.0 / n_cohort", 4)} AS retention_pct
+         |FROM act JOIN sz ON sz.cw = act.cohort_week
+         |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
     },
   )
 }

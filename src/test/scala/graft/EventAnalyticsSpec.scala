@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel counts only strictly-ordered step sequences") {
+    val events = Seq(
+      // u1: view -> click -> purchase, fully ordered
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // u2: purchase BEFORE the first view — converts through click only
+      (2L, "purchase", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 11:00:00")),
+      // u3: view only
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      // u4: click without any view — never enters the funnel
+      (4L, "click", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, "view", 3L, 1.0),
+      (2L, "click", 2L, 0.6667),
+      (3L, "purchase", 1L, 0.3333)))
+  }
+
+  test("funnel: simultaneous events do not advance a step (strict >)") {
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click"))
+      .orderBy("step").as[(Long, String, Long, Double)].collect()
+    assert(out(1)._3 === 0L, "same-instant click must not count")
+  }
+
+  test("retention cohorts: offsets, sizes, and fractions by hand") {
+    // week of 2024-01-01 (Mon) and 2024-01-08 (Mon)
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00")), // cohort w0
+      (1L, ts("2024-01-10 10:00:00")), // active w0+1
+      (2L, ts("2024-01-03 10:00:00")), // cohort w0, never returns
+      (3L, ts("2024-01-09 10:00:00"))) // cohort w1
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.retentionCohorts(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0L, 2L, 2L, 1.0),
+      (java.sql.Date.valueOf("2024-01-01"), 1L, 1L, 2L, 0.5),
+      (java.sql.Date.valueOf("2024-01-08"), 0L, 1L, 1L, 1.0)))
+  }
+}
