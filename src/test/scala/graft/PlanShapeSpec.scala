@@ -40,9 +40,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_ivf_batch",          // broadcast 8-query vector batch x codebook
     "sim_int8_topk",          // broadcast 1-row query vector + scale stats
     "t_importance_weights",   // broadcast 1-row target/corpus LM moments
-    "z_order_pruning")        // broadcast 3-row box-predicate relation
+    "z_order_pruning",        // broadcast 3-row box-predicate relation
                               // range-joined against the file-stats
                               // manifest (files x boxes, both bounded)
+    "sim_knn_graph",          // broadcast centroid codebook (probe choice)
+    "a_kmv_join_card",        // 1-row estimate x 1-row exact combine
+    "q_funnel_conversion")    // 3-row step counts x 1-row first-step count
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
