@@ -25,14 +25,20 @@ object EventAnalytics {
     * in that order" question; a purchase before the first view does not
     * count). Earliest-qualifying times compose left to right:
     * t_1 = min ts of step-1 events; t_i = min ts of step-i events with
-    * ts > t_{i−1}.
+    * ts > t_{i−1} (and ts ≤ t_{i−1} + maxGap when a conversion window is
+    * given — the FIRST-TOUCH convention: the window anchors on the
+    * earliest qualifying previous-step time, so an entity that would
+    * only convert by re-anchoring on a later previous-step event does
+    * not count; that greedy choice is what makes each step one keyed
+    * aggregate instead of a per-entity sequence scan).
     *
     * Returns one row per step: (step, step_type, n_entities,
     * pct_of_first), pct pinned via Det.roundN(4). Each step's
     * reached-relation is staged — it feeds both the next step's join and
     * the count. */
   def funnel(events: DataFrame, entityCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String],
+      maxGap: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val reached = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
       case (acc, (stepType, _)) =>
@@ -42,8 +48,12 @@ object EventAnalytics {
           case None =>
             evs.groupBy(col("__e2")).agg(min(col("__ts")).as("__t"))
           case Some(prev) =>
+            val within = maxGap match {
+              case Some(g) => col("__ts") <= col("__t") + g
+              case None    => lit(true)
+            }
             evs.join(prev, col("__e2") === col("__e"))
-              .filter(col("__ts") > col("__t"))
+              .filter(col("__ts") > col("__t") && within)
               .groupBy(col("__e2")).agg(min(col("__ts")).as("__t"))
         }
         cur.withColumnRenamed("__e2", "__e").staged :: acc

@@ -285,6 +285,44 @@ object GoldRollups {
         .orderBy("step")
     },
 
+    // Same funnel under a 48-hour conversion window (first-touch
+    // anchoring: each step's deadline runs from the EARLIEST qualifying
+    // previous-step time). Tighter than q_funnel_conversion by
+    // construction — the delta between the two is the
+    // converted-but-slowly population.
+    QueryDef.sql(
+      "q_funnel_windowed",
+      s"""WITH s1 AS (
+         |  SELECT user_id, MIN(ts) AS t FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+         |  JOIN s1 ON s1.user_id = e.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > s1.t
+         |    AND e.ts <= s1.t + INTERVAL 48 HOUR GROUP BY 1),
+         |s3 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+         |  JOIN s2 ON s2.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+         |    AND e.ts <= s2.t + INTERVAL 48 HOUR GROUP BY 1),
+         |c AS (
+         |  SELECT 1 AS step, 'view' AS step_type, COUNT(*) AS n FROM s1
+         |  UNION ALL
+         |  SELECT 2, 'click', COUNT(*) FROM s2
+         |  UNION ALL
+         |  SELECT 3, 'purchase', COUNT(*) FROM s3),
+         |f AS (SELECT n AS n1 FROM c WHERE step = 1)
+         |SELECT CAST(step AS BIGINT) AS step, step_type,
+         |  n AS n_entities,
+         |  CASE WHEN n1 > 0 THEN ${roundN("n * 1.0 / n1", 4)}
+         |    ELSE 0.0 END AS pct_of_first
+         |FROM c, f ORDER BY step""".stripMargin) { (s, d) =>
+      EventAnalytics.funnel(Tables.events(s, d), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"),
+          maxGap = Some(expr("INTERVAL 48 HOUR")))
+        .orderBy("step")
+    },
+
     // Weekly retention cohorts: cohort = Monday-truncated week of a
     // user's first event; each (cohort, week-offset) cell reports active
     // members and the retained fraction. Monday alignment keeps the

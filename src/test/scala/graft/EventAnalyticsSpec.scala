@@ -46,6 +46,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(1)._3 === 0L, "same-instant click must not count")
   }
 
+  test("funnel conversion window drops slow converters, keeps fast ones") {
+    val events = Seq(
+      // u1 clicks 1h after viewing — inside a 2h window
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      // u2 clicks 3h after viewing — outside it
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 13:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click"),
+        maxGap = Some(org.apache.spark.sql.functions.expr("INTERVAL 2 HOUR")))
+      .orderBy("step").as[(Long, String, Long, Double)].collect()
+    assert(out(0)._3 === 2L && out(1)._3 === 1L)
+  }
+
   test("retention cohorts: offsets, sizes, and fractions by hand") {
     // week of 2024-01-01 (Mon) and 2024-01-08 (Mon)
     val events = Seq(
