@@ -233,6 +233,48 @@ object ScaleProbe {
         threshold = 0.3, maxCluster = 2048)
         .filter(col("is_kept") >= 0)
     }
+    // kNN graph over the replicated vectors: every vector's cell gains
+    // k-1 exact clones, so per-cell join work grows k² per cell while
+    // cells stay fixed — the output (3 neighbors per vector) grows
+    // linearly; cost should track the in-cell pair work
+    time("knn_graph") {
+      val centroids = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      graft.operators.Similarity.knnGraph(emb, centroids, k = 3, nProbe = 2)
+    }
+    // full Lloyd training loop: 3 rounds of broadcast assign + (cell,
+    // dim) aggregate — linear in rows × dims per round
+    time("kmeans_train") {
+      val init = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      graft.operators.Similarity.kmeansIterate(emb, init, rounds = 3)
+        .filter(col("n_members") >= 0)
+    }
+
+    // event-log probes: replicate events with offset user/event ids so
+    // per-user event counts (funnel join fan-out, retention cells per
+    // cohort) are scale-invariant
+    val ev0 = graft.engine.Tables.events(spark, sfDir)
+    (0 until k).map(i => ev0
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/events")
+    val ev = spark.read.parquet(s"$dir/events")
+    time("funnel") {
+      graft.operators.EventAnalytics.funnel(ev, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"),
+        maxGap = Some(expr("INTERVAL 48 HOUR")))
+    }
+    time("retention") {
+      graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "ts")
+    }
+    time("kmv_join_card") {
+      graft.operators.Kmv.joinCardinality(
+        graft.operators.Kmv.countedSketch(ev, "user_id", 256),
+        graft.operators.Kmv.countedSketch(
+          graft.engine.Tables.orders(spark, sfDir), "o_custkey", 256), 256)
+    }
 
     // dimension/fact probes: replicate customer and orders with the same
     // id offsets so per-key join cardinality is scale-invariant
