@@ -243,16 +243,20 @@ object Similarity {
       nProbe: Int, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
+    // one corpus scan: the (id, emb) projection feeds both the probe
+    // choice and the member assignment; the codebook is read once too
+    val base = vectors.select(col(idCol), col(embCol)).staged
+    val cents = centroids.staged
     val probeW = Window.partitionBy(idCol)
       .orderBy(desc("__sim"), col("cell"))
-    val probes = vectors.select(col(idCol), col(embCol))
-      .crossJoin(broadcast(centroids))
+    val probes = base
+      .crossJoin(broadcast(cents))
       .withColumn("__sim",
         GraftFunctions.cosine_sim(col(embCol), col("c_emb")))
       .withColumn("__rk", row_number().over(probeW))
       .filter(col("__rk") <= nProbe)
       .select(col(idCol).as("src"), col("cell"), col(embCol).as("__q"))
-    val members = assignCells(vectors, centroids, idCol, embCol)
+    val members = assignCells(base, cents, idCol, embCol)
       .select(col("cell"), col(idCol).as("dst"), col(embCol).as("__m"))
     val topW = Window.partitionBy("src")
       .orderBy(desc("cosine"), col("dst"))
