@@ -72,6 +72,36 @@ object EventAnalytics {
           .otherwise(lit(0.0)).as("pct_of_first"))
   }
 
+  /** Per-group OLS trend: slope and intercept of y over x from the
+    * closed-form normal equations, in ONE map-side-combinable aggregate —
+    * the quantitative companion to the ±10% trend CLASSIFIER (W5).
+    *
+    * x and y must be integer-valued columns (a day index, a count): the
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are then exact
+    * 64-bit integers on every engine, and the only floating-point step is
+    * the final division — so slope/intercept hash-check across engines
+    * with no decimal plumbing. Groups with a degenerate x (fewer than two
+    * distinct values) report NULL slope/intercept rather than a division
+    * by zero. */
+  def olsTrend(df: DataFrame, grpCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val agg = df.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(xCol)).as("__sx"), sum(col(yCol)).as("__sy"),
+        sum(col(xCol) * col(yCol)).as("__sxy"),
+        sum(col(xCol) * col(xCol)).as("__sxx"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val raw = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double") / den.cast("double")
+    agg.select(col(grpCol), col("__n").as("n_points"),
+        when(den =!= 0, raw).as("__slope"),
+        col("__sx"), col("__sy"), col("__n"))
+      .select(col(grpCol), col("n_points"),
+        Det.roundN(col("__slope"), 6).as("slope"),
+        Det.roundN((col("__sy").cast("double")
+            - col("__slope") * col("__sx")) / col("__n"), 6).as("intercept"))
+  }
+
   /** Weekly retention cohorts: an entity's cohort is the Monday-truncated
     * week of its FIRST event; for every (cohort_week, week_offset) cell,
     * how many cohort members were active that many weeks later, and what

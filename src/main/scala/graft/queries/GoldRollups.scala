@@ -323,6 +323,43 @@ object GoldRollups {
         .orderBy("step")
     },
 
+    // Per-type OLS trend over the daily event counts: five exact integer
+    // sufficient statistics in one aggregate, float division only at the
+    // end — the quantitative slope behind the W5 ±10% classifier.
+    QueryDef.sql(
+      "a_trend_slope",
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+         |  FROM events GROUP BY 1, 2),
+         |pts AS (
+         |  SELECT event_type, (d - DATE '2024-01-01') AS x, y FROM daily),
+         |agg AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM pts GROUP BY 1),
+         |res AS (
+         |  SELECT event_type, n,
+         |    CASE WHEN n * sxx - sx * sx <> 0 THEN
+         |      CAST(n * sxy - sx * sy AS DOUBLE)
+         |        / CAST(n * sxx - sx * sx AS DOUBLE)
+         |    END AS raw, sx, sy
+         |  FROM agg)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+         |  ${roundN("raw", 6)} AS slope,
+         |  ${roundN("(CAST(sy AS DOUBLE) - raw * sx) / n", 6)} AS intercept
+         |FROM res ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+          col("y"))
+      EventAnalytics.olsTrend(daily, "event_type", "x", "y")
+        .orderBy("event_type")
+    },
+
     // Weekly retention cohorts: cohort = Monday-truncated week of a
     // user's first event; each (cohort, week-offset) cell reports active
     // members and the retained fraction. Monday alignment keeps the

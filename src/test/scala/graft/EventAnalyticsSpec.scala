@@ -62,6 +62,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(0)._3 === 2L && out(1)._3 === 1L)
   }
 
+  test("olsTrend recovers an exact line and nulls degenerate groups") {
+    val pts = Seq(
+      // g1: y = 3x + 2 exactly
+      ("g1", 0, 2L), ("g1", 1, 5L), ("g1", 2, 8L), ("g1", 3, 11L),
+      // g2: single x value — degenerate
+      ("g2", 4, 7L), ("g2", 4, 9L))
+      .toDF("grp", "x", "y")
+    val out = EventAnalytics.olsTrend(pts, "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("g1") === ((4L, Some(3.0), Some(2.0))))
+    assert(out("g2") === ((2L, None, None)))
+  }
+
   test("retention cohorts: offsets, sizes, and fractions by hand") {
     // week of 2024-01-01 (Mon) and 2024-01-08 (Mon)
     val events = Seq(
