@@ -64,6 +64,53 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
   def read(layer: String, table: String): DataFrame =
     spark.read.parquet(path(layer, table))
 
+  /** Targeted delete — the "right to be forgotten" / retention-purge
+    * shape: remove every row whose `keyCol` appears in `keys` by
+    * REWRITING ONLY the partitions that contain at least one such key.
+    * Untouched partitions keep their files byte-for-byte (PipelineSpec
+    * asserts unchanged mtimes), so a deletion list touching 3 of 3,000
+    * date partitions rewrites 0.1% of the table — the property that makes
+    * per-request deletion affordable at 100 TB.
+    *
+    * Dynamic partition overwrite only replaces partitions PRESENT in the
+    * written frame, so a partition whose every row is deleted would
+    * survive untouched — those are removed explicitly through the
+    * filesystem (the collect is bounded by the deletion list's partition
+    * count, driver-side metadata not data). Returns (partitions
+    * rewritten, partitions dropped). */
+  def deleteKeys(layer: String, table: String, partCol: String,
+      keyCol: String, keys: DataFrame): (Long, Long) = {
+    val t = read(layer, table)
+    val k = broadcast(keys.select(col(keyCol)).distinct())
+    val affected = t.join(k, Seq(keyCol), "left_semi")
+      .select(col(partCol)).distinct().cache()
+    val rewritten = t
+      .join(broadcast(affected), Seq(partCol), "left_semi")
+      .join(k, Seq(keyCol), "left_anti")
+    val kept = rewritten.select(col(partCol)).distinct()
+    // affected partitions with zero surviving rows: drop their dirs.
+    // Every action on `affected` happens BEFORE the overwrite below —
+    // its lineage scans the pre-delete file listing, so a post-write
+    // recompute (cache eviction) would throw FILE_NOT_EXIST.
+    val emptied = affected.join(kept, Seq(partCol), "left_anti")
+      .collect().map(_.get(0))
+    val nAffected = affected.count()
+    // self-overwrite is safe here because repartition() forces a shuffle
+    // barrier: the source scan completes before any file is replaced
+    rewritten.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(path(layer, table))
+    affected.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(path(layer, table))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    emptied.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${path(layer, table)}/$partCol=$v"), true)
+    }
+    spark.catalog.refreshByPath(path(layer, table))
+    (nAffected - emptied.length, emptied.length.toLong)
+  }
+
   /** Bucketed layer table: pre-shuffled AT REST on the join/agg key.
     * Two tables bucketed on the same key with the same bucket count join
     * with NO exchange on either side — the shuffle is paid once at write

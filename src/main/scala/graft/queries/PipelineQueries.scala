@@ -170,6 +170,33 @@ object PipelineQueries {
         .orderBy("c_mktsegment")
     },
 
+    // Targeted delete over a partitioned lake table — the
+    // right-to-be-forgotten shape: land events partitioned by date,
+    // delete every row of a deterministic key set, read the survivors
+    // back. Only partitions containing a deleted key are rewritten
+    // (PipelineSpec asserts untouched partitions keep their files
+    // byte-for-byte); the oracle is the plain anti-join the lake state
+    // must equal.
+    QueryDef.sql(
+      "q_delete_propagation",
+      s"""SELECT event_id, user_id FROM events
+         |WHERE user_id % 37 <> 0
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-delete-lake").toString
+      val p = new Pipeline(s, lake)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("event_date"))
+      p.upsertByDate(ev, "silver", "del_events", "event_date")
+      val doomed = ev.filter(col("user_id") % 37 === 0)
+        .select("user_id").distinct()
+      p.deleteKeys("silver", "del_events", "event_date", "user_id", doomed)
+      p.read("silver", "del_events")
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    },
+
     // Full medallion pipeline run (bronze→silver→gold over a parquet lake,
     // K3/K4/K5/K6/K7 sinks) returning per-stage counts — the §3.1
     // orchestration as an observable query.

@@ -95,6 +95,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.read("bronze", "tiny").orderBy("id").collect().toSeq === rows)
   }
 
+  test("deleteKeys rewrites only affected partitions, drops emptied ones") {
+    val lake = Files.createTempDirectory("graft-delete").toString
+    val p = new Pipeline(spark, lake)
+    // p=1: survivors+deleted mixed; p=2: untouched; p=3: fully deleted
+    val rows = Seq(
+      (1L, 10L, "p1"), (2L, 11L, "p1"), (3L, 10L, "p1"),
+      (4L, 20L, "p2"), (5L, 21L, "p2"),
+      (6L, 30L, "p3"), (7L, 30L, "p3"))
+      .toDF("id", "key", "part")
+    p.upsertByDate(rows, "silver", "dk", "part")
+    def partFiles(pv: String) = {
+      val dir = java.nio.file.Paths.get(s"$lake/silver/dk/part=$pv")
+      if (!Files.exists(dir)) Map.empty[String, Long]
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(dir).filter(_.toString.endsWith(".parquet"))
+        try s.iterator().asScala
+          .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis)
+          .toMap
+        finally s.close()
+      }
+    }
+    val p2Before = partFiles("p2")
+    assert(p2Before.nonEmpty)
+    val (rewritten, dropped) = p.deleteKeys("silver", "dk", "part", "key",
+      Seq(10L, 30L).toDF("key"))
+    assert((rewritten, dropped) === ((1L, 1L)), "p1 rewritten, p3 dropped")
+    assert(partFiles("p2") === p2Before,
+      "untouched partition must keep its files byte-for-byte")
+    assert(partFiles("p3").isEmpty, "fully-deleted partition dir removed")
+    val left = p.read("silver", "dk").select("id").as[Long].collect().toSet
+    assert(left === Set(2L, 4L, 5L), "only non-deleted keys survive")
+  }
+
   test("bucketed tables join with no exchange on either side") {
     val lake = Files.createTempDirectory("graft-bucketed").toString
     val p = new Pipeline(spark, lake)
