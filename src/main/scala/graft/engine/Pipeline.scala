@@ -64,6 +64,40 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
   def read(layer: String, table: String): DataFrame =
     spark.read.parquet(path(layer, table))
 
+  /** Apply a CDC batch — the MERGE INTO equivalent over a partitioned
+    * parquet lake. `changes` carries an op column ('I' insert, 'U'
+    * update, 'D' delete) plus the full row image for I/U. Semantics:
+    * every changed key's OLD version disappears (wherever it lived —
+    * updates that move a row across partitions are handled, because
+    * deletion goes by key, not by the new image's partition), then the
+    * I/U images land in their partitions via partitioned append. Both
+    * phases touch only partitions that carry a change.
+    *
+    * The batch must hold at most one change per key (the usual CDC
+    * compaction contract); pass `seqCol` to keep-last dedup a raw feed
+    * by that ordering first. */
+  def applyCdc(layer: String, table: String, partCol: String,
+      keyCol: String, changes: DataFrame, opCol: String = "op",
+      seqCol: Option[String] = None): (Long, Long) = {
+    val batch = seqCol match {
+      case Some(sc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol)
+          .orderBy(col(sc).desc)
+        changes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => changes
+    }
+    val stats = deleteKeys(layer, table, partCol, keyCol,
+      batch.select(keyCol))
+    batch.filter(col(opCol).isin("I", "U")).drop(opCol)
+      .repartition(col(partCol))
+      .write.mode(SaveMode.Append).partitionBy(partCol)
+      .parquet(path(layer, table))
+    spark.catalog.refreshByPath(path(layer, table))
+    stats
+  }
+
   /** Targeted delete — the "right to be forgotten" / retention-purge
     * shape: remove every row whose `keyCol` appears in `keys` by
     * REWRITING ONLY the partitions that contain at least one such key.

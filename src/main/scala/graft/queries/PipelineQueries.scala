@@ -197,6 +197,47 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // CDC apply — MERGE INTO over the partitioned lake: one batch
+    // carrying deletes, in-place updates, and inserts lands atomically
+    // as delete-by-key (partition-minimal rewrite) + partitioned append
+    // of the new images. The lake end state hash-checks against the
+    // plain SQL statement of the merge semantics.
+    QueryDef.sql(
+      "q_cdc_apply",
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, value, CAST(ts AS DATE) AS d
+         |  FROM events)
+         |SELECT event_id, user_id,
+         |  CASE WHEN event_id % 7 = 0 THEN value + 1000.0 ELSE value END
+         |    AS value
+         |FROM ev WHERE d <= DATE '2024-01-20' AND event_id % 11 <> 0
+         |UNION ALL
+         |SELECT event_id, user_id, value FROM ev
+         |WHERE d > DATE '2024-01-20'
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-cdc-lake").toString
+      val p = new Pipeline(s, lake)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("event_date"))
+      val cut = lit("2024-01-20").cast("date")
+      val base = ev.filter(col("event_date") <= cut)
+      p.upsertByDate(base, "silver", "cdc_events", "event_date")
+      val del = base.filter(col("event_id") % 11 === 0)
+        .withColumn("op", lit("D"))
+      val upd = base
+        .filter(col("event_id") % 11 =!= 0 && col("event_id") % 7 === 0)
+        .withColumn("value", col("value") + 1000.0)
+        .withColumn("op", lit("U"))
+      val ins = ev.filter(col("event_date") > cut).withColumn("op", lit("I"))
+      p.applyCdc("silver", "cdc_events", "event_date", "event_id",
+        del.unionByName(upd).unionByName(ins))
+      p.read("silver", "cdc_events")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
+
     // Full medallion pipeline run (bronze→silver→gold over a parquet lake,
     // K3/K4/K5/K6/K7 sinks) returning per-stage counts — the §3.1
     // orchestration as an observable query.

@@ -129,6 +129,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(left === Set(2L, 4L, 5L), "only non-deleted keys survive")
   }
 
+  test("applyCdc: deletes, in-place updates, partition-moving updates, inserts") {
+    val lake = Files.createTempDirectory("graft-cdc").toString
+    val p = new Pipeline(spark, lake)
+    val base = Seq(
+      (1L, "v1", "p1"), (2L, "v2", "p1"), (3L, "v3", "p2"), (4L, "v4", "p2"))
+      .toDF("id", "v", "part")
+    p.upsertByDate(base, "silver", "cdc", "part")
+    val changes = Seq(
+      (1L, null.asInstanceOf[String], null.asInstanceOf[String], "D", 1L),
+      (2L, "v2x", "p2", "U", 1L),      // update that MOVES p1 -> p2
+      (3L, "v3x", "p2", "U", 1L),      // in-place update
+      (5L, "v5", "p3", "I", 1L),       // insert into a new partition
+      // raw feed: two changes for key 6, seq keeps the later one
+      (6L, "stale", "p3", "I", 1L), (6L, "fresh", "p3", "U", 2L))
+      .toDF("id", "v", "part", "op", "seq")
+    p.applyCdc("silver", "cdc", "part", "id", changes, seqCol = Some("seq"))
+    val got = p.read("silver", "cdc")
+      .select("id", "v", "part").as[(Long, String, String)].collect().toSet
+    assert(got === Set(
+      (2L, "v2x", "p2"), (3L, "v3x", "p2"), (4L, "v4", "p2"),
+      (5L, "v5", "p3"), (6L, "fresh", "p3")))
+    // the moved row must not linger in its old partition
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake/silver/cdc/part=p1")),
+      "p1 lost both rows (one deleted, one moved) and must be dropped")
+  }
+
   test("bucketed tables join with no exchange on either side") {
     val lake = Files.createTempDirectory("graft-bucketed").toString
     val p = new Pipeline(spark, lake)
