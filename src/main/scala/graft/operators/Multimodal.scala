@@ -105,6 +105,62 @@ object Multimodal {
       .drop((0 until dims).map(j => s"__e$j") :+ "__n": _*)
   }
 
+  /** Aspect-preserving resize PLAN: pure integer metadata arithmetic —
+    * fit (width, height) into maxDim × maxDim, never upscale, and predict
+    * the resized payload size as the pixel-count-proportional share of
+    * the original bytes (ceil, so nonempty media never plans to zero).
+    * All arithmetic is integer `DIV` on positive operands, so the plan is
+    * engine-recomputable and oracle-checked; the payload transformation
+    * itself happens in [[resizeStub]] behind the codec seam. Returns
+    * (id, format, width, height, orig_bytes, new_width, new_height,
+    * resized_bytes). */
+  def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"maxDim: $maxDim")
+    media.select(col("id"), col("format"), col("width"), col("height"),
+        length(col("media")).cast("long").as("orig_bytes"))
+      .withColumn("__m", greatest(col("width"), col("height")))
+      .withColumn("new_width",
+        when(col("__m") <= maxDim, col("width"))
+          .otherwise(greatest(lit(1),
+            expr(s"(width * $maxDim) DIV __m").cast("int"))))
+      .withColumn("new_height",
+        when(col("__m") <= maxDim, col("height"))
+          .otherwise(greatest(lit(1),
+            expr(s"(height * $maxDim) DIV __m").cast("int"))))
+      .withColumn("resized_bytes",
+        when(col("orig_bytes") === 0, lit(0L))
+          .otherwise(expr("(orig_bytes * new_width * new_height - 1)" +
+            " DIV (CAST(width AS BIGINT) * height) + 1")))
+      .drop("__m")
+  }
+
+  final case class ResizedMedia(id: Long, format: String,
+      media: Array[Byte], new_width: Int, new_height: Int)
+
+  /** STUB resize execution through the same mapPartitions codec seam as
+    * [[extractFeatures]]: a real resampler (libvips, JNI codec) plugs
+    * into the partition iterator and amortizes init once per partition.
+    * The stub truncates the payload to the planned byte count — a
+    * deterministic fake whose OUTPUT SHAPE (payload length == plan's
+    * resized_bytes, metadata carried) MultimodalSpec pins. */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+      maxDim: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    val plan = resizePlan(media, maxDim)
+      .select("id", "new_width", "new_height", "resized_bytes")
+    media.select(col("id"), col("format"), col("media"))
+      .join(plan, Seq("id"))
+      .select(col("id"), col("format"), col("media"), col("new_width"),
+        col("new_height"), col("resized_bytes"))
+      .as[(Long, String, Array[Byte], Int, Int, Long)]
+      .mapPartitions { rows =>
+        // resampler/codec init would happen HERE, once per partition
+        rows.map { case (id, fmt, bytes, nw, nh, nb) =>
+          ResizedMedia(id, fmt, bytes.take(nb.toInt), nw, nh)
+        }
+      }
+  }
+
   /** Frame sampling: n evenly-spaced byte windows per media row, exploded
     * to one row per frame — pure expressions, no decode needed. */
   def frameSample(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame = {

@@ -1662,6 +1662,42 @@ object Extensions {
         .orderBy("id")
     },
 
+    // Aspect-preserving resize planning: fit every media row into
+    // 512×512 (never upscale), predict the resized payload as the
+    // pixel-proportional byte share — all integer DIV arithmetic on
+    // positive operands, so the whole plan hash-checks. The payload
+    // transformation runs behind the mapPartitions codec seam
+    // (resizeStub; MultimodalSpec pins payload length == plan).
+    QueryDef.sql(
+      "mm_resize_plan",
+      s"""WITH m AS (
+         |  SELECT doc_id AS id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+         |    CAST(${Det.h56Sql("'w:' || CAST(doc_id AS VARCHAR)")} % 1920 + 1 AS INT) AS width,
+         |    CAST(${Det.h56Sql("'h:' || CAST(doc_id AS VARCHAR)")} % 1080 + 1 AS INT) AS height
+         |  FROM documents),
+         |p AS (SELECT *, GREATEST(width, height) AS md FROM m),
+         |r AS (
+         |  SELECT id, orig_bytes, width, height,
+         |    CASE WHEN md <= 512 THEN width
+         |      ELSE GREATEST(1, CAST(width * 512 // md AS INT)) END AS new_width,
+         |    CASE WHEN md <= 512 THEN height
+         |      ELSE GREATEST(1, CAST(height * 512 // md AS INT)) END AS new_height
+         |  FROM p)
+         |SELECT id, orig_bytes, width, height, new_width, new_height,
+         |  CAST(CASE WHEN orig_bytes = 0 THEN 0
+         |    ELSE (orig_bytes * new_width * new_height - 1)
+         |         // (CAST(width AS BIGINT) * height) + 1 END AS BIGINT)
+         |    AS resized_bytes
+         |FROM r ORDER BY id""".stripMargin) { (s, d) =>
+      val media = Multimodal.toMediaTable(Tables.documents(s, d),
+        "doc_id", "text")
+      Multimodal.resizePlan(media, maxDim = 512)
+        .select("id", "orig_bytes", "width", "height", "new_width",
+          "new_height", "resized_bytes")
+        .orderBy("id")
+    },
+
     // Frame sampling is pure offset arithmetic + byte slicing — no decode
     // involved — so frame positions, lengths, and content hashes are all
     // oracle-checked. The oracle slices the VARCHAR because DuckDB v1.0

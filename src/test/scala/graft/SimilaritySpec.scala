@@ -258,4 +258,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(frames.count() === 4)
     assert(frames.select(max(col("frame_len"))).as[Int].collect().head === 16)
   }
+
+  test("multimodal resize: plan invariants, stub payload matches plan") {
+    val media = Multimodal.toMediaTable(
+      (0L to 30L).map(i => (i, "x" * (i.toInt * 50))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val plan = Multimodal.resizePlan(media, maxDim = 512)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    plan.values.foreach { r =>
+      val (w, h, nw, nh, ob, nb) = (r.getInt(2), r.getInt(3), r.getInt(5),
+        r.getInt(6), r.getLong(4), r.getLong(7))
+      assert(math.max(nw, nh) <= math.max(512, math.max(w, h)))
+      assert(nw <= w && nh <= h, "never upscale")
+      if (math.max(w, h) > 512) assert(math.max(nw, nh) <= 512)
+      else assert((nw, nh) === ((w, h)), "small media untouched")
+      assert(nb <= ob && (ob == 0 || nb >= 1),
+        "payload plan within bounds, nonempty stays nonempty")
+    }
+    val out = Multimodal.resizeStub(spark, media, maxDim = 512).collect()
+    out.foreach { r =>
+      assert(r.media.length.toLong ===
+        plan(r.id).getLong(7), s"payload length == plan for id ${r.id}")
+    }
+  }
 }
