@@ -105,5 +105,41 @@ object QualityQueries {
          |FROM raw""".stripMargin) { (s, d) =>
       Quality.score(suite(s, d))
     },
+
+    // Per-group winsorization — outlier clamping at the [p05, p95]
+    // exact-percentile band, the standard numeric-cleaning companion to
+    // the range checks above: one percentile aggregate per group
+    // (broadcast back), then a map-only clamp — no second shuffle, holds
+    // on any fact-table size. Thresholds pinned via roundN so both
+    // engines clamp against identical bounds; rows falling outside the
+    // band carry a clipped flag for the quality log.
+    QueryDef.sql(
+      "q_winsorize",
+      s"""WITH th AS (
+         |  SELECT event_type,
+         |    ${Det.roundNSql("quantile_cont(value, 0.05)", 4)} AS lo,
+         |    ${Det.roundNSql("quantile_cont(value, 0.95)", 4)} AS hi
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, e.value,
+         |  CASE WHEN e.value IS NULL THEN NULL
+         |    ELSE GREATEST(th.lo, LEAST(th.hi, e.value)) END AS value_w,
+         |  CASE WHEN e.value IS NULL THEN NULL
+         |    ELSE e.value < th.lo OR e.value > th.hi END AS clipped
+         |FROM events e JOIN th USING (event_type)
+         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val th = ev.groupBy("event_type").agg(
+        Det.roundN(expr("percentile(value, 0.05D)"), 4).as("lo"),
+        Det.roundN(expr("percentile(value, 0.95D)"), 4).as("hi"))
+      ev.join(broadcast(th), Seq("event_type"))
+        .select(col("event_id"), col("value"),
+          when(col("value").isNull, lit(null).cast("double"))
+            .otherwise(greatest(col("lo"), least(col("hi"), col("value"))))
+            .as("value_w"),
+          when(col("value").isNull, lit(null).cast("boolean"))
+            .otherwise(col("value") < col("lo") || col("value") > col("hi"))
+            .as("clipped"))
+        .orderBy("event_id")
+    },
   )
 }
