@@ -141,5 +141,44 @@ object QualityQueries {
             .as("clipped"))
         .orderBy("event_id")
     },
+
+    // Robust per-group anomaly detection — median + MAD (median absolute
+    // deviation), the outlier test that survives the outliers it hunts
+    // (mean/stddev gates are dragged by the very tail they should flag).
+    // Two percentile aggregates per group, each broadcast back; the flag
+    // itself is a map-only comparison, so the shape is two small
+    // shuffles + zero wide rows regardless of fact-table size. 4.4478 =
+    // 3·1.4826 (3 sigma under the normal-consistency MAD scale). MAD=0
+    // groups (constant-valued) flag any deviation, which is the desired
+    // degenerate behavior — no division anywhere. Thresholds pinned via
+    // roundN so both engines compare against identical doubles.
+    QueryDef.sql(
+      "q_anomaly_mad",
+      s"""WITH med AS (
+         |  SELECT event_type,
+         |    ${Det.roundNSql("quantile_cont(value, 0.5)", 4)} AS med
+         |  FROM events GROUP BY 1),
+         |mad AS (
+         |  SELECT e.event_type,
+         |    ${Det.roundNSql("quantile_cont(ABS(e.value - med.med), 0.5)", 4)} AS mad
+         |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+         |SELECT e.event_id, e.value, med.med, mad.mad,
+         |  CASE WHEN e.value IS NULL THEN NULL
+         |    ELSE ABS(e.value - med.med) > 4.4478 * mad.mad END AS is_outlier
+         |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy("event_type").agg(
+        Det.roundN(expr("percentile(value, 0.5D)"), 4).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+      val mad = dev.groupBy("event_type").agg(
+        Det.roundN(expr("percentile(abs(value - med), 0.5D)"), 4).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("value"), col("med"), col("mad"),
+          when(col("value").isNull, lit(null).cast("boolean"))
+            .otherwise(abs(col("value") - col("med")) > lit(4.4478) * col("mad"))
+            .as("is_outlier"))
+        .orderBy("event_id")
+    },
   )
 }
