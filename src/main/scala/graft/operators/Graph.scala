@@ -92,4 +92,78 @@ object Graph {
        |pr0 AS (SELECT id, 1.0 / n AS pr FROM ndn),
        |$rounds""".stripMargin
   }
+
+  /** Per-node triangle counts via degree-ordered edge orientation — the
+    * MapReduce-scale triangle algorithm (orient every undirected edge from
+    * its lower-(degree, id) endpoint to the higher one; then wedges rooted
+    * at the SMALLEST endpoint of each triangle enumerate it exactly once).
+    * The orientation bounds per-node out-degree by O(√m) on any graph, so
+    * the wedge self-join never explodes on hubs the way a naive
+    * neighbor×neighbor join does — that bound is the whole reason this
+    * shape survives a crawl-scale link graph where degree is power-law.
+    *
+    * `edges`: (src, dst) directed rows; direction, duplicates, and
+    * self-loops are all normalized away (the graph is treated as simple +
+    * undirected). Returns (idCol, triangles) for every node in `nodes`,
+    * zero-filled. All joins are key-equi (the order tie-break rides along
+    * as a post-join filter); the oriented edge set is staged once and
+    * reused by both sides of the wedge join and the closing probe.
+    */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame,
+      idCol: String): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    // oriented edge (a,b): (deg,id)-order of a strictly below b; carries
+    // the dst endpoint's degree so the wedge join can order b vs c without
+    // another deg lookup
+    val oe = Stage.materialize(
+      und
+        .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+        .filter(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")))
+        .select(col("a"), col("b"), col("db")))
+    val e1 = oe.select(col("a"), col("b"), col("db"))
+    val e2 = oe.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val tri = wedges.join(
+      oe.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("__id"))
+      .groupBy("__id").agg(count(lit(1)).as("__t"))
+    nodes.select(col(idCol).as("__id"))
+      .join(perNode, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__t"), lit(0L)).as("triangles"))
+  }
+
+  /** DuckDB mirror of [[triangleCounts]] over CTEs `e(src,dst)` and
+    * `nd(<idCol>)` (same contract as [[pagerankSql]]). Ends in CTE `tc`
+    * with (id, triangles). */
+  def triangleCountsSql(idCol: String): String =
+    s"""und AS (
+       |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+       |  UNION SELECT dst, src FROM e WHERE src <> dst),
+       |deg AS (SELECT a AS v, COUNT(*) AS d FROM und GROUP BY 1),
+       |oe AS (
+       |  SELECT und.a, und.b, d2.d AS db
+       |  FROM und JOIN deg d1 ON d1.v = und.a JOIN deg d2 ON d2.v = und.b
+       |  WHERE d1.d < d2.d OR (d1.d = d2.d AND und.a < und.b)),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM oe e1 JOIN oe e2 ON e1.a = e2.a
+       |  JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b
+       |  WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)),
+       |pn AS (
+       |  SELECT id, COUNT(*) AS t FROM (
+       |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+       |tc AS (
+       |  SELECT nd.$idCol AS id, COALESCE(pn.t, 0) AS triangles
+       |  FROM nd LEFT JOIN pn ON pn.id = nd.$idCol)""".stripMargin
 }

@@ -876,5 +876,35 @@ object ScaleOps {
       Graph.pagerank(docs, edges, "doc_id", iterations = 3)
         .orderBy("doc_id")
     },
+
+    // Per-node triangle counts over the same synthetic link graph —
+    // clustering structure is the other classic graph-shaped corpus
+    // signal next to centrality (g_pagerank): a page whose neighbors
+    // also link each other sits in a dense community, not a spam farm.
+    // Degree-ordered orientation (Graph.triangleCounts) keeps the wedge
+    // join O(m^1.5) worst-case instead of sum-of-squared-degrees, which
+    // is the difference between feasible and not on a power-law web
+    // graph.
+    QueryDef.sql(
+      "g_triangle_count",
+      s"""WITH nd AS (SELECT doc_id FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM nd),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+         |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |${Graph.triangleCountsSql("doc_id")}
+         |SELECT id AS doc_id, triangles
+         |FROM tc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      Graph.triangleCounts(docs, edges, "doc_id")
+        .orderBy("doc_id")
+    },
   )
 }

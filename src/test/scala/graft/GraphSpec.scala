@@ -49,4 +49,28 @@ class GraphSpec extends AnyFunSuite {
       .collect().toMap
     assert(a == b)
   }
+
+  test("triangleCounts: K4 + pendant, direction/duplicate/self-loop noise") {
+    // K4 on {0,1,2,3}: 4 triangles, every member sits in C(3,2)=3 of them.
+    // Node 4 hangs off node 0 (pendant: zero triangles); node 5 isolated.
+    val nodes = spark.range(6).select(col("id"))
+    val k4 = for { i <- 0L to 3L; j <- 0L to 3L if i < j } yield (i, j)
+    val edges = (k4 ++ Seq((4L, 0L), (0L, 4L), (1L, 0L), (2L, 2L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(nodes, edges, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 0L, 5L -> 0L), s"got $got")
+  }
+
+  test("triangleCounts: triangle chain counts shared nodes once per triangle") {
+    // 0-1-2 and 2-3-4 triangles sharing node 2
+    val nodes = spark.range(5).select(col("id"))
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L),
+      (4L, 2L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(nodes, edges, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L),
+      s"got $got")
+  }
 }
