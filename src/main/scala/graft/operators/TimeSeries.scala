@@ -87,4 +87,65 @@ object TimeSeries {
       .select(col(keyCol), (-col("__best.neg_lag")).cast("int").as("best_lag"),
         col("__best.n").as("n"), col("__best.c").as("corr_r"))
   }
+
+  /** Calendar gap-fill + linear interpolation over keyed daily series —
+    * the resampling step every downstream trend/correlation consumer
+    * assumes has already happened (W2/W4-style rolling math silently
+    * mis-weights when missing days are absent rows instead of
+    * interpolated ones).
+    *
+    * Semantics per series: the observed (date → value) points are joined
+    * onto the dense global [min(date), max(date)] calendar; missing days
+    * between two observations get the linear interpolation, days before
+    * the first observation back-fill, days after the last forward-fill.
+    * Output keeps the raw value column (NULL on filled days) plus a
+    * `fill_src` marker (obs | interp | ffill | bfill) so consumers can
+    * weight synthetic points differently.
+    *
+    * Scale shape: the calendar is tiny (one row per day) and broadcast;
+    * the grid is |series|×|days| rows — exactly the output size, never
+    * an intermediate blow-up — and every window partitions by series, so
+    * the whole fill is one shuffle by series key. The neighbor lookup
+    * uses the running-count fill-group trick (COUNT(v) ascending /
+    * descending assigns each null run to its bounding observation) —
+    * two O(1)-state running windows instead of a per-row backward scan,
+    * and expressible identically in ANSI SQL for the oracle. */
+  def gapFillInterpolate(obs: DataFrame, seriesCol: String, dateCol: String,
+      valCol: String, scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mm = obs.agg(min(col(dateCol)).as("__d0"), max(col(dateCol)).as("__d1"))
+    val cal = mm.select(
+      explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day")))
+        .as(dateCol))
+    val grid = obs.select(col(seriesCol)).distinct().crossJoin(broadcast(cal))
+    val j = grid.join(
+      obs.select(col(seriesCol), col(dateCol), col(valCol).as("__v")),
+      Seq(seriesCol, dateCol), "left")
+    val wa = Window.partitionBy(seriesCol).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wb = Window.partitionBy(seriesCol).orderBy(col(dateCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val f = j.withColumn("__ga", count(col("__v")).over(wa))
+      .withColumn("__gb", count(col("__v")).over(wb))
+    val wpa = Window.partitionBy(col(seriesCol), col("__ga"))
+    val wpb = Window.partitionBy(col(seriesCol), col("__gb"))
+    val g2 = f
+      .withColumn("__pv", max(col("__v")).over(wpa))
+      .withColumn("__pd", max(when(col("__v").isNotNull, col(dateCol))).over(wpa))
+      .withColumn("__nv", max(col("__v")).over(wpb))
+      .withColumn("__nd", max(when(col("__v").isNotNull, col(dateCol))).over(wpb))
+    g2.select(col(seriesCol), col(dateCol), col("__v").as(valCol),
+      Det.roundN(
+        when(col("__v").isNotNull, col("__v"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              (datediff(col(dateCol), col("__pd")).cast("double") /
+                datediff(col("__nd"), col("__pd")).cast("double")))
+          .when(col("__pv").isNotNull, col("__pv"))
+          .otherwise(col("__nv")), scale).as("filled"),
+      when(col("__v").isNotNull, lit("obs"))
+        .when(col("__pv").isNotNull && col("__nv").isNotNull, lit("interp"))
+        .when(col("__pv").isNotNull, lit("ffill"))
+        .otherwise(lit("bfill")).as("fill_src"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.operators.{AsOfJoin, CountMin, Graph, Kmv, QuantileSketch,
-  Salting, ZOrder}
+  Salting, TimeSeries, ZOrder}
 import graft.engine.Stage.syntax._
 
 /** Scale-path operator variants: salted skew joins/aggregations, the
@@ -905,6 +905,61 @@ object ScaleOps {
           (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
       Graph.triangleCounts(docs, edges, "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Calendar gap-fill + linear interpolation of keyed daily series
+    // (TimeSeries.gapFillInterpolate) — purchase revenue per user cohort
+    // is naturally sparse (~⅓ of cohort-days observed at sf0.01), so all
+    // four fill branches (obs/interp/ffill/bfill) are exercised. The
+    // dense calendar is a broadcast ~30-row relation; everything else is
+    // one shuffle by series.
+    QueryDef.sql(
+      "w_ts_interpolate",
+      s"""WITH p AS (
+         |  SELECT user_id % 200 AS series, CAST(ts AS DATE) AS d, value
+         |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |obs AS (SELECT series, d, ${Det.dsumSql("value", 4)} AS v
+         |        FROM p GROUP BY 1, 2),
+         |mm AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM obs),
+         |cal AS (SELECT CAST(unnest(generate_series(
+         |          CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+         |          INTERVAL 1 DAY)) AS DATE) AS d FROM mm),
+         |sd AS (SELECT DISTINCT series FROM obs),
+         |grid AS (SELECT sd.series, cal.d FROM sd, cal),
+         |j AS (SELECT g.series, g.d, obs.v
+         |      FROM grid g LEFT JOIN obs USING (series, d)),
+         |f AS (SELECT *,
+         |  COUNT(v) OVER (PARTITION BY series ORDER BY d
+         |                 ROWS UNBOUNDED PRECEDING) AS ga,
+         |  COUNT(v) OVER (PARTITION BY series ORDER BY d DESC
+         |                 ROWS UNBOUNDED PRECEDING) AS gb FROM j),
+         |g2 AS (SELECT *,
+         |  MAX(v) OVER (PARTITION BY series, ga) AS pv,
+         |  MAX(CASE WHEN v IS NOT NULL THEN d END)
+         |    OVER (PARTITION BY series, ga) AS pd,
+         |  MAX(v) OVER (PARTITION BY series, gb) AS nv,
+         |  MAX(CASE WHEN v IS NOT NULL THEN d END)
+         |    OVER (PARTITION BY series, gb) AS nd FROM f)
+         |SELECT series, d, v AS value,
+         |  ${Det.roundNSql(
+             """CASE WHEN v IS NOT NULL THEN v
+               |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               |      pv + (nv - pv) *
+               |        (CAST(date_diff('day', pd, d) AS DOUBLE) /
+               |         CAST(date_diff('day', pd, nd) AS DOUBLE))
+               |    WHEN pv IS NOT NULL THEN pv ELSE nv END""".stripMargin, 4)} AS filled,
+         |  CASE WHEN v IS NOT NULL THEN 'obs'
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+         |    WHEN pv IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS fill_src
+         |FROM g2 ORDER BY series, d""".stripMargin) { (s, d) =>
+      val obs = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy((col("user_id") % 200).as("series"),
+          to_date(col("ts")).as("d"))
+        .agg(Det.dsum(col("value"), 4).as("v"))
+      TimeSeries.gapFillInterpolate(obs, "series", "d", "v")
+        .withColumnRenamed("v", "value")
+        .orderBy("series", "d")
     },
   )
 }

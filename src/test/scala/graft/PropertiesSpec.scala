@@ -239,4 +239,25 @@ class PropertiesSpec extends AnyFunSuite {
     // weights are positive and ≤ 1; cluster members share equal weight
     assert(out.filter(col("weight") <= 0 || col("weight") > 1).count() === 0)
   }
+
+  test("gap-fill interpolation: linear between, ffill after, bfill before") {
+    import graft.operators.TimeSeries
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-02-$i%02d")
+    // series a: observed day 3 (10.0) and day 6 (40.0) of a 1..8 calendar
+    // (bounds come from series b, observed on days 1 and 8)
+    val obs = Seq(("a", d(3), 10.0), ("a", d(6), 40.0),
+      ("b", d(1), 5.0), ("b", d(8), 5.0)).toDF("k", "dt", "v")
+    val out = TimeSeries.gapFillInterpolate(obs, "k", "dt", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getDouble(3), r.getString(4)))).toMap
+    assert(out.size === 16, "2 series x 8 calendar days")
+    assert(out(("a", "2024-02-03")) === ((10.0, "obs")))
+    assert(out(("a", "2024-02-04")) === ((20.0, "interp")))
+    assert(out(("a", "2024-02-05")) === ((30.0, "interp")))
+    assert(out(("a", "2024-02-02")) === ((10.0, "bfill")))
+    assert(out(("a", "2024-02-07")) === ((40.0, "ffill")))
+    assert(out(("a", "2024-02-08")) === ((40.0, "ffill")))
+    assert(out(("b", "2024-02-04")) === ((5.0, "interp")))
+  }
 }
