@@ -961,5 +961,44 @@ object ScaleOps {
         .withColumnRenamed("v", "value")
         .orderBy("series", "d")
     },
+
+    // Bounded-memory EWMA (α=0.3) of per-cohort daily totals. The
+    // recurrence e_t = (1−α)·e_{t−1} + α·x_t is deliberately computed as
+    // a left-fold over the trailing 64-row window instead of a stateful
+    // sequential scan: (1−α)^64 ≈ 1.2e-10, so the truncation sits below
+    // the 1e-6 output rounding, and the windowed form is stateless per
+    // row — every row's smoothed value recomputes independently, which
+    // parallelizes over any partitioning of the series (the sequential
+    // formulation serializes an entire series behind one task). O(64)
+    // work per row, one shuffle by series. Both engines run the
+    // identical fold (Spark `aggregate` HOF / DuckDB `list_reduce`
+    // seeded by the oldest frame element), so the doubles match bitwise.
+    QueryDef.sql(
+      "w_ewma",
+      s"""WITH p AS (
+         |  SELECT user_id % 50 AS series, CAST(ts AS DATE) AS d,
+         |    ${Det.dsumSql("COALESCE(value, 0.0)", 4)} AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT series, d, v,
+         |  ${Det.roundNSql(
+             """list_reduce(
+               |    list(v) OVER (PARTITION BY series ORDER BY d
+               |                  ROWS BETWEEN 63 PRECEDING AND CURRENT ROW),
+               |    (acc, x) -> CAST(0.7 AS DOUBLE) * acc
+               |                + CAST(0.3 AS DOUBLE) * x)""".stripMargin, 6)} AS ewma
+         |FROM p ORDER BY series, d""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("series").orderBy("d").rowsBetween(-63, 0)
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 50).as("series"),
+          to_date(col("ts")).as("d"))
+        .agg(Det.dsum(coalesce(col("value"), lit(0.0)), 4).as("v"))
+        .withColumn("ewma", Det.roundN(
+          aggregate(collect_list(col("v")).over(w),
+            lit(null).cast("double"),
+            (acc, x) => when(acc.isNull, x)
+              .otherwise(lit(0.7) * acc + lit(0.3) * x)), 6))
+        .select(col("series"), col("d"), col("v"), col("ewma"))
+        .orderBy("series", "d")
+    },
   )
 }
