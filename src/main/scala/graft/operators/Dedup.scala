@@ -609,6 +609,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Directed containment detection — C(A→B) = |A∩B| / |A| over n-gram
+    * shingle sets: flags documents SUBSUMED by a larger one (quoted
+    * articles, excerpt pages, boilerplate-wrapped copies) that symmetric
+    * Jaccard misses entirely — a 200-token snippet inside a 5000-token
+    * page has J ≈ 0.04 but containment 1.0, and snippet-in-page is the
+    * duplication shape crawl corpora are full of.
+    *
+    * Same inverted-index shape as [[ngramJaccardDups]] (posting lists
+    * capped at `maxPosting`, co-occurrence counted on the exploded
+    * relation, never array intersections); each undirected candidate
+    * pair then emits up to two DIRECTED rows (sub → super per side) from
+    * the single intersection count, so the asymmetry costs one explode,
+    * not a second join. Returns (id_sub, id_sup, containment) where
+    * id_sub's shingle set is ≥ `threshold`-contained in id_sup's. */
+  def containmentDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, shingleSize: Int = 3,
+      maxPosting: Int = 32): DataFrame = {
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val useful = exploded
+      .withColumn("__pn", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("__pn").between(2, maxPosting))
+      .select("id", "shingle")
+    val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))
+      .join(useful.withColumnsRenamed(Map("id" -> "id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("__nb")), Seq("id_b"))
+      .select(explode(array(
+        struct(col("id_a").as("id_sub"), col("id_b").as("id_sup"),
+          Det.roundN(col("inter") * lit(1.0) / col("__na"), 4)
+            .as("containment")),
+        struct(col("id_b").as("id_sub"), col("id_a").as("id_sup"),
+          Det.roundN(col("inter") * lit(1.0) / col("__nb"), 4)
+            .as("containment")))).as("__dir"))
+      .select(col("__dir.id_sub").as("id_sub"),
+        col("__dir.id_sup").as("id_sup"), col("__dir.containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Soft dedup — downweight duplicates instead of dropping them: every
     * member of a near-dup cluster gets sampling weight 1/|cluster|, so a
     * document duplicated n times contributes ONE document's worth of

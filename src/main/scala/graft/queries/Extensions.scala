@@ -802,6 +802,45 @@ object Extensions {
         .orderBy("id_a", "id_b")
     },
 
+    // Directed containment C(A→B) = |A∩B|/|A| — the snippet-inside-page
+    // duplication Jaccard can't see (a contained excerpt scores J≈|A|/|B|
+    // but containment 1.0). Same capped inverted index as
+    // dedup_ngram_jaccard; each undirected intersection count fans out
+    // into its two directed containment rows.
+    QueryDef.sql(
+      "dedup_containment",
+      raw"""WITH toks AS (
+         |  SELECT doc_id AS id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(t) >= 3
+         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+         |    ELSE [array_to_string(t, ' ')] END AS shingles
+         |  FROM toks),
+         |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
+         |useful AS (
+         |  SELECT id, shingle FROM (
+         |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s)
+         |  WHERE pn BETWEEN 2 AND 32),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+         |  FROM useful a JOIN useful b USING (shingle)
+         |  WHERE a.id < b.id GROUP BY 1, 2),
+         |dirs AS (
+         |  SELECT id_a AS id_sub, id_b AS id_sup,
+         |    ${roundN("inter * 1.0 / sa.n", 4)} AS containment
+         |  FROM inter JOIN sizes sa ON sa.id = id_a
+         |  UNION ALL
+         |  SELECT id_b, id_a, ${roundN("inter * 1.0 / sb.n", 4)}
+         |  FROM inter JOIN sizes sb ON sb.id = id_b)
+         |SELECT id_sub, id_sup, containment FROM dirs
+         |WHERE containment >= 0.9
+         |ORDER BY id_sub, id_sup""".stripMargin) { (s, d) =>
+      Dedup.containmentDups(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.9)
+        .orderBy("id_sub", "id_sup")
+    },
+
     // EXACT similarity join (prefix filtering): the oracle is the full
     // uncapped all-pairs Jaccard — no posting cap, no banding, no
     // approximation to mirror. The operator must reproduce the complete

@@ -308,4 +308,19 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(got === Set((1L, 2L, 1.0)))
   }
+
+  test("containment flags the snippet inside the page, one direction only") {
+    // doc 10 is the first 30 words of doc 11 (a 90-word page); doc 4 is
+    // unrelated. Jaccard(10,11) ≈ 28/88 — far below any dedup threshold —
+    // but containment(10→11) = 1.0. The reverse direction must NOT flag.
+    val page = (0 until 90).map(i => s"w$i").mkString(" ")
+    val snippet = (0 until 30).map(i => s"w$i").mkString(" ")
+    val df = Seq((10L, snippet), (11L, page),
+      (4L, (0 until 60).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardDups(df, "doc_id", "text",
+      threshold = 0.8).count() === 0L, "jaccard is blind to the snippet")
+    val got = Dedup.containmentDups(df, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((10L, 11L, 1.0)), s"got $got")
+  }
 }
