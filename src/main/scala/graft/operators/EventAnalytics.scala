@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Det
 import graft.engine.Stage.syntax._
@@ -135,5 +136,35 @@ object EventAnalytics {
         col("n_cohort"),
         Det.roundN(col("n_active") * lit(1.0) / col("n_cohort"), 4)
           .as("retention_pct"))
+  }
+
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: for each consecutive (type → next type) step in an
+    * entity's time-ordered stream, the corpus-wide count and the
+    * row-normalized transition probability — the "what do users do after
+    * X" building block under path analysis and next-event prediction.
+    *
+    * Shape: one lead() window partitioned by entity (shuffle by entity,
+    * the same key every sessionizer already uses), then a count over the
+    * |types|² transition domain — tiny regardless of event volume — and
+    * a window-sum normalization over that tiny relation. `tieCol` breaks
+    * equal-timestamp ordering so the sequence is total and the counts
+    * deterministic on any engine.
+    *
+    * Returns (from_type, to_type, n_transitions, p) with p =
+    * n / Σ_to n, pinned via Det.roundN(scale). */
+  def transitionMatrix(events: DataFrame, entityCol: String, typeCol: String,
+      timeCol: String, tieCol: String, scale: Int = 6): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(col(timeCol), col(tieCol))
+    val counts = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    counts.withColumn("p",
+      Det.roundN(col("n_transitions") * lit(1.0) /
+        sum(col("n_transitions")).over(Window.partitionBy("from_type")),
+        scale))
   }
 }

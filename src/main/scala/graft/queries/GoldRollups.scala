@@ -384,5 +384,99 @@ object GoldRollups {
       EventAnalytics.retentionCohorts(Tables.events(s, d), "user_id", "ts")
         .orderBy("cohort_week", "week_offset")
     },
+
+    // First-order Markov transitions over per-user event streams — the
+    // "what happens after X" matrix behind path analysis. One lead()
+    // window by user (same shuffle key as sessionize/funnel), then the
+    // aggregate lands on the |types|² domain, which stays tiny at any
+    // event volume. event_id tie-breaks equal timestamps so the sequence
+    // is total.
+    QueryDef.sql(
+      "q_event_transitions",
+      s"""WITH steps AS (
+         |  SELECT event_type AS from_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id
+         |                           ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |counts AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n_transitions
+         |  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, n_transitions,
+         |  ${roundN("n_transitions * 1.0 / SUM(n_transitions) OVER (PARTITION BY from_type)", 6)} AS p
+         |FROM counts ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      EventAnalytics.transitionMatrix(Tables.events(s, d),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+
+    // Deterministic A/B readout: users split 50/50 by the cross-engine
+    // h56 hash (no RNG, so assignment is reproducible and
+    // oracle-checkable), then per-metric Welch's t — the unequal-variance
+    // form, which is the one a real experiment readout should default
+    // to. All moments come from decimal sums (order-independent); the
+    // only irrational step is sqrt, which IEEE-754 rounds identically on
+    // every engine, so the t statistic itself hash-matches. One
+    // conditional-aggregate pass over events — no per-variant scan.
+    QueryDef.sql(
+      "a_ab_test",
+      s"""WITH v AS (
+         |  SELECT event_type, value,
+         |    ${Det.h56Sql("CAST(user_id AS VARCHAR)")} % 2 AS variant
+         |  FROM events WHERE value IS NOT NULL),
+         |m AS (
+         |  SELECT event_type,
+         |    COUNT(CASE WHEN variant = 0 THEN 1 END) AS na,
+         |    COUNT(CASE WHEN variant = 1 THEN 1 END) AS nb,
+         |    ${Det.dsumSql("CASE WHEN variant = 0 THEN value END", 6)} AS sxa,
+         |    ${Det.dsumSql("CASE WHEN variant = 1 THEN value END", 6)} AS sxb,
+         |    ${Det.dsumSql("CASE WHEN variant = 0 THEN value * value END", 6)} AS sxxa,
+         |    ${Det.dsumSql("CASE WHEN variant = 1 THEN value * value END", 6)} AS sxxb
+         |  FROM v GROUP BY 1),
+         |t AS (
+         |  SELECT event_type, na, nb,
+         |    sxa / na AS mean_a, sxb / nb AS mean_b,
+         |    (sxxa - sxa * sxa / na) / (na - 1) AS var_a,
+         |    (sxxb - sxb * sxb / nb) / (nb - 1) AS var_b
+         |  FROM m WHERE na >= 2 AND nb >= 2)
+         |SELECT event_type, na, nb,
+         |  ${roundN("mean_a", 6)} AS mean_a, ${roundN("mean_b", 6)} AS mean_b,
+         |  ${roundN("(mean_a - mean_b) / SQRT(var_a / na + var_b / nb)", 6)} AS t_stat,
+         |  ${roundN(
+            """(var_a / na + var_b / nb) * (var_a / na + var_b / nb) /
+              |  ((var_a / na) * (var_a / na) / (na - 1)
+              |   + (var_b / nb) * (var_b / nb) / (nb - 1))""".stripMargin, 4)} AS welch_df
+         |FROM t ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"),
+          (Det.h56(col("user_id").cast("string")) % 2).as("variant"))
+      val m = v.groupBy("event_type").agg(
+        count(when(col("variant") === 0, 1)).as("na"),
+        count(when(col("variant") === 1, 1)).as("nb"),
+        Det.dsum(when(col("variant") === 0, col("value")), 6).as("sxa"),
+        Det.dsum(when(col("variant") === 1, col("value")), 6).as("sxb"),
+        Det.dsum(when(col("variant") === 0, col("value") * col("value")), 6)
+          .as("sxxa"),
+        Det.dsum(when(col("variant") === 1, col("value") * col("value")), 6)
+          .as("sxxb"))
+      val t = m.filter(col("na") >= 2 && col("nb") >= 2)
+        .select(col("event_type"), col("na"), col("nb"),
+          (col("sxa") / col("na")).as("mean_a"),
+          (col("sxb") / col("nb")).as("mean_b"),
+          ((col("sxxa") - col("sxa") * col("sxa") / col("na"))
+            / (col("na") - 1)).as("var_a"),
+          ((col("sxxb") - col("sxb") * col("sxb") / col("nb"))
+            / (col("nb") - 1)).as("var_b"))
+      val va = col("var_a") / col("na")
+      val vb = col("var_b") / col("nb")
+      t.select(col("event_type"), col("na"), col("nb"),
+          Det.roundN(col("mean_a"), 6).as("mean_a"),
+          Det.roundN(col("mean_b"), 6).as("mean_b"),
+          Det.roundN((col("mean_a") - col("mean_b")) / sqrt(va + vb), 6)
+            .as("t_stat"),
+          Det.roundN((va + vb) * (va + vb) /
+            (va * va / (col("na") - 1) + vb * vb / (col("nb") - 1)), 4)
+            .as("welch_df"))
+        .orderBy("event_type")
+    },
   )
 }

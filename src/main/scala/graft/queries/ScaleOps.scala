@@ -1000,5 +1000,33 @@ object ScaleOps {
         .select(col("series"), col("d"), col("v"), col("ewma"))
         .orderBy("series", "d")
     },
+
+    // Market-basket pair mining: top-100 part pairs by co-occurrence
+    // across orders. The pair explosion is generated per basket
+    // (self-join on the order key), so its size is Σ C(|basket|, 2) —
+    // bounded by the largest basket (≤7 lineitems in TPC-H shape), not
+    // by the catalog; the count aggregate map-side combines and the
+    // top-k is a TakeOrdered, never a global sort. The (count DESC,
+    // pk_a, pk_b) tie-break makes the cut deterministic on both engines.
+    QueryDef.sql(
+      "a_copurchase_pairs",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT a.l_partkey AS pk_a, b2.l_partkey AS pk_b,
+         |    COUNT(*) AS n_orders
+         |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+         |  WHERE a.l_partkey < b2.l_partkey GROUP BY 1, 2)
+         |SELECT pk_a, pk_b, n_orders FROM pairs
+         |ORDER BY n_orders DESC, pk_a, pk_b LIMIT 100""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct().staged
+      b.select(col("l_orderkey"), col("l_partkey").as("pk_a"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("pk_b")),
+          Seq("l_orderkey"))
+        .filter(col("pk_a") < col("pk_b"))
+        .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("pk_a"), col("pk_b"))
+        .limit(100)
+    },
   )
 }

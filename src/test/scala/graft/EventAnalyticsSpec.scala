@@ -92,4 +92,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (java.sql.Date.valueOf("2024-01-01"), 1L, 1L, 2L, 0.5),
       (java.sql.Date.valueOf("2024-01-08"), 0L, 1L, 1L, 1.0)))
   }
+
+  test("transition matrix: planted sequences count and row-normalize") {
+    // user 1: a→b→a→b  (a→b ×2, b→a ×1); user 2: a→c (×1)
+    // from a: b twice, c once → p = 2/3, 1/3; cross-user steps never pair
+    val events = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "b", ts("2024-01-01 11:00:00")),
+      (1L, 3L, "a", ts("2024-01-01 12:00:00")),
+      (1L, 4L, "b", ts("2024-01-01 13:00:00")),
+      (2L, 5L, "a", ts("2024-01-01 10:30:00")),
+      (2L, 6L, "c", ts("2024-01-01 10:45:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = EventAnalytics.transitionMatrix(events,
+        "user_id", "event_type", "ts", "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((2L, 0.666667)),
+      ("a", "c") -> ((1L, 0.333333)),
+      ("b", "a") -> ((1L, 1.0))), s"got $out")
+  }
 }
