@@ -478,5 +478,63 @@ object GoldRollups {
             .as("welch_df"))
         .orderBy("event_type")
     },
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent non-purchase event strictly before it (in the (ts,
+    // event_id) total order); purchases with no prior touch credit
+    // '(direct)'. The "which event type drives revenue" rollup.
+    //
+    // Shape: one window by user computing the latest preceding touch
+    // TIMESTAMP (MAX over a frame ending at 1 PRECEDING — engines agree
+    // on struct-less window maxes), then an equi-join back on (user, ts)
+    // resolving the touch's type with a max-event_id tie-break, then the
+    // tiny by-type rollup. Shuffles by user key only; no per-row scans.
+    QueryDef.sql(
+      "q_attribution_last_touch",
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, event_type, ts, value,
+         |    MAX(CASE WHEN event_type <> 'purchase' THEN ts END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS touch_ts
+         |  FROM events),
+         |p AS (SELECT * FROM o WHERE event_type = 'purchase'),
+         |tj AS (
+         |  SELECT p.event_id, p.value, p.touch_ts,
+         |    MAX(e.event_id) AS touch_id
+         |  FROM p LEFT JOIN events e
+         |    ON e.user_id = p.user_id AND e.ts = p.touch_ts
+         |    AND e.event_type <> 'purchase'
+         |  GROUP BY 1, 2, 3),
+         |att AS (
+         |  SELECT tj.event_id, tj.value,
+         |    COALESCE(e.event_type, '(direct)') AS channel
+         |  FROM tj LEFT JOIN events e ON e.event_id = tj.touch_id)
+         |SELECT channel, COUNT(*) AS n_purchases,
+         |  ${Det.dsumSql("COALESCE(value, 0.0)", 4)} AS revenue
+         |FROM att GROUP BY 1 ORDER BY channel""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).staged
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val p = ev
+        .withColumn("touch_ts",
+          max(when(col("event_type") =!= "purchase", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+      val tj = p.as("p").join(
+          ev.as("e"),
+          col("e.user_id") === col("p.user_id") &&
+            col("e.ts") === col("p.touch_ts") &&
+            col("e.event_type") =!= "purchase", "left")
+        .groupBy(col("p.event_id"), col("p.value"), col("p.touch_ts"))
+        .agg(max(col("e.event_id")).as("touch_id"))
+      tj.join(ev.select(col("event_id").as("touch_id"),
+            col("event_type").as("__tt")), Seq("touch_id"), "left")
+        .select(coalesce(col("__tt"), lit("(direct)")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          Det.dsum(coalesce(col("value"), lit(0.0)), 4).as("revenue"))
+        .orderBy("channel")
+    },
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.engine.{Det, Tables}
 import graft.operators.{AsOfJoin, CountMin, Graph, Kmv, QuantileSketch,
   Salting, TimeSeries, ZOrder}
@@ -1027,6 +1028,88 @@ object ScaleOps {
         .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("pk_a"), col("pk_b"))
         .limit(100)
+    },
+
+    // Skyline / pareto frontier per brand: the parts no other same-brand
+    // part dominates on (cheaper price, larger size) — the classic
+    // skyline operator, computed the sort-based way: collapse to one
+    // (price → max size) row per distinct price, then a single
+    // running-max window over the price order marks exactly the prices
+    // whose max size beats every strictly-cheaper price. O(n log n) via
+    // one window per brand instead of the naive dominance self-join's
+    // O(n²) — the difference between a skyline you can run on a 100 TB
+    // catalog and one you can't.
+    QueryDef.sql(
+      "a_pareto_frontier",
+      s"""WITH g1 AS (
+         |  SELECT p_brand, p_retailprice AS price, MAX(p_size) AS msize
+         |  FROM part GROUP BY 1, 2),
+         |g2 AS (
+         |  SELECT p_brand, price, msize,
+         |    MAX(msize) OVER (PARTITION BY p_brand ORDER BY price
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+         |  FROM g1),
+         |fr AS (
+         |  SELECT p_brand, price, msize FROM g2
+         |  WHERE best IS NULL OR msize > best)
+         |SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+         |FROM part p JOIN fr ON fr.p_brand = p.p_brand
+         |  AND fr.price = p.p_retailprice AND fr.msize = p.p_size
+         |ORDER BY p.p_brand, p.p_partkey""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val g1 = part.groupBy(col("p_brand"),
+          col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("msize"))
+      val w = Window.partitionBy("p_brand").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val fr = g1.withColumn("best", max(col("msize")).over(w))
+        .filter(col("best").isNull || col("msize") > col("best"))
+        .select(col("p_brand").as("fb"), col("price"), col("msize"))
+      part.join(fr,
+          col("p_brand") === col("fb") &&
+            col("p_retailprice") === col("price") &&
+            col("p_size") === col("msize"))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("p_size"))
+        .orderBy("p_brand", "p_partkey")
+    },
+
+    // Exact weighted median (quantity-weighted extended price per return
+    // flag): cumulative decimal weight along the value order, first value
+    // whose running weight reaches half the total. The crossing value is
+    // invariant to tie order within equal values (run-boundary prefix
+    // sums are permutation-invariant), and every sum is decimal — so the
+    // pick is exact, not percentile-interpolated, and hash-stable. One
+    // window + one 1-row-per-group join; shuffle by group key.
+    QueryDef.sql(
+      "a_weighted_median",
+      s"""WITH w AS (
+         |  SELECT l_returnflag AS f, l_extendedprice AS v,
+         |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+         |  FROM lineitem),
+         |tot AS (SELECT f, SUM(q) AS tw FROM w GROUP BY 1),
+         |c AS (SELECT f, v,
+         |    SUM(q) OVER (PARTITION BY f ORDER BY v
+         |                 ROWS UNBOUNDED PRECEDING) AS cw
+         |  FROM w)
+         |SELECT c.f AS l_returnflag, MIN(v) AS weighted_median,
+         |  CAST(MAX(tw) AS DOUBLE) AS total_weight
+         |FROM c JOIN tot ON tot.f = c.f
+         |WHERE cw * 2 >= tw GROUP BY 1
+         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val w = Tables.lineitem(s, d).select(col("l_returnflag").as("f"),
+        col("l_extendedprice").as("v"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("q"))
+      val tot = w.groupBy("f").agg(sum(col("q")).as("tw"))
+      val win = Window.partitionBy("f").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      w.withColumn("cw", sum(col("q")).over(win))
+        .join(broadcast(tot), Seq("f"))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("f").as("l_returnflag"))
+        .agg(min(col("v")).as("weighted_median"),
+          max(col("tw")).cast("double").as("total_weight"))
+        .orderBy("l_returnflag")
     },
   )
 }
