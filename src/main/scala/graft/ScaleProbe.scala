@@ -269,6 +269,60 @@ object ScaleProbe {
     time("retention") {
       graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "ts")
     }
+    time("transitions") {
+      graft.operators.EventAnalytics.transitionMatrix(ev,
+        "user_id", "event_type", "ts", "event_id")
+    }
+    // per-user series length is scale-invariant (offset user ids), so
+    // these should track the event row count ~linearly
+    time("ewma_fold") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("series").orderBy("d").rowsBetween(-63, 0)
+      ev.groupBy(col("user_id").as("series"), to_date(col("ts")).as("d"))
+        .agg(Det.dsum(coalesce(col("value"), lit(0.0)), 4).as("v"))
+        .withColumn("ewma", aggregate(collect_list(col("v")).over(w),
+          lit(null).cast("double"),
+          (acc, x) => when(acc.isNull, x)
+            .otherwise(lit(0.7) * acc + lit(0.3) * x)))
+    }
+    time("gap_fill") {
+      val obs = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy((col("user_id") % 2200).as("series"),
+          to_date(col("ts")).as("d"))
+        .agg(Det.dsum(col("value"), 4).as("v"))
+      graft.operators.TimeSeries.gapFillInterpolate(obs, "series", "d", "v")
+    }
+    time("attribution") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val p = ev.withColumn("touch_ts",
+          max(when(col("event_type") =!= "purchase", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+      p.as("p").join(ev.as("e"),
+          col("e.user_id") === col("p.user_id") &&
+            col("e.ts") === col("p.touch_ts") &&
+            col("e.event_type") =!= "purchase", "left")
+        .groupBy(col("p.event_id"), col("p.value"))
+        .agg(max(col("e.event_id")).as("touch_id"))
+    }
+    // synthetic link graph over the replicated corpus (same generator as
+    // g_pagerank/g_triangle_count, ~3 out-edges per node)
+    time("triangle_count") {
+      val nodes = corpus.select(col("doc_id"))
+      val n = nodes.agg(count(lit(1)).as("__en"))
+      val edges = nodes.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      graft.operators.Graph.triangleCounts(nodes, edges, "doc_id")
+    }
+    // k exact copies per doc = worst-case posting density for the
+    // containment index (same stress as the jaccard family)
+    time("containment")(
+      Dedup.containmentDups(corpus, "doc_id", "text", threshold = 0.9))
     time("kmv_join_card") {
       graft.operators.Kmv.joinCardinality(
         graft.operators.Kmv.countedSketch(ev, "user_id", 256),
@@ -299,6 +353,39 @@ object ScaleProbe {
     def dimCurrent = cust.select(col("c_custkey"), col("c_mktsegment"),
       lit("1990-01-01").cast("date").as("valid_from"),
       lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+
+    // fact-table probes: replicate lineitem (same orderkey offsets as
+    // orders → basket sizes scale-invariant) and part (brand domain
+    // fixed → k× parts per brand, stressing the frontier window)
+    val li0 = graft.engine.Tables.lineitem(spark, sfDir)
+    (0 until k).map(i => li0.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/lineitem")
+    val li = spark.read.parquet(s"$dir/lineitem")
+    val part0 = graft.engine.Tables.part(spark, sfDir)
+    (0 until k).map(i => part0.withColumn("p_partkey",
+        col("p_partkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/part")
+    val pt = spark.read.parquet(s"$dir/part")
+    time("copurchase") {
+      val b = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      b.select(col("l_orderkey"), col("l_partkey").as("pk_a"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("pk_b")),
+          Seq("l_orderkey"))
+        .filter(col("pk_a") < col("pk_b"))
+        .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("pk_a"), col("pk_b")).limit(100)
+    }
+    time("weighted_median")(
+      graft.operators.WeightedStats.weightedMedian(li,
+        "l_returnflag", "l_extendedprice", "l_quantity"))
+    time("pareto_frontier")(
+      graft.operators.Skyline.frontier(
+        pt.select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("p_size")),
+        "p_brand", "p_retailprice", "p_size"))
 
     time("scd2_merge")(
       Scd2.merge(dimCurrent, dimUpdates, "c_custkey", Seq("c_mktsegment"),

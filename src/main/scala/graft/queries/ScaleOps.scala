@@ -2,10 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.engine.{Det, Tables}
 import graft.operators.{AsOfJoin, CountMin, Graph, Kmv, QuantileSketch,
-  Salting, TimeSeries, ZOrder}
+  Salting, Skyline, TimeSeries, WeightedStats, ZOrder}
 import graft.engine.Stage.syntax._
 
 /** Scale-path operator variants: salted skew joins/aggregations, the
@@ -1031,14 +1030,9 @@ object ScaleOps {
     },
 
     // Skyline / pareto frontier per brand: the parts no other same-brand
-    // part dominates on (cheaper price, larger size) — the classic
-    // skyline operator, computed the sort-based way: collapse to one
-    // (price → max size) row per distinct price, then a single
-    // running-max window over the price order marks exactly the prices
-    // whose max size beats every strictly-cheaper price. O(n log n) via
-    // one window per brand instead of the naive dominance self-join's
-    // O(n²) — the difference between a skyline you can run on a 100 TB
-    // catalog and one you can't.
+    // part dominates on (cheaper price, larger size). Sort-based
+    // [[Skyline.frontier]] — running-max window over the distinct-price
+    // relation, never the O(n²) dominance self-join.
     QueryDef.sql(
       "a_pareto_frontier",
       s"""WITH g1 AS (
@@ -1056,31 +1050,19 @@ object ScaleOps {
          |FROM part p JOIN fr ON fr.p_brand = p.p_brand
          |  AND fr.price = p.p_retailprice AND fr.msize = p.p_size
          |ORDER BY p.p_brand, p.p_partkey""".stripMargin) { (s, d) =>
-      val part = Tables.part(s, d)
-      val g1 = part.groupBy(col("p_brand"),
-          col("p_retailprice").as("price"))
-        .agg(max(col("p_size")).as("msize"))
-      val w = Window.partitionBy("p_brand").orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val fr = g1.withColumn("best", max(col("msize")).over(w))
-        .filter(col("best").isNull || col("msize") > col("best"))
-        .select(col("p_brand").as("fb"), col("price"), col("msize"))
-      part.join(fr,
-          col("p_brand") === col("fb") &&
-            col("p_retailprice") === col("price") &&
-            col("p_size") === col("msize"))
-        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
-          col("p_size"))
+      Skyline.frontier(
+          Tables.part(s, d).select(col("p_brand"), col("p_partkey"),
+            col("p_retailprice"), col("p_size")),
+          "p_brand", "p_retailprice", "p_size")
         .orderBy("p_brand", "p_partkey")
     },
 
-    // Exact weighted median (quantity-weighted extended price per return
-    // flag): cumulative decimal weight along the value order, first value
-    // whose running weight reaches half the total. The crossing value is
-    // invariant to tie order within equal values (run-boundary prefix
-    // sums are permutation-invariant), and every sum is decimal — so the
-    // pick is exact, not percentile-interpolated, and hash-stable. One
-    // window + one 1-row-per-group join; shuffle by group key.
+    // Exact weighted median (quantity-weighted extended price per
+    // return flag) via [[WeightedStats.weightedMedian]]'s bucketed
+    // two-pass — the naive one-window plan would serialize each flag's
+    // entire row stream through a single task. The two-pass result is
+    // bit-identical to the naive cumulative, so the simple one-window
+    // SQL stays the oracle.
     QueryDef.sql(
       "a_weighted_median",
       s"""WITH w AS (
@@ -1097,18 +1079,8 @@ object ScaleOps {
          |FROM c JOIN tot ON tot.f = c.f
          |WHERE cw * 2 >= tw GROUP BY 1
          |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val w = Tables.lineitem(s, d).select(col("l_returnflag").as("f"),
-        col("l_extendedprice").as("v"),
-        col("l_quantity").cast(DecimalType(18, 2)).as("q"))
-      val tot = w.groupBy("f").agg(sum(col("q")).as("tw"))
-      val win = Window.partitionBy("f").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      w.withColumn("cw", sum(col("q")).over(win))
-        .join(broadcast(tot), Seq("f"))
-        .filter(col("cw") * 2 >= col("tw"))
-        .groupBy(col("f").as("l_returnflag"))
-        .agg(min(col("v")).as("weighted_median"),
-          max(col("tw")).cast("double").as("total_weight"))
+      WeightedStats.weightedMedian(Tables.lineitem(s, d),
+          "l_returnflag", "l_extendedprice", "l_quantity")
         .orderBy("l_returnflag")
     },
   )

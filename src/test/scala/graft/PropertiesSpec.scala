@@ -260,4 +260,35 @@ class PropertiesSpec extends AnyFunSuite {
     assert(out(("a", "2024-02-08")) === ((40.0, "ffill")))
     assert(out(("b", "2024-02-04")) === ((5.0, "interp")))
   }
+
+  test("skyline frontier: dominance, price ties, duplicate points") {
+    import graft.operators.Skyline
+    // (price, size): (1,5) and (2,9) are the frontier; (3,9) is
+    // dominated by (2,9) (same size, dearer), (2,3) by both. The
+    // duplicate of (2,9) ties onto the frontier. Group h is independent.
+    val df = Seq(("g", 1L, 1.0, 5), ("g", 2L, 2.0, 9), ("g", 3L, 3.0, 9),
+      ("g", 4L, 2.0, 3), ("g", 5L, 2.0, 9), ("h", 6L, 9.0, 1))
+      .toDF("grp", "id", "price", "size")
+    val got = Skyline.frontier(df, "grp", "price", "size")
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 5L, 6L), s"got $got")
+  }
+
+  test("weighted median: two-pass equals the naive cumulative pick") {
+    import graft.operators.WeightedStats
+    val df = Seq(
+      // group a: uniform weights over 1..5 → median 3
+      ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 1.0), ("a", 4.0, 1.0),
+      ("a", 5.0, 1.0),
+      // group b: heavy low value wins
+      ("b", 1.0, 10.0), ("b", 100.0, 1.0),
+      // group c: crossing happens inside bucket 2 (values 1.5,1.7|2.5)
+      ("c", 1.5, 1.0), ("c", 1.7, 1.0), ("c", 2.5, 3.0))
+      .toDF("grp", "v", "wt")
+    val got = WeightedStats.weightedMedian(df, "grp", "v", "wt")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("a" -> ((3.0, 5.0)), "b" -> ((1.0, 11.0)),
+      "c" -> ((2.5, 5.0))), s"got $got")
+  }
 }
