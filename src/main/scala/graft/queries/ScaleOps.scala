@@ -17,6 +17,33 @@ object ScaleOps {
     * oracle SQL and the Spark program so the sides can't drift. */
   private val sessionGapUs = 1800000000L
 
+  /** Measure columns for [[a_corr_matrix]]: short key → lineitem column. */
+  private val corrCols = Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
+    "qty" -> "l_quantity", "tax" -> "l_tax")
+  private val corrPairKeys = {
+    val ks = corrCols.map(_._1)
+    for { i <- ks.indices; j <- ks.indices if i < j } yield (ks(i), ks(j))
+  }
+  private def corrSumsSql: String = {
+    def dec(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
+    (corrCols.map { case (a, c) => s"${dec(c)} AS s_$a" } ++
+      corrCols.map { case (a, c) => s"${dec(s"$c * $c")} AS s_${a}_$a" } ++
+      corrPairKeys.map { case (a, b) =>
+        val m = corrCols.toMap
+        s"${dec(s"${m(a)} * ${m(b)}")} AS s_${a}_$b"
+      }).mkString(",\n    ")
+  }
+  private def corrPairsSql: Seq[String] =
+    corrPairKeys.map { case (a, b) =>
+      val num = s"(n * s_${a}_$b - s_$a * s_$b)"
+      val dx = s"(n * s_${a}_$a - s_$a * s_$a)"
+      val dy = s"(n * s_${b}_$b - s_$b * s_$b)"
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+         |    ${Det.roundNSql(
+            s"CASE WHEN $dx > 0 AND $dy > 0 THEN $num / (SQRT($dx) * SQRT($dy)) ELSE 0.0 END", 6)} AS corr_r
+         |  FROM m""".stripMargin
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Salted skew join: same result as the plain equi-join (the oracle IS
@@ -1081,6 +1108,154 @@ object ScaleOps {
          |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       WeightedStats.weightedMedian(Tables.lineitem(s, d),
           "l_returnflag", "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag")
+    },
+
+    // Cumulative-unique growth curve: new and cumulative distinct users
+    // per day. Exact distinct-over-time WITHOUT a distinct inside a
+    // window (which would re-scan every prefix): each user collapses to
+    // their first-seen day (one keyed aggregate), then daily counts and
+    // one running sum over the DAYS relation — bounded by the calendar,
+    // not the user count, so the final window is trivially small at any
+    // scale.
+    QueryDef.sql(
+      "w_cumulative_users",
+      s"""WITH fs AS (
+         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+         |  FROM events GROUP BY 1),
+         |daily AS (SELECT d, COUNT(*) AS new_users FROM fs GROUP BY 1)
+         |SELECT d, new_users,
+         |  SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+         |    AS cum_users
+         |FROM daily ORDER BY d""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("new_users"))
+      daily.withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("d")
+    },
+
+    // Pairwise Pearson correlation matrix over the lineitem measures —
+    // the feature-engineering staple, computed as ONE map-side-
+    // combinable aggregate producing all 14 sufficient statistics (4
+    // sums, 4 sum-squares, 6 cross-products) in a single scan; the 6
+    // correlations then assemble from that 1-row relation. Same
+    // sqrt-safe rational form as the time-series correlation (decimal
+    // sums, IEEE sqrt), so it hash-checks.
+    QueryDef.sql(
+      "a_corr_matrix",
+      s"""WITH m AS (
+         |  SELECT COUNT(*) AS n,
+         |    ${corrSumsSql}
+         |  FROM lineitem),
+         |p AS (${corrPairsSql.mkString("\n  UNION ALL ")})
+         |SELECT col_x, col_y, corr_r FROM p
+         |ORDER BY col_x, col_y""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 6))
+      val cols = corrCols
+      val li = Tables.lineitem(s, d)
+      val sums =
+        cols.map { case (a, ca) => sum(dec(col(ca))).cast("double").as(s"s_$a") } ++
+        cols.map { case (a, ca) =>
+          sum(dec(col(ca) * col(ca))).cast("double").as(s"s_${a}_$a") } ++
+        corrPairKeys.map { case (a, b) =>
+          val (ca, cb) = (cols.toMap.apply(a), cols.toMap.apply(b))
+          sum(dec(col(ca) * col(cb))).cast("double").as(s"s_${a}_$b") }
+      // staged: the 6 pair rows each select from this 1-row relation —
+      // without the cut they'd each re-run the full-scan aggregate
+      val m = li.agg(count(lit(1)).as("n"), sums: _*).staged
+      val pairs = corrPairKeys.map { case (a, b) =>
+        val num = col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+        val dx = col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")
+        val dy = col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b")
+        m.select(lit(a).as("col_x"), lit(b).as("col_y"),
+          Det.roundN(when(dx > 0 && dy > 0,
+            num / (sqrt(dx) * sqrt(dy))).otherwise(0.0), 6).as("corr_r"))
+      }
+      pairs.reduce(_ unionByName _).orderBy("col_x", "col_y")
+    },
+
+    // Association-rule lift over the co-purchase pairs: lift(a,b) =
+    // P(a,b) / (P(a)·P(b)) over order baskets — >1 means genuinely
+    // bought together, ≈1 coincidence. Reuses the bounded basket
+    // self-join, adds one per-part support aggregate broadcast back.
+    // Top-50 by pair support keeps the output stable.
+    QueryDef.sql(
+      "a_basket_lift",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+         |sup AS (SELECT l_partkey, COUNT(*) AS n_part FROM b GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.l_partkey AS pk_a, b2.l_partkey AS pk_b,
+         |    COUNT(*) AS n_pair
+         |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+         |  WHERE a.l_partkey < b2.l_partkey GROUP BY 1, 2)
+         |SELECT pk_a, pk_b, n_pair,
+         |  ${Det.roundNSql(
+            "n_pair * 1.0 * no.n_orders / (sa.n_part * 1.0 * sb.n_part)", 6)}
+         |    AS lift
+         |FROM pairs
+         |JOIN sup sa ON sa.l_partkey = pk_a
+         |JOIN sup sb ON sb.l_partkey = pk_b
+         |CROSS JOIN no
+         |ORDER BY n_pair DESC, pk_a, pk_b LIMIT 50""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct().staged
+      val no = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val sup = b.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+      b.select(col("l_orderkey"), col("l_partkey").as("pk_a"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("pk_b")),
+          Seq("l_orderkey"))
+        .filter(col("pk_a") < col("pk_b"))
+        .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("n_pair"))
+        .join(broadcast(sup.select(col("l_partkey").as("pk_a"),
+          col("n_part").as("__sa"))), Seq("pk_a"))
+        .join(broadcast(sup.select(col("l_partkey").as("pk_b"),
+          col("n_part").as("__sb"))), Seq("pk_b"))
+        .crossJoin(broadcast(no))
+        .select(col("pk_a"), col("pk_b"), col("n_pair"),
+          Det.roundN(col("n_pair") * lit(1.0) * col("n_orders")
+            / (col("__sa") * lit(1.0) * col("__sb")), 6).as("lift"))
+        .orderBy(col("n_pair").desc, col("pk_a"), col("pk_b"))
+        .limit(50)
+    },
+
+    // Runtime-filter join (the explicit form of what DPP/runtime bloom
+    // filters do inside modern engines): the selective dimension side
+    // (urgent orders) builds a compact Bloom RELATION, the fact table
+    // prefilters against it BEFORE the shuffle join — at 100 TB the
+    // bloom relation ships in one broadcast while the pruned fact rows
+    // skip the exchange entirely. No false negatives, so the exact join
+    // downstream gives bit-identical results to the plain join — which
+    // is therefore the oracle (the bloom is invisible to correctness,
+    // visible only to the shuffle row count).
+    QueryDef.sql(
+      "j_bloom_filtered_join",
+      s"""WITH sel AS (
+         |  SELECT o_orderkey, o_orderpriority FROM orders
+         |  WHERE o_orderpriority = '1-URGENT')
+         |SELECT l.l_returnflag, COUNT(*) AS n_items,
+         |  ${Det.dsumSql("l.l_extendedprice")} AS revenue
+         |FROM lineitem l JOIN sel ON l.l_orderkey = sel.o_orderkey
+         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val sel = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")).staged
+      val bloom = graft.operators.Bloom.build(
+        sel.select(col("o_orderkey").cast("string").as("k")), "k",
+        mBits = 262144L)
+      val li = Tables.lineitem(s, d)
+        .withColumn("k", col("l_orderkey").cast("string"))
+      val pruned = graft.operators.Bloom.probe(li, bloom, "k",
+          mBits = 262144L)
+        .filter(col("maybe_present")).drop("k", "maybe_present")
+      pruned.join(sel, pruned("l_orderkey") === sel("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          Det.dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("l_returnflag")
     },
   )

@@ -47,7 +47,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "a_kmv_join_card",        // 1-row estimate x 1-row exact combine
     "q_funnel_conversion",    // 3-row step counts x 1-row first-step count
     "q_funnel_windowed",      // same shape under the conversion window
-    "w_ts_interpolate")       // broadcast ~30-row dense calendar x series
+    "w_ts_interpolate",       // broadcast ~30-row dense calendar x series
+    "a_basket_lift")          // broadcast 1-row basket-count total
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
