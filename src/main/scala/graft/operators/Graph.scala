@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Stage}
 
@@ -140,6 +140,63 @@ object Graph {
       .join(perNode, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("__t"), lit(0L)).as("triangles"))
+  }
+
+  /** Multi-source BFS hop distance, `rounds` levels deep — "how far is
+    * every page from the seed set", the reachability/depth prior next to
+    * centrality ([[pagerank]]) and clustering ([[triangleCounts]]).
+    *
+    * Pregel-by-join with FRONTIER discipline: round r joins only the
+    * nodes discovered in round r−1 against the edge relation — cost is
+    * Σ |frontier_r| × avg-degree, the true BFS work, never |V|×E. A
+    * node's first discovery is its hop distance (coalesce keeps the
+    * earlier value), which is exactly BFS correctness. Lineage is cut
+    * every round ([[Stage.materializeAlways]], same discipline as the
+    * CC loop). Bounded `rounds` keeps the unrolled oracle finite; a
+    * production fixpoint run loops with the accumulator-convergence
+    * pattern of [[Dedup.connectedComponents]] instead.
+    *
+    * Returns (idCol, dist) for nodes within `rounds` hops of the seed
+    * set (`isSource` rows are dist 0); unreached nodes are absent. */
+  def bfs(nodes: DataFrame, edges: DataFrame, idCol: String,
+      isSource: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds: $rounds")
+    val e = Stage.materialize(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    var dist = Stage.materialize(nodes.select(col(idCol).as("__id"),
+      when(isSource, lit(0L)).as("dist")))
+    for (r <- 1 to rounds) {
+      val next = dist.filter(col("dist") === (r - 1))
+        .join(e, col("__id") === col("src"))
+        .select(col("dst").as("__id"), lit(r.toLong).as("__nd")).distinct()
+      dist = Stage.materializeAlways(
+        dist.join(next, Seq("__id"), "left")
+          .select(col("__id"), coalesce(col("dist"), col("__nd")).as("dist")))
+    }
+    dist.filter(col("dist").isNotNull)
+      .select(col("__id").as(idCol), col("dist"))
+  }
+
+  /** DuckDB mirror of [[bfs]] as unrolled CTEs over `e(src,dst)` and
+    * `nd(<idCol>)` (same contract as [[pagerankSql]]); `sourcePred` is a
+    * SQL predicate over nd's column. Ends in CTE `d<rounds>` with
+    * (id, dist). */
+  def bfsSql(idCol: String, sourcePred: String, rounds: Int): String = {
+    val init = s"d0 AS (SELECT $idCol AS id, CAST(0 AS BIGINT) AS dist " +
+      s"FROM nd WHERE $sourcePred)"
+    val steps = (1 to rounds).map { r =>
+      s"""f$r AS (
+         |  SELECT DISTINCT e.dst AS id FROM e
+         |  JOIN d${r - 1} p ON p.id = e.src AND p.dist = ${r - 1}),
+         |d$r AS (
+         |  SELECT id, dist FROM d${r - 1}
+         |  UNION ALL
+         |  SELECT f$r.id, CAST($r AS BIGINT) FROM f$r
+         |  LEFT JOIN d${r - 1} s ON s.id = f$r.id
+         |  WHERE s.id IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"$init,\n$steps"
   }
 
   /** DuckDB mirror of [[triangleCounts]] over CTEs `e(src,dst)` and

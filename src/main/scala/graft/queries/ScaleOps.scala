@@ -1111,6 +1111,69 @@ object ScaleOps {
         .orderBy("l_returnflag")
     },
 
+    // Multi-source BFS hop distance over the synthetic link graph —
+    // "how many hops from the seed set", the reachability prior next to
+    // centrality (g_pagerank) and clustering (g_triangle_count).
+    // Frontier-only joins each round; the unrolled-CTE oracle replays
+    // the loop (production runs loop to fixpoint with the CC
+    // accumulator pattern instead of a fixed depth).
+    QueryDef.sql(
+      "g_bfs_distance",
+      s"""WITH nd AS (SELECT doc_id FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM nd),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+         |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |${Graph.bfsSql("doc_id", "doc_id % 97 = 0", rounds = 4)}
+         |SELECT id AS doc_id, dist
+         |FROM d4 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      Graph.bfs(docs, edges, "doc_id", col("doc_id") % 97 === 0, rounds = 4)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sample: exactly min(k, |group|) rows per
+    // event type, membership = the k smallest h56 hashes — reproducible
+    // on any engine, no RNG. The per-group top-k runs the same
+    // two-level rank as the KMV sketch (local top-k per (group, salt)
+    // slice first), so no single task ever sorts a whole group — the
+    // global rank touches ≤ 64·k rows per group. The oracle doesn't
+    // need the trick (membership is algorithm-independent): one plain
+    // row_number.
+    QueryDef.sql(
+      "t_stratified_sample",
+      s"""WITH h AS (
+         |  SELECT event_id, event_type,
+         |    ${Det.h56Sql("CAST(event_id AS VARCHAR)")} AS hh
+         |  FROM events),
+         |r AS (
+         |  SELECT event_id, event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh)
+         |      AS rn
+         |  FROM h)
+         |SELECT event_id, event_type FROM r WHERE rn <= 50
+         |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+      val k = 50
+      val h = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        Det.h56(col("event_id").cast("string")).as("hh"))
+      val pre = h.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("event_type"), pmod(col("hh"), lit(64)))
+            .orderBy("hh")))
+        .filter(col("__rn") <= k).drop("__rn")
+      pre.withColumn("__rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("hh")))
+        .filter(col("__rn") <= k)
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_type", "event_id")
+    },
+
     // Cumulative-unique growth curve: new and cumulative distinct users
     // per day. Exact distinct-over-time WITHOUT a distinct inside a
     // window (which would re-scan every prefix): each user collapses to

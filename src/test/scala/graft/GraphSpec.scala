@@ -63,6 +63,22 @@ class GraphSpec extends AnyFunSuite {
       4L -> 0L, 5L -> 0L), s"got $got")
   }
 
+  test("bfs: hop distances, depth bound, diamond reached once") {
+    // chain 0→1→2→3 plus diamond 0→4, 0→5, 4→6, 5→6
+    val nodes = spark.range(7).select(col("id"))
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 4L), (0L, 5L),
+      (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.bfs(nodes, edges, "id", col("id") === 0, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // node 3 is 3 hops out: absent at rounds=2; node 6 has two 2-hop
+    // paths but one distance
+    assert(got === Map(0L -> 0L, 1L -> 1L, 4L -> 1L, 5L -> 1L,
+      2L -> 2L, 6L -> 2L), s"got $got")
+    val full = Graph.bfs(nodes, edges, "id", col("id") === 0, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(full(3L) === 3L)
+  }
+
   test("triangleCounts: triangle chain counts shared nodes once per triangle") {
     // 0-1-2 and 2-3-4 triangles sharing node 2
     val nodes = spark.range(5).select(col("id"))
