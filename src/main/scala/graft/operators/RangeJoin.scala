@@ -53,4 +53,37 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__b")
   }
+
+  /** Interval × interval overlap join: rows from `left` and `right` whose
+    * half-open intervals `[lo, hi)` intersect (`l.lo < r.hi && r.lo < l.hi`).
+    *
+    * Same bucket-decomposition idea as [[pointInInterval]], with both
+    * sides exploded to the buckets they touch. A pair of overlapping
+    * intervals can share MANY buckets; emitting the match once per shared
+    * bucket would need a `distinct` shuffle to repair, so instead each
+    * match is kept only in its canonical first shared bucket —
+    * `max(floor(l.lo/w), floor(r.lo/w))`, the bucket where the
+    * later-starting interval begins. Every overlapping pair shares exactly
+    * that bucket (the later start lies inside the earlier interval's
+    * bucket span), so the output has exactly one row per qualifying pair
+    * with no dedup pass.
+    *
+    * Shuffle volume is O(Σ spans / w) per side; `bucketWidth` near the
+    * typical interval span keeps the explode factor ~2. Column names must
+    * be disjoint between the two inputs (alias before calling).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def bucket(c: Column): Column = floor(c / bucketWidth).cast("long")
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .filter(col(hi) > col(lo))
+      .withColumn("__b", explode(sequence(bucket(col(lo)), bucket(col(hi)))))
+    exploded(left, lLo, lHi)
+      .join(exploded(right, rLo, rHi), Seq("__b"))
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      .filter(col("__b") === greatest(bucket(col(lLo)), bucket(col(rLo))))
+      .drop("__b")
+  }
 }

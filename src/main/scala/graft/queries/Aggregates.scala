@@ -238,5 +238,88 @@ object Aggregates {
             .as("avg_price_or_default"),
             count(lit(1)).as("n"))
     },
+
+    // TPC-H-Q3-shaped shipping priority: 3-way join with filters on all
+    // three tables, grouped revenue, deterministic top 10. The segment
+    // filter shrinks customer to a broadcast; both date predicates push
+    // to the parquet scans. Tie-safe: ORDER BY (revenue DESC, l_orderkey)
+    // on both engines before the LIMIT.
+    QueryDef.sql(
+      "q3_shipping_priority",
+      s"""SELECT l_orderkey,
+         |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01'
+         |  AND l_shipdate > TIMESTAMP '1996-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          6).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H-Q5-shaped regional supplier volume: 6-way star join where the
+    // local-supplier condition (c_nationkey = s_nationkey) correlates the
+    // two dimension paths. nation⨝region collapses to one broadcast list
+    // of qualifying nations applied to BOTH customer and supplier sides;
+    // the two big-table joins stay keyed (orders⨝customer on custkey,
+    // lineitem⨝supplier on suppkey) with the equal-nation residual
+    // applied at the final keyed join — no cross product anywhere.
+    QueryDef.sql(
+      "q5_regional_volume",
+      s"""SELECT n_name,
+         |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(asiaNations.select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          6).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
   )
 }

@@ -825,5 +825,42 @@ object Curation {
           "is_target", vocabSize = 64)
         .orderBy("doc_id")
     },
+
+    // Exact equal-frequency binning of order value into 10 bins: edge i is
+    // the value at global rank ceil(i·n/10), found by Binning's bucketed
+    // two-pass (histogram + in-bucket rank scan) — never a global row
+    // sort. The oracle recomputes the same multiset statistic with the
+    // textbook row_number formulation this operator replaces at scale,
+    // then both sides band rows by edge count and profile each bin.
+    QueryDef.sql(
+      "t_feature_binning",
+      s"""WITH t AS (SELECT o_totalprice AS v FROM orders),
+         |n AS (SELECT COUNT(*) AS c FROM t),
+         |ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+         |edges AS (
+         |  SELECT i, min(v) AS e
+         |  FROM ranked, (SELECT unnest(range(1, 10)) AS i), n
+         |  WHERE rn = CAST(ceil(i * c / 10.0) AS BIGINT)
+         |  GROUP BY i),
+         |binned AS (
+         |  SELECT v, (SELECT COUNT(*) FROM edges WHERE e <= t.v) AS bin
+         |  FROM t)
+         |SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n_rows,
+         |  ${roundN("MIN(v)", 2)} AS min_value,
+         |  ${roundN("MAX(v)", 2)} AS max_value,
+         |  ${Det.davgSql("v")} AS avg_value
+         |FROM binned GROUP BY bin
+         |ORDER BY bin""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+      val edges = graft.operators.Binning.equalFrequencyEdges(
+        orders, "v", k = 10, bucketWidth = 5000.0)
+      graft.operators.Binning.assign(orders, "v", edges, "bin")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          Det.roundN(min(col("v")), 2).as("min_value"),
+          Det.roundN(max(col("v")), 2).as("max_value"),
+          Det.davg(col("v")).as("avg_value"))
+        .orderBy("bin")
+    },
   )
 }

@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
-import graft.operators.{AsOfJoin, CountMin, Graph, Kmv, QuantileSketch,
-  Salting, Skyline, TimeSeries, WeightedStats, ZOrder}
+import graft.operators.{AsOfJoin, CountMin, FuzzyJoin, Graph, Kmv,
+  QuantileSketch, RangeJoin, Salting, Skyline, TimeSeries, WeightedStats,
+  ZOrder}
 import graft.engine.Stage.syntax._
 
 /** Scale-path operator variants: salted skew joins/aggregations, the
@@ -1320,6 +1321,101 @@ object ScaleOps {
         .agg(count(lit(1)).as("n_items"),
           Det.dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("l_returnflag")
+    },
+
+    // Edit-distance similarity self-join over the part-name vocabulary —
+    // candidate generation via Ed-Join q-gram prefix filtering (LOSSLESS,
+    // so the all-pairs levenshtein cross join is the exact oracle), then
+    // codegen'd levenshtein verification on candidates only. The oracle's
+    // O(n²) formulation is precisely the plan this operator exists to
+    // avoid at vocabulary scale.
+    QueryDef.sql(
+      "j_fuzzy_join",
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS str_a, b.name AS str_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY str_a, str_b""".stripMargin) { (s, d) =>
+      FuzzyJoin.editDistancePairs(
+        Tables.part(s, d).select(col("p_name")), "p_name", maxDist = 2)
+        .orderBy("str_a", "str_b")
+    },
+
+    // Interval × interval overlap join: per BUILDING-segment order, how
+    // many MACHINERY-segment order windows (7 epoch-days, half-open)
+    // overlap it. Bucket decomposition turns the inequality pair into an
+    // equi-join; the canonical-first-bucket rule emits each pair exactly
+    // once, so the count needs no distinct. The oracle runs DuckDB's
+    // native inequality join over the same derived interval relations.
+    QueryDef.sql(
+      "j_interval_overlap",
+      """WITH a AS (
+        |  SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |b AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'MACHINERY')
+        |SELECT a.o_orderkey, COUNT(*) AS n_overlap
+        |FROM a JOIN b ON a.lo < b.lo + 7 AND b.lo < a.lo + 7
+        |GROUP BY a.o_orderkey
+        |ORDER BY a.o_orderkey""".stripMargin) { (s, d) =>
+      def seg(m: String, pre: String) = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === m).select("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey").as(s"${pre}_key"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as(s"${pre}_lo"))
+        .withColumn(s"${pre}_hi", col(s"${pre}_lo") + 7)
+      RangeJoin.intervalOverlap(
+          seg("BUILDING", "a"), seg("MACHINERY", "b"),
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 7.0)
+        .groupBy(col("a_key").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy("o_orderkey")
+    },
+
+    // Gaps-and-islands: per user, runs of CONSECUTIVE active calendar
+    // days (purchase events), via the epoch-day − row_number constancy
+    // trick. The window partitions by user and each partition is bounded
+    // by the calendar (≤ days-in-range rows), so no task ever sees more
+    // than one user's day list — the streak shape that scales to any
+    // user count. Distinct from w_sessionize_batch, which islands on
+    // intra-day timestamp gaps.
+    QueryDef.sql(
+      "w_activity_streaks",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT user_id, day,
+        |    date_diff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_streaks,
+        |  MAX(len) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days
+        |FROM streaks GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val days = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val grp = days.withColumn("__g",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(
+            Window.partitionBy("user_id").orderBy("day")))
+      grp.groupBy("user_id", "__g").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy("user_id")
     },
   )
 }

@@ -48,7 +48,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_funnel_conversion",    // 3-row step counts x 1-row first-step count
     "q_funnel_windowed",      // same shape under the conversion window
     "w_ts_interpolate",       // broadcast ~30-row dense calendar x series
-    "a_basket_lift")          // broadcast 1-row basket-count total
+    "a_basket_lift",          // broadcast 1-row basket-count total
+    "j_fuzzy_join",           // short-string fallback bucket self-cross:
+                              // members are < q*d+q chars, alphabet-bounded
+    "t_feature_binning")      // 1-row count x rank targets; non-equi
+                              // crossing probe over the (bucket) histogram;
+                              // 1-row sorted-edges array onto fact rows
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries

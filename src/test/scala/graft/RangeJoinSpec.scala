@@ -36,4 +36,46 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid", "iid").as[(Int, Int)].collect().toSet
     assert(fast == naive)
   }
+
+  test("intervalOverlap: half-open semantics, one row per pair, no dups") {
+    val left = Seq(
+      ("l1", 0L, 5L),    // overlaps r1, r2
+      ("l2", 5L, 10L),   // touches l1 at 5 (no self-side issue), overlaps r2, r3
+      ("l3", 20L, 21L),  // overlaps nothing
+      ("l4", 0L, 100L))  // spans many buckets; overlaps r1, r2, r3
+      .toDF("lname", "llo", "lhi")
+    val right = Seq(
+      ("r1", 3L, 4L),
+      ("r2", 4L, 6L),
+      ("r3", 9L, 12L),
+      ("r4", 21L, 21L))  // empty interval: dropped
+      .toDF("rname", "rlo", "rhi")
+    val out = RangeJoin.intervalOverlap(left, right,
+        "llo", "lhi", "rlo", "rhi", bucketWidth = 3.0)
+      .select("lname", "rname").as[(String, String)].collect().toList
+    // exactly-once check: list, not set
+    assert(out.size == out.toSet.size, s"duplicate pairs in $out")
+    val expected = Set(
+      "l1" -> "r1", "l1" -> "r2",
+      "l2" -> "r2", "l2" -> "r3",
+      "l4" -> "r1", "l4" -> "r2", "l4" -> "r3")
+    assert(out.toSet == expected)
+  }
+
+  test("intervalOverlap matches the naive inequality join on random data") {
+    val left = (0 until 80).map(i =>
+      (i, (i * 31 % 200).toLong, (i * 31 % 200 + 1 + i % 17).toLong))
+      .toDF("lid", "llo", "lhi")
+    val right = (0 until 70).map(i =>
+      (i, (i * 43 % 200).toLong, (i * 43 % 200 + 1 + i % 13).toLong))
+      .toDF("rid", "rlo", "rhi")
+    val fast = RangeJoin.intervalOverlap(left, right,
+        "llo", "lhi", "rlo", "rhi", bucketWidth = 8.0)
+      .select("lid", "rid").as[(Int, Int)].collect()
+    assert(fast.length == fast.toSet.size, "emitted a pair more than once")
+    val naive = left.join(right,
+        left("llo") < right("rhi") && right("rlo") < left("lhi"))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(fast.toSet == naive)
+  }
 }
