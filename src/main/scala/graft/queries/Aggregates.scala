@@ -321,5 +321,47 @@ object Aggregates {
           6).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
+
+    // Concentration profile of each event type's hour-of-day distribution:
+    // Shannon entropy (nats), Herfindahl index, peak-hour share. Two
+    // map-side-combinable aggregates (hour histogram → per-type moments) —
+    // the distribution-shape summary behind traffic-pattern monitoring.
+    // The 24-term double sums are order-sensitive in the last bits, so
+    // both engines round to 6 places (the a_corr_matrix precedent for
+    // transcendental terms).
+    QueryDef.sql(
+      "a_entropy_profile",
+      s"""WITH h AS (
+         |  SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot,
+         |    MAX(c) AS peak, COUNT(*) AS n_hours
+         |  FROM h GROUP BY 1)
+         |SELECT h.event_type,
+         |  ${Det.roundNSql("-SUM((c * 1.0 / tot) * ln(c * 1.0 / tot))", 6)} AS entropy,
+         |  ${Det.roundNSql("SUM((c * 1.0 / tot) * (c * 1.0 / tot))", 6)} AS hhi,
+         |  ${Det.roundNSql("MAX(peak * 1.0 / tot)", 6)} AS peak_share,
+         |  CAST(MAX(n_hours) AS BIGINT) AS n_hours
+         |FROM h JOIN t ON h.event_type = t.event_type
+         |GROUP BY h.event_type
+         |ORDER BY h.event_type""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val t = h.groupBy("event_type").agg(
+        sum(col("c")).as("tot"), max(col("c")).as("peak"),
+        count(lit(1)).as("n_hours"))
+      val p = col("c") * lit(1.0) / col("tot")
+      h.join(t, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          Det.roundN(-sum(p * log(p)), 6).as("entropy"),
+          Det.roundN(sum(p * p), 6).as("hhi"),
+          Det.roundN(max(col("peak") * lit(1.0) / col("tot")), 6)
+            .as("peak_share"),
+          max(col("n_hours")).as("n_hours"))
+        .orderBy("event_type")
+    },
   )
 }

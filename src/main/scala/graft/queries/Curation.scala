@@ -862,5 +862,85 @@ object Curation {
           Det.davg(col("v")).as("avg_value"))
         .orderBy("bin")
     },
+
+    // RFM customer segmentation: recency / frequency / monetary per
+    // customer, each scored 1-5 by exact quintile edges from
+    // Binning.equalFrequencyEdges (three INDEPENDENT edge computations
+    // over the already-aggregated per-customer relation — tiny next to
+    // the orders scan), then a CASE segment label. The oracle repeats the
+    // rank-edge definition per metric; score = 1 + #{edges <= v} on both
+    // sides, so heavy tie runs (frequency is small-integer) band
+    // identically by construction.
+    QueryDef.sql(
+      "q_rfm_segmentation", {
+        def edgesSql(metric: String) =
+          s"""SELECT i, MIN(v) AS e FROM
+             |    (SELECT $metric AS v, row_number() OVER (ORDER BY $metric) AS rn FROM rfm) r,
+             |    (SELECT unnest(range(1, 5)) AS i) i,
+             |    (SELECT COUNT(*) AS c FROM rfm) n
+             |  WHERE rn = CAST(ceil(i * c / 5.0) AS BIGINT) GROUP BY i""".stripMargin
+        s"""WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+           |rfm AS (
+           |  SELECT o_custkey AS c_custkey,
+           |    date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+           |              CAST(MAX(maxd) AS DATE)) AS recency,
+           |    COUNT(*) AS frequency,
+           |    ${Det.dsumSql("o_totalprice")} AS monetary
+           |  FROM orders, mx GROUP BY o_custkey),
+           |re AS (${edgesSql("recency")}),
+           |fe AS (${edgesSql("frequency")}),
+           |me AS (${edgesSql("monetary")}),
+           |scored AS (
+           |  SELECT c_custkey, recency, frequency, monetary,
+           |    CAST(5 - (SELECT COUNT(*) FROM re WHERE e <= rfm.recency) AS INT) AS r_score,
+           |    CAST(1 + (SELECT COUNT(*) FROM fe WHERE e <= rfm.frequency) AS INT) AS f_score,
+           |    CAST(1 + (SELECT COUNT(*) FROM me WHERE e <= rfm.monetary) AS INT) AS m_score
+           |  FROM rfm)
+           |SELECT c_custkey, recency, frequency, monetary,
+           |  r_score, f_score, m_score,
+           |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+           |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+           |       WHEN r_score <= 2 THEN 'hibernating'
+           |       WHEN f_score >= 4 THEN 'loyal'
+           |       WHEN m_score >= 4 THEN 'big_spender'
+           |       ELSE 'regular' END AS segment
+           |FROM scored
+           |ORDER BY c_custkey""".stripMargin
+      }) { (s, d) =>
+      import graft.operators.Binning
+      val orders = Tables.orders(s, d)
+      val mx = orders.agg(max(col("o_orderdate")).as("maxd"))
+      val rfm = orders.crossJoin(broadcast(mx))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(
+          datediff(max(col("maxd")).cast("date"),
+            max(col("o_orderdate")).cast("date")).as("recency"),
+          count(lit(1)).as("frequency"),
+          Det.dsum(col("o_totalprice")).as("monetary"))
+        .staged
+      def score(df: org.apache.spark.sql.DataFrame, metric: String,
+          width: Double, scoreCol: String, invert: Boolean) = {
+        val edges = Binning.equalFrequencyEdges(rfm, metric, 5, width)
+        val binned = Binning.assign(df, metric, edges, "__b")
+        val sc = if (invert) lit(5) - col("__b") else lit(1) + col("__b")
+        binned.withColumn(scoreCol, sc.cast("int")).drop("__b")
+      }
+      // recency inverts: small recency (recent) = high score
+      val scored = score(score(score(rfm,
+        "recency", 50.0, "r_score", invert = true),
+        "frequency", 2.0, "f_score", invert = false),
+        "monetary", 5000.0, "m_score", invert = false)
+      scored.withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4 &&
+            col("m_score") >= 4, "champion")
+            .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+            .when(col("r_score") <= 2, "hibernating")
+            .when(col("f_score") >= 4, "loyal")
+            .when(col("m_score") >= 4, "big_spender")
+            .otherwise("regular"))
+        .select("c_custkey", "recency", "frequency", "monetary",
+          "r_score", "f_score", "m_score", "segment")
+        .orderBy("c_custkey")
+    },
   )
 }

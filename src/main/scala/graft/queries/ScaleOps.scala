@@ -1417,5 +1417,71 @@ object ScaleOps {
           sum(col("len")).as("n_active_days"))
         .orderBy("user_id")
     },
+
+    // Rolling 7-day median of daily event value per type — the robust
+    // trend line (medians shrug off the spike days that drag a rolling
+    // mean, cf. w2_rolling_avg). The frame is ROWS-bounded (≤ 7 rows), so
+    // the window is O(1) state per row and partitions by event_type —
+    // nothing global. Daily totals go through Det decimal sums first, so
+    // both engines take medians of bit-identical doubles; a ≤7-element
+    // exact median interpolates as (a+b)/2 — pure IEEE, no rounding
+    // needed.
+    QueryDef.sql(
+      "w_rolling_median",
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${Det.dsumSql("value", 6)} AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, day, v,
+         |  quantile_cont(v, 0.5) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+         |FROM daily
+         |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Det.dsum(col("value"), 6).as("v"))
+      daily.withColumn("med7",
+          expr("percentile(v, 0.5D)").over(
+            Window.partitionBy("event_type").orderBy("day")
+              .rowsBetween(-6, Window.currentRow)))
+        .orderBy("event_type", "day")
+    },
+
+    // Exact rolling active-user counts: DAU and trailing-7-day WAU per
+    // day, plus the DAU/WAU stickiness ratio. COUNT(DISTINCT) over a
+    // sliding window does not decompose — the scale shape is to EXPLODE
+    // each (user, active-day) fact onto the ≤7 window-days it serves
+    // (constant fanout, linear shuffle) and distinct-count per window
+    // day, never holding a per-day user set in one task. Window days with
+    // no same-day activity still only report observed days (inner join
+    // with the DAU relation), mirroring the oracle.
+    QueryDef.sql(
+      "w_dau_wau",
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+         |contrib AS (
+         |  SELECT DISTINCT user_id, day + CAST(i.i AS INTEGER) AS wday
+         |  FROM ud, (SELECT unnest(range(0, 7)) AS i) i),
+         |wau AS (SELECT wday AS day, COUNT(*) AS wau FROM contrib GROUP BY 1)
+         |SELECT dau.day AS day, dau, wau,
+         |  ${Det.roundNSql("dau * 1.0 / wau", 6)} AS stickiness
+         |FROM dau JOIN wau ON dau.day = wau.day
+         |ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .staged
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .withColumn("stickiness",
+          Det.roundN(col("dau") * lit(1.0) / col("wau"), 6))
+        .orderBy("day")
+    },
   )
 }

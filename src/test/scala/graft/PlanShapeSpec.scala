@@ -51,9 +51,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "a_basket_lift",          // broadcast 1-row basket-count total
     "j_fuzzy_join",           // short-string fallback bucket self-cross:
                               // members are < q*d+q chars, alphabet-bounded
-    "t_feature_binning")      // 1-row count x rank targets; non-equi
+    "t_feature_binning",      // 1-row count x rank targets; non-equi
                               // crossing probe over the (bucket) histogram;
                               // 1-row sorted-edges array onto fact rows
+    "q_rfm_segmentation")     // 1-row max-date anchor + three Binning
+                              // edge/assign passes (same bounded shapes
+                              // as t_feature_binning)
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
