@@ -400,6 +400,87 @@ object ScaleProbe {
           col("order_date") >= col("valid_from") &&
           (col("valid_to").isNull || col("order_date") < col("valid_to")))
     }
+
+    // fuzzy join over a k×-growing vocabulary of natural-text 12-char
+    // slices (replica index shifts the slice offset, so replicas add NEW
+    // strings with realistic Zipfian gram skew — the distribution the
+    // rarest-first prefix selection exploits; uniform random grams would
+    // be the documented worst case for any lossless q-gram scheme)
+    // DISJOINT slice windows per replica (offset stride = slice length):
+    // overlapping windows would make every replica's slice a near-dup of
+    // its neighbors and grow the true pair count quadratically — that
+    // measures the workload, not the operator
+    time("fuzzy_join") {
+      graft.operators.FuzzyJoin.editDistancePairs(
+        corpus.select(expr(
+          "substring(text, CAST(doc_id / 10000000 AS INT) % 20 * 12 + 1, 12)")
+          .as("s")), "s", maxDist = 2)
+    }
+    // interval overlap with replicas decorrelated in time (+3000 days
+    // per replica) so per-day interval density — and thus output — stays
+    // scale-invariant per row; expect ~linear
+    time("interval_overlap") {
+      val base = ord.select(col("o_orderkey"),
+        (datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long") +
+          floor(col("o_custkey") / 10000000L).cast("long") * 3000L).as("lo"))
+      val a = base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("a_key"), col("lo").as("a_lo"),
+          (col("lo") + 7L).as("a_hi"))
+      val b = base.filter(col("o_orderkey") % 2 === 1)
+        .select(col("lo").as("b_lo"), (col("lo") + 7L).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlap(a, b,
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 7.0)
+        .groupBy("a_key").agg(count(lit(1)).as("n_overlap"))
+    }
+    // equal-frequency edges + assignment over the replicated fact column
+    time("binning") {
+      val edges = graft.operators.Binning.equalFrequencyEdges(
+        ord, "o_totalprice", k = 10, bucketWidth = 5000.0)
+      graft.operators.Binning.assign(
+          ord.select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", edges, "bin")
+        .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+    }
+    // RFM: per-customer aggregate (customers grow k×) + one quintile pass
+    time("rfm") {
+      val mx = ord.agg(max(col("o_orderdate")).as("maxd"))
+      val rfm = ord.crossJoin(broadcast(mx))
+        .groupBy(col("o_custkey"))
+        .agg(datediff(max(col("maxd")).cast("date"),
+            max(col("o_orderdate")).cast("date")).as("recency"),
+          count(lit(1)).as("frequency"),
+          Det.dsum(col("o_totalprice")).as("monetary"))
+      graft.operators.Binning.assign(rfm, "recency",
+        graft.operators.Binning.equalFrequencyEdges(rfm, "recency", 5, 50.0),
+        "r_score")
+    }
+    // sliding distinct users: constant-fanout explode, expect ~linear
+    time("dau_wau") {
+      val ud = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+    }
+    // gaps-and-islands streaks: per-user windows, users grow k×
+    time("streaks") {
+      import org.apache.spark.sql.expressions.Window
+      val days = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      days.withColumn("__g",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+            - row_number().over(
+              Window.partitionBy("user_id").orderBy("day")))
+        .groupBy("user_id", "__g").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"))
+    }
     spark.stop()
   }
 }

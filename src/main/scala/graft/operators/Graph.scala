@@ -199,6 +199,67 @@ object Graph {
     s"$init,\n$steps"
   }
 
+  /** k-core peeling, `rounds` fixed iterations: repeatedly delete nodes
+    * whose degree in the UNDIRECTED simple graph is < k, restricting the
+    * edge set to survivors each round. Returns the surviving nodes with
+    * their residual in-subgraph degree `(idCol, core_deg)` — after
+    * convergence (typically a handful of rounds; peeling removes whole
+    * frontier layers at once) this is exactly the k-core.
+    *
+    * One round = one degree aggregate + two semi-joins of the edge
+    * relation against the survivor set — every step keyed, map-side
+    * combinable, lineage-cut through [[Stage.materializeAlways]] like the
+    * other iterative loops. Fixed `rounds` (rather than a convergence
+    * test) keeps the computation a pure function of the input that the
+    * unrolled-CTE oracle ([[kcoreSql]]) replays verbatim; pick rounds
+    * generously — converged rounds are cheap no-op-shaped joins on the
+    * already-small survivor relation.
+    */
+  def kcore(nodes: DataFrame, edges: DataFrame, idCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(rounds >= 1 && rounds <= 20, s"rounds: $rounds")
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var und = Stage.materialize(canon.union(canon.select(col("b"), col("a"))))
+    for (_ <- 1 to rounds) {
+      val alive = und.groupBy(col("a").as("__v"))
+        .agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select("__v")
+      und = Stage.materializeAlways(
+        und.join(alive, col("a") === col("__v")).drop("__v")
+          .join(alive, col("b") === col("__v")).drop("__v"))
+    }
+    und.groupBy(col("a").as(idCol)).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** DuckDB mirror of [[kcore]] over CTEs `e(src,dst)` and `nd(<idCol>)`;
+    * ends in CTE `kc` with (id, core_deg). */
+  def kcoreSql(k: Int, rounds: Int): String = {
+    val init =
+      """s0 AS (
+        |  SELECT a, b FROM (
+        |    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |    FROM e WHERE src <> dst) u
+        |  UNION ALL
+        |  SELECT b, a FROM (
+        |    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |    FROM e WHERE src <> dst) u)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""al$r AS (
+         |  SELECT a AS v FROM s${r - 1} GROUP BY a HAVING COUNT(*) >= $k),
+         |s$r AS (
+         |  SELECT u.a, u.b FROM s${r - 1} u
+         |  JOIN al$r x ON x.v = u.a JOIN al$r y ON y.v = u.b)""".stripMargin
+    }.mkString(",\n")
+    s"""$init,
+       |$steps,
+       |kc AS (SELECT a AS id, COUNT(*) AS core_deg FROM s$rounds GROUP BY a)""".stripMargin
+  }
+
   /** DuckDB mirror of [[triangleCounts]] over CTEs `e(src,dst)` and
     * `nd(<idCol>)` (same contract as [[pagerankSql]]). Ends in CTE `tc`
     * with (id, triangles). */

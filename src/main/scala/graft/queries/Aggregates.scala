@@ -363,5 +363,92 @@ object Aggregates {
           max(col("n_hours")).as("n_hours"))
         .orderBy("event_type")
     },
+
+    // Revenue concentration (the whale curve): the share of total
+    // customer revenue held strictly above the p90 / p99 per-customer
+    // revenue thresholds. Thresholds are exact value-at-rank statistics
+    // from Binning.equalFrequencyEdges (rank formula mirrored verbatim —
+    // ceil(i·c/k) in the SAME double arithmetic — so tie/rounding
+    // behavior is engine-identical); the shares are then two conditional
+    // decimal sums. One fact scan + one tiny per-customer relation; the
+    // thresholds ride in as 1-row broadcasts.
+    QueryDef.sql(
+      "a_revenue_concentration",
+      s"""WITH cm AS (
+         |  SELECT o_custkey, ${Det.dsumSql("o_totalprice")} AS monetary
+         |  FROM orders GROUP BY o_custkey),
+         |n AS (SELECT COUNT(*) AS c FROM cm),
+         |ranked AS (
+         |  SELECT monetary, row_number() OVER (ORDER BY monetary) AS rn FROM cm),
+         |thr AS (
+         |  SELECT
+         |    MIN(CASE WHEN rn = CAST(ceil(9 * c / 10.0) AS BIGINT)
+         |        THEN monetary END) AS t90,
+         |    MIN(CASE WHEN rn = CAST(ceil(99 * c / 100.0) AS BIGINT)
+         |        THEN monetary END) AS t99
+         |  FROM ranked, n)
+         |SELECT CAST(MAX(c) AS BIGINT) AS n_customers,
+         |  ${Det.roundNSql(Det.dsumSql("monetary"), 2)} AS total_revenue,
+         |  ${Det.roundNSql("MAX(t90)", 2)} AS p90_threshold,
+         |  ${Det.roundNSql("MAX(t99)", 2)} AS p99_threshold,
+         |  ${Det.roundNSql(Det.dsumSql("CASE WHEN monetary > t90 THEN monetary END") + " / " + Det.dsumSql("monetary"), 6)} AS top10_share,
+         |  ${Det.roundNSql(Det.dsumSql("CASE WHEN monetary > t99 THEN monetary END") + " / " + Det.dsumSql("monetary"), 6)} AS top1_share
+         |FROM cm, n, thr""".stripMargin) { (s, d) =>
+      import graft.operators.Binning
+      import graft.engine.Stage.syntax._
+      import org.apache.spark.sql.types.DecimalType
+      val cm = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(Det.dsum(col("o_totalprice")).as("monetary"))
+        .staged
+      val t90 = Binning.equalFrequencyEdges(cm, "monetary", 10, 50000.0)
+        .filter(col("edge_idx") === 9).select(col("edge").as("t90"))
+      val t99 = Binning.equalFrequencyEdges(cm, "monetary", 100, 50000.0)
+        .filter(col("edge_idx") === 99).select(col("edge").as("t99"))
+      val dm = col("monetary").cast(DecimalType(18, 2))
+      cm.crossJoin(broadcast(t90)).crossJoin(broadcast(t99))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          Det.roundN(sum(dm).cast("double"), 2).as("total_revenue"),
+          Det.roundN(max(col("t90")), 2).as("p90_threshold"),
+          Det.roundN(max(col("t99")), 2).as("p99_threshold"),
+          Det.roundN((sum(when(col("monetary") > col("t90"), dm))
+            .cast("double") / sum(dm).cast("double")), 6).as("top10_share"),
+          Det.roundN((sum(when(col("monetary") > col("t99"), dm))
+            .cast("double") / sum(dm).cast("double")), 6).as("top1_share"))
+    },
+
+    // Gini coefficient of per-customer revenue — the scalar companion to
+    // a_revenue_concentration's threshold shares. Inequality.gini runs
+    // the bucket-decomposed exact rank sum (no global row sort); the
+    // oracle is the one-window textbook formula, which matches exactly
+    // because Σ rank·x is tie-permutation-invariant and every sum is
+    // decimal.
+    QueryDef.sql(
+      "a_gini_revenue",
+      s"""WITH cm AS (
+         |  SELECT o_custkey, ${Det.dsumSql("o_totalprice")} AS monetary
+         |  FROM orders GROUP BY o_custkey),
+         |r AS (
+         |  SELECT monetary,
+         |    row_number() OVER (ORDER BY monetary) AS rn FROM cm),
+         |s AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS t,
+         |    CAST(SUM(CAST(rn AS DECIMAL(19,0))
+         |      * CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS sr
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_customers,
+         |  ${Det.roundNSql("t", 2)} AS total_revenue,
+         |  ${Det.roundNSql("2.0 * sr / (n * t) - (n + 1.0) / n", 6)} AS gini
+         |FROM s""".stripMargin) { (s, d) =>
+      val cm = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(Det.dsum(col("o_totalprice")).as("monetary"))
+      graft.operators.Inequality.gini(cm, "monetary", bucketWidth = 50000.0)
+        .select(col("n").as("n_customers"),
+          Det.roundN(col("total"), 2).as("total_revenue"),
+          Det.roundN(col("gini"), 6).as("gini"))
+    },
   )
 }

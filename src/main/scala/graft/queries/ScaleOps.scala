@@ -1140,6 +1140,34 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // k-core decomposition (fixed peel rounds) over the same synthetic
+    // link graph — the density backbone: nodes that survive k-core
+    // peeling sit in mutually-dense regions (real communities), the
+    // complement of the spam-farm signal g_triangle_count flags. Each
+    // round is one degree aggregate + two survivor semi-joins; the
+    // unrolled-CTE oracle replays the identical peel.
+    QueryDef.sql(
+      "g_kcore",
+      s"""WITH nd AS (SELECT doc_id FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM nd),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+         |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |${Graph.kcoreSql(k = 4, rounds = 6)}
+         |SELECT id AS doc_id, core_deg
+         |FROM kc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      Graph.kcore(docs, edges, "doc_id", k = 4, rounds = 6)
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified sample: exactly min(k, |group|) rows per
     // event type, membership = the k smallest h56 hashes — reproducible
     // on any engine, no RNG. The per-group top-k runs the same
@@ -1482,6 +1510,57 @@ object ScaleOps {
         .withColumn("stickiness",
           Det.roundN(col("dau") * lit(1.0) / col("wau"), 6))
         .orderBy("day")
+    },
+
+    // Rolling z-score anomaly flags: each day's total vs the trailing
+    // 7-day mean/stddev, the streaming-friendly complement to the global
+    // median+MAD detector (q_anomaly_mad). The frame's SUM and SUM² run
+    // in exact decimals (v carries ≤6 decimals, so v² is exact at 12),
+    // making the windowed moments order-independent; mean/var/z then
+    // derive in identical double arithmetic on both engines. Bounded
+    // ROWS frame, partitioned by event_type — O(1) window state.
+    QueryDef.sql(
+      "w_rolling_zscore",
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${Det.dsumSql("value", 6)} AS v
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, day, v,
+         |    CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS s1,
+         |    -- DECIMAL(19,6) operands force int128 backing in DuckDB
+         |    -- (int64 would overflow mid-multiply); product (38,12) is
+         |    -- exact, same values as Spark's (18,6)x(18,6) -> (37,12)
+         |    CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)))
+         |      OVER fr AS DOUBLE) AS s2,
+         |    COUNT(*) OVER fr AS n
+         |  FROM daily
+         |  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+         |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, day, v,
+         |  ${Det.roundNSql("CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0 THEN (v - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) END", 6)} AS zscore,
+         |  COALESCE(abs(CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0 THEN (v - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) END) > 2.0, FALSE) AS is_anomaly
+         |FROM m
+         |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val fr = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      val dv = col("v").cast(DecimalType(18, 6))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Det.dsum(col("value"), 6).as("v"))
+        .withColumn("s1", sum(dv).over(fr).cast("double"))
+        .withColumn("s2", sum(dv * dv).over(fr).cast("double"))
+        .withColumn("n", count(lit(1)).over(fr))
+      val varTerm = col("s2") - col("s1") * col("s1") / col("n")
+      val z = when(col("n") > 1 && varTerm > 0,
+        (col("v") - col("s1") / col("n")) /
+          sqrt(varTerm / (col("n") - 1)))
+      daily
+        .withColumn("zscore", Det.roundN(z, 6))
+        .withColumn("is_anomaly", coalesce(abs(z) > 2.0, lit(false)))
+        .select("event_type", "day", "v", "zscore", "is_anomaly")
+        .orderBy("event_type", "day")
     },
   )
 }

@@ -89,4 +89,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L),
       s"got $got")
   }
+
+  test("kcore: peels the tail layer by layer, keeps the clique") {
+    // 4-clique {0,1,2,3} + tail 3→4→5; duplicate + reversed edges mixed in
+    val nodes = spark.range(6).select(col("id"))
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 2L), (3L, 4L), (4L, 5L), (4L, 4L))
+      .toDF("src", "dst")
+    // k=2: round 1 drops 5 (deg 1), round 2 drops 4; clique survives at
+    // residual degree 3 — needs ≥ 2 rounds to converge
+    val k2 = Graph.kcore(nodes, edges, "id", k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(k2 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $k2")
+    // k=4: clique degree is only 3 — everything peels away
+    val k4 = Graph.kcore(nodes, edges, "id", k = 4, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(k4.isEmpty, s"got $k4")
+    // too few rounds: the tail's inner node is still present mid-peel
+    val mid = Graph.kcore(nodes, edges, "id", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(mid.keySet == Set(0L, 1L, 2L, 3L, 4L), s"got $mid")
+  }
 }

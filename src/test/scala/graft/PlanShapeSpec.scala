@@ -54,9 +54,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "t_feature_binning",      // 1-row count x rank targets; non-equi
                               // crossing probe over the (bucket) histogram;
                               // 1-row sorted-edges array onto fact rows
-    "q_rfm_segmentation")     // 1-row max-date anchor + three Binning
+    "q_rfm_segmentation",     // 1-row max-date anchor + three Binning
                               // edge/assign passes (same bounded shapes
                               // as t_feature_binning)
+    "a_revenue_concentration") // Binning edge shapes + two 1-row
+                              // threshold broadcasts onto the customer
+                              // relation
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
