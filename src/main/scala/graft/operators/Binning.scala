@@ -71,6 +71,53 @@ object Binning {
       .select(col("__i").cast("int").as("edge_idx"), col("__v").as("edge"))
   }
 
+  /** Per-group edges: (grpCol, edge_idx i ∈ 1..k-1, edge value at
+    * within-group rank ceil(i·n_g/k)) — the same bucketed two-pass as
+    * [[equalFrequencyEdges]] with the group key carried through every
+    * aggregate and window, so each window partitions by (group [, target])
+    * and no task ever handles more than one group's bucket slice. The
+    * crossing probe joins the per-group target ranks against the
+    * per-group histogram on the group key (equi) with the rank reach as a
+    * residual — the (group × bucket) relation stays small next to the
+    * fact table. */
+  def groupedEqualFrequencyEdges(df: DataFrame, grpCol: String,
+      valCol: String, k: Int, bucketWidth: Double): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val v = df.select(col(grpCol).as("__grp"), col(valCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val n = v.groupBy("__grp").agg(count(lit(1)).as("__n"))
+    val targets = n
+      .crossJoin(broadcast(v.sparkSession.range(1, k).toDF("__i")))
+      .withColumn("__r",
+        ceil(col("__i") * col("__n") / lit(k.toDouble)).cast("long"))
+      .select("__grp", "__i", "__r")
+    val hist = v.groupBy(col("__grp"),
+        floor(col("__v") / bucketWidth).cast("long").as("__b"))
+      .agg(count(lit(1)).as("__bc"))
+      .withColumn("__cum", sum(col("__bc")).over(
+        Window.partitionBy("__grp").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val crossing = hist.join(targets, Seq("__grp"))
+      .filter(col("__cum") >= col("__r"))
+      .groupBy("__grp", "__i", "__r").agg(min(col("__b")).as("__xb"))
+    val prefix = crossing
+      .join(hist, crossing("__grp") === hist("__grp") &&
+        col("__b") === col("__xb"))
+      .select(crossing("__grp"), col("__i"), col("__r"), col("__xb"),
+        (col("__cum") - col("__bc")).as("__pre"))
+    val inBucket = v
+      .withColumn("__vb", floor(col("__v") / bucketWidth).cast("long"))
+      .join(broadcast(prefix),
+        v("__grp") === prefix("__grp") && col("__vb") === col("__xb"))
+      .drop(prefix("__grp"))
+      .withColumn("__rk", col("__pre") + row_number().over(
+        Window.partitionBy("__grp", "__i").orderBy("__v")))
+    inBucket.filter(col("__rk") === col("__r"))
+      .select(col("__grp").as(grpCol), col("__i").cast("int").as("edge_idx"),
+        col("__v").as("edge"))
+  }
+
   /** Append `binCol` ∈ 0..k-1 to `df`: the count of edges <= the row's
     * value. The k-1 edges collapse to ONE sorted-array row broadcast onto
     * every fact row — pure map-side, no shuffle, no per-row join fanout. */

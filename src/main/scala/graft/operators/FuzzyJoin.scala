@@ -107,4 +107,75 @@ object FuzzyJoin {
       .withColumn("edit_dist", levenshtein(col("str_a"), col("str_b")))
       .filter(col("edit_dist") <= maxDist)
   }
+
+  /** Bipartite best-match lookup — for each distinct probe string, the
+    * closest dictionary string within `maxDist` (ties broken by the
+    * lexicographically smallest match): the entity-resolution shape, a
+    * dirty feed reconciled against a canonical vocabulary.
+    *
+    * Same lossless machinery as [[editDistancePairs]] with the two sides
+    * kept asymmetric: gram document-frequencies come from the UNION of
+    * both sides (the prefix theorem needs one shared global gram order,
+    * not two), each side emits its own `q*d + 1` rarest-gram prefix, and
+    * the short-string fallback crosses short probes against short
+    * dictionary entries only. The final argmin is a map-side-combinable
+    * `min(struct(dist, match))` — no window over the probe set.
+    * Returns (probe, match, edit_dist); probes with no match within
+    * `maxDist` are absent (left-join downstream if needed).
+    */
+  def editDistanceLookup(probes: DataFrame, dict: DataFrame,
+      probeCol: String, dictCol: String, maxDist: Int,
+      q: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    require(q >= 1, s"q must be >= 1: $q")
+    val prefixLen = q * maxDist + 1
+    val minLongLen = q * maxDist + q
+
+    def clean(df: DataFrame, c: String) =
+      df.select(col(c).cast("string").as("__s"))
+        .filter(col("__s").isNotNull && length(col("__s")) >= 1)
+        .distinct()
+        .withColumn("__len", length(col("__s")))
+    val p = clean(probes, probeCol)
+    val d = clean(dict, dictCol)
+
+    def grams(df: DataFrame) = df
+      .select(col("__s"), col("__len"), posexplode(
+        expr(s"transform(sequence(1, greatest(__len - $q + 1, 0)), " +
+          s"i -> substring(__s, i, $q))")).as(Seq("__pos", "__g")))
+    val pg = grams(p)
+    val dg = grams(d)
+    val freq = pg.select("__g").union(dg.select("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+
+    def prefix(g: DataFrame) = g.join(freq, Seq("__g"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__s").orderBy(col("__df"), col("__g"),
+          col("__pos"))))
+      .filter(col("__rk") <= prefixLen)
+      .select(col("__s"), col("__len"), col("__g"))
+
+    val indexed = prefix(pg)
+      .select(col("__s").as("probe"), col("__len").as("__lp"), col("__g"))
+      .join(prefix(dg)
+        .select(col("__s").as("match"), col("__len").as("__ld"), col("__g")),
+        Seq("__g"))
+      .filter(abs(col("__lp") - col("__ld")) <= maxDist)
+      .select("probe", "match").distinct()
+
+    val shortPairs = p.filter(col("__len") < minLongLen)
+      .select(col("__s").as("probe"), col("__len").as("__lp"))
+      .crossJoin(d.filter(col("__len") < minLongLen)
+        .select(col("__s").as("match"), col("__len").as("__ld")))
+      .filter(abs(col("__lp") - col("__ld")) <= maxDist)
+      .select("probe", "match")
+
+    indexed.union(shortPairs).distinct()
+      .withColumn("edit_dist", levenshtein(col("probe"), col("match")))
+      .filter(col("edit_dist") <= maxDist)
+      .groupBy("probe")
+      .agg(min(struct(col("edit_dist"), col("match"))).as("__m"))
+      .select(col("probe"), col("__m.match").as("match"),
+        col("__m.edit_dist").as("edit_dist"))
+  }
 }

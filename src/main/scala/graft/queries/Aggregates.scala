@@ -450,5 +450,37 @@ object Aggregates {
           Det.roundN(col("total"), 2).as("total_revenue"),
           Det.roundN(col("gini"), 6).as("gini"))
     },
+
+    // Per-group quartile edges of customer balance — the grouped form of
+    // the binning two-pass: every window partitions by (segment [,
+    // target]), the crossing probe equi-joins on the group key, and no
+    // task sees more than one group's bucket slice. Negative balances
+    // exercise floor-bucketing below zero. Oracle: textbook per-group
+    // row_number rank selection.
+    QueryDef.sql(
+      "a_grouped_deciles",
+      s"""WITH n AS (
+         |  SELECT c_mktsegment, COUNT(*) AS c FROM customer GROUP BY 1),
+         |r AS (
+         |  SELECT c_mktsegment, c_acctbal,
+         |    row_number() OVER (PARTITION BY c_mktsegment
+         |                       ORDER BY c_acctbal) AS rn
+         |  FROM customer),
+         |e AS (
+         |  SELECT r.c_mktsegment, i, MIN(c_acctbal) AS edge
+         |  FROM r JOIN n ON r.c_mktsegment = n.c_mktsegment,
+         |    (SELECT unnest(range(1, 4)) AS i) i
+         |  WHERE rn = CAST(ceil(i * c / 4.0) AS BIGINT)
+         |  GROUP BY 1, 2)
+         |SELECT c_mktsegment, CAST(i AS INT) AS edge_idx,
+         |  ${Det.roundNSql("edge", 2)} AS edge
+         |FROM e ORDER BY c_mktsegment, edge_idx""".stripMargin) { (s, d) =>
+      graft.operators.Binning.groupedEqualFrequencyEdges(
+          Tables.customer(s, d), "c_mktsegment", "c_acctbal",
+          k = 4, bucketWidth = 500.0)
+        .select(col("c_mktsegment"), col("edge_idx"),
+          Det.roundN(col("edge"), 2).as("edge"))
+        .orderBy("c_mktsegment", "edge_idx")
+    },
   )
 }

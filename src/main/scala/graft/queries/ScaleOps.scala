@@ -1562,5 +1562,38 @@ object ScaleOps {
         .select("event_type", "day", "v", "zscore", "is_anomaly")
         .orderBy("event_type", "day")
     },
+
+    // Bipartite fuzzy lookup — entity resolution: a deterministically
+    // corrupted copy of the part vocabulary (5th char deleted) reconciled
+    // against the canonical names, best match per probe (min distance,
+    // lexicographic tiebreak). Candidates via the same lossless shared-
+    // frequency-order prefix index as j_fuzzy_join; the argmin is a
+    // map-side min(struct(dist, match)), no window over the probe set.
+    // The oracle cross-joins and takes the same tie-broken minimum.
+    QueryDef.sql(
+      "j_fuzzy_lookup",
+      """WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
+        |probe AS (
+        |  SELECT DISTINCT concat(substring(name, 1, 4), substring(name, 6))
+        |    AS dirty FROM dict),
+        |cand AS (
+        |  SELECT dirty, name,
+        |    CAST(levenshtein(dirty, name) AS INT) AS dist
+        |  FROM probe, dict WHERE levenshtein(dirty, name) <= 2),
+        |best AS (
+        |  SELECT dirty, name, dist,
+        |    row_number() OVER (PARTITION BY dirty ORDER BY dist, name) AS rn
+        |  FROM cand)
+        |SELECT dirty AS probe, name AS match, dist AS edit_dist
+        |FROM best WHERE rn = 1
+        |ORDER BY probe""".stripMargin) { (s, d) =>
+      val dict = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      val probes = dict.select(
+        concat(substring(col("name"), 1, 4), substring(col("name"), 6, 1000))
+          .as("dirty"))
+      FuzzyJoin.editDistanceLookup(probes, dict, "dirty", "name",
+          maxDist = 2)
+        .orderBy("probe")
+    },
   )
 }

@@ -57,9 +57,13 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_rfm_segmentation",     // 1-row max-date anchor + three Binning
                               // edge/assign passes (same bounded shapes
                               // as t_feature_binning)
-    "a_revenue_concentration") // Binning edge shapes + two 1-row
+    "a_revenue_concentration", // Binning edge shapes + two 1-row
                               // threshold broadcasts onto the customer
                               // relation
+    "j_fuzzy_lookup",         // short-probe x short-dict fallback bucket
+                              // (alphabet-bounded, same as j_fuzzy_join)
+    "a_grouped_deciles")      // per-group count x rank-index broadcast
+                              // (groups x (k-1) rows)
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
