@@ -91,4 +91,86 @@ object AsOfJoin {
       .filter(col("__tag") === 1)
       .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
+
+  /** Nearest-neighbor as-of: for every left row, the right row with the
+    * same key MINIMIZING |left ts − right ts|, either direction — the
+    * sensor-alignment / closest-touch variant of [[asof]]. Deterministic
+    * contract: nearest by (|Δts|, right ts, right id) ascending, so a
+    * backward and a forward candidate at equal distance resolve to the
+    * earlier one, and equal-timestamp duplicates to the smallest id.
+    *
+    * Same single-union shape as [[asof]] with one window pass per
+    * direction over the (key)-partitioned sort: `last` ascending carries
+    * the latest right row at ts <= t (inclusive), `first` over the
+    * reversed-tag ordering carries the earliest right row at ts >= t
+    * (inclusive); the winner is `least(struct(diff, ts, id, payload))`,
+    * a row-local comparison. Two sorted window passes, still ZERO joins
+    * and no range cross-product. `leftTs`/`rightTs` must be numeric
+    * (epoch micros — subtraction must be defined); `rightId` must be a
+    * unique orderable right-row id. Left rows with no same-key right row
+    * get NULLs.
+    *
+    * Returns left columns + payload columns + `nearest_diff` (|Δts| in
+    * the ts unit).
+    */
+  def nearest(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, rightId: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // struct leads with (-id) so the WINDOW-ORDER maximum among
+    // equal-(key, ts) right rows is the smallest id (the contract's
+    // tiebreak); ts and payload ride along for extraction
+    val innerFields = Seq("__negid", "__cts", "__cid") ++ payload
+    val payloadType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__negid",
+        right.schema(rightId).dataType) +:
+        org.apache.spark.sql.types.StructField("__cts",
+          right.schema(rightTs).dataType) +:
+        org.apache.spark.sql.types.StructField("__cid",
+          right.schema(rightId).dataType) +:
+        payload.map(p => right.schema(p).copy(name = p)))
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
+    val r0 = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__tag", lit(0))
+      .withColumn("__p", struct(
+        (-col(rightId)).as("__negid") +: col(rightTs).as("__cts") +:
+          col(rightId).as("__cid") +: payload.map(col): _*))
+    val rAligned = leftCols.foldLeft(r0)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val cols = leftCols ++ Seq("__p", "__k", "__ts", "__tag")
+    val unioned = l.select(cols.map(col): _*)
+      .unionByName(rAligned.select(cols.map(col): _*))
+    // backward: right rows before left at equal ts (inclusive <=), max
+    // window order among ties = min id via the leading -id field
+    val wB = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__tag"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: left rows first at equal ts (inclusive >=), first row
+    // among equal-ts rights = max struct via desc = min id
+    val wF = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__tag").desc, col("__p").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def cand(p: Column): Column =
+      when(p.isNotNull, struct(
+        abs(col("__ts") - p.getField("__cts")).as("diff"),
+        p.getField("__cts").as("cts"),
+        p.getField("__cid").as("cid"),
+        p.dropFields("__negid", "__cts", "__cid").as("pay")))
+    val winner = unioned
+      .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wF))
+      .filter(col("__tag") === 1)
+      .withColumn("__w", least(cand(col("__b")), cand(col("__f"))))
+    winner.select(leftCols.map(col) ++
+      payload.map(p => col(s"__w.pay.$p").as(p)) :+
+      col("__w.diff").as("nearest_diff"): _*)
+  }
 }

@@ -1595,5 +1595,92 @@ object ScaleOps {
           maxDist = 2)
         .orderBy("probe")
     },
+
+    // Nearest-neighbor as-of: each purchase aligned to the CLOSEST
+    // same-user non-purchase event in either direction (sensor-alignment
+    // semantics; j_asof_join is the backward-only form). One union +
+    // two sorted window passes per AsOfJoin.nearest — zero joins on the
+    // Spark side; the oracle pays the per-key cross join + rank this
+    // operator exists to avoid.
+    QueryDef.sql(
+      "j_asof_nearest",
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS cand_id, user_id, event_type AS cand_type,
+        |    epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT p.event_id, c.cand_id, c.cand_type,
+        |    abs(p.tsu - c.tsu) AS diff, c.tsu AS ctsu
+        |  FROM p JOIN c ON p.user_id = c.user_id),
+        |best AS (
+        |  SELECT event_id, cand_id, cand_type, diff,
+        |    row_number() OVER (PARTITION BY event_id
+        |                       ORDER BY diff, ctsu, cand_id) AS rn
+        |  FROM j)
+        |SELECT p.event_id, b.cand_id, b.cand_type, b.diff AS nearest_diff
+        |FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  USING (event_id)
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("tsu", unix_micros(col("ts")))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tsu")
+      val cands = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id").as("cand_id"),
+          col("user_id").as("cand_user"),
+          col("event_type").as("cand_type"),
+          col("tsu").as("cand_tsu"))
+      AsOfJoin.nearest(probes, cands, "user_id", "cand_user",
+          "tsu", "cand_tsu", "cand_id", Seq("cand_id", "cand_type"))
+        .select("event_id", "cand_id", "cand_type", "nearest_diff")
+        .orderBy("event_id")
+    },
+
+    // Day-of-week seasonality index per event type: mean daily total on
+    // each weekday vs the overall daily mean — the classic seasonal
+    // profile (index > 1 ⇒ that weekday runs hot). Two cascaded
+    // map-side-combinable aggregates off one daily relation; weekday is
+    // ISO Monday=0 on both engines (Spark weekday() = DuckDB isodow()-1
+    // — the 1=Sunday dayofweek() variants disagree between engines).
+    QueryDef.sql(
+      "w_seasonality",
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${Det.dsumSql("value", 6)} AS v
+         |  FROM events GROUP BY 1, 2),
+         |dw AS (
+         |  SELECT event_type, CAST(isodow(day) - 1 AS INT) AS dow,
+         |    ${Det.davgSql("v", 6)} AS dow_avg, COUNT(*) AS n_days
+         |  FROM daily GROUP BY 1, 2),
+         |ov AS (
+         |  SELECT event_type, ${Det.davgSql("v", 6)} AS overall_avg
+         |  FROM daily GROUP BY 1)
+         |SELECT dw.event_type AS event_type, dow,
+         |  ${Det.roundNSql("dow_avg", 4)} AS dow_avg,
+         |  ${Det.roundNSql("dow_avg / overall_avg", 6)} AS seasonal_index,
+         |  n_days
+         |FROM dw JOIN ov ON dw.event_type = ov.event_type
+         |ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Det.dsum(col("value"), 6).as("v"))
+        .staged
+      val dw = daily
+        .groupBy(col("event_type"), weekday(col("day")).as("dow"))
+        .agg(Det.davg(col("v"), 6).as("dow_avg"),
+          count(lit(1)).as("n_days"))
+      val ov = daily.groupBy("event_type")
+        .agg(Det.davg(col("v"), 6).as("overall_avg"))
+      dw.join(broadcast(ov), Seq("event_type"))
+        .select(col("event_type"), col("dow"),
+          Det.roundN(col("dow_avg"), 4).as("dow_avg"),
+          Det.roundN(col("dow_avg") / col("overall_avg"), 6)
+            .as("seasonal_index"),
+          col("n_days"))
+        .orderBy("event_type", "dow")
+    },
   )
 }

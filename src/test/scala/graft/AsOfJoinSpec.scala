@@ -74,4 +74,33 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(out.head.getDouble(3) === 105.0, s"repartition($n)")
     }
   }
+
+  test("nearest: either direction, equal-distance → earlier, ties → min id") {
+    // probes at t=100: backward cand at 90 (diff 10), forward at 110
+    // (diff 10) → EARLIER (90) wins; probe at t=200 only forward; probe
+    // key 3 has no candidates at all → NULLs preserved
+    val probes = Seq((1L, 1L, 100L), (2L, 1L, 200L), (3L, 3L, 50L))
+      .toDF("pid", "key", "pts")
+    val cands = Seq(
+      (10L, 1L, 90L, "b"),   // diff 10 backward from t=100
+      (11L, 1L, 110L, "f"),  // diff 10 forward from t=100
+      (12L, 1L, 110L, "g"),  // same ts as 11 → min id 11 wins that slot
+      (13L, 1L, 260L, "x"))  // diff 60 forward from t=200
+      .toDF("cid", "ckey", "cts", "tag")
+    val out = AsOfJoin.nearest(probes, cands, "key", "ckey",
+        "pts", "cts", "cid", Seq("cid", "tag"))
+      .select("pid", "cid", "tag", "nearest_diff")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getString(2), r.getLong(3)))))
+      .toMap
+    assert(out(1L) === Some((10L, "b", 10L)), s"got ${out(1L)}")
+    assert(out(2L) === Some((13L, "x", 60L)))
+    assert(out(3L) === None)
+    // exact-tie at the same forward ts resolves to the smallest id
+    val probes2 = Seq((1L, 1L, 105L)).toDF("pid", "key", "pts")
+    val out2 = AsOfJoin.nearest(probes2, cands, "key", "ckey",
+        "pts", "cts", "cid", Seq("cid"))
+      .select("cid").collect().head.getLong(0)
+    assert(out2 === 11L, s"got $out2")
+  }
 }
