@@ -137,4 +137,40 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sampling.sample(noDocs, "doc_id", 0.5).count() === 0)
     assert(Sampling.split(noDocs, "doc_id", Seq(0.5, 0.5)).map(_.count()).sum === 0)
   }
+
+  test("session-3 operators on empty inputs") {
+    val noStrs = Seq.empty[Tuple1[String]].toDF("s")
+    assert(FuzzyJoin.editDistancePairs(noStrs, "s", 2).count() === 0)
+    // empty dict: no probe can match; empty probes: nothing to match
+    val dict = Seq(Tuple1("red bolt")).toDF("d")
+    assert(FuzzyJoin.editDistanceLookup(noStrs, dict, "s", "d", 2)
+      .count() === 0)
+    assert(FuzzyJoin.editDistanceLookup(dict, noStrs, "d", "s", 2)
+      .count() === 0)
+    // interval overlap with an empty side
+    val ivs2 = Seq((1L, 5L)).toDF("rlo", "rhi")
+    val noIvs = Seq.empty[(Long, Long)].toDF("llo", "lhi")
+    assert(RangeJoin.intervalOverlap(noIvs, ivs2,
+      "llo", "lhi", "rlo", "rhi", 2.0).count() === 0)
+    // binning / gini: no rows → no edges, no gini row blow-ups
+    val noVals = Seq.empty[Tuple1[Double]].toDF("v")
+    assert(Binning.equalFrequencyEdges(noVals, "v", 4, 10.0).count() === 0)
+    assert(Binning.assign(noVals, "v",
+      Binning.equalFrequencyEdges(noVals, "v", 4, 10.0), "bin")
+      .count() === 0)
+    assert(Binning.groupedEqualFrequencyEdges(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", 4, 10.0)
+      .count() === 0)
+    val gr = Inequality.gini(noVals, "v", 10.0).collect()
+    assert(gr.length === 1 && gr.head.getLong(0) === 0L)
+    // k-core with no edges: nothing survives
+    assert(Graph.kcore(spark.range(3).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "id", 2, 3).count() === 0)
+    // nearest with an empty right side: left rows kept with NULLs
+    val probes = Seq((1L, 1L, 10L)).toDF("pid", "key", "pts")
+    val noCands = Seq.empty[(Long, Long, Long)].toDF("cid", "ckey", "cts")
+    val n = AsOfJoin.nearest(probes, noCands, "key", "ckey",
+      "pts", "cts", "cid", Seq("cid")).collect()
+    assert(n.length === 1 && n.head.isNullAt(3))
+  }
 }
