@@ -468,6 +468,58 @@ object ScaleProbe {
         .groupBy("day").agg(count(lit(1)).as("wau"))
       dau.join(wau, Seq("day"))
     }
+    // k-core peel over the synthetic link graph (nodes/edges grow k×,
+    // degree distribution scale-invariant): 6 rounds of degree aggregate
+    // + survivor semi-joins, lineage cut per round
+    time("kcore") {
+      // DENSE ids 0..N-1 (replicated doc_ids are offset-sparse, so
+      // mod-N edge targets would point at phantom nodes and the whole
+      // graph would peel instantly — measuring nothing): the affine
+      // multipliers are coprime to N only sometimes, but degree stays
+      // ~6-regular and the 4-core survives, so all 6 rounds do real work
+      val nc = corpus.count()
+      val nodes = spark.range(nc).toDF("doc_id")
+      val edges = nodes
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % nc,
+          (col("doc_id") * 97 + 2) % nc,
+          (col("doc_id") * 211 + 3) % nc)).as("dst"))
+      graft.operators.Graph.kcore(nodes, edges, "doc_id", k = 4, rounds = 6)
+    }
+    // exact Gini via bucket-decomposed rank sums (orders grow k×, value
+    // range fixed → rows-per-bucket grow linearly, buckets constant)
+    time("gini")(
+      graft.operators.Inequality.gini(ord, "o_totalprice", 5000.0))
+    // per-group quartiles: groups fixed (5 segments), rows grow k×
+    time("grouped_deciles")(
+      graft.operators.Binning.groupedEqualFrequencyEdges(
+        cust, "c_mktsegment", "c_acctbal", k = 4, bucketWidth = 500.0))
+    // nearest as-of on the replicated event log (per-user candidate
+    // density scale-invariant): one union, two sorted window passes
+    time("asof_nearest") {
+      val evt = ev.withColumn("tsu", unix_micros(col("ts")))
+      val probes = evt.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tsu")
+      val cands = evt.filter(col("event_type") =!= "purchase")
+        .select(col("event_id").as("cand_id"),
+          col("user_id").as("cand_user"),
+          col("event_type").as("cand_type"), col("tsu").as("cand_tsu"))
+      graft.operators.AsOfJoin.nearest(probes, cands, "user_id",
+        "cand_user", "tsu", "cand_tsu", "cand_id",
+        Seq("cand_id", "cand_type"))
+    }
+    // bipartite fuzzy lookup: dict AND probe vocabularies both grow k×
+    // (disjoint natural-text slices; probes drop their 5th char)
+    time("fuzzy_lookup") {
+      val dict = corpus.select(expr(
+        "substring(text, CAST(doc_id / 10000000 AS INT) % 20 * 12 + 1, 12)")
+        .as("name"))
+      val probes = dict.select(
+        concat(substring(col("name"), 1, 4), substring(col("name"), 6, 20))
+          .as("dirty"))
+      graft.operators.FuzzyJoin.editDistanceLookup(
+        probes, dict, "dirty", "name", maxDist = 2)
+    }
     // gaps-and-islands streaks: per-user windows, users grow k×
     time("streaks") {
       import org.apache.spark.sql.expressions.Window

@@ -236,6 +236,58 @@ object Graph {
     und.groupBy(col("a").as(idCol)).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Common-neighbor link prediction: for every NON-adjacent node pair
+    * sharing at least one neighbor, the shared-neighbor count — the
+    * classic "who should be connected" score. One wedge self-join of the
+    * undirected adjacency on the center node + an anti-join against the
+    * existing edge set; returns the top-k pairs by (cn desc, u, v) for a
+    * deterministic bounded result. Wedge volume is Σ deg(w)² — fine on
+    * bounded-degree graphs like this link fixture; on a power-law graph
+    * cap or sample hub adjacency first (the analogue of
+    * [[triangleCounts]]' degree orientation, which can't apply here
+    * because CN needs BOTH wedge arms from the center).
+    */
+  def commonNeighbors(edges: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK: $topK")
+    val canon0 = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val und = Stage.materialize(
+      canon0.union(canon0.select(col("b"), col("a"))))
+    // re-derive the canonical pairs FROM the staged relation: the
+    // anti-join branch then reads the materialized edges instead of
+    // replaying the caller's edge-generation lineage a second time
+    val canon = und.filter(col("a") < col("b"))
+    val adj = und.select(col("a").as("__w"), col("b").as("__n"))
+    val cand = adj.select(col("__w"), col("__n").as("u"))
+      .join(adj.select(col("__w"), col("__n").as("v")), Seq("__w"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    cand.join(canon, cand("u") === canon("a") && cand("v") === canon("b"),
+        "left_anti")
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
+  /** DuckDB mirror of [[commonNeighbors]] over CTE `e(src,dst)`; ends in
+    * CTE `lp(u, v, cn)` (unordered, un-limited — apply the same ORDER BY
+    * + LIMIT in the final select). */
+  def commonNeighborsSql: String =
+    """cn_canon AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM e WHERE src <> dst),
+      |cn_und AS (
+      |  SELECT a, b FROM cn_canon UNION ALL SELECT b, a FROM cn_canon),
+      |cn_cand AS (
+      |  SELECT x.b AS u, y.b AS v, COUNT(*) AS cn
+      |  FROM cn_und x JOIN cn_und y ON x.a = y.a AND x.b < y.b
+      |  GROUP BY 1, 2),
+      |lp AS (
+      |  SELECT u, v, cn FROM cn_cand c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM cn_canon k WHERE k.a = c.u AND k.b = c.v))""".stripMargin
+
   /** DuckDB mirror of [[kcore]] over CTEs `e(src,dst)` and `nd(<idCol>)`;
     * ends in CTE `kc` with (id, core_deg). */
   def kcoreSql(k: Int, rounds: Int): String = {

@@ -148,4 +148,59 @@ object TimeSeries {
         .when(col("__pv").isNotNull, lit("ffill"))
         .otherwise(lit("bfill")).as("fill_src"))
   }
+
+  /** One-sided CUSUM change detection per series: s₀ = 0,
+    * sᵢ = max(0, sᵢ₋₁ + (vᵢ − targetᵢ)) over date order — the classic
+    * drift alarm (a run of above-target days accumulates; any dip resets
+    * toward 0). The recursion is NON-associative, so no window frame or
+    * prefix trick expresses it; like the EWMA fold, each series is
+    * calendar-bounded, so the honest shape is a per-key
+    * `sort_array(collect_list)` + one `aggregate()` left fold — state
+    * O(series length), parallel across keys, nothing corpus-sized in one
+    * task. Both engines execute the identical IEEE add/greatest sequence
+    * ([[cusumSql]] unrolls the same recursion), so the trajectory is
+    * bit-identical.
+    *
+    * Input: one row per (key, date) with the value and its per-row
+    * target (pre-join the per-series mean). Returns (key, date, v,
+    * cusum).
+    */
+  def cusum(df: DataFrame, keyCol: String, dateCol: String,
+      valCol: String, targetCol: String): DataFrame = {
+    val rows = df.groupBy(col(keyCol)).agg(
+      sort_array(collect_list(struct(
+        col(dateCol).as("d"), col(valCol).cast("double").as("v"),
+        col(targetCol).cast("double").as("t")))).as("__rows"))
+    rows
+      .withColumn("__cus", expr(
+        """aggregate(__rows, CAST(array() AS ARRAY<DOUBLE>),
+          |  (acc, r) -> acc || array(greatest(0D,
+          |    coalesce(element_at(acc, -1), 0D) + r.v - r.t)))""".stripMargin))
+      .select(col(keyCol),
+        posexplode(arrays_zip(col("__rows"), col("__cus")))
+          .as(Seq("__i", "__z")))
+      .select(col(keyCol), col("__z.__rows.d").as(dateCol),
+        col("__z.__rows.v").as(valCol), col("__z.__cus").as("cusum"))
+  }
+
+  /** DuckDB mirror of [[cusum]] as unrolled CTE steps. Expects CTEs
+    * `ks(k)` (distinct keys) and `dix(k, rn, d, v, t)` (rn = 1-based
+    * date-order index per key); ends in CTE `cus(k, rn, s)` covering
+    * every input row (keys shorter than `maxLen` just stop early).
+    */
+  def cusumSql(maxLen: Int): String = {
+    require(maxLen >= 1 && maxLen <= 64, s"maxLen: $maxLen")
+    val steps = (1 to maxLen).map { r =>
+      s"""c$r AS (
+         |  SELECT d.k, ${r} AS rn, GREATEST(0, p.s + d.v - d.t) AS s
+         |  FROM dix d JOIN c${r - 1} p ON p.k = d.k
+         |  WHERE d.rn = ${r})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to maxLen).map(r => s"SELECT k, rn, s FROM c$r")
+      .mkString("\n  UNION ALL ")
+    s"""c0 AS (SELECT k, 0 AS rn, CAST(0 AS DOUBLE) AS s FROM ks),
+       |$steps,
+       |cus AS (
+       |  $unions)""".stripMargin
+  }
 }

@@ -1168,6 +1168,91 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Common-neighbor link prediction over the same link graph: top-100
+    // non-adjacent pairs by shared-neighbor count (ties → smallest pair).
+    // One wedge self-join on the center node + an anti-join against the
+    // edge set — the "suggested connections" primitive.
+    QueryDef.sql(
+      "g_link_prediction",
+      s"""WITH nd AS (SELECT doc_id FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM nd),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+         |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |${Graph.commonNeighborsSql}
+         |SELECT u, v, cn FROM lp
+         |ORDER BY cn DESC, u, v
+         |LIMIT 100""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      Graph.commonNeighbors(edges, topK = 100)
+    },
+
+    // One-sided CUSUM drift alarm per event type: s_i = max(0, s_{i-1} +
+    // (v_i - mean)), alert when the accumulated excursion tops 2σ. The
+    // recursion is non-associative (no window/prefix form exists), so
+    // the engine folds each calendar-bounded series in one aggregate()
+    // pass (the w_ewma discipline) and the oracle replays the identical
+    // IEEE sequence as unrolled CTE steps — trajectories bit-identical,
+    // rounding only at output.
+    QueryDef.sql(
+      "w_cusum_alerts", {
+        val s1 = "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)"
+        val s2 = "CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) AS DOUBLE)"
+        s"""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    ${Det.dsumSql("value", 6)} AS v
+           |  FROM events GROUP BY 1, 2),
+           |st AS (
+           |  SELECT event_type, $s1 / COUNT(v) AS mean_v,
+           |    sqrt(($s2 - $s1 * $s1 / COUNT(*)) / (COUNT(*) - 1)) AS sigma
+           |  FROM daily GROUP BY 1),
+           |ks AS (SELECT DISTINCT event_type AS k FROM daily),
+           |dix AS (
+           |  SELECT d.event_type AS k,
+           |    row_number() OVER (PARTITION BY d.event_type
+           |                       ORDER BY day) AS rn,
+           |    day AS d, v, mean_v AS t
+           |  FROM daily d JOIN st ON d.event_type = st.event_type),
+           |${TimeSeries.cusumSql(31)},
+           |outp AS (
+           |  SELECT dix.k AS event_type, dix.d AS day, dix.v AS v, cus.s
+           |  FROM dix JOIN cus ON cus.k = dix.k AND cus.rn = dix.rn)
+           |SELECT o.event_type AS event_type, day, v,
+           |  ${Det.roundNSql("s", 6)} AS cusum,
+           |  (s > 2 * sigma) AS is_alert
+           |FROM outp o JOIN st ON o.event_type = st.event_type
+           |ORDER BY event_type, day""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Det.dsum(col("value"), 6).as("v"))
+        .staged
+      val dv = col("v").cast(DecimalType(18, 6))
+      val dv2 = col("v").cast(DecimalType(19, 6))
+      val stats = daily.groupBy("event_type").agg(
+        (sum(dv).cast("double") / count(col("v"))).as("mean_v"),
+        sqrt((sum(dv2 * dv2).cast("double") -
+          sum(dv).cast("double") * sum(dv).cast("double") / count(lit(1))) /
+          (count(lit(1)) - 1)).as("sigma"))
+      val cus = TimeSeries.cusum(
+        daily.join(broadcast(stats.select("event_type", "mean_v")),
+          Seq("event_type")),
+        "event_type", "day", "v", "mean_v")
+      cus.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("v"),
+          Det.roundN(col("cusum"), 6).as("cusum"),
+          (col("cusum") > lit(2) * col("sigma")).as("is_alert"))
+        .orderBy("event_type", "day")
+    },
+
     // Deterministic stratified sample: exactly min(k, |group|) rows per
     // event type, membership = the k smallest h56 hashes — reproducible
     // on any engine, no RNG. The per-group top-k runs the same

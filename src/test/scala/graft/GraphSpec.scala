@@ -110,4 +110,16 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(mid.keySet == Set(0L, 1L, 2L, 3L, 4L), s"got $mid")
   }
+
+  test("commonNeighbors: counts wedges, excludes existing edges") {
+    // square 0-1-2-3-0 plus chord 0-2: diagonals share neighbors
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L),
+      (2L, 0L)) // duplicate reversed edge normalized away
+      .toDF("src", "dst")
+    val got = Graph.commonNeighbors(edges, topK = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // 1-3 share {0, 2} and are NOT adjacent → cn 2; every other sharing
+    // pair is an existing edge and must be excluded
+    assert(got == Set((1L, 3L, 2L)), s"got $got")
+  }
 }

@@ -291,4 +291,29 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got === Map("a" -> ((3.0, 5.0)), "b" -> ((1.0, 11.0)),
       "c" -> ((2.5, 5.0))), s"got $got")
   }
+
+  test("cusum: accumulates excursions, clamps at zero, resets on dips") {
+    import graft.operators.TimeSeries
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // target 10: +5, +5, -20 (clamp), +3, +3 → 5, 10, 0, 3, 6
+    val daily = Seq(
+      ("a", d("2024-01-01"), 15.0, 10.0),
+      ("a", d("2024-01-02"), 15.0, 10.0),
+      ("a", d("2024-01-03"), -10.0, 10.0),
+      ("a", d("2024-01-04"), 13.0, 10.0),
+      ("a", d("2024-01-05"), 13.0, 10.0),
+      ("b", d("2024-01-01"), 9.0, 10.0))
+      .toDF("k", "day", "v", "t")
+    val got = TimeSeries.cusum(daily, "k", "day", "v", "t")
+      .as[(String, Date, Double, Double)].collect()
+      .map(r => (r._1, r._2.toString) -> r._4).toMap
+    assert(got(("a", "2024-01-01")) === 5.0)
+    assert(got(("a", "2024-01-02")) === 10.0)
+    assert(got(("a", "2024-01-03")) === 0.0)
+    assert(got(("a", "2024-01-04")) === 3.0)
+    assert(got(("a", "2024-01-05")) === 6.0)
+    assert(got(("b", "2024-01-01")) === 0.0)
+    assert(got.size === 6)
+  }
 }
