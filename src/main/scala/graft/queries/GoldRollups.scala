@@ -536,5 +536,45 @@ object GoldRollups {
           Det.dsum(coalesce(col("value"), lit(0.0)), 4).as("revenue"))
         .orderBy("channel")
     },
+
+    // Incremental rollup maintenance — the warehouse pattern where a new
+    // partition's PARTIAL aggregate merges into yesterday's state instead
+    // of recomputing the world: state(base) ⊎ partial(delta) with the
+    // merge laws n=Σn, sum=Σsum (decimal — order-independent), min/max
+    // idempotent, avg derived at read time. The Spark side takes the
+    // incremental path; the ORACLE recomputes from the full table — the
+    // hash match IS the end-to-end proof of the merge law (a lossy merge
+    // would flip low bits and fail the gate).
+    QueryDef.sql(
+      "q_incremental_rollup",
+      s"""SELECT o_orderpriority,
+         |  COUNT(*) AS n_orders,
+         |  ${Det.dsumSql("o_totalprice")} AS total_price,
+         |  MIN(o_totalprice) AS min_price,
+         |  MAX(o_totalprice) AS max_price,
+         |  ${Det.davgSql("o_totalprice")} AS avg_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val orders = Tables.orders(s, d)
+      val cut = lit("2000-01-01").cast("timestamp")
+      def partial(df: DataFrame) = df.groupBy("o_orderpriority").agg(
+        count(lit(1)).as("pn"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("ps"),
+        min(col("o_totalprice")).as("pmin"),
+        max(col("o_totalprice")).as("pmax"))
+      val state = partial(orders.filter(col("o_orderdate") < cut))
+      val delta = partial(orders.filter(col("o_orderdate") >= cut))
+      state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("pn")).as("n_orders"),
+          sum(col("ps")).as("ts"),
+          min(col("pmin")).as("min_price"),
+          max(col("pmax")).as("max_price"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("ts").cast("double").as("total_price"),
+          col("min_price"), col("max_price"),
+          (col("ts").cast("double") / col("n_orders")).as("avg_price"))
+        .orderBy("o_orderpriority")
+    },
   )
 }
