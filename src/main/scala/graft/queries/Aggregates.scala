@@ -401,10 +401,16 @@ object Aggregates {
         .groupBy("o_custkey")
         .agg(Det.dsum(col("o_totalprice")).as("monetary"))
         .staged
+      // limit(1): semantically a no-op (each threshold is exactly one
+      // row) but it pins the Catalyst size ESTIMATE to one row — the
+      // raw plan's estimate compounds through the edge computation's
+      // joins/windows into the GiB range, and with GraftExtensions
+      // installed the BroadcastGuard would (correctly, per its
+      // contract) strip the broadcast hint and leave a cartesian
       val t90 = Binning.equalFrequencyEdges(cm, "monetary", 10, 50000.0)
-        .filter(col("edge_idx") === 9).select(col("edge").as("t90"))
+        .filter(col("edge_idx") === 9).select(col("edge").as("t90")).limit(1)
       val t99 = Binning.equalFrequencyEdges(cm, "monetary", 100, 50000.0)
-        .filter(col("edge_idx") === 99).select(col("edge").as("t99"))
+        .filter(col("edge_idx") === 99).select(col("edge").as("t99")).limit(1)
       val dm = col("monetary").cast(DecimalType(18, 2))
       cm.crossJoin(broadcast(t90)).crossJoin(broadcast(t99))
         .agg(
