@@ -70,6 +70,11 @@ class PlanShapeSpec extends AnyFunSuite {
   private val skip = Set("q_pipeline_run")
 
   test("no CartesianProduct anywhere; BNLJ only on the scalar allowlist") {
+    // audit under the PRODUCTION config: with GraftExtensions installed
+    // the BroadcastGuard participates in planning, so a query whose
+    // broadcast hint only survives on naive estimates fails HERE, not in
+    // a user's session (idempotent; caught a_revenue_concentration once)
+    graft.expressions.GraftFunctions.register(spark)
     val offenders = SparkEntry.allDefs.filterNot(q => skip(q.name)).flatMap { q =>
       val plan = q.run(spark, sf).queryExecution.sparkPlan.toString
       val bad = Seq(
