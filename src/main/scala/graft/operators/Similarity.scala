@@ -58,6 +58,24 @@ object Similarity {
       .select(col(idCol), col("cosine"))
   }
 
+  /** Maximum-inner-product top-k: rank by the RAW dot product, no norm —
+    * the retrieval scoring for embeddings trained with inner-product
+    * objectives (two-tower recommenders), where a vector's magnitude IS
+    * part of its relevance and cosine's normalization would erase it.
+    * Same broadcast-query scan shape as [[bruteForceTopK]]; at corpus
+    * scale the IVF cell restriction composes in front identically. */
+  def mipsTopK(vectors: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    vectors
+      .crossJoin(broadcast(query))
+      .withColumn("score",
+        Det.roundN(GraftFunctions.dot_product(col(embCol), col("q_emb")), 6))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Assign each vector to its nearest centroid (broadcast codebook).
     * Returns the input plus `cell` (centroid id). */
   def assignCells(vectors: DataFrame, centroids: DataFrame,

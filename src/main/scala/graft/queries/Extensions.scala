@@ -1133,6 +1133,25 @@ object Extensions {
       Similarity.bruteForceTopK(emb, q, 11)
     },
 
+    // Maximum-inner-product retrieval: rank by RAW dot product (no norm)
+    // — the scoring for inner-product-trained embeddings, where
+    // magnitude carries relevance and cosine would erase it. Same
+    // broadcast-query scan as sim_bruteforce_topk; list_dot_product is
+    // the whole oracle.
+    QueryDef.sql(
+      "sim_mips_topk",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  ${roundN("list_dot_product(emb, qe)", 6)} AS score
+         |FROM e, q
+         |ORDER BY score DESC, vec_id LIMIT 11""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      Similarity.mipsTopK(emb, q, 11)
+    },
+
     // Oracle re-derives the whole IVF computation in SQL: argmax-centroid
     // assignment (sim DESC, cell ASC tiebreak = the operator's max_by),
     // nProbe=4 cell restriction, cosine top-11.

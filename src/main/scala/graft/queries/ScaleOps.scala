@@ -609,6 +609,33 @@ object ScaleOps {
             col("o_orderpriority").asc_nulls_first)
     },
 
+    // CUBE: all four grouping sets in one pass — ROLLUP's lattice
+    // completion (adds the priority-only marginals a ROLLUP skips), the
+    // shape cross-tab reporting wants. Still one shuffle: Spark expands
+    // the sets map-side and aggregates once.
+    QueryDef.sql(
+      "a_cube_sets",
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+         |  COUNT(*) AS n_orders,
+         |  ${Det.dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+         |         o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+            count(lit(1)).as("n_orders"),
+            Det.dsum(col("o_totalprice")).as("total_price"))
+          .orderBy(col("g_status"), col("g_priority"),
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+    },
+
     // As-of join (time-series enrichment Spark lacks natively): every
     // event picks the customer's most recent order at or before the event
     // time. Right side deduped to one row per (key, ts) so the match is

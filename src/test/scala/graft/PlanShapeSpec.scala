@@ -62,6 +62,8 @@ class PlanShapeSpec extends AnyFunSuite {
                               // relation
     "j_fuzzy_lookup",         // short-probe x short-dict fallback bucket
                               // (alphabet-bounded, same as j_fuzzy_join)
+    "sim_mips_topk",          // broadcast 1-row query vector (same shape
+                              // as sim_bruteforce_topk)
     "a_grouped_deciles")      // per-group count x rank-index broadcast
                               // (groups x (k-1) rows)
 
