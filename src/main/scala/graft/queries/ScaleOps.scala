@@ -1195,6 +1195,54 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Per-node clustering coefficient: 2·triangles / (deg·(deg−1)) —
+    // the normalized form of g_triangle_count (a node's neighborhood
+    // density on a 0..1 scale). The oracle reuses triangleCountsSql's
+    // CTE chain, whose `deg` CTE carries exactly the undirected simple
+    // degree the formula needs.
+    QueryDef.sql(
+      "g_clustering_coeff",
+      s"""WITH nd AS (SELECT doc_id FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM nd),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+         |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |${Graph.triangleCountsSql("doc_id")}
+         |SELECT tc.id AS doc_id, triangles,
+         |  COALESCE(deg.d, 0) AS degree,
+         |  ${Det.roundNSql(
+            "CASE WHEN COALESCE(deg.d, 0) >= 2 " +
+              "THEN 2.0 * triangles / (deg.d * (deg.d - 1)) ELSE 0.0 END",
+            6)} AS clustering
+         |FROM tc LEFT JOIN deg ON deg.v = tc.id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+        .staged
+      val canon = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = canon.union(canon.select(col("b"), col("a")))
+        .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("degree"))
+      Graph.triangleCounts(docs, edges, "doc_id")
+        .join(deg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("triangles"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          Det.roundN(
+            when(coalesce(col("degree"), lit(0L)) >= 2,
+              lit(2.0) * col("triangles") /
+                (col("degree") * (col("degree") - 1)))
+              .otherwise(0.0), 6).as("clustering"))
+        .orderBy("doc_id")
+    },
+
     // Common-neighbor link prediction over the same link graph: top-100
     // non-adjacent pairs by shared-neighbor count (ties → smallest pair).
     // One wedge self-join on the center node + an anti-join against the
@@ -1749,6 +1797,65 @@ object ScaleOps {
           "tsu", "cand_tsu", "cand_id", Seq("cand_id", "cand_type"))
         .select("event_id", "cand_id", "cand_type", "nearest_diff")
         .orderBy("event_id")
+    },
+
+    // Rolling 7-day Pearson correlation between the click and purchase
+    // daily series — "are these metrics moving together this week".
+    // All five frame moments (Σx, Σy, Σx², Σy², Σxy) run in exact
+    // decimals (19,6 operands on the DuckDB side for int128 backing, cf.
+    // w_rolling_zscore), so r derives from identical doubles. The window
+    // is global but calendar-bounded (≤ days-in-range rows) — the
+    // documented bounded-cardinality exception.
+    QueryDef.sql(
+      "w_rolling_corr",
+      s"""WITH cx AS (
+         |  SELECT CAST(ts AS DATE) AS day, ${Det.dsumSql("value", 6)} AS x
+         |  FROM events WHERE event_type = 'click' GROUP BY 1),
+         |cy AS (
+         |  SELECT CAST(ts AS DATE) AS day, ${Det.dsumSql("value", 6)} AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |xy AS (SELECT cx.day AS day, x, y FROM cx JOIN cy ON cx.day = cy.day),
+         |m AS (
+         |  SELECT day, x, y,
+         |    COUNT(*) OVER fr AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) OVER fr AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) OVER fr AS DOUBLE) AS syy,
+         |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) OVER fr AS DOUBLE) AS sxy
+         |  FROM xy
+         |  WINDOW fr AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT day, x, y,
+         |  ${Det.roundNSql(
+            "CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 " +
+              "THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END",
+            6)} AS corr7
+         |FROM m
+         |ORDER BY day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, d)
+      def daily(t: String, as: String) = ev.filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(Det.dsum(col("value"), 6).as(as))
+      val xy = daily("click", "x").join(daily("purchase", "y"), Seq("day"))
+      val fr = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      def d18(c: String) = col(c).cast(DecimalType(18, 6))
+      def d19(c: String) = col(c).cast(DecimalType(19, 6))
+      val m = xy
+        .withColumn("n", count(lit(1)).over(fr))
+        .withColumn("sx", sum(d18("x")).over(fr).cast("double"))
+        .withColumn("sy", sum(d18("y")).over(fr).cast("double"))
+        .withColumn("sxx", sum(d19("x") * d19("x")).over(fr).cast("double"))
+        .withColumn("syy", sum(d19("y") * d19("y")).over(fr).cast("double"))
+        .withColumn("sxy", sum(d19("x") * d19("y")).over(fr).cast("double"))
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      m.withColumn("corr7", Det.roundN(
+          when(col("n") > 1 && dx > 0 && dy > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(dx) * sqrt(dy))), 6))
+        .select("day", "x", "y", "corr7")
+        .orderBy("day")
     },
 
     // Day-of-week seasonality index per event type: mean daily total on
