@@ -1858,6 +1858,78 @@ object ScaleOps {
         .orderBy("day")
     },
 
+    // Autocorrelation function (lags 1..7) of each type's daily series —
+    // "does today predict next week": the seasonality diagnostic behind
+    // the dow index. r_k decomposes into exact decimal sums
+    // (Σx_t·x_{t−k}, Σx_t, Σx_{t−k}, Σx², n) combined in identical
+    // double arithmetic — no order-dependent Σ(x−x̄)² anywhere, so the
+    // statistic hash-checks. Lag pairing is a constant-fanout (×7)
+    // self-equi-join on the shifted date, not 7 window passes.
+    QueryDef.sql(
+      "w_autocorrelation", {
+        val sx = "CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)"
+        s"""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    ${Det.dsumSql("value", 6)} AS x
+           |  FROM events GROUP BY 1, 2),
+           |st AS (
+           |  SELECT event_type, COUNT(*) AS n, $sx / COUNT(*) AS meanv,
+           |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sq
+           |  FROM daily GROUP BY 1),
+           |lj AS (
+           |  SELECT d1.event_type, k.k, d1.x AS xt, d2.x AS xl
+           |  FROM daily d1
+           |  JOIN (SELECT unnest(range(1, 8)) AS k) k ON TRUE
+           |  JOIN daily d2 ON d2.event_type = d1.event_type
+           |    AND d2.day = d1.day - CAST(k.k AS INTEGER)),
+           |agg AS (
+           |  SELECT event_type, k, COUNT(*) AS m,
+           |    CAST(SUM(CAST(xt AS DECIMAL(18,6))) AS DOUBLE) AS sxt,
+           |    CAST(SUM(CAST(xl AS DECIMAL(18,6))) AS DOUBLE) AS sxl,
+           |    CAST(SUM(CAST(xt AS DECIMAL(19,6)) * CAST(xl AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+           |  FROM lj GROUP BY 1, 2)
+           |SELECT a.event_type AS event_type, CAST(k AS INT) AS lag, m AS n_pairs,
+           |  ${Det.roundNSql(
+            "(sxy - meanv * (sxt + sxl) + m * meanv * meanv) / (sq - n * meanv * meanv)",
+            6)} AS acf
+           |FROM agg a JOIN st ON a.event_type = st.event_type
+           |ORDER BY event_type, lag""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Det.dsum(col("value"), 6).as("v"))
+        .staged
+      def d18(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+      def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 6))
+      val st = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        (sum(d18(col("v"))).cast("double") / count(lit(1))).as("meanv"),
+        sum(d19(col("v")) * d19(col("v"))).cast("double").as("sq"))
+      val lags = s.range(1, 8).toDF("lag")
+      val shifted = daily.crossJoin(broadcast(lags))
+        .select(col("event_type"),
+          date_add(col("day"), col("lag").cast("int")).as("day"),
+          col("lag"), col("v").as("xl"))
+      val joined = daily.select(col("event_type"), col("day"),
+          col("v").as("xt"))
+        .join(shifted, Seq("event_type", "day"))
+      val agg = joined.groupBy("event_type", "lag").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(d18(col("xt"))).cast("double").as("sxt"),
+        sum(d18(col("xl"))).cast("double").as("sxl"),
+        sum(d19(col("xt")) * d19(col("xl"))).cast("double").as("sxy"))
+      agg.join(broadcast(st), Seq("event_type"))
+        .select(col("event_type"), col("lag").cast("int").as("lag"),
+          col("n_pairs"),
+          Det.roundN(
+            (col("sxy") - col("meanv") * (col("sxt") + col("sxl")) +
+              col("n_pairs") * col("meanv") * col("meanv")) /
+              (col("sq") - col("n") * col("meanv") * col("meanv")), 6)
+            .as("acf"))
+        .orderBy("event_type", "lag")
+    },
+
     // Day-of-week seasonality index per event type: mean daily total on
     // each weekday vs the overall daily mean — the classic seasonal
     // profile (index > 1 ⇒ that weekday runs hot). Two cascaded

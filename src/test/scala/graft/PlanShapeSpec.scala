@@ -64,6 +64,8 @@ class PlanShapeSpec extends AnyFunSuite {
                               // (alphabet-bounded, same as j_fuzzy_join)
     "sim_mips_topk",          // broadcast 1-row query vector (same shape
                               // as sim_bruteforce_topk)
+    "w_autocorrelation",      // broadcast 7-row lag relation onto the
+                              // daily series (constant fanout)
     "a_grouped_deciles")      // per-group count x rank-index broadcast
                               // (groups x (k-1) rows)
 
