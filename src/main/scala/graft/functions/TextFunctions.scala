@@ -300,4 +300,57 @@ object TextFunctions {
           - when(awl < 3.0 || awl > 12.0, 20).otherwise(0)
           - when(col("stop_hits") === 0, 20).otherwise(0)).as("quality_score")): _*)
   }
+
+  /** BM25 keyword-search ranking (Robertson k1/b saturation), log-free.
+    *
+    * Classic BM25 multiplies a log-IDF into the saturated-TF term; `ln` is
+    * a libm call whose last-ulp behavior differs across engines, so — like
+    * [[tfidfKeywords]] and [[lmScore]] — this uses the monotone rational
+    * IDF `(N - df + 0.5) / (df + 0.5) + 1` instead: same per-term document
+    * ordering, bit-identical across engines, so the whole ranking stays
+    * oracle-checkable. Per-term scores round to 6 places and sum as
+    * DECIMAL, making each document's score order-independent.
+    *
+    * Shape at scale: one explode over the corpus; the query-term filter
+    * prunes the (doc, term) relation to |Q| terms BEFORE any join; doc
+    * lengths are one narrow aggregate; df and the corpus stats are tiny
+    * broadcasts. Text bytes never cross an exchange — only (id, term,
+    * count) rows shuffle, and the final ranking is a TakeOrdered, not a
+    * global sort.
+    */
+  def bm25Search(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    // staged once: the exploded terms feed both doc-length and tf
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .staged
+    val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val tf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .staged
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    // constants are computed ONCE here and interpolated into the oracle SQL
+    // by the caller (bm25ConstSql) so both engines parse identical doubles
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+      lit(1.0)
+    val rel = (col("dl") * col("n_docs")) / col("total_len")
+    val score = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * rel))
+    tf.join(dl, idCol)
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", Det.roundN(score, 6))
+      .groupBy(col(idCol))
+      .agg(Det.dsum(col("__s"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+  }
+
+  /** The oracle-side per-term BM25 score expression, with the SAME Scala
+    * doubles interpolated (Double.toString round-trips, so DuckDB parses
+    * the identical IEEE values Spark's literals hold). */
+  def bm25ScoreSql(k1: Double = 1.2, b: Double = 0.75): String =
+    s"((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${k1 + 1.0}) / " +
+      s"(tf + $k1 * (${1.0 - b} + $b * (dl * n_docs) / total_len))"
 }

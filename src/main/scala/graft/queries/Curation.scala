@@ -942,5 +942,31 @@ object Curation {
           "r_score", "f_score", "m_score", "segment")
         .orderBy("c_custkey")
     },
+
+    // BM25 keyword search: the standard IR ranking a data-curation stack
+    // uses to pull topical subsets out of a 100 TB corpus ("give me the
+    // top-k docs about X"). Log-free rational IDF keeps the ranking
+    // hash-checkable (see TextFunctions.bm25Search); tf saturation (k1)
+    // and length normalization (b) are real BM25.
+    QueryDef.sql(
+      "t_bm25_search",
+      raw"""WITH t AS (
+         |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+         |       WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    ${roundN(TextFunctions.bm25ScoreSql(), 6)} AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st)
+         |SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+         |  COUNT(*) AS n_terms
+         |FROM sc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      TextFunctions.bm25Search(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("spark", "vector", "stream"), k = 20)
+    },
   )
 }
