@@ -1448,6 +1448,43 @@ object Extensions {
         .limit(11)
     },
 
+    // Binary (sign-bit) quantization + Hamming-candidate search — the
+    // bottom rung of the float → int8 → 1-bit ladder: 32 sign bits per
+    // BIGINT word in a (vec_id, word_idx, word) relation, popcount(XOR)
+    // ranking over the tiny signature store, exact-cosine rerank over the
+    // 50-candidate pool only. Word values are sums of distinct powers of
+    // two (exact integers), so the whole quantize → Hamming-rank → rerank
+    // path is hash-verified. 32-bit words, not 64: bit 63 overflows
+    // DuckDB's checked `<<`, and the signature relation's contract is
+    // that any engine can recompute it.
+    QueryDef.sql(
+      "sim_binary_hamming",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+         |dims AS (
+         |  SELECT vec_id, generate_subscripts(emb, 1) - 1 AS dim,
+         |         unnest(emb) AS x
+         |  FROM e),
+         |words AS (
+         |  SELECT vec_id, CAST(dim // 32 AS INT) AS word_idx,
+         |    CAST(SUM(CASE WHEN x > 0 THEN (1::BIGINT << CAST(dim % 32 AS INT))
+         |             ELSE 0::BIGINT END) AS BIGINT) AS word
+         |  FROM dims GROUP BY 1, 2),
+         |qw AS (SELECT word_idx, word AS q_word FROM words WHERE vec_id = 0),
+         |ham AS (
+         |  SELECT w.vec_id,
+         |    CAST(SUM(bit_count(xor(w.word, qw.q_word))) AS BIGINT) AS hamming
+         |  FROM words w JOIN qw USING (word_idx) GROUP BY 1),
+         |cand AS (SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT 50)
+         |SELECT c.vec_id, c.hamming, ${roundN(cosSql("e.emb", "qe"), 6)} AS cosine
+         |FROM cand c JOIN e USING (vec_id) CROSS JOIN q
+         |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      graft.operators.Quantize.hammingTopK(emb, q, k = 11, pool = 50)
+    },
+
     // Per-label embedding centroids — the pooling aggregate behind class
     // prototypes, cluster summaries, and mean-pooled doc embeddings:
     // posexplode to (label, dim, x), decimal-summed per-dim means, long
