@@ -408,4 +408,73 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Maximal-marginal-relevance diverse top-k — the curation-side answer
+    * to "don't hand the model k near-copies of the best document": greedy
+    * selection over a bounded ANN candidate pool, each step picking
+    *
+    *   argmax_d  λ·rel(d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    *
+    * (Carbonell & Goldstein, SIGIR'98). The exponential-cost part of MMR
+    * is only over the POOL, never the corpus: relevance comes from any
+    * top-`poolSize` retrieval (here the brute-force scan; IVF composes in
+    * front identically), and the pool's pairwise-cosine matrix is
+    * poolSize² rows — constant-bounded, computed once via a constant-key
+    * equi-join (a hash join, not a cartesian) and staged. The k greedy
+    * rounds are then joins over ≤ poolSize-row relations: at 100 TB the
+    * corpus is touched exactly once, by the retrieval scan.
+    *
+    * Every similarity is pinned to 6 decimals before the greedy compares
+    * scores (ties broken by id), so the selection trajectory — not just
+    * the final scores — is engine-reproducible; the DuckDB oracle replays
+    * the identical k steps as unrolled CTEs.
+    *
+    * Returns (idCol, rank 1..k, mmr) in selection order. */
+  def mmrDiverseTopK(vectors: DataFrame, query: DataFrame, k: Int,
+      poolSize: Int, lambda: Double = 0.7, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= poolSize, s"k=$k poolSize=$poolSize")
+    GraftFunctions.register(vectors.sparkSession)
+    val pool = vectors
+      .crossJoin(broadcast(query))
+      .withColumn("rel",
+        Det.roundN(GraftFunctions.cosine_sim(col(embCol), col("q_emb")), 6))
+      .orderBy(desc("rel"), col(idCol))
+      .limit(poolSize)
+      .select(col(idCol), col("rel"), col(embCol))
+      .staged
+    // poolSize² pairwise cosines via a constant-key hash join (both sides
+    // bounded); NOT a BNLJ — PlanShapeSpec's discipline
+    val a = pool.select(col(idCol).as("__ia"), col(embCol).as("__ea"),
+      lit(1).as("__k"))
+    val b = pool.select(col(idCol).as("__ib"), col(embCol).as("__eb"),
+      lit(1).as("__k"))
+    val pairSims = a.join(b, Seq("__k")).filter(col("__ia") =!= col("__ib"))
+      .select(col("__ia"), col("__ib"),
+        Det.roundN(GraftFunctions.cosine_sim(col("__ea"), col("__eb")), 6)
+          .as("sim"))
+      .staged
+    val poolSlim = pool.select(col(idCol), col("rel"))
+    var selected = poolSlim
+      .orderBy(desc("rel"), col(idCol)).limit(1)
+      .select(col(idCol), lit(1).as("rank"),
+        (lit(lambda) * col("rel")).as("mmr"))
+    for (r <- 2 to k) {
+      val selIds = selected.select(col(idCol))
+      val maxSim = pairSims
+        .join(selIds.withColumnRenamed(idCol, "__ib"), Seq("__ib"))
+        .groupBy(col("__ia")).agg(max(col("sim")).as("__ms"))
+      val pick = poolSlim
+        .join(selIds, Seq(idCol), "left_anti")
+        .join(maxSim.withColumnRenamed("__ia", idCol), Seq(idCol), "left")
+        .withColumn("mmr", lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * coalesce(col("__ms"), lit(0.0)))
+        .orderBy(desc("mmr"), col(idCol))
+        .limit(1)
+        .select(col(idCol), lit(r).as("rank"), col("mmr"))
+      selected = selected.union(pick).staged
+    }
+    selected.select(col(idCol), col("rank"), Det.roundN(col("mmr"), 6).as("mmr"))
+      .orderBy(col("rank"))
+  }
 }

@@ -1485,6 +1485,53 @@ object Extensions {
       graft.operators.Quantize.hammingTopK(emb, q, k = 11, pool = 50)
     },
 
+    // MMR diverse top-k: greedy maximal-marginal-relevance selection of 8
+    // diverse results from the 30-candidate retrieval pool (λ=0.7). Sims
+    // pinned to 6 decimals before every comparison, id tiebreaks — so the
+    // oracle can replay the EXACT selection trajectory as 8 unrolled CTE
+    // steps (NOT-IN the previous selection, correlated MAX over its
+    // pairwise sims). The 1−λ literal is interpolated from the same Scala
+    // double (1.0-0.7 != 0.3 in IEEE), keeping score arithmetic
+    // bit-identical across engines.
+    QueryDef.sql(
+      "sim_mmr_diverse", {
+        val lam = 0.7
+        val steps = (2 to 8).map { n =>
+          s"""s$n AS (
+             |  SELECT p.vec_id, $n AS sel_rank,
+             |    $lam * p.rel - ${1.0 - lam} * COALESCE((
+             |      SELECT MAX(sim) FROM ps WHERE ps.ia = p.vec_id
+             |        AND ps.ib IN (SELECT vec_id FROM sel${n - 1})), 0.0) AS mmr
+             |  FROM pool p
+             |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
+             |  ORDER BY mmr DESC, p.vec_id LIMIT 1),
+             |sel$n AS MATERIALIZED (
+             |  SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM s$n)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+           |pool AS MATERIALIZED (
+           |  SELECT vec_id, ${roundN(cosSql("emb", "qe"), 6)} AS rel, emb
+           |  FROM e CROSS JOIN q ORDER BY rel DESC, vec_id LIMIT 30),
+           |ps AS MATERIALIZED (
+           |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+           |    ${roundN(cosSql("a.emb", "b.emb"), 6)} AS sim
+           |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+           |sel1 AS (
+           |  SELECT vec_id, 1 AS sel_rank, $lam * rel AS mmr
+           |  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+           |$steps
+           |SELECT vec_id, sel_rank, ${roundN("mmr", 6)} AS mmr
+           |FROM sel8 ORDER BY sel_rank""".stripMargin
+      }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      Similarity.mmrDiverseTopK(emb, q, k = 8, poolSize = 30, lambda = 0.7)
+        .withColumnRenamed("rank", "sel_rank")
+    },
+
     // Per-label embedding centroids — the pooling aggregate behind class
     // prototypes, cluster summaries, and mean-pooled doc embeddings:
     // posexplode to (label, dim, x), decimal-summed per-dim means, long
