@@ -477,4 +477,52 @@ object Similarity {
     selected.select(col(idCol), col("rank"), Det.roundN(col("mmr"), 6).as("mmr"))
       .orderBy(col("rank"))
   }
+
+  /** Simplified (centroid-based) silhouette — the clustering-quality
+    * gate for the IVF/SemDeDup partition: for each vector, with cosine
+    * distance d = 1 − cos to every centroid,
+    *
+    *   a = d(x, nearest centroid)   (its own cell)
+    *   b = min over OTHER cells of d(x, c)
+    *   s = (b − a) / max(a, b)      (0 when both distances are 0)
+    *
+    * — the O(N·cells) variant of silhouette (full silhouette is
+    * O(N²) pairwise and dies at scale; centroid distances are the
+    * standard proxy, cf. the "simplified silhouette" of Hruschka et al.).
+    * Mean s per cell ≈ how separated that cell is; s near 0 across the
+    * board (as on this synthetic near-uniform fixture) says the
+    * clustering is carrying no structure — exactly the signal a curation
+    * pipeline needs before trusting SemDeDup cell-local decisions.
+    *
+    * Shape: one broadcast-codebook scan, a 16-row-per-vector window, one
+    * aggregate. Distances pinned to 6 decimals pre-comparison; means are
+    * decimal-summed — fully oracle-replayable.
+    *
+    * Returns (cell, n_members, mean_silhouette) by cell. */
+  def silhouetteByCell(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val scored = vectors
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d",
+        Det.roundN(lit(1.0) - GraftFunctions.cosine_sim(col(embCol), col("c_emb")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cell"))
+    val perVec = scored
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        min(when(col("__rn") === 1, col("__d"))).as("a"),
+        min(when(col("__rn") === 1, col("cell"))).as("cell"),
+        min(when(col("__rn") > 1, col("__d"))).as("b"))
+    perVec
+      .withColumn("sil", Det.roundN(
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(0.0), 6))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("sil").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double") / count(col("sil"))).as("mean_silhouette"))
+      .orderBy(col("cell"))
+  }
 }

@@ -1532,6 +1532,41 @@ object Extensions {
         .withColumnRenamed("rank", "sel_rank")
     },
 
+    // Simplified (centroid-based) silhouette over the 16-cell IVF
+    // partition — clustering-quality QC: a = distance to own centroid,
+    // b = min distance to any other, s = (b−a)/max(a,b), mean per cell.
+    // O(N·cells), never O(N²); distances pinned to 6 decimals, means
+    // decimal-summed, so the oracle replays it exactly.
+    QueryDef.sql(
+      "sim_silhouette",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+         |d AS (
+         |  SELECT e.vec_id, c.cell,
+         |    ${roundN(s"1.0 - (${cosSql("e.emb", "c.ce")})", 6)} AS dd
+         |  FROM e CROSS JOIN cent c),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+         |  FROM d),
+         |pv AS (
+         |  SELECT vec_id,
+         |    MIN(CASE WHEN rn = 1 THEN dd END) AS a,
+         |    MIN(CASE WHEN rn = 1 THEN cell END) AS cell,
+         |    MIN(CASE WHEN rn > 1 THEN dd END) AS b
+         |  FROM r GROUP BY 1),
+         |s AS (
+         |  SELECT cell,
+         |    ${roundN("CASE WHEN GREATEST(a, b) > 0 THEN (b - a) / GREATEST(a, b) ELSE 0.0 END", 6)} AS sil
+         |  FROM pv)
+         |SELECT cell, COUNT(*) AS n_members,
+         |  CAST(SUM(CAST(sil AS DECIMAL(18,9))) AS DOUBLE) / COUNT(sil) AS mean_silhouette
+         |FROM s GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      Similarity.silhouetteByCell(emb, centroids)
+    },
+
     // Per-label embedding centroids — the pooling aggregate behind class
     // prototypes, cluster summaries, and mean-pooled doc embeddings:
     // posexplode to (label, dim, x), decimal-summed per-dim means, long
