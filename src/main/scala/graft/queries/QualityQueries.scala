@@ -180,5 +180,54 @@ object QualityQueries {
             .as("is_outlier"))
         .orderBy("event_id")
     },
+
+    // Benford first-significant-digit forensics over order totals — the
+    // classic fabricated-data / unit-mixing screen: natural multi-scale
+    // money amounts follow P(d) = log10(1 + 1/d); a synthetic-uniform or
+    // truncated source deviates loudly. Digit extraction is string-based
+    // (FLOOR first: DuckDB CAST(double AS BIGINT) rounds, Spark
+    // truncates) and the nine expected frequencies are interpolated from
+    // the SAME Scala doubles into both programs, so every downstream
+    // IEEE op (freqs, χ² terms) is bit-identical. One hash-aggregate +
+    // a 1-row broadcast total; 9-row output at any corpus size.
+    QueryDef.sql(
+      "a_benford_digits", {
+        val exp = (1 to 9).map(dd => dd -> math.log10(1 + 1.0 / dd))
+        val expCase = exp.map { case (dd, p) => s"WHEN $dd THEN $p" }
+          .mkString(" ")
+        s"""WITH digits AS (
+           |  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           |  FROM orders WHERE o_totalprice > 0),
+           |counts AS (
+           |  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+           |tot AS (SELECT COUNT(*) AS total FROM digits)
+           |SELECT c.digit, c.n,
+           |  ${Det.roundNSql("c.n / CAST(t.total AS DOUBLE)", 9)} AS obs_freq,
+           |  ${Det.roundNSql(s"CASE c.digit $expCase END", 9)} AS exp_freq,
+           |  ${Det.roundNSql(
+               s"POWER(c.n - t.total * (CASE c.digit $expCase END), 2)" +
+                 s" / (t.total * (CASE c.digit $expCase END))", 6)} AS chi2_term
+           |FROM counts c CROSS JOIN tot t
+           |ORDER BY c.digit""".stripMargin
+      }) { (s, d) =>
+      val exp = (1 to 9).map(dd => dd -> math.log10(1 + 1.0 / dd))
+      val expCol = exp.foldLeft(lit(null).cast("double")) {
+        case (acc, (dd, p)) => when(col("digit") === dd, lit(p)).otherwise(acc)
+      }
+      val digits = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("exp_freq_raw", expCol)
+        .select(col("digit"), col("n"),
+          Det.roundN(col("n") / col("total").cast("double"), 9).as("obs_freq"),
+          Det.roundN(col("exp_freq_raw"), 9).as("exp_freq"),
+          Det.roundN(pow(col("n") - col("total") * col("exp_freq_raw"), 2)
+            / (col("total") * col("exp_freq_raw")), 6).as("chi2_term"))
+        .orderBy("digit")
+    },
   )
 }
