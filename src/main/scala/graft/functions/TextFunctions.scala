@@ -56,6 +56,19 @@ object TextFunctions {
 
   def hasLinks(text: Column): Column = text.rlike("https?://")
 
+  /** Sentence count: runs of terminal punctuation (`[.!?]+` so "?!" or
+    * "..." end ONE sentence). Floor of 1 applied at the formula site. */
+  def sentenceCount(text: Column): Column =
+    regexp_count(text, lit("[.!?]+")).cast("long")
+
+  /** Syllable estimate: vowel-group runs `[aeiouy]+` over the lowercased
+    * text — the standard dictionary-free heuristic. Runs can't span
+    * whitespace (a space is no vowel), so counting over the whole text
+    * equals summing per word; single simple character class keeps Java
+    * and RE2 regex semantics identical. */
+  def syllableCount(text: Column): Column =
+    regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+
   /** Document quality score (0-100): penalties for too-short docs, heavy
     * punctuation, degenerate word lengths, and no stopwords (word-salad
     * signal). Same additive-penalty shape as the reference's quality scores

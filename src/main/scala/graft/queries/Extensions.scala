@@ -195,6 +195,50 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Flesch-Kincaid readability — the grade-level filter a pretraining
+    // mix uses to stratify by difficulty (and to spot OCR sludge: absurd
+    // grades mean broken sentence structure). Dictionary-free syllables =
+    // vowel-group runs; sentences = terminal-punctuation runs; both
+    // single-character-class regexes where Java and RE2 agree. Ratios are
+    // plain IEEE from identical integers, formula constants are identical
+    // literals — only the two ratio divisions are rounded (6) at output.
+    QueryDef.sql(
+      "t_readability",
+      raw"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(str_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+         |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         |    CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (
+         |  SELECT doc_id, n_words, n_sentences, n_syllables,
+         |    n_words * 1.0 / n_sentences AS wps,
+         |    n_syllables * 1.0 / GREATEST(n_words, 1) AS spw
+         |  FROM f)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  ${roundN("0.39 * wps + 11.8 * spw - 15.59", 6)} AS fk_grade,
+         |  ${roundN("206.835 - 1.015 * wps - 84.6 * spw", 6)} AS reading_ease
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("n_words"),
+          greatest(TextFunctions.sentenceCount(col("text")), lit(1L))
+            .as("n_sentences"),
+          greatest(TextFunctions.syllableCount(col("text")), lit(1L))
+            .as("n_syllables"))
+        .withColumn("wps", col("n_words") * lit(1.0) / col("n_sentences"))
+        .withColumn("spw",
+          col("n_syllables") * lit(1.0) / greatest(col("n_words"), lit(1L)))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          Det.roundN(lit(0.39) * col("wps") + lit(11.8) * col("spw")
+            - lit(15.59), 6).as("fk_grade"),
+          Det.roundN(lit(206.835) - lit(1.015) * col("wps")
+            - lit(84.6) * col("spw"), 6).as("reading_ease"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.sql(
       "t_text_quality",
       raw"""WITH f AS (
