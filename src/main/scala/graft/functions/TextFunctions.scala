@@ -366,4 +366,35 @@ object TextFunctions {
   def bm25ScoreSql(k1: Double = 1.2, b: Double = 0.75): String =
     s"((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${k1 + 1.0}) / " +
       s"(tf + $k1 * (${1.0 - b} + $b * (dl * n_docs) / total_len))"
+
+  /** Exact phrase search over a POSITIONAL inverted index — what BM25's
+    * bag-of-words postings can't answer ("value table" as adjacent
+    * tokens, not co-occurrence). The index is (id, pos, token); an
+    * n-word phrase is n−1 equi-joins on (id, pos + offset) — each side
+    * pre-filtered to ITS phrase token, so only matching postings ever
+    * shuffle and the join is keyed, never positional-window. substring
+    * false-positives of LIKE-style matching can't occur: positions come
+    * from the same whitespace tokenizer as the rest of the text stack.
+    *
+    * Returns (idCol, n_matches, first_pos) for matching docs,
+    * match-count-ranked. */
+  def phraseSearch(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two tokens")
+    val postings = df
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .staged
+    val first = postings.filter(col("token") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matches = phrase.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (w, i)) =>
+        val nxt = postings.filter(col("token") === w)
+          .select(col(idCol), (col("pos") - lit(i + 1)).as("pos"))
+        acc.join(nxt, Seq(idCol, "pos"))
+    }
+    matches
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .orderBy(desc("n_matches"), col(idCol))
+  }
 }

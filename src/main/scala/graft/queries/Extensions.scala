@@ -195,6 +195,32 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Exact phrase search over a positional inverted index: the
+    // (id, pos, token) postings relation answers "value table" as
+    // ADJACENT tokens via an equi-join on (doc, pos+1) — each side
+    // pre-filtered to its phrase token, so only matching postings
+    // shuffle. The oracle derives positions with the identical
+    // tokenizer, so the index build is hash-verified, not approximated
+    // by LIKE.
+    QueryDef.sql(
+      "t_phrase_search",
+      raw"""WITH toks AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(str_split_regex(trim(lower(text)), '\s+'), 1) - 1 AS pos,
+         |    unnest(str_split_regex(trim(lower(text)), '\s+')) AS token
+         |  FROM documents),
+         |m AS (
+         |  SELECT a.doc_id, a.pos
+         |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.token = 'value' AND b.token = 'table')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |  MIN(pos) AS first_pos
+         |FROM m GROUP BY doc_id
+         |ORDER BY n_matches DESC, doc_id""".stripMargin) { (s, d) =>
+      TextFunctions.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+        Seq("value", "table"))
+    },
+
     // Flesch-Kincaid readability — the grade-level filter a pretraining
     // mix uses to stratify by difficulty (and to spot OCR sludge: absurd
     // grades mean broken sentence structure). Dictionary-free syllables =
