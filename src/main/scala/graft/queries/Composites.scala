@@ -223,5 +223,64 @@ object Composites {
         .select("c_mktsegment", "n_users", "avg_acctbal", "pct_of_total")
         .orderBy("c_mktsegment")
     },
+
+    // Golden-record survivorship merge — the MDM consolidation step: all
+    // records of an entity collapse to ONE profile, each field by its own
+    // survivorship rule (recency: last_event_type / last_value via
+    // (ts, event_id)-argmax; frequency: modal_event_type, count-then-
+    // alphabetical; aggregate: decimal total, min/max lifetimes). Every
+    // rule is a map-side-combinable aggregate or a per-entity window —
+    // one shuffle on the entity key, no field-by-field repeated scans.
+    // Ties are impossible (event_id unique) or broken explicitly, so
+    // the merged record is engine-reproducible.
+    QueryDef.sql(
+      "q_golden_record",
+      s"""WITH agg AS (
+         |  SELECT user_id, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+         |    COUNT(*) AS n_events
+         |  FROM events GROUP BY 1),
+         |lastev AS (
+         |  SELECT user_id, event_type AS last_event_type FROM (
+         |    SELECT user_id, event_type, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events) WHERE rn = 1),
+         |lastval AS (
+         |  SELECT user_id, value AS last_value FROM (
+         |    SELECT user_id, value, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE value IS NOT NULL) WHERE rn = 1),
+         |modal AS (
+         |  SELECT user_id, event_type AS modal_event_type FROM (
+         |    SELECT user_id, event_type, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+         |    FROM events GROUP BY user_id, event_type) WHERE rn = 1)
+         |SELECT a.user_id, first_seen, last_seen, last_event_type,
+         |  modal_event_type, last_value, total_value, n_events
+         |FROM agg a JOIN lastev USING (user_id) JOIN modal USING (user_id)
+         |  LEFT JOIN lastval USING (user_id)
+         |ORDER BY a.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val recency = struct(col("ts"), col("event_id"))
+      val agg = ev.groupBy("user_id").agg(
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"),
+        max_by(col("event_type"), recency).as("last_event_type"),
+        max_by(col("value"),
+          when(col("value").isNotNull, recency)).as("last_value"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total_value"),
+        count(lit(1)).as("n_events"))
+      val modal = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("user_id")
+        .agg(min_by(col("event_type"), struct(-col("__c"), col("event_type")))
+          .as("modal_event_type"))
+      agg.join(modal, Seq("user_id"))
+        .select(col("user_id"), col("first_seen"), col("last_seen"),
+          col("last_event_type"), col("modal_event_type"), col("last_value"),
+          col("total_value"), col("n_events"))
+        .orderBy("user_id")
+    },
   )
 }
