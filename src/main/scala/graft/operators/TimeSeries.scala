@@ -183,6 +183,73 @@ object TimeSeries {
         col("__z.__rows.v").as(valCol), col("__z.__cus").as("cusum"))
   }
 
+  /** Holt linear (double-exponential) smoothing per series — level +
+    * trend state, the minimal forecaster that tracks a drifting mean
+    * WITH its direction (plain EWMA lags a trending series forever):
+    *
+    *   l₁ = v₁, b₁ = 0
+    *   l_t = α·v_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * and the h-step forecast is l_T + h·b_T (the caller composes it from
+    * the last row). Like [[cusum]], the recursion is non-associative, so
+    * each calendar-bounded series folds in one `aggregate()` pass —
+    * state O(series length), parallel across keys. l_t appears twice in
+    * b_t's formula as the SAME subexpression, so both engines execute
+    * identical IEEE sequences; α/β and their complements must be
+    * interpolated from the same Scala doubles into the oracle
+    * ([[holtSql]]) — note 1.0−α ≠ the literal "0.7" in IEEE.
+    *
+    * Returns (key, date, v, level, trend). */
+  def holt(df: DataFrame, keyCol: String, dateCol: String, valCol: String,
+      alpha: Double, beta: Double): DataFrame = {
+    val (a, ca, be, cb) = (alpha, 1.0 - alpha, beta, 1.0 - beta)
+    val rows = df.groupBy(col(keyCol)).agg(
+      sort_array(collect_list(struct(
+        col(dateCol).as("d"), col(valCol).cast("double").as("v"))))
+        .as("__rows"))
+    rows
+      .withColumn("__hs", expr(
+        s"""aggregate(__rows, CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE>>),
+           |  (acc, r) -> acc || array(
+           |    CASE WHEN size(acc) = 0 THEN named_struct('l', r.v, 'b', CAST(0 AS DOUBLE))
+           |    ELSE named_struct(
+           |      'l', $a * r.v + $ca * (element_at(acc, -1).l + element_at(acc, -1).b),
+           |      'b', $be * (($a * r.v + $ca * (element_at(acc, -1).l + element_at(acc, -1).b))
+           |             - element_at(acc, -1).l) + $cb * element_at(acc, -1).b)
+           |    END))""".stripMargin))
+      .select(col(keyCol),
+        posexplode(arrays_zip(col("__rows"), col("__hs")))
+          .as(Seq("__i", "__z")))
+      .select(col(keyCol), col("__z.__rows.d").as(dateCol),
+        col("__z.__rows.v").as(valCol),
+        col("__z.__hs.l").as("level"), col("__z.__hs.b").as("trend"))
+  }
+
+  /** DuckDB mirror of [[holt]] as unrolled CTE steps. Expects CTE
+    * `dix(k, rn, d, v)` (rn = 1-based date-order index per key); ends in
+    * CTE `hs(k, rn, l, b)` covering every input row. α/β complements are
+    * Scala-computed then interpolated — identical doubles both engines. */
+  def holtSql(maxLen: Int, alpha: Double, beta: Double): String = {
+    require(maxLen >= 2 && maxLen <= 64, s"maxLen: $maxLen")
+    val (a, ca, be, cb) = (alpha, 1.0 - alpha, beta, 1.0 - beta)
+    val steps = (2 to maxLen).map { r =>
+      s"""h$r AS (
+         |  SELECT d.k, $r AS rn,
+         |    $a * d.v + $ca * (p.l + p.b) AS l,
+         |    $be * (($a * d.v + $ca * (p.l + p.b)) - p.l) + $cb * p.b AS b
+         |  FROM dix d JOIN h${r - 1} p ON p.k = d.k
+         |  WHERE d.rn = $r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to maxLen).map(r => s"SELECT k, rn, l, b FROM h$r")
+      .mkString("\n  UNION ALL ")
+    s"""h1 AS (SELECT k, 1 AS rn, v AS l, CAST(0 AS DOUBLE) AS b
+       |  FROM dix WHERE rn = 1),
+       |$steps,
+       |hs AS (
+       |  $unions)""".stripMargin
+  }
+
   /** DuckDB mirror of [[cusum]] as unrolled CTE steps. Expects CTEs
     * `ks(k)` (distinct keys) and `dix(k, rn, d, v, t)` (rn = 1-based
     * date-order index per key); ends in CTE `cus(k, rn, s)` covering

@@ -1328,6 +1328,79 @@ object ScaleOps {
         .orderBy("event_type", "day")
     },
 
+    // Holt double-exponential smoothing + 7-day forecast per daily
+    // series — the forecasting member of the family (EWMA tracks a
+    // level; Holt tracks level AND trend, so a drifting series is
+    // predicted, not chased). Non-associative recursion → one
+    // aggregate() fold per calendar-bounded series (the CUSUM shape);
+    // the oracle replays the identical IEEE trajectory as unrolled CTEs
+    // with the SAME interpolated α/β complements (1.0−0.3 is not the
+    // literal 0.7 in IEEE). Forecast rows extend each series h=1..7
+    // days past its end at level l_T + h·b_T.
+    QueryDef.sql(
+      "w_holt_forecast", {
+        val (al, be) = (0.3, 0.1)
+        s"""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    ${Det.dsumSql("value", 6)} AS v
+           |  FROM events GROUP BY 1, 2),
+           |dix AS (
+           |  SELECT event_type AS k,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+           |    day AS d, v
+           |  FROM daily),
+           |${graft.operators.TimeSeries.holtSql(31, al, be)},
+           |traj AS (
+           |  SELECT dix.k, dix.d AS day, dix.v, hs.l, hs.b,
+           |    FALSE AS is_forecast
+           |  FROM dix JOIN hs ON hs.k = dix.k AND hs.rn = dix.rn),
+           |lastr AS (SELECT k, MAX(rn) AS mx FROM dix GROUP BY k),
+           |le AS (
+           |  SELECT h.k, d.d AS last_day, h.l, h.b
+           |  FROM hs h JOIN lastr x ON h.k = x.k AND h.rn = x.mx
+           |  JOIN dix d ON d.k = h.k AND d.rn = x.mx),
+           |fc AS (
+           |  SELECT k, last_day + CAST(h AS INT) AS day, CAST(NULL AS DOUBLE) AS v,
+           |    l + h * b AS l, b, TRUE AS is_forecast
+           |  FROM le CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) hh),
+           |u AS (
+           |  SELECT * FROM traj UNION ALL SELECT * FROM fc)
+           |SELECT k AS event_type, day, v,
+           |  ${Det.roundNSql("l", 6)} AS level, ${Det.roundNSql("b", 6)} AS trend,
+           |  is_forecast
+           |FROM u ORDER BY event_type, day""".stripMargin
+      }) { (s, d) =>
+      val (al, be) = (0.3, 0.1)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Det.dsum(col("value"), 6).as("v"))
+        .staged
+      val traj = graft.operators.TimeSeries.holt(daily, "event_type", "day",
+          "v", al, be)
+        .withColumn("is_forecast", lit(false))
+      val last = traj.groupBy("event_type").agg(
+        max_by(struct(col("day"), col("level"), col("trend")), col("day"))
+          .as("__l"))
+      val fc = last
+        .select(col("event_type"), col("__l.day").as("last_day"),
+          col("__l.level").as("l"), col("__l.trend").as("b"))
+        .select(col("event_type"),
+          explode(sequence(lit(1), lit(7))).as("h"),
+          col("last_day"), col("l"), col("b"))
+        .select(col("event_type"),
+          date_add(col("last_day"), col("h")).as("day"),
+          lit(null).cast("double").as("v"),
+          (col("l") + col("h").cast("double") * col("b")).as("level"),
+          col("b").as("trend"), lit(true).as("is_forecast"))
+      traj.select(col("event_type"), col("day"), col("v"), col("level"),
+          col("trend"), col("is_forecast"))
+        .union(fc)
+        .select(col("event_type"), col("day"), col("v"),
+          Det.roundN(col("level"), 6).as("level"),
+          Det.roundN(col("trend"), 6).as("trend"), col("is_forecast"))
+        .orderBy("event_type", "day")
+    },
+
     // Deterministic stratified sample: exactly min(k, |group|) rows per
     // event type, membership = the k smallest h56 hashes — reproducible
     // on any engine, no RNG. The per-group top-k runs the same
