@@ -1084,6 +1084,29 @@ object ScaleOps {
         .limit(100)
     },
 
+    // Frequent 3-itemsets via A-priori ([[graft.operators.Itemsets]]):
+    // frequent items → frequent pairs → pair⋈pair candidates pruned by
+    // the third edge → support via keyed joins. The oracle is the naive
+    // cubic 3-way basket self-join the operator exists to avoid — the
+    // hash match proves the pruning lattice loses nothing.
+    QueryDef.sql(
+      "a_itemsets3",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |t AS (
+         |  SELECT a.l_partkey AS p1, b2.l_partkey AS p2, b3.l_partkey AS p3,
+         |    COUNT(*) AS support
+         |  FROM b a
+         |  JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+         |    AND a.l_partkey < b2.l_partkey
+         |  JOIN b b3 ON a.l_orderkey = b3.l_orderkey
+         |    AND b2.l_partkey < b3.l_partkey
+         |  GROUP BY 1, 2, 3)
+         |SELECT p1, p2, p3, support FROM t WHERE support >= 2
+         |ORDER BY support DESC, p1, p2, p3""".stripMargin) { (s, d) =>
+      graft.operators.Itemsets.frequentTriples(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L)
+    },
+
     // Skyline / pareto frontier per brand: the parts no other same-brand
     // part dominates on (cheaper price, larger size). Sort-based
     // [[Skyline.frontier]] — running-max window over the distinct-price
