@@ -193,6 +193,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** LSH quality evaluation — precision/recall/F1 of the banded MinHash
+    * CANDIDATE set against exact ground truth, the metric pair that
+    * decides (bands, rows, maxBucket) tuning before a 100 TB dedup run:
+    * recall < 1 means the band scheme drops true near-dups (more bands /
+    * shorter rows needed); low precision means wasted exact-verify work.
+    *
+    * Ground truth is the UNCAPPED shingle co-occurrence index over the
+    * same corpus: any pair with Jaccard ≥ threshold > 0 shares ≥ 1
+    * shingle, so the inverted index enumerates G completely — exact, but
+    * posting-quadratic, which is why it's the eval harness (run on a
+    * fixture/sample) and never the production path. tp = candidates
+    * whose exact Jaccard clears the threshold, i.e. |C ∩ G| (the
+    * verify step already computes exact Jaccard per candidate).
+    *
+    * Returns ONE row: (n_candidates, n_truth, tp, prec, rec, f1) —
+    * corpus-size-independent output, rounded after division so both
+    * engines compare identical doubles. */
+  def lshEval(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+    val (sizes, keyed) = sigKeyed(exploded, numHashes, bands)
+    val cands = pairsFromBuckets(keyed, maxBucket)
+    val e = dropHashes(exploded)
+    val inter = cands
+      .join(e.withColumnsRenamed(Map("id" -> "id_a")), Seq("id_a"))
+      .join(e.withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val candJ = jaccardFromCounts(inter, sizes)
+      .select("id_a", "id_b", "jaccard")
+    val gInter = e.withColumnsRenamed(Map("id" -> "id_a"))
+      .join(e.withColumnsRenamed(Map("id" -> "id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val truth = jaccardFromCounts(gInter, sizes)
+      .filter(col("jaccard") >= threshold)
+    val m = candJ.agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(col("jaccard") >= threshold, 1)).as("tp"))
+    val g = truth.agg(count(lit(1)).as("n_truth"))
+    m.crossJoin(g)
+      .withColumn("prec", Det.roundN(
+        when(col("n_candidates") > 0,
+          col("tp") * lit(1.0) / col("n_candidates")).otherwise(0.0), 6))
+      .withColumn("rec", Det.roundN(
+        when(col("n_truth") > 0,
+          col("tp") * lit(1.0) / col("n_truth")).otherwise(0.0), 6))
+      .withColumn("f1", Det.roundN(
+        when(col("prec") + col("rec") > 0,
+          lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec")))
+          .otherwise(0.0), 6))
+      .select("n_candidates", "n_truth", "tp", "prec", "rec", "f1")
+  }
+
   /** The at-rest MinHash-LSH corpus index for ingest-time near-dup checks:
     * band buckets (the probe target), the per-doc distinct shingle relation
     * (the exact-verify source), and per-doc set sizes. On a cluster these

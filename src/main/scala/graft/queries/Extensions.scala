@@ -746,6 +746,39 @@ object Extensions {
         .orderBy("id_a", "id_b")
     },
 
+    // LSH quality eval: precision/recall/F1 of the banded-MinHash
+    // candidate set vs the UNCAPPED exact shingle-co-occurrence ground
+    // truth — the (bands, rows, cap) tuning metric, run on a fixture
+    // before committing a corpus-scale dedup. Shares the full-chain
+    // minhash CTE with dedup_minhash_lsh so the evaluated family can't
+    // drift from the shipped one; one hash-checked summary row.
+    QueryDef.sql(
+      "dedup_lsh_eval",
+      s"""$minhashPairsCte,
+         |gt AS (
+         |  SELECT sa.id AS id_a, sb.id AS id_b, COUNT(*) AS inter
+         |  FROM s sa JOIN s sb ON sb.shingle = sa.shingle AND sa.id < sb.id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT id_a, id_b
+         |  FROM gt JOIN sizes za ON za.id = id_a JOIN sizes zb ON zb.id = id_b
+         |  WHERE ${Det.roundNSql("inter * 1.0 / (za.n + zb.n - inter)", 4)} >= 0.8),
+         |m AS (
+         |  SELECT COUNT(*) AS n_candidates,
+         |    COUNT(CASE WHEN jaccard >= 0.8 THEN 1 END) AS tp
+         |  FROM mh_pairs),
+         |g AS (SELECT COUNT(*) AS n_truth FROM truth),
+         |pr AS (
+         |  SELECT n_candidates, n_truth, tp,
+         |    ${Det.roundNSql("CASE WHEN n_candidates > 0 THEN tp * 1.0 / n_candidates ELSE 0.0 END", 6)} AS prec,
+         |    ${Det.roundNSql("CASE WHEN n_truth > 0 THEN tp * 1.0 / n_truth ELSE 0.0 END", 6)} AS rec
+         |  FROM m CROSS JOIN g)
+         |SELECT n_candidates, n_truth, tp, prec, rec,
+         |  ${Det.roundNSql("CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END", 6)} AS f1
+         |FROM pr""".stripMargin) { (s, d) =>
+      Dedup.lshEval(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+    },
+
     // Bloom-filter membership pre-check — the ingest-time shape that
     // SKIPS the corpus join for the overwhelmingly-common novel key: the
     // corpus content-hash set is folded into a sharded (word_idx, bits)
