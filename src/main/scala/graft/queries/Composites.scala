@@ -224,6 +224,40 @@ object Composites {
         .orderBy("c_mktsegment")
     },
 
+    // Top user journeys — the path-analysis aggregate: each user's first
+    // 4 events (by ts, event_id) joined into an ordered "a>b>c>d" path,
+    // then counted across users. Unlike the Markov transition matrix
+    // (q_event_transitions, first-order), this keeps the actual
+    // multi-step sequence. One window + two aggregates; journey strings
+    // are bounded (4 steps), so nothing row-width-unbounded shuffles.
+    QueryDef.sql(
+      "q_user_journeys",
+      s"""WITH r AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |j AS (
+         |  SELECT user_id,
+         |    string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+         |  FROM r WHERE rn <= 4 GROUP BY user_id)
+         |SELECT journey, COUNT(*) AS n_users
+         |FROM j GROUP BY journey
+         |ORDER BY n_users DESC, journey LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("journey"))
+        .groupBy("journey").agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("journey"))
+        .limit(20)
+    },
+
     // Golden-record survivorship merge — the MDM consolidation step: all
     // records of an entity collapse to ONE profile, each field by its own
     // survivorship rule (recency: last_event_type / last_value via
