@@ -1084,6 +1084,86 @@ object ScaleOps {
         .limit(100)
     },
 
+    // Item-item collaborative filtering — the co-occurrence recommender:
+    // item similarity = co_orders(i,j) / sqrt(freq(i)·freq(j)) (cosine
+    // over binary order-item vectors, computed from COUNTS — the vectors
+    // themselves never materialize), user score(j) = Σ sim(i,j) over the
+    // user's items, seen items anti-joined away, top-3 per user. Pair
+    // space lives in order-basket co-occurrence (the bounded
+    // a_copurchase_pairs shape) pruned at co ≥ 2; scoring is two keyed
+    // joins + one decimal-summed aggregate; ranking is a per-user window,
+    // never a global sort.
+    QueryDef.sql(
+      "q_item_recs",
+      s"""WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |freq AS (SELECT l_partkey, COUNT(*) AS f FROM ob GROUP BY 1),
+         |co AS (
+         |  SELECT a.l_partkey AS ia, b.l_partkey AS ib, COUNT(*) AS n
+         |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+         |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+         |cop AS (SELECT ia, ib, n FROM co WHERE n >= 2),
+         |sim AS (
+         |  SELECT ia, ib, ${Det.roundNSql("n / sqrt(fa.f * fb.f)", 6)} AS s
+         |  FROM cop JOIN freq fa ON fa.l_partkey = ia
+         |           JOIN freq fb ON fb.l_partkey = ib),
+         |simd AS (
+         |  SELECT ia, ib, s FROM sim
+         |  UNION ALL SELECT ib AS ia, ia AS ib, s FROM sim),
+         |ui AS (
+         |  SELECT DISTINCT o.o_custkey, ob.l_partkey
+         |  FROM orders o JOIN ob ON ob.l_orderkey = o.o_orderkey),
+         |sc AS (
+         |  SELECT u.o_custkey, sd.ib AS rec_part,
+         |    CAST(SUM(CAST(sd.s AS DECIMAL(18,6))) AS DOUBLE) AS score
+         |  FROM ui u JOIN simd sd ON sd.ia = u.l_partkey
+         |  GROUP BY 1, 2),
+         |unseen AS (
+         |  SELECT sc.* FROM sc
+         |  LEFT JOIN ui seen ON seen.o_custkey = sc.o_custkey
+         |    AND seen.l_partkey = sc.rec_part
+         |  WHERE seen.l_partkey IS NULL),
+         |rk AS (
+         |  SELECT o_custkey, rec_part, score, row_number() OVER (
+         |    PARTITION BY o_custkey ORDER BY score DESC, rec_part) AS rk
+         |  FROM unseen)
+         |SELECT o_custkey, rec_part, score, rk FROM rk WHERE rk <= 3
+         |ORDER BY o_custkey, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ob = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct().staged
+      val freq = ob.groupBy("l_partkey").agg(count(lit(1)).as("f"))
+      val co = ob.select(col("l_orderkey"), col("l_partkey").as("ia"))
+        .join(ob.select(col("l_orderkey"), col("l_partkey").as("ib")),
+          Seq("l_orderkey"))
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      val sim = co
+        .join(freq.select(col("l_partkey").as("ia"), col("f").as("fa")), Seq("ia"))
+        .join(freq.select(col("l_partkey").as("ib"), col("f").as("fb")), Seq("ib"))
+        .select(col("ia"), col("ib"),
+          Det.roundN(col("n") / sqrt(col("fa") * col("fb")), 6).as("s"))
+        .staged
+      val simd = sim.unionByName(sim.select(col("ib").as("ia"),
+        col("ia").as("ib"), col("s")))
+      val ui = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+        .join(ob, Seq("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")).distinct().staged
+      val sc = ui.join(simd, ui("l_partkey") === simd("ia"))
+        .groupBy(col("o_custkey"), col("ib").as("rec_part"))
+        .agg(sum(col("s").cast(DecimalType(18, 6))).cast("double").as("score"))
+      val unseen = sc.join(
+        ui.select(col("o_custkey"), col("l_partkey").as("rec_part")),
+        Seq("o_custkey", "rec_part"), "left_anti")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("score"), col("rec_part"))
+      unseen.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rec_part", "score", "rk")
+        .orderBy("o_custkey", "rk")
+    },
+
     // Frequent 3-itemsets via A-priori ([[graft.operators.Itemsets]]):
     // frequent items → frequent pairs → pair⋈pair candidates pruned by
     // the third edge → support via keyed joins. The oracle is the naive
