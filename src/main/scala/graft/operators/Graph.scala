@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Stage}
 
@@ -91,6 +92,75 @@ object Graph {
        |ndn AS (SELECT $idCol AS id, (SELECT COUNT(*) FROM nd) AS n FROM nd),
        |pr0 AS (SELECT id, 1.0 / n AS pr FROM ndn),
        |$rounds""".stripMargin
+  }
+
+  /** Synchronous label-propagation communities (LPA, Raghavan et al.
+    * 2007) made DETERMINISTIC: every node starts labeled with its own id;
+    * each round, every node simultaneously adopts the most frequent label
+    * among its neighbors with the explicit (count DESC, label ASC)
+    * tiebreak (classic LPA tie-breaks randomly — useless for a
+    * reproducible pipeline or an oracle); isolated nodes keep their
+    * label. Unlike connected components (reachability), LPA finds DENSE
+    * regions — a bridge edge doesn't merge two communities.
+    *
+    * Fixed `rounds` (the caller picks; LPA converges in a handful on
+    * real graphs). Per round: one neighbor-label join + two grouped
+    * aggregates — all keyed, map-side combinable, O(m) shuffle; labels
+    * are staged each round ([[graft.engine.Stage.materializeAlways]]) so
+    * round r's plan never embeds r−1's.
+    *
+    * `edges` are symmetrized + deduped here. Returns (idCol, community,
+    * community_size). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, idCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds: $rounds")
+    val base = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = Stage.materialize(
+      base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var lab = nodes.select(col(idCol).as("__id"),
+      col(idCol).cast("long").as("label"))
+    for (_ <- 1 to rounds) {
+      val nb = sym.join(lab, sym("dst") === lab("__id"))
+        .select(col("src"), col("label"))
+      val pick = nb.groupBy("src", "label").agg(count(lit(1)).as("__c"))
+        .groupBy("src")
+        .agg(min_by(col("label"), struct(-col("__c"), col("label")))
+          .as("__new"))
+      lab = Stage.materializeAlways(
+        lab.join(pick, lab("__id") === pick("src"), "left")
+          .select(col("__id"), coalesce(col("__new"), col("label")).as("label")))
+    }
+    val sizeW = Window.partitionBy(col("label"))
+    lab.withColumn("community_size", count(lit(1)).over(sizeW))
+      .select(col("__id").as(idCol), col("label").as("community"),
+        col("community_size"))
+  }
+
+  /** DuckDB mirror of [[labelPropagation]] as unrolled MATERIALIZED CTE
+    * rounds (materialized: each round is referenced twice — inlining
+    * would re-expand the whole prefix exponentially). Expects CTEs
+    * `nd($idCol)` and `es(src, dst)` (symmetric, deduped, no loops);
+    * ends in `l$rounds(id, label)`. */
+  def labelPropagationSql(idCol: String, rounds: Int): String = {
+    require(rounds >= 1 && rounds <= 20, s"rounds: $rounds")
+    val steps = (1 to rounds).map { r =>
+      s"""c$r AS (
+         |  SELECT es.src, l.label, COUNT(*) AS c
+         |  FROM es JOIN l${r - 1} l ON l.id = es.dst
+         |  GROUP BY 1, 2),
+         |p$r AS (
+         |  SELECT src, label FROM (
+         |    SELECT src, label, row_number() OVER (
+         |      PARTITION BY src ORDER BY c DESC, label) AS rn
+         |    FROM c$r) WHERE rn = 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT l.id, COALESCE(p.label, l.label) AS label
+         |  FROM l${r - 1} l LEFT JOIN p$r p ON p.src = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT $idCol AS id, CAST($idCol AS BIGINT) AS label FROM nd),
+       |$steps""".stripMargin
   }
 
   /** Per-node triangle counts via degree-ordered edge orientation — the

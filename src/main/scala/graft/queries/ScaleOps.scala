@@ -962,6 +962,38 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Deterministic label-propagation communities over the same synthetic
+    // link graph — the DENSITY community detector next to reachability
+    // (dedup_clusters_*' connected components): majority-label adoption
+    // with explicit (count DESC, label ASC) tiebreaks, 3 synchronous
+    // rounds, per-round staged labels. The oracle replays every round as
+    // MATERIALIZED CTEs, so the whole trajectory — not a summary — is
+    // hash-checked.
+    QueryDef.sql(
+      "g_label_propagation",
+      s"""WITH nd AS (SELECT doc_id FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM nd),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+         |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+         |ed AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |es AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+         |${Graph.labelPropagationSql("doc_id", rounds = 3)}
+         |SELECT id AS doc_id, label AS community,
+         |  COUNT(*) OVER (PARTITION BY label) AS community_size
+         |FROM l3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      Graph.labelPropagation(docs, edges, "doc_id", rounds = 3)
+        .orderBy("doc_id")
+    },
+
     // Calendar gap-fill + linear interpolation of keyed daily series
     // (TimeSeries.gapFillInterpolate) — purchase revenue per user cohort
     // is naturally sparse (~⅓ of cohort-days observed at sf0.01), so all
