@@ -94,6 +94,77 @@ object Graph {
        |$rounds""".stripMargin
   }
 
+  /** Personalized PageRank — teleport restricted to a SOURCE SET instead
+    * of all nodes: pr⁰ = 1/|S| on S (0 elsewhere), each round
+    * pr = (1−d)·1_S/|S| + d·Σ_in pr/outdeg. The relevance-propagation
+    * primitive behind seed-expansion: "documents like these trusted
+    * ones" (quality seeds), related-item discovery, community scoping —
+    * where global PageRank answers only "centrally linked". Same
+    * per-round join+aggregate shape and determinism contract as
+    * [[pagerank]] (decimal contribution sums, per-round roundN pinning);
+    * the source indicator is a 0/1 column on the node relation, so no
+    * extra join enters the loop.
+    *
+    * `isSource`: boolean Column over the node relation's columns.
+    * Returns (idCol, ppr). */
+  def personalizedPagerank(nodes: DataFrame, edges: DataFrame, idCol: String,
+      isSource: Column, iterations: Int, damping: Double = 0.85,
+      scale: Int = 12): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"iterations: $iterations")
+    val e = Stage.materialize(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    val od = Stage.materialize(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val marked = nodes.select(col(idCol).as("__id"),
+      when(isSource, 1.0).otherwise(0.0).as("__s"))
+    val nS = marked.agg(sum(col("__s")).as("__ns"))
+    val ids = Stage.materialize(marked.crossJoin(broadcast(nS)))
+    val base = 1.0 - damping
+    var pr = ids.select(col("__id"), (col("__s") / col("__ns")).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = pr
+        .join(e, pr("__id") === e("src"))
+        .join(od, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(Det.dsum(col("pr") / col("outdeg"), scale).as("__c"))
+      pr = Stage.materializeAlways(
+        ids.join(contrib, ids("__id") === contrib("dst"), "left")
+          .select(col("__id"),
+            Det.roundN(
+              lit(base) * col("__s") / col("__ns")
+                + lit(damping) * coalesce(col("__c"), lit(0.0)),
+              scale).as("pr")))
+    }
+    pr.select(col("__id").as(idCol), col("pr").as("ppr"))
+  }
+
+  /** DuckDB mirror of [[personalizedPagerank]]. Expects CTEs `nd($idCol)`
+    * and `e(src, dst)`; `srcPred` is a boolean SQL expression over nd's
+    * row. Ends in `pr$iterations(id, pr)`. */
+  def personalizedPagerankSql(idCol: String, srcPred: String,
+      iterations: Int, damping: Double = 0.85, scale: Int = 12): String = {
+    val base = (1.0 - damping).toString
+    val rounds = (1 to iterations).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id,
+         |    ${Det.dsumSql(s"pr${i - 1}.pr / od.outdeg", scale)} AS c
+         |  FROM e JOIN pr${i - 1} ON pr${i - 1}.id = e.src
+         |  JOIN od ON od.src = e.src
+         |  GROUP BY 1),
+         |pr$i AS (
+         |  SELECT nd.id, ${Det.roundNSql(
+            s"$base * nd.s / nd.ns + $damping * COALESCE(c$i.c, 0.0)", scale)} AS pr
+         |  FROM ndn nd LEFT JOIN c$i ON c$i.id = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |ndm AS (SELECT $idCol AS id,
+       |  CASE WHEN $srcPred THEN 1.0 ELSE 0.0 END AS s FROM nd),
+       |ndn AS (SELECT id, s, (SELECT SUM(s) FROM ndm) AS ns FROM ndm),
+       |pr0 AS (SELECT id, s / ns AS pr FROM ndn),
+       |$rounds""".stripMargin
+  }
+
   /** Synchronous label-propagation communities (LPA, Raghavan et al.
     * 2007) made DETERMINISTIC: every node starts labeled with its own id;
     * each round, every node simultaneously adopts the most frequent label

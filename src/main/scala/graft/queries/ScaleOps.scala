@@ -962,6 +962,36 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Personalized PageRank from a 5-doc seed set over the same link
+    // graph — seed-expansion relevance ("more docs like these trusted
+    // ones"), vs g_pagerank's global centrality. Teleport mass goes only
+    // to sources; 3 rounds, decimal contribution sums, per-round pinning;
+    // top-50 by propagated relevance.
+    QueryDef.sql(
+      "g_personalized_pagerank",
+      s"""WITH nd AS (SELECT doc_id FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM nd),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+         |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |${Graph.personalizedPagerankSql("doc_id", "doc_id % 100 = 0",
+            iterations = 3)}
+         |SELECT id AS doc_id, pr AS ppr
+         |FROM pr3 ORDER BY ppr DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      Graph.personalizedPagerank(docs, edges, "doc_id",
+          isSource = col("doc_id") % 100 === 0, iterations = 3)
+        .orderBy(desc("ppr"), col("doc_id"))
+        .limit(50)
+    },
+
     // Deterministic label-propagation communities over the same synthetic
     // link graph — the DENSITY community detector next to reachability
     // (dedup_clusters_*' connected components): majority-label adoption
