@@ -29,17 +29,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); when the session reads nanos
-    * as LongType (spark.sql.legacy.parquet.nanosAsLong=true) normalize to a
-    * microsecond timestamp — integer `div` (not double math: ~1.7e18 ns
-    * exceeds double's 2^53 exact range), truncation matching DuckDB's
-    * ns→µs conversion. */
+  /** `events.ts` physical-type normalization — the driver has shipped this
+    * column as parquet TIMESTAMP(NANOS) (read as LongType under
+    * spark.sql.legacy.parquet.nanosAsLong=true) and as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ) across rounds; both
+    * are normalized here to a session-zone TIMESTAMP so downstream
+    * instant functions (`unix_micros`, window math) resolve identically
+    * regardless of fixture vintage.
+    *  - LongType nanos → integer `div` 1000 (not double math: ~1.7e18 ns
+    *    exceeds double's 2^53 exact range), truncation matching DuckDB's
+    *    ns→µs conversion.
+    *  - TIMESTAMP_NTZ → cast to TIMESTAMP under the session's UTC zone:
+    *    same wall-clock micros, now an instant — bit-identical to what
+    *    DuckDB computes from the naive value. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = s.read.parquet(s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

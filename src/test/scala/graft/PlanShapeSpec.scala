@@ -66,8 +66,15 @@ class PlanShapeSpec extends AnyFunSuite {
                               // as sim_bruteforce_topk)
     "w_autocorrelation",      // broadcast 7-row lag relation onto the
                               // daily series (constant fanout)
-    "a_grouped_deciles")      // per-group count x rank-index broadcast
+    "a_grouped_deciles",      // per-group count x rank-index broadcast
                               // (groups x (k-1) rows)
+    "t_bm25_search",          // broadcast 1-row corpus stats (n_docs,
+                              // total_len) onto the tf relation
+    "a_benford_digits",       // broadcast 1-row digit-total
+    "dedup_lsh_eval",         // 1-row candidate-metrics x 1-row truth-count
+    "sim_binary_hamming",     // broadcast 1-row query vector (rerank pass)
+    "sim_silhouette")         // broadcast 16-row centroid codebook (same
+                              // class as sim_kmeans_step)
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
