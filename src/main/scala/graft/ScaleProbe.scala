@@ -533,6 +533,76 @@ object ScaleProbe {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"))
     }
+
+    // ---- round-7 session-4 probes ------------------------------------
+
+    // sign-bit signatures + Hamming rank: one posexplode aggregate over
+    // rows × dims/32 plus a broadcast-query scan — linear in vectors
+    time("binary_hamming") {
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      graft.operators.Quantize.hammingTopK(emb, q, k = 11, pool = 50)
+    }
+    // MMR: corpus is touched once by the retrieval scan; the greedy runs
+    // over the fixed 30-candidate pool — total time should be flat + one
+    // linear scan regardless of k×
+    time("mmr_diverse") {
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      graft.operators.Similarity.mmrDiverseTopK(emb, q, k = 8, poolSize = 30)
+    }
+    // silhouette: one broadcast-codebook scan + 16-row-per-vector window
+    time("silhouette") {
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      graft.operators.Similarity.silhouetteByCell(emb, cents)
+    }
+    // LSH eval: candidates follow the capped minhash shape; ground truth
+    // is the UNCAPPED co-occurrence index — the deliberately quadratic
+    // eval harness, expected superlinear on a duplicate-heavy corpus
+    // (that is why it runs on fixtures, never production)
+    time("lsh_eval")(
+      Dedup.lshEval(corpus, "doc_id", "text", threshold = 0.8))
+    // phrase search: postings filtered to the two phrase tokens before
+    // the adjacency join — linear in matching postings
+    time("phrase_search")(
+      TextFunctions.phraseSearch(corpus, "doc_id", "text",
+        Seq("value", "table")))
+    // frequent triples: candidate lattice lives in frequent-pair space;
+    // with k× exact replication supports scale k× but the item/pair
+    // universe is fixed, so candidates stay bounded
+    time("itemsets3") {
+      val li = graft.engine.Tables.lineitem(spark, sfDir)
+      graft.operators.Itemsets.frequentTriples(li, "l_orderkey", "l_partkey",
+        minSupport = 2L)
+    }
+    // golden record: one entity-keyed aggregate + modal two-level agg
+    time("golden_record") {
+      val recency = struct(col("ts"), col("event_id"))
+      ev.groupBy("user_id").agg(
+        min(col("ts")).as("first_seen"),
+        max_by(col("event_type"), recency).as("last_event_type"),
+        count(lit(1)).as("n_events"))
+    }
+    // Holt fold: per-series state, series count grows k× with fixed length
+    time("holt") {
+      val daily = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(Det.dsum(coalesce(col("value"), lit(0.0)), 4).as("v"))
+      graft.operators.TimeSeries.holt(daily, "user_id", "day", "v", 0.3, 0.1)
+    }
+    // LPA: per-round keyed join + two aggregates over a k×-node graph
+    time("label_propagation") {
+      val nodes = corpus.select(col("doc_id"))
+      val n = nodes.agg(count(lit(1)).as("__en"))
+      val edges = nodes.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      graft.operators.Graph.labelPropagation(nodes, edges, "doc_id",
+        rounds = 3)
+    }
     spark.stop()
   }
 }
