@@ -1149,12 +1149,15 @@ object ScaleOps {
     // Item-item collaborative filtering — the co-occurrence recommender:
     // item similarity = co_orders(i,j) / sqrt(freq(i)·freq(j)) (cosine
     // over binary order-item vectors, computed from COUNTS — the vectors
-    // themselves never materialize), user score(j) = Σ sim(i,j) over the
-    // user's items, seen items anti-joined away, top-3 per user. Pair
-    // space lives in order-basket co-occurrence (the bounded
-    // a_copurchase_pairs shape) pruned at co ≥ 2; scoring is two keyed
-    // joins + one decimal-summed aggregate; ranking is a per-user window,
-    // never a global sort.
+    // themselves never materialize), NEIGHBORHOOD-TRUNCATED to each
+    // item's top-20 most-similar items (the standard item-CF practice:
+    // it bounds the scoring fan-out to |user items| × 20 regardless of
+    // how promiscuous a popular item's pair row is), user score(j) =
+    // Σ sim(i,j) over the user's items, seen items anti-joined away,
+    // top-3 per user. Pair space lives in order-basket co-occurrence
+    // (the bounded a_copurchase_pairs shape) pruned at co ≥ 2; scoring
+    // is two keyed joins + one decimal-summed aggregate; ranking is a
+    // per-user window, never a global sort.
     QueryDef.sql(
       "q_item_recs",
       s"""WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1168,9 +1171,14 @@ object ScaleOps {
          |  SELECT ia, ib, ${Det.roundNSql("n / sqrt(fa.f * fb.f)", 6)} AS s
          |  FROM cop JOIN freq fa ON fa.l_partkey = ia
          |           JOIN freq fb ON fb.l_partkey = ib),
-         |simd AS (
+         |simd0 AS (
          |  SELECT ia, ib, s FROM sim
          |  UNION ALL SELECT ib AS ia, ia AS ib, s FROM sim),
+         |simd AS (
+         |  SELECT ia, ib, s FROM (
+         |    SELECT ia, ib, s, row_number() OVER (
+         |      PARTITION BY ia ORDER BY s DESC, ib) AS nrk
+         |    FROM simd0) WHERE nrk <= 20),
          |ui AS (
          |  SELECT DISTINCT o.o_custkey, ob.l_partkey
          |  FROM orders o JOIN ob ON ob.l_orderkey = o.o_orderkey),
@@ -1206,8 +1214,12 @@ object ScaleOps {
         .select(col("ia"), col("ib"),
           Det.roundN(col("n") / sqrt(col("fa") * col("fb")), 6).as("s"))
         .staged
+      val nbrW = Window.partitionBy("ia").orderBy(desc("s"), col("ib"))
       val simd = sim.unionByName(sim.select(col("ib").as("ia"),
-        col("ia").as("ib"), col("s")))
+          col("ia").as("ib"), col("s")))
+        .withColumn("nrk", row_number().over(nbrW))
+        .filter(col("nrk") <= 20)
+        .drop("nrk")
       val ui = Tables.orders(s, d)
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
         .join(ob, Seq("l_orderkey"))
