@@ -234,6 +234,137 @@ object Graph {
        |$steps""".stripMargin
   }
 
+  /** Betweenness centrality via Brandes' dependency accumulation
+    * (Brandes 2001), from a PIVOT SOURCE SET with a bounded path horizon
+    * — the standard way betweenness survives a large graph (exact
+    * all-pairs Brandes is O(nm); pivot sampling + horizon bounding is
+    * the production approximation, cf. Bader/Brandes-Pich):
+    *
+    *   forward, depth d = 1..D:   σ_s(v) = Σ_{u→v, dist(u)=d−1} σ_s(u)
+    *   backward, d = D−1..0:      δ_s(v) = Σ_{v→w, dist(w)=d+1}
+    *                                       σ_s(v)·(1+δ_s(w))/σ_s(w)
+    *   bc(v) = Σ_s δ_s(v)  over non-source occurrences (dist > 0)
+    *
+    * Every round is one equi-join + one aggregate keyed by (source,
+    * node): the multi-source BFS relation just carries `s` alongside.
+    * σ sums are exact integers; δ sums go through DECIMAL(18,9) and each
+    * round's δ is roundN-pinned, so the backward recursion — divisions
+    * included — replays bit-identically in the oracle's unrolled CTEs.
+    * Shortest paths LONGER than `depth` are not counted (the horizon
+    * approximation; document, don't hide).
+    *
+    * Returns (idCol, betweenness) zero-filled over all nodes. */
+  def betweenness(nodes: DataFrame, edges: DataFrame, idCol: String,
+      isSource: Column, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 10, s"depth: $depth")
+    val e = Stage.materialize(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    // forward: reached(s, v, dist, sigma)
+    var reached = Stage.materialize(
+      nodes.filter(isSource).select(col(idCol).as("s"),
+        col(idCol).as("v"), lit(0).as("dist"), lit(1L).as("sigma")))
+    for (d <- 1 to depth) {
+      val msgs = reached.filter(col("dist") === (d - 1))
+        .join(e, col("v") === col("src"))
+        .groupBy(col("s"), col("dst").as("__v"))
+        .agg(sum(col("sigma")).as("__sig"))
+      val fresh = msgs
+        .join(reached.select(col("s"), col("v").as("__v")),
+          Seq("s", "__v"), "left_anti")
+        .select(col("s"), col("__v").as("v"), lit(d).as("dist"),
+          col("__sig").as("sigma"))
+      reached = Stage.materializeAlways(reached.unionByName(fresh))
+    }
+    // backward: delta per level, deepest first
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    var deltaUp = reached.filter(col("dist") === depth)
+      .select(col("s"), col("v"), lit(0.0).as("delta"))
+    var acc = deltaUp // all levels' deltas, unioned as we descend
+    for (d <- (depth - 1) to 0 by -1) {
+      val lvl = reached.filter(col("dist") === d)
+      val wSide = reached.filter(col("dist") === d + 1)
+        .join(deltaUp, Seq("s", "v"))
+        .select(col("s").as("__ws"), col("v").as("__w"),
+          col("sigma").as("__sw"), col("delta").as("__dw"))
+      val contrib = lvl
+        .join(e, col("v") === col("src"))
+        .join(wSide,
+          col("s") === col("__ws") && col("dst") === col("__w"))
+        .select(col("s"), col("v"),
+          (col("sigma") * (lit(1.0) + col("__dw")) / col("__sw")).as("__c"))
+        .groupBy("s", "v")
+        .agg(sum(col("__c").cast(dec9)).cast("double").as("__agg"))
+      val deltaD = Stage.materializeAlways(
+        lvl.select(col("s"), col("v"))
+          .join(contrib, Seq("s", "v"), "left")
+          .select(col("s"), col("v"),
+            Det.roundN(coalesce(col("__agg"), lit(0.0)), 9).as("delta")))
+      deltaUp = deltaD
+      acc = acc.unionByName(deltaD)
+    }
+    // non-source occurrences only: (s, v) rows with dist > 0
+    val nonSource = reached.filter(col("dist") > 0).select(col("s"), col("v"))
+    val bc = acc.join(nonSource, Seq("s", "v"))
+      .groupBy(col("v"))
+      .agg(sum(col("delta").cast(dec9)).cast("double").as("__b"))
+    nodes.select(col(idCol))
+      .join(bc, nodes(idCol) === bc("v"), "left")
+      .select(nodes(idCol),
+        Det.roundN(coalesce(col("__b"), lit(0.0)), 6).as("betweenness"))
+  }
+
+  /** DuckDB mirror of [[betweenness]]: unrolled forward σ rounds +
+    * backward δ rounds as MATERIALIZED CTEs over `nd($idCol)` and
+    * `e(src, dst)`; `srcPred` selects the pivot sources. Ends in
+    * `bc(id, b)` (non-source δ sums; zero-fill at the call site). */
+  def betweennessSql(idCol: String, srcPred: String, depth: Int): String = {
+    require(depth >= 1 && depth <= 10, s"depth: $depth")
+    val fwd = (1 to depth).map { d =>
+      s"""m$d AS (
+         |  SELECT p.s, e.dst AS v, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+         |  FROM r${d - 1} p JOIN e ON e.src = p.v
+         |  WHERE p.dist = ${d - 1} GROUP BY 1, 2),
+         |n$d AS (
+         |  SELECT m.s, m.v, $d AS dist, m.sigma FROM m$d m
+         |  LEFT JOIN r${d - 1} r ON r.s = m.s AND r.v = m.v
+         |  WHERE r.v IS NULL),
+         |r$d AS MATERIALIZED (
+         |  SELECT * FROM r${d - 1} UNION ALL SELECT * FROM n$d)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((depth - 1) to 0 by -1).map { d =>
+      s"""c$d AS (
+         |  SELECT lv.s, lv.v,
+         |    CAST(SUM(CAST(lv.sigma * (1.0 + dw.delta) / w.sigma
+         |      AS DECIMAL(18,9))) AS DOUBLE) AS agg
+         |  FROM r$depth lv
+         |  JOIN e ON e.src = lv.v
+         |  JOIN r$depth w ON w.s = lv.s AND w.v = e.dst
+         |    AND w.dist = ${d + 1}
+         |  JOIN del${d + 1} dw ON dw.s = lv.s AND dw.v = w.v
+         |  WHERE lv.dist = $d GROUP BY 1, 2),
+         |del$d AS MATERIALIZED (
+         |  SELECT lv.s, lv.v,
+         |    ${Det.roundNSql("COALESCE(c.agg, 0.0)", 9)} AS delta
+         |  FROM r$depth lv LEFT JOIN c$d c ON c.s = lv.s AND c.v = lv.v
+         |  WHERE lv.dist = $d)""".stripMargin
+    }.mkString(",\n")
+    val allDel = (0 to depth).map(d => s"SELECT s, v, delta FROM del$d")
+      .mkString(" UNION ALL ")
+    s"""r0 AS (SELECT $idCol AS s, $idCol AS v, 0 AS dist,
+       |  CAST(1 AS BIGINT) AS sigma FROM nd WHERE $srcPred),
+       |$fwd,
+       |del$depth AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta
+       |  FROM r$depth WHERE dist = $depth),
+       |$bwd,
+       |alldel AS ($allDel),
+       |bc AS (
+       |  SELECT a.v AS id,
+       |    CAST(SUM(CAST(a.delta AS DECIMAL(18,9))) AS DOUBLE) AS b
+       |  FROM alldel a JOIN r$depth r ON r.s = a.s AND r.v = a.v
+       |  WHERE r.dist > 0 GROUP BY 1)""".stripMargin
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation — the
     * MapReduce-scale triangle algorithm (orient every undirected edge from
     * its lower-(degree, id) endpoint to the higher one; then wedges rooted

@@ -962,6 +962,38 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Betweenness centrality (Brandes) from the 5 pivot sources with a
+    // 3-hop horizon — the broker-node detector (who sits ON the shortest
+    // paths, vs PageRank's who RECEIVES them); exact all-pairs Brandes
+    // is O(nm), pivot sampling + horizon bounding is how it survives a
+    // crawl graph. Forward σ rounds are integer sums; backward δ rounds
+    // decimal-sum the σv·(1+δw)/σw dependencies with per-round pinning —
+    // the whole two-phase recursion replays as unrolled MATERIALIZED
+    // CTEs, divisions included.
+    QueryDef.sql(
+      "g_betweenness",
+      s"""WITH nd AS (SELECT doc_id FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM nd),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+         |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |${Graph.betweennessSql("doc_id", "doc_id % 100 = 0", depth = 3)}
+         |SELECT nd.doc_id, ${Det.roundNSql("COALESCE(bc.b, 0.0)", 6)} AS betweenness
+         |FROM nd LEFT JOIN bc ON bc.id = nd.doc_id
+         |ORDER BY nd.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      Graph.betweenness(docs, edges, "doc_id",
+          isSource = col("doc_id") % 100 === 0, depth = 3)
+        .orderBy("doc_id")
+    },
+
     // Personalized PageRank from a 5-doc seed set over the same link
     // graph — seed-expansion relevance ("more docs like these trusted
     // ones"), vs g_pagerank's global centrality. Teleport mass goes only
