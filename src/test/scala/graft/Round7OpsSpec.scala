@@ -122,6 +122,29 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(ppr(i) == 0.0, s"node $i unreachable from seed: ${ppr(i)}"))
   }
 
+  // ---- betweenness --------------------------------------------------
+
+  test("betweenness on a path graph matches Brandes by hand") {
+    // 0→1→2→3, source {0}, depth 3: σ=1 on the path;
+    // δ(2)=1·(1+0)=1, δ(1)=1·(1+δ(2))=2, bc(3)=0
+    val nodes = spark.range(4).select(col("id"))
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val bc = Graph.betweenness(nodes, edges, "id",
+        isSource = col("id") === 0, depth = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(bc == Map(0L -> 0.0, 1L -> 2.0, 2L -> 1.0, 3L -> 0.0), s"$bc")
+  }
+
+  test("betweenness: diamond splits path counts through both middles") {
+    // 0→{1,2}→3: σ(3)=2; δ(1)=δ(2)=1/2·(1+0)=0.5
+    val nodes = spark.range(4).select(col("id"))
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val bc = Graph.betweenness(nodes, edges, "id",
+        isSource = col("id") === 0, depth = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(bc(1L) == 0.5 && bc(2L) == 0.5 && bc(3L) == 0.0, s"$bc")
+  }
+
   // ---- Holt ---------------------------------------------------------
 
   test("Holt on a constant series: level pins to it, trend stays 0") {
