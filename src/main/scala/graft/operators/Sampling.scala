@@ -131,4 +131,56 @@ object Sampling {
     df.withColumn("group_rank", row_number().over(w))
       .withColumn("is_kept", col("group_rank") <= k)
   }
+
+  /** Priority sampling (Duffield-Lund-Thorup, JACM 2007): WEIGHTED
+    * sampling without replacement with unbiased subset-sum estimation —
+    * the principled way to keep "50 documents that stand for the corpus'
+    * token mass" rather than 50 uniform rows. Each row gets
+    *
+    *   priority = w · 2^56 / (h56(key) + 1)
+    *
+    * (u = (h+1)/2^56 is the deterministic uniform; w/u is the priority);
+    * the sample is the top-k by priority, and with τ = the (k+1)-th
+    * priority, ŵ = max(w, τ) estimates any subset's weight-sum
+    * unbiasedly: Σ_{sampled ∩ S} max(w,τ) ≈ Σ_S w.
+    *
+    * Chosen over Efraimidis-Spirakis (u^(1/w) keys) deliberately: E-S
+    * needs libm `pow`, which engines round differently in the last ulp —
+    * a hash-compare landmine at rank boundaries. Here every operation
+    * (integer hash, +1, one multiply, one divide) is IEEE
+    * correctly-rounded, so priorities — and therefore the SAMPLE
+    * MEMBERSHIP — are bit-identical on any engine. The determinism
+    * doubles as reproducibility: the sample is a pure function of the
+    * data, recomputable by any stack that has md5.
+    *
+    * Scale: one narrow scan + TakeOrdered(k+1); the only global object
+    * is the (k+1)-row top set. Returns the k sampled rows with
+    * (sample_rank, priority, w_hat). */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val pr = col(weightCol).cast("double") * lit(7.2057594037927936e16) /
+      (graft.engine.Det.h56(col(keyCol).cast("string")) + lit(1L))
+        .cast("double")
+    val top = df.withColumn("__pr", pr)
+      .orderBy(desc("__pr"), col(keyCol))
+      .limit(k + 1)
+      .staged
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("__pr"), col(keyCol))
+    // (k+1)-row relation: the single-partition window is bounded by k
+    val ranked = top.withColumn("__rk", row_number().over(w))
+    // 1-row aggregate (NULL when the population has <= k rows: then the
+    // sample is exhaustive and w_hat degrades to the exact weight)
+    val tau = ranked.agg(
+      max(when(col("__rk") === k + 1, col("__pr"))).as("__tau"))
+    ranked.filter(col("__rk") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col(keyCol), col(weightCol), col("__rk").as("sample_rank"),
+        graft.engine.Det.roundN(col("__pr"), 4).as("priority"),
+        graft.engine.Det.roundN(
+          greatest(col(weightCol).cast("double"),
+            coalesce(col("__tau"), lit(0.0))), 4)
+          .as("w_hat"))
+  }
 }

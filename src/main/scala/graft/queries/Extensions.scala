@@ -195,6 +195,35 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Priority sampling (Duffield-Lund-Thorup): weighted-without-
+    // replacement sample of 50 docs by token mass, with unbiased ŵ =
+    // max(w, τ) estimation weights. Chosen over Efraimidis-Spirakis
+    // u^(1/w) keys because E-S needs libm pow (engines disagree in the
+    // last ulp — a rank-boundary hash landmine); here hash, +1, one
+    // multiply, one divide are all IEEE correctly-rounded, so SAMPLE
+    // MEMBERSHIP itself is engine-reproducible.
+    QueryDef.sql(
+      "t_priority_sample",
+      s"""WITH pr AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(n_chars AS DOUBLE) * 7.2057594037927936e16
+         |      / CAST((${Det.h56Sql("CAST(doc_id AS VARCHAR)")} + 1) AS DOUBLE) AS p
+         |  FROM documents),
+         |top AS (SELECT * FROM pr ORDER BY p DESC, doc_id LIMIT 51),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY p DESC, doc_id) AS rn
+         |  FROM top),
+         |tau AS (SELECT MAX(CASE WHEN rn = 51 THEN p END) AS t FROM rk)
+         |SELECT doc_id, n_chars, rn AS sample_rank,
+         |  ${roundN("p", 4)} AS priority,
+         |  ${roundN("GREATEST(CAST(n_chars AS DOUBLE), COALESCE(t, 0.0))", 4)} AS w_hat
+         |FROM rk CROSS JOIN tau WHERE rn <= 50
+         |ORDER BY sample_rank""".stripMargin) { (s, d) =>
+      Sampling.prioritySample(Tables.documents(s, d), "doc_id", "n_chars",
+          k = 50)
+        .orderBy("sample_rank")
+    },
+
     // Exact phrase search over a positional inverted index: the
     // (id, pos, token) postings relation answers "value table" as
     // ADJACENT tokens via an equi-join on (doc, pos+1) — each side
