@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.engine.Det
+import graft.engine.Stage.syntax._
 
 /** Deterministic sampling and dataset splitting for training pipelines.
   *

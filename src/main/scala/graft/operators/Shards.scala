@@ -92,4 +92,29 @@ object Shards {
         col("total_weight") * col("__nsh") / col("__total"), 4))
       .select("shard", "n_docs", "total_weight", "imbalance")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent-placement scheme for a GROWING shard set: each key goes
+    * to argmax over shards of h56(key ":" shard). When a shard is added,
+    * a key moves only if the NEW shard's hash beats all existing ones —
+    * so exactly ~1/(n+1) of keys move, all of them TO the new shard, and
+    * no key ever moves between two old shards. That structural guarantee
+    * is what a 100 TB re-shard buys: adding capacity re-writes 1/(n+1)
+    * of the corpus instead of (n-1)/n under mod-N.
+    *
+    * One constant-fanout explode (nShards rows/key) + one argmax
+    * aggregate; h56 keeps the placement engine-recomputable. Ties are
+    * impossible in practice (distinct md5 inputs) and broken by lower
+    * shard id anyway. Returns the input plus `shard`. */
+  def rendezvous(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096, s"nShards: $nShards")
+    val fanned = df.select(col(idCol),
+        explode(sequence(lit(0), lit(nShards - 1))).as("__s"))
+      .withColumn("__h", Det.h56(
+        concat(col(idCol).cast("string"), lit(":"), col("__s").cast("string"))))
+    df.join(
+      fanned.groupBy(col(idCol))
+        .agg(min_by(col("__s"), struct(-col("__h"), col("__s"))).as("shard")),
+      Seq(idCol))
+  }
 }

@@ -195,6 +195,43 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Rendezvous (HRW) re-shard movement matrix: assign every doc under
+    // 8 and under 9 shards, count (shard_before, shard_after) pairs.
+    // The output EXHIBITS the minimal-movement guarantee — every row has
+    // shard_after = shard_before or shard_after = 8 (the new shard), and
+    // the moved mass is ~1/9 — which is what adding capacity costs under
+    // HRW vs rewriting (n−1)/n of the corpus under mod-N placement.
+    QueryDef.sql(
+      "t_rendezvous_shards", {
+        def assign(n: Int, alias: String) =
+          s"""$alias AS (
+             |  SELECT doc_id, s FROM (
+             |    SELECT doc_id, s, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+             |    FROM (
+             |      SELECT doc_id, ss.s,
+             |        ${Det.h56Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(ss.s AS VARCHAR)")} AS h
+             |      FROM documents,
+             |        (SELECT unnest(generate_series(0, ${n - 1})) AS s) ss))
+             |  WHERE rn = 1)""".stripMargin
+        s"""WITH ${assign(8, "a8")},
+           |${assign(9, "a9")}
+           |SELECT a8.s AS shard_before, a9.s AS shard_after,
+           |  COUNT(*) AS n_docs
+           |FROM a8 JOIN a9 USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val a8 = graft.operators.Shards.rendezvous(docs, "doc_id", 8)
+        .withColumnRenamed("shard", "shard_before")
+      val a9 = graft.operators.Shards.rendezvous(docs, "doc_id", 9)
+        .withColumnRenamed("shard", "shard_after")
+      a8.join(a9, Seq("doc_id"))
+        .groupBy("shard_before", "shard_after")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("shard_before", "shard_after")
+    },
+
     // Priority sampling (Duffield-Lund-Thorup): weighted-without-
     // replacement sample of 50 docs by token mass, with unbiased ŵ =
     // max(w, τ) estimation weights. Chosen over Efraimidis-Spirakis
