@@ -1736,6 +1736,56 @@ object Extensions {
       Similarity.silhouetteByCell(emb, centroids)
     },
 
+    // Grid-density (DBSCAN-style) clustering on the first two embedding
+    // coordinates: eps-cells, dense = ≥5 points, clusters = connected
+    // dense cells under 8-neighbor adjacency (9-offset constant-fanout
+    // equi-join — never a range join), components via the convergent
+    // pointer-doubling CC. Sparse-cell points are noise (−1). The oracle
+    // recomputes the components as a recursive closure, so the full
+    // per-point labeling — noise included — is hash-checked.
+    QueryDef.sql(
+      "sim_density_clusters",
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         |         CAST(embedding[2] AS DOUBLE) AS y
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id, CAST(FLOOR(x / 0.1) AS INT) AS cx,
+         |         CAST(FLOOR(y / 0.1) AS INT) AS cy
+         |  FROM pts),
+         |dense AS (
+         |  SELECT cx, cy,
+         |    CAST(cx + 512 AS BIGINT) * 1048576 + CAST(cy + 512 AS BIGINT) AS cid
+         |  FROM (SELECT cx, cy, COUNT(*) AS n FROM cells GROUP BY 1, 2)
+         |  WHERE n >= 5),
+         |adjd AS (
+         |  SELECT a.cid AS id_a, b.cid AS id_b
+         |  FROM dense a,
+         |    (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+         |  JOIN dense b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+         |  WHERE a.cid < b.cid),
+         |sym AS (
+         |  SELECT id_a, id_b FROM adjd
+         |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM adjd),
+         |reach(cell, lab) AS (
+         |  SELECT cid, cid FROM dense
+         |  UNION
+         |  SELECT s.id_b, r.lab FROM sym s JOIN reach r ON r.cell = s.id_a),
+         |comp AS (SELECT cell, MIN(lab) AS c FROM reach GROUP BY 1),
+         |percell AS (
+         |  SELECT d.cx, d.cy, c.c AS cluster
+         |  FROM dense d JOIN comp c ON c.cell = d.cid)
+         |SELECT cells.vec_id, COALESCE(pc.cluster, -1) AS cluster
+         |FROM cells LEFT JOIN percell pc USING (cx, cy)
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val pts = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").getItem(0).as("x"),
+          col("embedding").getItem(1).as("y"))
+      graft.operators.Density.gridCluster(pts, "vec_id", "x", "y",
+          eps = 0.1, minPts = 5L)
+        .orderBy("vec_id")
+    },
+
     // Per-label embedding centroids — the pooling aggregate behind class
     // prototypes, cluster summaries, and mean-pooled doc embeddings:
     // posexplode to (label, dim, x), decimal-summed per-dim means, long
