@@ -122,6 +122,24 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(ppr(i) == 0.0, s"node $i unreachable from seed: ${ppr(i)}"))
   }
 
+  // ---- grid density clustering --------------------------------------
+
+  test("gridCluster separates two blobs, flags stragglers as noise") {
+    // blob A near (0.05, 0.05), blob B near (1.05, 1.05), 2 far points
+    val a = (0 until 8).map(i => (i.toLong, 0.05 + 0.001 * i, 0.05))
+    val b = (0 until 8).map(i => (100L + i, 1.05 + 0.001 * i, 1.05))
+    val noise = Seq((900L, 5.0, 5.0), (901L, -5.0, -5.0))
+    val pts = (a ++ b ++ noise).toDF("id", "x", "y")
+    val out = graft.operators.Density
+      .gridCluster(pts, "id", "x", "y", eps = 0.1, minPts = 5L)
+      .as[(Long, Long)].collect().toMap
+    val ca = (0 until 8).map(i => out(i.toLong)).toSet
+    val cb = (0 until 8).map(i => out(100L + i)).toSet
+    assert(ca.size == 1 && cb.size == 1, s"each blob is one cluster: $out")
+    assert(ca != cb, "blobs must be distinct clusters")
+    assert(out(900L) == -1L && out(901L) == -1L, "far points are noise")
+  }
+
   // ---- betweenness --------------------------------------------------
 
   test("betweenness on a path graph matches Brandes by hand") {
