@@ -537,6 +537,102 @@ object GoldRollups {
         .orderBy("channel")
     },
 
+    // Linear multi-touch attribution — the fairness counterpart to
+    // last-touch: every non-purchase touch in the purchase's trailing
+    // 72h window splits the credit equally (value/n). The window join is
+    // EQUI on user_id with the time predicates as residuals — per-user
+    // histories bound the fan-out, nothing is a range join over the
+    // corpus. Credit division is plain IEEE from identical (value, n);
+    // per-channel sums go through decimals.
+    QueryDef.sql(
+      "q_attribution_linear",
+      s"""WITH t AS (
+         |  SELECT user_id, ts, event_id, event_type FROM events
+         |  WHERE event_type <> 'purchase'),
+         |p AS (
+         |  SELECT user_id, ts, event_id, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |tw AS (
+         |  SELECT p.event_id AS pid, p.value, t.event_type AS channel
+         |  FROM p JOIN t ON t.user_id = p.user_id
+         |    AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+         |    AND epoch_us(p.ts) - epoch_us(t.ts) <= 259200000000),
+         |cr AS (
+         |  SELECT pid, channel,
+         |    COALESCE(value, 0.0) / (COUNT(*) OVER (PARTITION BY pid)) AS credit
+         |  FROM tw),
+         |direct AS (
+         |  SELECT '(direct)' AS channel, COALESCE(p.value, 0.0) AS credit
+         |  FROM p LEFT JOIN (SELECT DISTINCT pid FROM tw) h ON h.pid = p.event_id
+         |  WHERE h.pid IS NULL),
+         |allc AS (
+         |  SELECT channel, credit FROM cr
+         |  UNION ALL SELECT channel, credit FROM direct)
+         |SELECT channel, COUNT(*) AS n_credits,
+         |  ${Det.dsumSql("credit", 6)} AS revenue_credit
+         |FROM allc GROUP BY 1 ORDER BY channel""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).staged
+      val t = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts").as("t_ts"),
+          col("event_id").as("t_id"), col("event_type").as("channel"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("pid"), col("value"))
+      val tw = p.join(t, Seq("user_id"))
+        .filter((col("t_ts") < col("p_ts")) ||
+          (col("t_ts") === col("p_ts") && col("t_id") < col("pid")))
+        .filter(unix_micros(col("p_ts")) - unix_micros(col("t_ts"))
+          <= 259200000000L)
+        .select(col("pid"), col("value"), col("channel"))
+        .staged
+      val wn = Window.partitionBy("pid")
+      val cr = tw.select(col("channel"),
+        (coalesce(col("value"), lit(0.0)) / count(lit(1)).over(wn))
+          .as("credit"))
+      val direct = p.join(tw.select("pid").distinct(), Seq("pid"), "left_anti")
+        .select(lit("(direct)").as("channel"),
+          coalesce(col("value"), lit(0.0)).as("credit"))
+      cr.unionByName(direct)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_credits"),
+          Det.dsum(col("credit"), 6).as("revenue_credit"))
+        .orderBy("channel")
+    },
+
+    // OHLC daily bars — the canonical time-bucket summary for any
+    // metric stream (open = first value in the bucket by (ts, event_id),
+    // close = last, high/low = extremes): one grouped aggregate with
+    // argmin/argmax over the total order, no window, no sort beyond the
+    // final presentation ORDER BY.
+    QueryDef.sql(
+      "w_ohlc_daily",
+      s"""WITH v AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, value, ts, event_id
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY event_type, day
+         |      ORDER BY ts, event_id) AS rf,
+         |    row_number() OVER (PARTITION BY event_type, day
+         |      ORDER BY ts DESC, event_id DESC) AS rl
+         |  FROM v)
+         |SELECT event_type, day,
+         |  MAX(CASE WHEN rf = 1 THEN value END) AS open,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  MAX(CASE WHEN rl = 1 THEN value END) AS close,
+         |  COUNT(value) AS n_values
+         |FROM r GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(col("value")).as("n_values"))
+        .orderBy("event_type", "day")
+    },
+
     // Incremental rollup maintenance — the warehouse pattern where a new
     // partition's PARTIAL aggregate merges into yesterday's state instead
     // of recomputing the world: state(base) ⊎ partial(delta) with the
