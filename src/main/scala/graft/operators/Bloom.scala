@@ -57,6 +57,26 @@ object Bloom {
         .as("bits"))
   }
 
+  /** Per-group filter relations — (groupCol, word_idx, bits) — the
+    * FILE-LEVEL data-skipping index: one small Bloom per file/partition
+    * over a high-cardinality column, where min/max zone maps are useless
+    * for point lookups (every file spans most of the key domain unless
+    * the layout sorts by exactly that column). Same affine-md5 bit math
+    * as [[build]], one extra grouping key; merging increments per group
+    * is the same union + bit_or. */
+  def buildPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      mBits: Long = 2048L, k: Int = 5): DataFrame = {
+    require(mBits % 32 == 0 && mBits > 0, s"mBits: $mBits")
+    require(k >= 1 && k < 64, s"k: $k")
+    df.select(col(groupCol), col(keyCol)).distinct()
+      .select(col(groupCol),
+        explode(array((0 until k).map(j =>
+          position(col(keyCol), j, mBits)): _*)).as("p"))
+      .groupBy(col(groupCol), shiftright(col("p"), 5).as("word_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))")
+        .as("bits"))
+  }
+
   /** Probe: annotate `batch` with `maybe_present` — true iff all k bit
     * positions of the key are set in the filter. The join is k rows per
     * distinct key against the word relation; absent words read as unset

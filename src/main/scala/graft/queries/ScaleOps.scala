@@ -962,6 +962,123 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // File-level Bloom data skipping — the zone-map complement: min/max
+    // stats (z_order_pruning) prune RANGE queries but are weak for point
+    // lookups on a column the layout doesn't sort by; a small per-file
+    // Bloom over user_id answers "which files can contain user X" with
+    // false positives but no false negatives. Output compares, per probe
+    // key: total files, files a min/max check would scan, files the
+    // Bloom admits, and files that truly contain the key — the
+    // data-skipping story made measurable. All bit math is the affine
+    // md5 family, hash-checked end-to-end like dedup_bloom_probe.
+    QueryDef.sql(
+      "z_bloom_file_skip", {
+        val h1 = Det.h56Sql("CAST(user_id AS VARCHAR)")
+        val h2 = Det.h56Sql("CAST(user_id AS VARCHAR)", 17)
+        val p1 = Det.h56Sql("CAST(uid AS VARCHAR)")
+        val p2 = Det.h56Sql("CAST(uid AS VARCHAR)", 17)
+        s"""WITH evs AS (
+           |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day
+           |  FROM events),
+           |zf AS (
+           |  SELECT user_id, (row_number() OVER (ORDER BY
+           |      ${ZOrder.zValueSql("user_id", "day", 11)}, event_id) - 1) // 512
+           |    AS file_id
+           |  FROM evs),
+           |fk AS (SELECT DISTINCT file_id, user_id FROM zf),
+           |jj AS (SELECT unnest(generate_series(0, 4)) AS j),
+           |bpos AS (
+           |  SELECT file_id, ($h1 + j * $h2) % 2048 AS p FROM fk, jj),
+           |bloom AS (
+           |  SELECT file_id, p >> 5 AS word_idx,
+           |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS BIGINT) AS bits
+           |  FROM bpos GROUP BY 1, 2),
+           |probes AS (SELECT CAST(uid AS BIGINT) AS uid
+           |  FROM (VALUES (7), (42), (77)) v(uid)),
+           |ppos AS (
+           |  SELECT uid, ($p1 + j * $p2) % 2048 AS p FROM probes, jj),
+           |files AS (SELECT DISTINCT file_id FROM zf),
+           |hit AS (
+           |  SELECT pp.uid, f.file_id,
+           |    MIN(CASE WHEN (b.bits >> CAST(pp.p % 32 AS INT)) & 1 = 1
+           |        THEN 1 ELSE 0 END) AS allset
+           |  FROM ppos pp CROSS JOIN files f
+           |  LEFT JOIN bloom b ON b.file_id = f.file_id
+           |    AND b.word_idx = (pp.p >> 5)
+           |  GROUP BY 1, 2),
+           |stats AS (
+           |  SELECT file_id, MIN(user_id) AS mn, MAX(user_id) AS mx
+           |  FROM zf GROUP BY 1),
+           |tot AS (SELECT COUNT(*) AS n_files FROM files),
+           |mm AS (
+           |  SELECT uid, COUNT(*) AS c FROM probes, stats
+           |  WHERE mn <= uid AND uid <= mx GROUP BY 1),
+           |blm AS (
+           |  SELECT uid, COUNT(CASE WHEN allset = 1 THEN 1 END) AS c
+           |  FROM hit GROUP BY 1),
+           |act AS (
+           |  SELECT uid, COUNT(DISTINCT file_id) AS c
+           |  FROM zf JOIN probes ON zf.user_id = probes.uid GROUP BY 1)
+           |SELECT p.uid AS probe_uid, tot.n_files,
+           |  COALESCE(mm.c, 0) AS minmax_files,
+           |  COALESCE(blm.c, 0) AS bloom_files,
+           |  COALESCE(act.c, 0) AS actual_files
+           |FROM probes p CROSS JOIN tot
+           |LEFT JOIN mm ON mm.uid = p.uid
+           |LEFT JOIN blm ON blm.uid = p.uid
+           |LEFT JOIN act ON act.uid = p.uid
+           |ORDER BY probe_uid""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val us = expr("unix_micros(ts)")
+      val evs = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        ((us - pmod(us, lit(86400000000L)))
+          .divide(lit(86400000000L))).cast("long").as("day"))
+      val zed = ZOrder.fileLayoutRanged(evs,
+        Seq(ZOrder.zValue(col("user_id"), col("day"), 11), col("event_id")),
+        rowsPerFile = 512).staged
+      val fk = zed.select(col("file_id"),
+        col("user_id").cast("string").as("ukey"))
+      val blooms = graft.operators.Bloom
+        .buildPerGroup(fk, "file_id", "ukey", mBits = 2048L, k = 5)
+        .staged
+      val probes = Seq(7L, 42L, 77L).toDF("uid")
+      val ppos = probes.select(col("uid"),
+        explode(array((0 until 5).map(j => graft.operators.Bloom
+          .position(col("uid").cast("string"), j, 2048L)): _*)).as("p"))
+        .withColumn("__k", lit(1))
+      val files = zed.select("file_id").distinct().withColumn("__k", lit(1))
+      val hit = ppos.join(files, Seq("__k"))
+        .join(blooms,
+          blooms("file_id") === files("file_id") &&
+            blooms("word_idx") === shiftright(col("p"), 5), "left")
+        .groupBy(col("uid"), files("file_id"))
+        .agg(min(when(
+          expr("(bits >> CAST(p % 32 AS INT)) & 1") === 1, 1).otherwise(0))
+          .as("allset"))
+      val stats = zed.groupBy("file_id")
+        .agg(min("user_id").as("mn"), max("user_id").as("mx"))
+      val tot = files.agg(count(lit(1)).as("n_files"))
+      val mm = probes.withColumn("__k", lit(1))
+        .join(stats.withColumn("__k", lit(1)), Seq("__k"))
+        .filter(col("mn") <= col("uid") && col("uid") <= col("mx"))
+        .groupBy("uid").agg(count(lit(1)).as("minmax_files"))
+      val blm = hit.groupBy("uid")
+        .agg(count(when(col("allset") === 1, 1)).as("bloom_files"))
+      val act = zed.join(probes, zed("user_id") === probes("uid"))
+        .select(col("uid"), col("file_id")).distinct()
+        .groupBy("uid").agg(count(lit(1)).as("actual_files"))
+      probes.crossJoin(broadcast(tot))
+        .join(mm, Seq("uid"), "left")
+        .join(blm, Seq("uid"), "left")
+        .join(act, Seq("uid"), "left")
+        .select(col("uid").as("probe_uid"), col("n_files"),
+          coalesce(col("minmax_files"), lit(0L)).as("minmax_files"),
+          coalesce(col("bloom_files"), lit(0L)).as("bloom_files"),
+          coalesce(col("actual_files"), lit(0L)).as("actual_files"))
+        .orderBy("probe_uid")
+    },
+
     // Betweenness centrality (Brandes) from the 5 pivot sources with a
     // 3-hop horizon — the broker-node detector (who sits ON the shortest
     // paths, vs PageRank's who RECEIVES them); exact all-pairs Brandes
