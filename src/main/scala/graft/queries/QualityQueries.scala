@@ -181,6 +181,41 @@ object QualityQueries {
         .orderBy("event_id")
     },
 
+    // k-anonymity suppression (k=10) over the (segment, nation)
+    // quasi-identifier — the governance gate before publishing a
+    // grouped extract: any cell smaller than k re-identifies, so small
+    // cells collapse into one '*' row carrying their total. One grouped
+    // count + a partitioned union; the suppressed mass is preserved
+    // (column sums unchanged), just de-identified.
+    QueryDef.sql(
+      "a_kanon_report",
+      s"""WITH g AS (
+         |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+         |  FROM customer GROUP BY 1, 2),
+         |big AS (
+         |  SELECT c_mktsegment, c_nationkey, n, FALSE AS is_suppressed
+         |  FROM g WHERE n >= 10),
+         |small AS (
+         |  SELECT '*' AS c_mktsegment, CAST(-1 AS BIGINT) AS c_nationkey,
+         |    CAST(SUM(n) AS BIGINT) AS n, TRUE AS is_suppressed
+         |  FROM g WHERE n < 10 HAVING COUNT(*) > 0)
+         |SELECT * FROM big UNION ALL SELECT * FROM small
+         |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+      val g = Tables.customer(s, d)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"))
+        .staged
+      val big = g.filter(col("n") >= 10)
+        .withColumn("is_suppressed", lit(false))
+      val small = g.filter(col("n") < 10)
+        .agg(sum(col("n")).as("n"), count(lit(1)).as("__cells"))
+        .filter(col("__cells") > 0)
+        .select(lit("*").as("c_mktsegment"),
+          lit(-1L).as("c_nationkey"), col("n"), lit(true).as("is_suppressed"))
+      big.unionByName(small)
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+
     // Benford first-significant-digit forensics over order totals — the
     // classic fabricated-data / unit-mixing screen: natural multi-scale
     // money amounts follow P(d) = log10(1 + 1/d); a synthetic-uniform or
