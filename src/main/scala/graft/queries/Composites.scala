@@ -224,6 +224,27 @@ object Composites {
         .orderBy("c_mktsegment")
     },
 
+    // SQL-surface parity: ONE SQL string — defined once — is executed by
+    // BOTH engines verbatim (spark.sql over registered temp views on the
+    // Spark side, DuckDB as the oracle). Everything else in this library
+    // uses the DataFrame API; this query pins down that the engine's SQL
+    // entrypoint speaks the shared ANSI subset too — same decimal-sum
+    // determinism discipline, same result hash.
+    {
+      val sharedSql =
+        """SELECT c_mktsegment,
+          |  COUNT(DISTINCT o_orderkey) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM customer JOIN orders ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin
+      QueryDef.sql("q_sql_interface", sharedSql) { (s, d) =>
+        Seq("customer", "orders").foreach(n =>
+          Tables(s, d, n).createOrReplaceTempView(n))
+        s.sql(sharedSql)
+      }
+    },
+
     // Top user journeys — the path-analysis aggregate: each user's first
     // 4 events (by ts, event_id) joined into an ordered "a>b>c>d" path,
     // then counted across users. Unlike the Markov transition matrix
