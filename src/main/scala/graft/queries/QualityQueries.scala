@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Quality, Tables}
+import graft.engine.Stage.syntax._
 
 /** The reference's 12-check validation suite (validate_silver.py:317-338)
   * re-expressed through the config-driven [[graft.engine.Quality]] engine:
