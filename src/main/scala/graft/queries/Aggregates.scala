@@ -322,6 +322,49 @@ object Aggregates {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H-Q9-shaped product-line profit: the deepest star join in the
+    // relational family (lineitem ⨝ part ⨝ supplier ⨝ orders ⨝ nation) —
+    // the optimizer-ordering stress case. The part filter collapses one
+    // dimension path to a broadcast BEFORE the fact scan (predicate-first
+    // join ordering), supplier⨝nation is a broadcast pair, and the one
+    // fact-to-fact join (lineitem⨝orders, for the year) stays keyed on
+    // orderkey. Profit = extprice·(1−disc) − cost·qty with a synthetic
+    // per-part cost (retailprice·0.6 — the fixture has no partsupp), all
+    // decimal-summed.
+    QueryDef.sql(
+      "q9_product_profit",
+      s"""SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+         |  ${Det.dsumSql(
+            "l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.6 * l_quantity",
+            4)} AS profit
+         |FROM lineitem, part, supplier, orders, nation
+         |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+         |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+         |  AND p_name LIKE '%green%'
+         |GROUP BY 1, 2
+         |ORDER BY n_name, o_year DESC""".stripMargin) { (s, d) =>
+      val greenParts = Tables.part(s, d)
+        .filter(col("p_name").contains("green"))
+        .select("p_partkey", "p_retailprice")
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      Tables.lineitem(s, d)
+        .join(broadcast(greenParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(Det.dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - col("p_retailprice") * lit(0.6) * col("l_quantity"), 4)
+          .as("profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+
     // Concentration profile of each event type's hour-of-day distribution:
     // Shannon entropy (nats), Herfindahl index, peak-hour share. Two
     // map-side-combinable aggregates (hour histogram → per-type moments) —
