@@ -234,6 +234,69 @@ object Graph {
        |$steps""".stripMargin
   }
 
+  /** Harmonic centrality from a pivot source set: H(v) = Σ_s 1/d_s(v)
+    * over sources that reach v within `depth` hops (the
+    * infinite-distance-safe closeness variant — unreachable pairs
+    * contribute 0 instead of poisoning an average; Boldi-Vigna's
+    * recommended centrality for disconnected graphs). Per-source BFS is
+    * the betweenness forward phase without σ: one equi-join + one
+    * aggregate per level, multi-source in one relation. 1/d terms are
+    * exact IEEE divisions of small integers; sums go through decimals.
+    *
+    * Returns (idCol, harmonic) zero-filled. */
+  def harmonicFromSources(nodes: DataFrame, edges: DataFrame, idCol: String,
+      isSource: Column, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 10, s"depth: $depth")
+    val e = Stage.materialize(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    var reached = Stage.materialize(
+      nodes.filter(isSource).select(col(idCol).as("s"),
+        col(idCol).as("v"), lit(0).as("dist")))
+    for (d <- 1 to depth) {
+      val fresh = reached.filter(col("dist") === (d - 1))
+        .join(e, col("v") === col("src"))
+        .select(col("s"), col("dst").as("__v")).distinct()
+        .join(reached.select(col("s"), col("v").as("__v")),
+          Seq("s", "__v"), "left_anti")
+        .select(col("s"), col("__v").as("v"), lit(d).as("dist"))
+      reached = Stage.materializeAlways(reached.unionByName(fresh))
+    }
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val h = reached.filter(col("dist") > 0)
+      .groupBy(col("v"))
+      .agg(sum((lit(1.0) / col("dist")).cast(dec9)).cast("double").as("__h"))
+    nodes.select(col(idCol))
+      .join(h, nodes(idCol) === h("v"), "left")
+      .select(nodes(idCol),
+        Det.roundN(coalesce(col("__h"), lit(0.0)), 6).as("harmonic"))
+  }
+
+  /** DuckDB mirror of [[harmonicFromSources]]: the betweenness forward
+    * unroll without σ. Expects `nd($idCol)`/`e(src, dst)`; ends in
+    * `hc(id, h)`. */
+  def harmonicSql(idCol: String, srcPred: String, depth: Int): String = {
+    require(depth >= 1 && depth <= 10, s"depth: $depth")
+    val fwd = (1 to depth).map { d =>
+      s"""f$d AS (
+         |  SELECT DISTINCT p.s, e.dst AS v
+         |  FROM h${d - 1} p JOIN e ON e.src = p.v WHERE p.dist = ${d - 1}),
+         |n$d AS (
+         |  SELECT f.s, f.v, $d AS dist FROM f$d f
+         |  LEFT JOIN h${d - 1} r ON r.s = f.s AND r.v = f.v
+         |  WHERE r.v IS NULL),
+         |h$d AS MATERIALIZED (
+         |  SELECT * FROM h${d - 1} UNION ALL SELECT * FROM n$d)""".stripMargin
+    }.mkString(",\n")
+    s"""h0 AS (SELECT $idCol AS s, $idCol AS v, 0 AS dist
+       |  FROM nd WHERE $srcPred),
+       |$fwd,
+       |hc AS (
+       |  SELECT v AS id,
+       |    CAST(SUM(CAST(1.0 / dist AS DECIMAL(18,9))) AS DOUBLE) AS h
+       |  FROM h$depth WHERE dist > 0 GROUP BY 1)""".stripMargin
+  }
+
   /** Betweenness centrality via Brandes' dependency accumulation
     * (Brandes 2001), from a PIVOT SOURCE SET with a bounded path horizon
     * — the standard way betweenness survives a large graph (exact

@@ -1111,6 +1111,34 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Harmonic centrality from the same 5 pivots, 4-hop horizon — the
+    // disconnected-graph-safe closeness (unreachable pairs contribute 0,
+    // not ∞); completes the centrality family: degree-ish (pagerank),
+    // broker (betweenness), proximity (harmonic).
+    QueryDef.sql(
+      "g_harmonic",
+      s"""WITH nd AS (SELECT doc_id FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM nd),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+         |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |${Graph.harmonicSql("doc_id", "doc_id % 100 = 0", depth = 4)}
+         |SELECT nd.doc_id, ${Det.roundNSql("COALESCE(hc.h, 0.0)", 6)} AS harmonic
+         |FROM nd LEFT JOIN hc ON hc.id = nd.doc_id
+         |ORDER BY nd.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      Graph.harmonicFromSources(docs, edges, "doc_id",
+          isSource = col("doc_id") % 100 === 0, depth = 4)
+        .orderBy("doc_id")
+    },
+
     // Personalized PageRank from a 5-doc seed set over the same link
     // graph — seed-expansion relevance ("more docs like these trusted
     // ones"), vs g_pagerank's global centrality. Teleport mass goes only

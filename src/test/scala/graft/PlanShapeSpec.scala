@@ -73,8 +73,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "a_benford_digits",       // broadcast 1-row digit-total
     "dedup_lsh_eval",         // 1-row candidate-metrics x 1-row truth-count
     "sim_binary_hamming",     // broadcast 1-row query vector (rerank pass)
-    "sim_silhouette")         // broadcast 16-row centroid codebook (same
+    "sim_silhouette",         // broadcast 16-row centroid codebook (same
                               // class as sim_kmeans_step)
+    "t_priority_sample",      // broadcast 1-row threshold (tau) aggregate
+    "z_bloom_file_skip")      // broadcast 1-row file-count total
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
