@@ -287,6 +287,38 @@ object Extensions {
         Seq("value", "table"))
     },
 
+    // Feature hashing (the hashing trick, Weinberger et al. 2009): token
+    // → h56 mod 1024 feature index with a ±1 sign hash (second md5 span,
+    // low bit) to debias collisions — the fixed-width featurizer that
+    // needs NO vocabulary broadcast, which is the whole point at corpus
+    // scale: the feature space is a constant, not a learned artifact.
+    // Output is the sparse (doc, feature, value) relation, fully
+    // hash-checked since both engines compute identical md5 spans.
+    QueryDef.sql(
+      "t_feature_hashing",
+      raw"""WITH toks AS (
+         |  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS tk
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    ${Det.h56Sql("tk")} % 1024 AS feature_idx,
+         |    1 - 2 * (${Det.h56Sql("tk", 17)} % 2) AS sgn
+         |  FROM toks)
+         |SELECT doc_id, CAST(feature_idx AS BIGINT) AS feature_idx,
+         |  CAST(SUM(sgn) AS BIGINT) AS value
+         |FROM hashed GROUP BY 1, 2
+         |ORDER BY doc_id, feature_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tk"))
+        .select(col("doc_id"),
+          (Det.h56(col("tk")) % 1024).as("feature_idx"),
+          (lit(1) - lit(2) * (Det.h56(col("tk"), 17) % 2)).as("sgn"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(sum(col("sgn")).as("value"))
+        .orderBy("doc_id", "feature_idx")
+    },
+
     // Flesch-Kincaid readability — the grade-level filter a pretraining
     // mix uses to stratify by difficulty (and to spot OCR sludge: absurd
     // grades mean broken sentence structure). Dictionary-free syllables =
