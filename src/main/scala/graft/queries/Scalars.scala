@@ -206,5 +206,56 @@ object Scalars {
           to_json(struct(col("event_id"), col("parsed.k").as("k"))).as("reserialized"))
         .orderBy("event_id")
     },
+
+    // Luhn checksum validation — the PII-scanner upgrade from "looks
+    // like a card number" (regex) to "IS a checksum-valid card number":
+    // 16 synthetic digits per customer (deterministic from custkey),
+    // double every second digit from the right, subtract 9 when > 9,
+    // valid iff the sum divides 10. Pure integer digit arithmetic over
+    // a 16-position constant fanout — identical on any engine; masked
+    // output (first 4 + last 4) models the redaction a real scanner
+    // emits.
+    QueryDef.sql(
+      "f_luhn_validate",
+      s"""WITH card AS (
+         |  SELECT c_custkey,
+         |    '4' || lpad(CAST(c_custkey * 7919 % 100000000000000 AS VARCHAR), 14, '0')
+         |      || CAST(c_custkey % 10 AS VARCHAR) AS num
+         |  FROM customer),
+         |digits AS (
+         |  SELECT c_custkey, num, i,
+         |    CAST(substr(num, i, 1) AS INT) AS dg
+         |  FROM card, (SELECT unnest(generate_series(1, 16)) AS i) ii),
+         |scored AS (
+         |  SELECT c_custkey, num,
+         |    SUM(CASE WHEN (17 - i) % 2 = 0
+         |      THEN CASE WHEN dg * 2 > 9 THEN dg * 2 - 9 ELSE dg * 2 END
+         |      ELSE dg END) AS s
+         |  FROM digits GROUP BY 1, 2)
+         |SELECT c_custkey,
+         |  substr(num, 1, 4) || '********' || substr(num, 13, 4) AS card_masked,
+         |  (s % 10 = 0) AS luhn_valid
+         |FROM scored ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val num = concat(lit("4"),
+        lpad((col("c_custkey") * 7919 % 100000000000000L).cast("string"),
+          14, "0"),
+        (col("c_custkey") % 10).cast("string"))
+      val card = Tables.customer(s, d).select(col("c_custkey"), num.as("num"))
+      val digits = card
+        .select(col("c_custkey"), col("num"),
+          posexplode(split(col("num"), "")).as(Seq("__p", "__d")))
+        .select(col("c_custkey"), col("num"), (col("__p") + 1).as("i"),
+          col("__d").cast("int").as("dg"))
+      val doubled = when((lit(17) - col("i")) % 2 === 0,
+        when(col("dg") * 2 > 9, col("dg") * 2 - 9).otherwise(col("dg") * 2))
+        .otherwise(col("dg"))
+      digits.groupBy("c_custkey", "num")
+        .agg(sum(doubled).as("s"))
+        .select(col("c_custkey"),
+          concat(substring(col("num"), 1, 4), lit("********"),
+            substring(col("num"), 13, 4)).as("card_masked"),
+          (col("s") % 10 === 0).as("luhn_valid"))
+        .orderBy("c_custkey")
+    },
   )
 }
