@@ -188,4 +188,26 @@ object EventStreams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Sessionization via Spark's NATIVE session_window aggregate — the
+    * declarative sibling of [[sessionize]]'s flatMapGroupsWithState:
+    * same 30-minute-gap semantics (a session extends while successive
+    * events arrive within the gap; the window closes at last_event +
+    * gap), but the state machine lives inside the streaming aggregation
+    * operator — watermark-evicted, merge-capable, no user state code.
+    * Prefer this form when the per-session output is an aggregate;
+    * drop to the explicit state API only when per-EVENT emission or
+    * custom transitions are needed. Append-mode compatible (results
+    * emit when the watermark passes a session's close). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
 }

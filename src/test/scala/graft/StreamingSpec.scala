@@ -261,4 +261,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "per-user session counts and sizes must match the batch operator")
   }
+
+  test("native session_window agrees with the stateful sessionizer AND batch") {
+    // Complete mode: the file source delivers one batch, so the
+    // watermark never passes the tail sessions — Append would hold them
+    // back forever; Complete emits the full (still-bounded) session set
+    val sw = EventStreams.sessionWindowAgg(streamingEvents)
+    EventStreams.runToMemory(sw, "sw_out", OutputMode.Complete())
+    val viaWindow = spark.table("sw_out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val batch = SparkEntry.queries("w_sessionize_batch")(
+        spark, "/root/testdata/sf0.001")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    assert(viaWindow.exceptAll(batch).isEmpty && batch.exceptAll(viaWindow).isEmpty,
+      "session_window per-user sessions must match the batch operator")
+  }
 }
