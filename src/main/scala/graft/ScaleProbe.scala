@@ -603,6 +603,78 @@ object ScaleProbe {
       graft.operators.Graph.labelPropagation(nodes, edges, "doc_id",
         rounds = 3)
     }
+
+    // ---- round-7 session-4 probes, second batch ----------------------
+
+    def syntheticEdges(nodes: DataFrame) = {
+      val n = nodes.agg(count(lit(1)).as("__en"))
+      nodes.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+    }
+    // betweenness: forward/backward rounds, per-source frontier work;
+    // sources stay 5-per-100-ids so source count grows with k — the
+    // honest pivot-sampling scale story
+    time("betweenness") {
+      val nodes = corpus.select(col("doc_id"))
+      graft.operators.Graph.betweenness(nodes, syntheticEdges(nodes),
+        "doc_id", isSource = col("doc_id") % 1000 === 0, depth = 3)
+    }
+    time("harmonic") {
+      val nodes = corpus.select(col("doc_id"))
+      graft.operators.Graph.harmonicFromSources(nodes, syntheticEdges(nodes),
+        "doc_id", isSource = col("doc_id") % 1000 === 0, depth = 4)
+    }
+    // grid density: one cell aggregate + dense-cell CC (cells bounded by
+    // the coordinate range, NOT by points — the whole scale argument)
+    time("density_cluster") {
+      val pts = emb.select(col("vec_id"),
+        col("embedding").getItem(0).as("x"),
+        col("embedding").getItem(1).as("y"))
+      graft.operators.Density.gridCluster(pts, "vec_id", "x", "y",
+        eps = 0.1, minPts = 5L)
+    }
+    // priority sample: narrow scan + TakeOrdered(k+1)
+    time("priority_sample")(
+      graft.operators.Sampling.prioritySample(corpus, "doc_id", "n_chars",
+        k = 50))
+    // rendezvous: constant-fanout explode + argmax per key
+    time("rendezvous")(
+      graft.operators.Shards.rendezvous(corpus.select("doc_id"), "doc_id", 9))
+    // per-file bloom build over the replicated corpus keyed by synthetic
+    // file ids — the index-build cost of the skipping story
+    time("bloom_per_file") {
+      val filed = corpus.select(col("doc_id"),
+        (col("doc_id") % 64).as("file_id"),
+        col("doc_id").cast("string").as("ukey"))
+      graft.operators.Bloom.buildPerGroup(filed, "file_id", "ukey",
+        mBits = 2048L, k = 5)
+    }
+    // feature hashing: one explode + one hash aggregate
+    time("feature_hashing") {
+      corpus.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tk"))
+        .select(col("doc_id"), (Det.h56(col("tk")) % 1024).as("fi"),
+          (lit(1) - lit(2) * (Det.h56(col("tk"), 17) % 2)).as("sgn"))
+        .groupBy("doc_id", "fi").agg(sum(col("sgn")).as("v"))
+    }
+    // linear attribution: user-keyed touch×purchase join, per-user bounded
+    time("attribution_linear") {
+      val t = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts").as("t_ts"),
+          col("event_id").as("t_id"), col("event_type").as("channel"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("pid"), col("value"))
+      p.join(t, Seq("user_id"))
+        .filter((col("t_ts") < col("p_ts")) ||
+          (col("t_ts") === col("p_ts") && col("t_id") < col("pid")))
+        .filter(unix_micros(col("p_ts")) - unix_micros(col("t_ts"))
+          <= 259200000000L)
+        .groupBy("channel").agg(count(lit(1)).as("n"))
+    }
     spark.stop()
   }
 }

@@ -224,6 +224,54 @@ object Composites {
         .orderBy("c_mktsegment")
     },
 
+    // Parent-child hierarchy rollup — the OLAP subtree aggregate (org
+    // charts, category trees, BOM explosions): every node's total over
+    // its whole subtree. The synthetic tree parent(v) = v div 3 gives
+    // ancestors in CLOSED FORM (ancestor_k = v div 3^k), so the rollup
+    // needs no recursion at all: one 13-power constant fanout + distinct
+    // + one aggregate — the same flatten-the-hierarchy trick a real
+    // warehouse applies by materializing an ancestor path table. Child
+    // counts ride along from the k=1 level.
+    QueryDef.sql(
+      "q_hierarchy_rollup", {
+        val pows = (0 to 12).map(k => math.pow(3, k).toLong)
+        s"""WITH pow(p) AS (VALUES ${pows.map(p => s"(CAST($p AS BIGINT))").mkString(", ")}),
+           |anc AS (
+           |  SELECT DISTINCT d.doc_id, d.doc_id // p.p AS node, d.n_chars
+           |  FROM documents d, pow p),
+           |r AS (
+           |  SELECT node, COUNT(*) AS subtree_docs,
+           |    CAST(SUM(n_chars) AS BIGINT) AS subtree_chars
+           |  FROM anc GROUP BY 1),
+           |kids AS (
+           |  SELECT doc_id // 3 AS node, COUNT(*) AS c
+           |  FROM documents WHERE doc_id > 0 GROUP BY 1)
+           |SELECT r.node AS node_id, subtree_docs, subtree_chars,
+           |  COALESCE(kids.c, 0) AS n_children
+           |FROM r LEFT JOIN kids ON kids.node = r.node
+           |ORDER BY subtree_chars DESC, node_id LIMIT 50""".stripMargin
+      }) { (s, d) =>
+      val pows = (0 to 12).map(k => math.pow(3, k).toLong)
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      val anc = docs
+        .select(col("doc_id"), col("n_chars"),
+          explode(array(pows.map(lit): _*)).as("p"))
+        .select(col("doc_id"), col("n_chars"),
+          expr("doc_id div p").as("node"))
+        .distinct()
+      val r = anc.groupBy("node")
+        .agg(count(lit(1)).as("subtree_docs"),
+          sum(col("n_chars")).as("subtree_chars"))
+      val kids = docs.filter(col("doc_id") > 0)
+        .groupBy(expr("doc_id div 3").as("node"))
+        .agg(count(lit(1)).as("c"))
+      r.join(kids, Seq("node"), "left")
+        .select(col("node").as("node_id"), col("subtree_docs"),
+          col("subtree_chars"), coalesce(col("c"), lit(0L)).as("n_children"))
+        .orderBy(desc("subtree_chars"), col("node_id"))
+        .limit(50)
+    },
+
     // SQL-surface parity: ONE SQL string — defined once — is executed by
     // BOTH engines verbatim (spark.sql over registered temp views on the
     // Spark side, DuckDB as the oracle). Everything else in this library
