@@ -1682,6 +1682,45 @@ object ScaleOps {
         .orderBy("event_type", "day")
     },
 
+    // RANGE-frame rolling sum — the window-frame variant ROWS can't
+    // imitate on a gapped series: the frame covers the last 3 CALENDAR
+    // days (numeric day index, RANGE 2 PRECEDING), so a missing day
+    // shrinks the window instead of silently reaching further back the
+    // way a ROWS frame would. Gaps are real here: the per-(type, day)
+    // relation is sparsified to odd event_ids. Decimal daily sums; the
+    // frame sum re-decimal-summed — fully order-independent.
+    QueryDef.sql(
+      "w_range_frame",
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS daynum,
+         |    ${Det.dsumSql("value", 6)} AS v
+         |  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+         |  GROUP BY 1, 2)
+         |SELECT event_type, daynum, v,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER (
+         |    PARTITION BY event_type ORDER BY daynum
+         |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_3d,
+         |  COUNT(*) OVER (
+         |    PARTITION BY event_type ORDER BY daynum
+         |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS days_in_frame
+         |FROM daily ORDER BY event_type, daynum""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val daily = Tables.events(s, d)
+        .filter(col("event_id") % 2 === 1 && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("daynum"))
+        .agg(Det.dsum(col("value"), 6).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("daynum")
+        .rangeBetween(-2, 0)
+      daily
+        .withColumn("rolling_3d",
+          sum(col("v").cast(DecimalType(18, 6))).over(w).cast("double"))
+        .withColumn("days_in_frame", count(lit(1)).over(w))
+        .orderBy("event_type", "daynum")
+    },
+
     // Holt double-exponential smoothing + 7-day forecast per daily
     // series — the forecasting member of the family (EWMA tracks a
     // level; Holt tracks level AND trend, so a drifting series is
