@@ -173,4 +173,39 @@ class EmptyInputSpec extends AnyFunSuite {
       "pts", "cts", "cid", Seq("cid")).collect()
     assert(n.length === 1 && n.head.isNullAt(3))
   }
+
+  test("session-4 operators on empty inputs") {
+    val q = Seq(Tuple1(Array.fill(64)(1.0f))).toDF("q_emb")
+    assert(Quantize.signBits(noVecs, "vec_id", "embedding").count() === 0)
+    assert(Quantize.hammingTopK(noVecs, q, k = 5, pool = 10).count() === 0)
+    val cents = Seq((0L, Array.fill(64)(1.0f))).toDF("cell", "c_emb")
+    assert(Similarity.silhouetteByCell(noVecs, cents).count() === 0)
+    assert(Itemsets.frequentTriples(
+      Seq.empty[(Long, Long)].toDF("bk", "it"), "bk", "it", 2).count() === 0)
+    val noNodes = Seq.empty[Tuple1[Long]].toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.labelPropagation(noNodes, noEdges, "id", 2).count() === 0)
+    assert(Graph.betweenness(noNodes, noEdges, "id",
+      isSource = col("id") === 0, depth = 2).count() === 0)
+    assert(Graph.harmonicFromSources(noNodes, noEdges, "id",
+      isSource = col("id") === 0, depth = 2).count() === 0)
+    assert(Graph.personalizedPagerank(
+      spark.range(2).toDF("id"), noEdges, "id",
+      isSource = col("id") === 0, iterations = 2).count() === 2)
+    val noSeries = Seq.empty[(String, java.sql.Date, Double)]
+      .toDF("k", "d", "v")
+    assert(TimeSeries.holt(noSeries, "k", "d", "v", 0.3, 0.1).count() === 0)
+    assert(graft.functions.TextFunctions.phraseSearch(noDocs, "doc_id",
+      "text", Seq("a", "b")).count() === 0)
+    val lshe = Dedup.lshEval(noDocs, "doc_id", "text").collect()
+    assert(lshe.length === 1 && lshe.head.getLong(0) === 0L)
+    // empty population: sample is empty, no tau blow-up
+    assert(Sampling.prioritySample(noDocs.withColumn("w", lit(1L)),
+      "doc_id", "w", k = 5).count() === 0)
+    assert(Shards.rendezvous(noDocs.select("doc_id"), "doc_id", 8)
+      .count() === 0)
+    assert(Density.gridCluster(
+      Seq.empty[(Long, Double, Double)].toDF("id", "x", "y"),
+      "id", "x", "y", eps = 0.1, minPts = 2).count() === 0)
+  }
 }
