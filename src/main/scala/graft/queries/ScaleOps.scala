@@ -1682,6 +1682,48 @@ object ScaleOps {
         .orderBy("event_type", "day")
     },
 
+    // The full ANSI ranking-function surface in one relation — rank,
+    // dense_rank, percent_rank, cume_dist, ntile(4), and an explicit
+    // full-frame nth_value — over per-(type, day) decimal totals. Ties
+    // are impossible (decimal sums of distinct day slices), ntile's
+    // ceil/floor group sizing is ANSI-determined, and the two rational
+    // outputs (percent_rank, cume_dist) are exact divisions — so the
+    // whole surface hash-matches without rounding anywhere.
+    QueryDef.sql(
+      "w_rank_functions",
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${Det.dsumSql("value", 6)} AS v
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+         |SELECT event_type, day, v,
+         |  rank() OVER w AS rnk,
+         |  dense_rank() OVER w AS drnk,
+         |  percent_rank() OVER w AS prnk,
+         |  cume_dist() OVER w AS cdist,
+         |  ntile(4) OVER w AS quartile,
+         |  nth_value(v, 2) OVER (PARTITION BY event_type ORDER BY v DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |    AS second_best
+         |FROM daily
+         |WINDOW w AS (PARTITION BY event_type ORDER BY v DESC)
+         |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Det.dsum(col("value"), 6).as("v"))
+      val w = Window.partitionBy("event_type").orderBy(desc("v"))
+      val wFull = Window.partitionBy("event_type").orderBy(desc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      daily
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prnk", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("second_best", nth_value(col("v"), 2).over(wFull))
+        .orderBy("event_type", "day")
+    },
+
     // RANGE-frame rolling sum — the window-frame variant ROWS can't
     // imitate on a gapped series: the frame covers the last 3 CALENDAR
     // days (numeric day index, RANGE 2 PRECEDING), so a missing day
