@@ -1682,6 +1682,44 @@ object ScaleOps {
         .orderBy("event_type", "day")
     },
 
+    // INTERSECT / EXCEPT set algebra — the retention-audit shapes (active
+    // both periods; churned) as real set operators rather than joins,
+    // completing the set-op family next to u1_union_all. DISTINCT
+    // variants on purpose (ALL-variants of user sets are join-shaped
+    // anyway); both engines plan these as aggregates/anti-joins.
+    QueryDef.sql(
+      "u2_intersect_except",
+      s"""WITH w1 AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE CAST(ts AS DATE) < DATE '2024-01-15'),
+         |w2 AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE CAST(ts AS DATE) >= DATE '2024-01-15'),
+         |both_w AS (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2),
+         |churn AS (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w2),
+         |new_u AS (SELECT user_id FROM w2 EXCEPT SELECT user_id FROM w1)
+         |SELECT 'retained' AS cohort, COUNT(*) AS n_users,
+         |  MIN(user_id) AS min_uid FROM both_w
+         |UNION ALL
+         |SELECT 'churned', COUNT(*), MIN(user_id) FROM churn
+         |UNION ALL
+         |SELECT 'new', COUNT(*), MIN(user_id) FROM new_u
+         |ORDER BY cohort""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-15").cast("date")
+      val w1 = ev.filter(to_date(col("ts")) < cut)
+        .select("user_id").distinct().staged
+      val w2 = ev.filter(to_date(col("ts")) >= cut)
+        .select("user_id").distinct().staged
+      def row(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_users"), min("user_id").as("min_uid"))
+          .select(lit(name).as("cohort"), col("n_users"), col("min_uid"))
+      row("retained", w1.intersect(w2))
+        .unionByName(row("churned", w1.except(w2)))
+        .unionByName(row("new", w2.except(w1)))
+        .orderBy("cohort")
+    },
+
     // The full ANSI ranking-function surface in one relation — rank,
     // dense_rank, percent_rank, cume_dist, ntile(4), and an explicit
     // full-frame nth_value — over per-(type, day) decimal totals. Ties
