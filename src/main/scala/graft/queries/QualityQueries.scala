@@ -182,6 +182,41 @@ object QualityQueries {
         .orderBy("event_id")
     },
 
+    // Row-level quarantine routing — the productionized sibling of the
+    // check-suite log (q_quality_report counts failures; this ROUTES the
+    // failing rows, each carrying every reason it tripped, so the main
+    // pipeline stays clean and the quarantine relation is re-processable
+    // after a fix). Reasons are a sorted comma-joined string — a stable
+    // scalar encoding both engines produce byte-identically. One scan,
+    // predicate evaluation inline, no joins.
+    QueryDef.sql(
+      "q_quarantine_rows",
+      s"""WITH flagged AS (
+         |  SELECT event_id, user_id, event_type, value,
+         |    concat_ws(',',
+         |      CASE WHEN value IS NULL THEN 'null_value' END,
+         |      CASE WHEN value < 0 THEN 'negative_value' END,
+         |      CASE WHEN event_type NOT IN ('view', 'click', 'purchase',
+         |        'signup', 'share') THEN 'unknown_type' END,
+         |      CASE WHEN user_id IS NULL OR user_id < 0 THEN 'bad_user' END)
+         |      AS reasons
+         |  FROM events)
+         |SELECT event_id, user_id, event_type, value, reasons
+         |FROM flagged WHERE reasons <> ''
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val reasons = concat_ws(",",
+        when(col("value").isNull, "null_value"),
+        when(col("value") < 0, "negative_value"),
+        when(!col("event_type").isin("view", "click", "purchase",
+          "signup", "share"), "unknown_type"),
+        when(col("user_id").isNull || col("user_id") < 0, "bad_user"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), reasons.as("reasons"))
+        .filter(col("reasons") =!= "")
+        .orderBy("event_id")
+    },
+
     // k-anonymity suppression (k=10) over the (segment, nation)
     // quasi-identifier — the governance gate before publishing a
     // grouped extract: any cell smaller than k re-identifies, so small
