@@ -962,6 +962,55 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Small-file compaction planner — the lake-maintenance op that turns
+    // a fragmented write history (here: the z-order layout re-cut at 128
+    // rows/file) into a manifest of merge jobs: ADJACENT files pack into
+    // bins of ~2048 rows by cumulative-sum bin assignment, preserving
+    // the layout's clustering (adjacent-only merges keep z-locality,
+    // which is why real compactors don't bin-pack by size globally).
+    // The running sum is a window over the FILE MANIFEST — bounded by
+    // file count, never row count — the same bounded-relation discipline
+    // as Shards' heavy tier.
+    QueryDef.sql(
+      "k_compaction_plan",
+      s"""WITH evs AS (
+         |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |zf AS (
+         |  SELECT (row_number() OVER (ORDER BY
+         |      ${ZOrder.zValueSql("user_id", "day", 11)}, event_id) - 1) // 128
+         |    AS file_id
+         |  FROM evs),
+         |files AS (SELECT file_id, COUNT(*) AS n_rows FROM zf GROUP BY 1),
+         |planned AS (
+         |  SELECT file_id, n_rows,
+         |    CAST(COALESCE(SUM(n_rows) OVER (ORDER BY file_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+         |      AS BIGINT) AS bin
+         |  FROM files)
+         |SELECT bin, COUNT(*) AS n_files, CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
+         |FROM planned GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+      val us = expr("unix_micros(ts)")
+      val evs = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        ((us - pmod(us, lit(86400000000L)))
+          .divide(lit(86400000000L))).cast("long").as("day"))
+      val zed = ZOrder.fileLayoutRanged(evs,
+        Seq(ZOrder.zValue(col("user_id"), col("day"), 11), col("event_id")),
+        rowsPerFile = 128)
+      val files = zed.groupBy("file_id").agg(count(lit(1)).as("n_rows"))
+      val w = Window.orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val planned = files
+        .withColumn("cum_before", coalesce(sum("n_rows").over(w), lit(0L)))
+        .withColumn("bin", expr("cum_before div 2048"))
+      planned.groupBy("bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum("n_rows").cast("long").as("total_rows"),
+          min("file_id").as("first_file"), max("file_id").as("last_file"))
+        .orderBy("bin")
+    },
+
     // File-level Bloom data skipping — the zone-map complement: min/max
     // stats (z_order_pruning) prune RANGE queries but are weak for point
     // lookups on a column the layout doesn't sort by; a small per-file
