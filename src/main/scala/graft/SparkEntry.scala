@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.defs ++ Aggregates.defs ++ Windows.defs ++ Scalars.defs ++
       Composites.defs ++ GoldRollups.defs ++ QualityQueries.defs ++
       Extensions.defs ++ PipelineQueries.defs ++ ScaleOps.defs ++
-      Curation.defs ++ StreamingQueries.defs
+      Curation.defs ++ StreamingQueries.defs ++ StatsOps.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names")

@@ -1,0 +1,557 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.{Det, Tables}
+
+/** Statistical / experimentation operators over the event and order
+  * streams: survival analysis, resampling inference, independence tests,
+  * power-law fitting, partition backfill planning, interval algebra, and
+  * distributed PCA power iteration.
+  *
+  * All of these are single-digit-shuffle DataFrame programs whose reduced
+  * state (lifetables, contingency cells, bootstrap replicates, moment
+  * sums) is tiny regardless of input scale — the 100 TB shape is
+  * scan → partial-agg → small-state finish, never a driver-side loop.
+  * Determinism: integer/decimal arithmetic everywhere order can vary;
+  * transcendental (ln/exp/sqrt) only on already-reduced identical
+  * doubles, with [[Det.roundN]] absorbing the final ulp (the
+  * a_entropy_profile precedent, Aggregates.scala:376).
+  */
+object StatsOps {
+
+  private val roundN = Det.roundNSql _
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- survival analysis -------------------------------------------
+
+    // Kaplan-Meier survival for time-to-first-purchase: per user, the
+    // clock starts at their first event and "death" is their first
+    // purchase; users with no purchase are right-censored at the data
+    // horizon. Time is whole hours by integer-µs floor division (div /
+    // // truncation agrees across engines on the non-negative diff —
+    // calendar date_diff('hour') would count boundary crossings, which
+    // Spark has no builtin for). The KM estimator multiplies
+    // (1 - d_t/n_t) over death times — computed as exp(cumsum ln factor)
+    // with an explicit zero-factor guard because Spark's ln(0) is NULL
+    // while DuckDB's is -inf. The lifetable is bounded by the hour
+    // horizon (not row count), so the single-partition cumulative window
+    // is a constant-size finish after one groupBy(user) + one
+    // groupBy(hour) shuffle — the 100 TB plan shape.
+    QueryDef.sql(
+      "a_kaplan_meier",
+      s"""WITH u AS (
+         |  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         |      AS tp
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+         |lif AS (
+         |  SELECT (COALESCE(tp, max_us) - t0) // 3600000000 AS t,
+         |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM u, m),
+         |lt AS (
+         |  SELECT t, COUNT(*) AS leaving, CAST(SUM(ev) AS BIGINT) AS deaths
+         |  FROM lif GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(leaving) AS BIGINT) AS nn FROM lt),
+         |r AS (
+         |  SELECT t, deaths,
+         |    nn - CAST(COALESCE(SUM(leaving) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS at_risk
+         |  FROM lt, tot),
+         |f AS (SELECT t, deaths, at_risk,
+         |        1.0 - deaths * 1.0 / at_risk AS factor FROM r),
+         |sv AS (
+         |  SELECT t, deaths, at_risk,
+         |    CASE WHEN MIN(factor) OVER w <= 0 THEN 0.0
+         |         ELSE exp(SUM(CASE WHEN factor > 0 THEN ln(factor)
+         |                          ELSE 0.0 END) OVER w) END AS survival
+         |  FROM f
+         |  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |               AND CURRENT ROW))
+         |SELECT t, deaths, at_risk, ${roundN("survival", 6)} AS survival
+         |FROM sv WHERE deaths > 0 ORDER BY t""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val u = ev.groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("tp"))
+      val m = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+      val lif = u.crossJoin(broadcast(m)).select(
+        expr("(COALESCE(tp, max_us) - t0) div 3600000000").as("t"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+      val lt = lif.groupBy("t")
+        .agg(count(lit(1)).as("leaving"), sum("ev").as("deaths"))
+      val tot = lt.agg(sum("leaving").as("nn"))
+      val wPrev = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = lt.crossJoin(broadcast(tot)).withColumn("at_risk",
+        col("nn") - coalesce(sum("leaving").over(wPrev), lit(0L)))
+      val f = r.withColumn("factor",
+        lit(1.0) - col("deaths") * lit(1.0) / col("at_risk"))
+      f.withColumn("survival",
+          when(min("factor").over(wCum) <= 0, lit(0.0))
+            .otherwise(exp(sum(when(col("factor") > 0, log(col("factor")))
+              .otherwise(lit(0.0))).over(wCum))))
+        .filter(col("deaths") > 0)
+        .select(col("t"), col("deaths"), col("at_risk"),
+          Det.roundN(col("survival"), 6).as("survival"))
+        .orderBy("t")
+    },
+
+    // ---- resampling inference ----------------------------------------
+
+    // Deterministic Poisson bootstrap of the per-priority mean order
+    // value: B=32 replicates, each row's replicate-b weight drawn from
+    // Poisson(1) by inverting the CDF at u = h56(key:b)/2^56 — THE
+    // bootstrap that works at 100 TB (weights are computed row-local in
+    // the map phase; the classic multinomial resample needs global
+    // coordination). Replicate means are DECIMAL-exact, so sample
+    // members, replicate means, and the percentile CI (2nd/31st of 32)
+    // are all engine-reproducible bit-for-bit before the final rounding.
+    // CDF thresholds are exact double literals of cumsum(e^-1/k!), with
+    // the tail truncated at w=7 (P ≈ 1e-5, documented bias).
+    QueryDef.sql(
+      "a_poisson_bootstrap", {
+        val cdf = Seq(
+          "0.36787944117144233" -> 0, "0.7357588823428846" -> 1,
+          "0.9196986029286058" -> 2, "0.9810118431238462" -> 3,
+          "0.9963401531726563" -> 4, "0.9994058151824183" -> 5,
+          "0.9999167588507119" -> 6)
+        val wCase = "CASE " + cdf.map { case (c, k) =>
+          s"WHEN u < $c THEN $k" }.mkString(" ") + " ELSE 7 END"
+        s"""WITH reps AS (
+           |  SELECT o_orderpriority, o_totalprice,
+           |    ${Det.h56Sql("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+           |      * 1.0 / 72057594037927936.0 AS u, b
+           |  FROM orders, (SELECT unnest(generate_series(0, 31)) AS b) bb),
+           |wts AS (SELECT o_orderpriority, o_totalprice, b, $wCase AS w
+           |        FROM (SELECT o_orderpriority, o_totalprice, b, u FROM reps)),
+           |bm AS (
+           |  SELECT o_orderpriority, b,
+           |    CAST(SUM(CAST(w * o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |      / CAST(SUM(w) AS BIGINT) AS bmean
+           |  FROM wts GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT o_orderpriority, bmean,
+           |    row_number() OVER (PARTITION BY o_orderpriority
+           |                       ORDER BY bmean, b) AS rn
+           |  FROM bm),
+           |stats AS (
+           |  SELECT o_orderpriority,
+           |    CAST(SUM(CAST(bmean AS DECIMAL(18,6))) AS DOUBLE) / 32 AS bavg,
+           |    CAST(SUM(CAST(bmean * bmean AS DECIMAL(28,6))) AS DOUBLE) AS bsq,
+           |    MAX(CASE WHEN rn = 2 THEN bmean END) AS lo,
+           |    MAX(CASE WHEN rn = 31 THEN bmean END) AS hi
+           |  FROM rk GROUP BY 1),
+           |act AS (
+           |  SELECT o_orderpriority, ${Det.davgSql("o_totalprice")} AS mean_actual
+           |  FROM orders GROUP BY 1)
+           |SELECT a.o_orderpriority,
+           |  ${roundN("mean_actual", 4)} AS mean_actual,
+           |  ${roundN("bavg", 4)} AS boot_mean,
+           |  ${roundN("sqrt((bsq - 32 * bavg * bavg) / 31)", 4)} AS boot_se,
+           |  ${roundN("lo", 4)} AS ci_lo, ${roundN("hi", 4)} AS ci_hi
+           |FROM stats s JOIN act a USING (o_orderpriority)
+           |ORDER BY o_orderpriority""".stripMargin
+      }) { (s, d) =>
+      val cdf = Seq(
+        0.36787944117144233 -> 0, 0.7357588823428846 -> 1,
+        0.9196986029286058 -> 2, 0.9810118431238462 -> 3,
+        0.9963401531726563 -> 4, 0.9994058151824183 -> 5,
+        0.9999167588507119 -> 6)
+      val orders = Tables.orders(s, d)
+      val reps = orders
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("u",
+          Det.h56(concat(col("o_orderkey").cast("string"), lit(":"),
+            col("b").cast("string"))) * lit(1.0) / lit(7.2057594037927936e16))
+      val w = cdf.foldRight(lit(7): org.apache.spark.sql.Column) {
+        case ((c, k), acc) => when(col("u") < c, lit(k)).otherwise(acc)
+      }
+      val bm = reps.withColumn("w", w)
+        .groupBy("o_orderpriority", "b")
+        .agg((sum((col("w") * col("o_totalprice")).cast(DecimalType(18, 2)))
+          .cast("double") / sum("w")).as("bmean"))
+      val rk = bm.withColumn("rn", row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy("bmean", "b")))
+      val stats = rk.groupBy("o_orderpriority").agg(
+        (sum(col("bmean").cast(DecimalType(18, 6))).cast("double") / lit(32))
+          .as("bavg"),
+        sum((col("bmean") * col("bmean")).cast(DecimalType(28, 6)))
+          .cast("double").as("bsq"),
+        max(when(col("rn") === 2, col("bmean"))).as("lo"),
+        max(when(col("rn") === 31, col("bmean"))).as("hi"))
+      val act = orders.groupBy("o_orderpriority")
+        .agg(Det.davg(col("o_totalprice")).as("mean_actual"))
+      stats.join(act, "o_orderpriority")
+        .select(col("o_orderpriority"),
+          Det.roundN(col("mean_actual"), 4).as("mean_actual"),
+          Det.roundN(col("bavg"), 4).as("boot_mean"),
+          Det.roundN(sqrt((col("bsq") - lit(32) * col("bavg") * col("bavg"))
+            / lit(31)), 4).as("boot_se"),
+          Det.roundN(col("lo"), 4).as("ci_lo"),
+          Det.roundN(col("hi"), 4).as("ci_hi"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- independence tests ------------------------------------------
+
+    // Pearson chi-squared test of independence for order status ×
+    // priority, plus Cramér's V effect size. Everything up to the final
+    // sqrt is rational arithmetic on exact counts; the per-cell terms are
+    // identical doubles on both engines and the cross-cell sum goes
+    // through DECIMAL so partial-aggregation order can't perturb it.
+    QueryDef.sql(
+      "a_chisq_independence",
+      s"""WITH c AS (
+         |  SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS n
+         |  FROM orders GROUP BY 1, 2),
+         |r AS (SELECT x, CAST(SUM(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+         |cc AS (SELECT y, CAST(SUM(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+         |e AS (
+         |  SELECT n, rn * 1.0 * cn / nn AS expd
+         |  FROM c JOIN r USING (x) JOIN cc USING (y), t),
+         |chi AS (
+         |  SELECT CAST(SUM(CAST((n - expd) * (n - expd) / expd
+         |    AS DECIMAL(28,12))) AS DOUBLE) AS chi2, COUNT(*) AS n_cells
+         |  FROM e)
+         |SELECT ${roundN("chi2", 6)} AS chi2,
+         |  CAST(((SELECT COUNT(*) FROM r) - 1)
+         |    * ((SELECT COUNT(*) FROM cc) - 1) AS BIGINT) AS dof,
+         |  n_cells,
+         |  ${roundN("sqrt(chi2 / ((SELECT nn FROM t) * least((SELECT COUNT(*) FROM r) - 1, (SELECT COUNT(*) FROM cc) - 1)))", 6)}
+         |    AS cramers_v
+         |FROM chi""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+        .agg(count(lit(1)).as("n"))
+      val r = c.groupBy("x").agg(sum("n").as("rn"))
+      val cc = c.groupBy("y").agg(sum("n").as("cn"))
+      val t = c.agg(sum("n").as("nn"))
+      val e = c.join(broadcast(r), "x").join(broadcast(cc), "y")
+        .crossJoin(broadcast(t))
+        .withColumn("expd", col("rn") * lit(1.0) * col("cn") / col("nn"))
+      val dims = r.agg(count(lit(1)).as("nr"))
+        .crossJoin(cc.agg(count(lit(1)).as("nc")))
+        .crossJoin(t)
+      e.agg(
+          sum(((col("n") - col("expd")) * (col("n") - col("expd"))
+            / col("expd")).cast(DecimalType(28, 12))).cast("double").as("chi2"),
+          count(lit(1)).as("n_cells"))
+        .crossJoin(broadcast(dims))
+        .select(Det.roundN(col("chi2"), 6).as("chi2"),
+          ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("dof"),
+          col("n_cells"),
+          Det.roundN(sqrt(col("chi2") / (col("nn")
+            * least(col("nr") - 1, col("nc") - 1))), 6).as("cramers_v"))
+    },
+
+    // Mutual information (nats) between order status and priority, with
+    // the marginal entropies and min-normalized MI. ln arguments are
+    // exact integer ratios (identical doubles both engines); the few-cell
+    // double sums then round to 6 — the a_entropy_profile determinism
+    // precedent (ulp-level engine drift sits ~1e-16, ten orders below
+    // the rounding grid).
+    QueryDef.sql(
+      "a_mutual_info",
+      s"""WITH c AS (
+         |  SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS n
+         |  FROM orders GROUP BY 1, 2),
+         |r AS (SELECT x, CAST(SUM(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+         |cc AS (SELECT y, CAST(SUM(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+         |mi AS (
+         |  SELECT SUM((n * 1.0 / nn)
+         |    * ln((n * 1.0 * nn) / (rn * 1.0 * cn))) AS mi
+         |  FROM c JOIN r USING (x) JOIN cc USING (y), t),
+         |hx AS (SELECT -SUM((rn * 1.0 / nn) * ln(rn * 1.0 / nn)) AS hx
+         |       FROM r, t),
+         |hy AS (SELECT -SUM((cn * 1.0 / nn) * ln(cn * 1.0 / nn)) AS hy
+         |       FROM cc, t)
+         |SELECT ${roundN("mi", 6)} AS mi, ${roundN("hx", 6)} AS h_x,
+         |  ${roundN("hy", 6)} AS h_y,
+         |  ${roundN("mi / least(hx, hy)", 6)} AS nmi,
+         |  (SELECT nn FROM t) AS n
+         |FROM mi, hx, hy""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+        .agg(count(lit(1)).as("n"))
+      val r = c.groupBy("x").agg(sum("n").as("rn"))
+      val cc = c.groupBy("y").agg(sum("n").as("cn"))
+      val t = c.agg(sum("n").as("nn"))
+      val mi = c.join(broadcast(r), "x").join(broadcast(cc), "y")
+        .crossJoin(broadcast(t))
+        .agg(sum((col("n") * lit(1.0) / col("nn"))
+          * log((col("n") * lit(1.0) * col("nn"))
+            / (col("rn") * lit(1.0) * col("cn")))).as("mi"))
+      val hx = r.crossJoin(broadcast(t))
+        .agg((-sum((col("rn") * lit(1.0) / col("nn"))
+          * log(col("rn") * lit(1.0) / col("nn")))).as("hx"))
+      val hy = cc.crossJoin(broadcast(t))
+        .agg((-sum((col("cn") * lit(1.0) / col("nn"))
+          * log(col("cn") * lit(1.0) / col("nn")))).as("hy"))
+      mi.crossJoin(hx).crossJoin(hy).crossJoin(t)
+        .select(Det.roundN(col("mi"), 6).as("mi"),
+          Det.roundN(col("hx"), 6).as("h_x"),
+          Det.roundN(col("hy"), 6).as("h_y"),
+          Det.roundN(col("mi") / least(col("hx"), col("hy")), 6).as("nmi"),
+          col("nn").as("n"))
+    },
+
+    // ---- power-law fitting -------------------------------------------
+
+    // Zipf fit of the corpus vocabulary: OLS of ln(freq) on ln(rank)
+    // over the top-500 terms (rank by freq desc, term asc — total order).
+    // A healthy natural-language corpus slopes ≈ -1; synthetic or
+    // template-heavy corpora flatten. ln of exact integers, closed-form
+    // OLS from five moment sums, rounded at 6.
+    QueryDef.sql(
+      "t_zipf_fit",
+      raw"""WITH t AS (
+         |  SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS term
+         |  FROM documents),
+         |f AS (SELECT term, COUNT(*) AS freq FROM t WHERE term <> ''
+         |      GROUP BY 1),
+         |rk AS (SELECT freq,
+         |         row_number() OVER (ORDER BY freq DESC, term) AS rank
+         |       FROM f),
+         |xy AS (SELECT ln(rank) AS x, ln(freq) AS y FROM rk
+         |       WHERE rank <= 500),
+         |s AS (
+         |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |  FROM xy),
+         |vocab AS (SELECT COUNT(*) AS n_terms FROM f)
+         |SELECT n_terms, CAST(n AS BIGINT) AS top_n,
+         |  ${roundN("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope,
+         |  ${roundN("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 6)} AS intercept,
+         |  ${roundN("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
+         |FROM s, vocab""".stripMargin) { (s, d) =>
+      val terms = Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val f = terms.groupBy("term").agg(count(lit(1)).as("freq"))
+      val rk = f.withColumn("rank",
+        row_number().over(Window.orderBy(desc("freq"), col("term"))))
+      val xy = rk.filter(col("rank") <= 500)
+        .select(log(col("rank")).as("x"), log(col("freq")).as("y"))
+      val mo = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      val vocab = f.agg(count(lit(1)).as("n_terms"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      mo.crossJoin(vocab).select(
+        col("n_terms"), col("n").as("top_n"),
+        Det.roundN(slope, 6).as("slope"),
+        Det.roundN((col("sy") - slope * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        Det.roundN(((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy")))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    },
+
+    // ---- partition backfill planning ---------------------------------
+
+    // Backfill planner over the (event_type, day) partition grid: a
+    // partition is "complete" when its row count reaches half the type's
+    // average daily volume (the SLA), checked as exact integer cross-
+    // multiplication (c * 2 * expected_days >= total) — no doubles. The
+    // calendar spine comes from sequence()/generate_series, so gaps in
+    // the data can't hide. Output is the per-type backfill work order:
+    // how many partition-days to re-run and the date range they span.
+    QueryDef.sql(
+      "k_backfill_plan",
+      s"""WITH bounds AS (
+         |  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+         |  FROM events),
+         |cal AS (
+         |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM bounds),
+         |nd AS (SELECT COUNT(*) AS expected_days FROM cal),
+         |pc AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |tt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot
+         |       FROM pc GROUP BY 1),
+         |grid AS (SELECT event_type, day, tot, expected_days
+         |         FROM tt CROSS JOIN cal CROSS JOIN nd),
+         |j AS (
+         |  SELECT g.event_type, g.day, g.tot, g.expected_days,
+         |    CASE WHEN p.c IS NOT NULL
+         |              AND p.c * 2 * g.expected_days >= g.tot
+         |         THEN 1 ELSE 0 END AS ok
+         |  FROM grid g LEFT JOIN pc p
+         |    ON p.event_type = g.event_type AND p.day = g.day)
+         |SELECT event_type, CAST(MAX(expected_days) AS BIGINT) AS expected_days,
+         |  CAST(SUM(ok) AS BIGINT) AS complete_days,
+         |  CAST(COUNT(*) - SUM(ok) AS BIGINT) AS backfill_days,
+         |  MIN(CASE WHEN ok = 0 THEN day END) AS first_backfill,
+         |  MAX(CASE WHEN ok = 0 THEN day END) AS last_backfill
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      val cal = bounds.select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val nd = cal.agg(count(lit(1)).as("expected_days"))
+      val pc = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tt = pc.groupBy("event_type").agg(sum("c").as("tot"))
+      val grid = tt.crossJoin(broadcast(cal)).crossJoin(broadcast(nd))
+      val j = grid.join(pc.withColumnRenamed("c", "pc_c"),
+          Seq("event_type", "day"), "left")
+        .withColumn("ok",
+          when(col("pc_c").isNotNull &&
+            col("pc_c") * 2 * col("expected_days") >= col("tot"), 1L)
+            .otherwise(0L))
+      j.groupBy("event_type").agg(
+          max("expected_days").as("expected_days"),
+          sum("ok").as("complete_days"),
+          (count(lit(1)) - sum("ok")).as("backfill_days"),
+          min(when(col("ok") === 0, col("day"))).as("first_backfill"),
+          max(when(col("ok") === 0, col("day"))).as("last_backfill"))
+        .orderBy("event_type")
+    },
+
+    // ---- interval algebra --------------------------------------------
+
+    // Overlapping-interval merge per user: each event opens an interval
+    // [ts, ts + max(value,1) minutes); overlapping/touching intervals
+    // fuse into islands via the classic prev-cummax sweep (new island
+    // when start > max end seen so far). Unlike gap-sessionization
+    // (w_sessionize_batch) the interval END varies per row, so islands
+    // here depend on durations, not inter-arrival gaps. All µs-integer
+    // arithmetic; floor() before the cast because DuckDB's double→BIGINT
+    // cast rounds while Spark's truncates.
+    QueryDef.sql(
+      "w_interval_merge",
+      s"""WITH iv AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS s,
+         |    epoch_us(ts) + CAST(floor(greatest(value, 1.0) * 60) AS BIGINT)
+         |      * 1000000 AS e
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, s, e,
+         |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM iv),
+         |fl AS (
+         |  SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+         |                 THEN 1 ELSE 0 END AS new_island
+         |  FROM m),
+         |isl AS (
+         |  SELECT *, CAST(SUM(new_island) OVER (PARTITION BY user_id
+         |    ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS island
+         |  FROM fl),
+         |g AS (
+         |  SELECT user_id, island, MIN(s) AS i0, MAX(e) AS i1,
+         |    COUNT(*) AS n
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_merged,
+         |  CAST(SUM(n) AS BIGINT) AS n_intervals,
+         |  CAST(SUM(i1 - i0) AS BIGINT) AS covered_us,
+         |  CAST(MAX(n) AS BIGINT) AS max_merge
+         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val iv = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts"))
+          + floor(greatest(col("value"), lit(1.0)) * 60).cast("long")
+            * 1000000L).as("e"))
+      val wPrev = Window.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isl = iv
+        .withColumn("prev_max", max("e").over(wPrev))
+        .withColumn("new_island",
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("new_island").over(wCum))
+      isl.groupBy("user_id", "island")
+        .agg(min("s").as("i0"), max("e").as("i1"), count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_merged"), sum("n").as("n_intervals"),
+          sum(col("i1") - col("i0")).as("covered_us"),
+          max("n").as("max_merge"))
+        .orderBy("user_id")
+    },
+
+    // ---- distributed PCA ---------------------------------------------
+
+    // Top principal direction of the embedding corpus by two rounds of
+    // power iteration, never materializing the d×d Gram matrix: each
+    // round is y = Xᵀ(X·v) — two data passes with d-sized state, THE
+    // distributed formulation (the naive Gram needs d² accumulators and
+    // an all-to-all). v₀ = 1/√d = 0.125 exactly (d=64). Every cross-row
+    // sum routes through DECIMAL(28,14) so partial-agg order is
+    // irrelevant; sqrt/divide on identical doubles. Output: the 64
+    // loadings of the round-2 direction plus the Rayleigh eigenvalue
+    // estimate v₁ᵀy₂.
+    QueryDef.sql(
+      "sim_power_iteration", {
+        def dsum(e: String) =
+          s"CAST(SUM(CAST($e AS DECIMAL(28,14))) AS DOUBLE)"
+        s"""WITH dims AS (
+           |  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS j,
+           |    CAST(unnest(embedding) AS DOUBLE) AS x
+           |  FROM embeddings),
+           |s1 AS (SELECT id, ${dsum("x * 0.125")} AS si FROM dims GROUP BY 1),
+           |y1 AS (
+           |  SELECT j, ${dsum("x * si")} AS yj
+           |  FROM dims JOIN s1 USING (id) GROUP BY 1),
+           |n1 AS (SELECT sqrt(${dsum("yj * yj")}) AS nrm FROM y1),
+           |v1 AS (SELECT j, yj / nrm AS vj FROM y1, n1),
+           |s2 AS (
+           |  SELECT id, ${dsum("x * vj")} AS si
+           |  FROM dims JOIN v1 USING (j) GROUP BY 1),
+           |y2 AS (
+           |  SELECT j, ${dsum("x * si")} AS yj
+           |  FROM dims JOIN s2 USING (id) GROUP BY 1),
+           |n2 AS (SELECT sqrt(${dsum("yj * yj")}) AS nrm FROM y2),
+           |lam AS (
+           |  SELECT ${dsum("v1.vj * y2.yj")} AS lambda
+           |  FROM v1 JOIN y2 USING (j))
+           |SELECT CAST(y2.j AS BIGINT) AS j,
+           |  ${roundN("y2.yj / n2.nrm", 6)} AS loading,
+           |  ${roundN("lam.lambda", 4)} AS lambda
+           |FROM y2, n2, lam ORDER BY j""".stripMargin
+      }) { (s, d) =>
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(28, 14))).cast("double")
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          posexplode(col("embedding")).as(Seq("j", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val s1 = dims.groupBy("id").agg(dsum(col("x") * lit(0.125)).as("si"))
+      val y1 = dims.join(s1, "id").groupBy("j")
+        .agg(dsum(col("x") * col("si")).as("yj"))
+      val n1 = y1.agg(sqrt(dsum(col("yj") * col("yj"))).as("nrm"))
+      val v1 = y1.crossJoin(broadcast(n1))
+        .select(col("j"), (col("yj") / col("nrm")).as("vj"))
+      val s2 = dims.join(broadcast(v1), "j").groupBy("id")
+        .agg(dsum(col("x") * col("vj")).as("si"))
+      val y2 = dims.join(s2, "id").groupBy("j")
+        .agg(dsum(col("x") * col("si")).as("yj"))
+      val n2 = y2.agg(sqrt(dsum(col("yj") * col("yj"))).as("nrm"))
+      val lam = v1.join(y2, "j")
+        .agg(dsum(col("vj") * col("yj")).as("lambda"))
+      y2.crossJoin(broadcast(n2)).crossJoin(broadcast(lam))
+        .select(col("j").cast("long").as("j"),
+          Det.roundN(col("yj") / col("nrm"), 6).as("loading"),
+          Det.roundN(col("lambda"), 4).as("lambda"))
+        .orderBy("j")
+    },
+  )
+}

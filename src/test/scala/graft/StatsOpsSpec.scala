@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the StatsOps family, run against the sf0.001
+  * fixture (the DuckDB hash-compare at sf0.01 is the exactness gate;
+  * these pin the semantic shape: monotonicity, bounds, conservation). */
+class StatsOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("kaplan-meier: survival non-increasing from <=1, at_risk decreasing") {
+    val rows = run("a_kaplan_meier")
+      .select("t", "deaths", "at_risk", "survival")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.head._4 <= 1.0 + 1e-9)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4 + 1e-9, s"survival rose at t=${b._1}")
+      assert(b._3 < a._3, s"at_risk did not shrink at t=${b._1}")
+    case _ => ()
+    }
+    assert(rows.forall(r => r._2 > 0 && r._4 >= 0.0))
+  }
+
+  test("poisson bootstrap: CI brackets the replicate mean, se positive") {
+    val rows = run("a_poisson_bootstrap")
+      .select("mean_actual", "boot_mean", "boot_se", "ci_lo", "ci_hi")
+      .as[(Double, Double, Double, Double, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (actual, bm, se, lo, hi) =>
+      assert(lo <= bm && bm <= hi)
+      assert(se > 0)
+      // the bootstrap distribution is centered on the sample mean
+      assert(math.abs(bm - actual) < 6 * se,
+        s"boot_mean $bm far from actual $actual (se $se)")
+    }
+  }
+
+  test("chi-squared: non-negative stat, V in [0,1], dof from table shape") {
+    val Array((chi2, dof, cells, v)) = run("a_chisq_independence")
+      .as[(Double, Long, Long, Double)].collect()
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0)
+    assert(dof > 0 && cells > dof)
+  }
+
+  test("mutual information: 0 <= MI <= min entropy, NMI in [0,1]") {
+    val Array((mi, hx, hy, nmi, n)) = run("a_mutual_info")
+      .as[(Double, Double, Double, Double, Long)].collect()
+    assert(mi >= -1e-9)
+    assert(mi <= math.min(hx, hy) + 1e-9)
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9)
+    assert(n > 0)
+  }
+
+  test("zipf fit: negative slope, r2 in [0,1], top_n bounded by vocab") {
+    val Array((nTerms, topN, slope, _, r2)) = run("t_zipf_fit")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(slope < 0.0, s"zipf slope must be negative: $slope")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    assert(topN <= nTerms && topN <= 500)
+  }
+
+  test("backfill plan: complete + backfill days == expected calendar") {
+    val rows = run("k_backfill_plan")
+      .select("expected_days", "complete_days", "backfill_days")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exp, ok, miss) =>
+      assert(ok + miss == exp)
+      assert(ok >= 0 && miss >= 0)
+    }
+  }
+
+  test("interval merge: islands conserve rows, coverage bounded by span") {
+    val out = run("w_interval_merge")
+    val agg = out.agg(
+      sum("n_intervals").as("iv"), sum("n_merged").as("mg"),
+      max("max_merge").as("mm")).as[(Long, Long, Long)].collect().head
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(agg._1 == nEvents, "every event must land in exactly one island")
+    assert(agg._2 <= agg._1)
+    assert(agg._3 >= 1)
+    // every island covers at least its opening interval's minimum minute
+    assert(out.filter(col("covered_us") < 60L * 1000000L).count() == 0)
+  }
+
+  test("power iteration: unit-norm loadings, positive dominant eigenvalue") {
+    val rows = run("sim_power_iteration")
+      .select("j", "loading", "lambda").as[(Long, Double, Double)].collect()
+    assert(rows.length == 64)
+    val norm = math.sqrt(rows.map(r => r._2 * r._2).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loadings not unit norm: $norm")
+    assert(rows.head._3 > 0.0, "dominant eigenvalue of XtX must be positive")
+    assert(rows.map(_._1).toSeq == (0L until 64L))
+  }
+}
