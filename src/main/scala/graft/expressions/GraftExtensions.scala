@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
     e.injectFunction(GraftFunctions.dotProductDescriptor)
+    e.injectFunction(GraftFunctions.jaroWinklerDescriptor)
     e.injectOptimizerRule(BroadcastGuard)
   }
 }
@@ -31,6 +32,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression)
 
+  private[graft] val jaroWinklerDescriptor =
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1)): Expression)
+
   /** Idempotent runtime registration into an existing session: the
     * cosine_sim expression plus the BroadcastGuard optimizer rule (via
     * experimental.extraOptimizations — the post-hoc injection point for
@@ -44,6 +50,10 @@ object GraftFunctions {
       "dot_product",
       children => DotProduct(children(0), children(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      children => JaroWinkler(children(0), children(1)),
+      "scala_udf")
     val existing = spark.experimental.extraOptimizations
     if (!existing.exists(_.isInstanceOf[BroadcastGuard]))
       spark.experimental.extraOptimizations = existing :+ BroadcastGuard(spark)
@@ -55,4 +65,7 @@ object GraftFunctions {
 
   def dot_product(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
+
+  def jaro_winkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
 }

@@ -1,0 +1,112 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Jaro-Winkler similarity over two string columns.
+  *
+  * Fuzzy-matching workhorse for entity resolution at scale: levenshtein
+  * (Spark's only builtin edit metric) is O(len²) DP and length-biased;
+  * Jaro-Winkler is O(len·window), transposition-tolerant, and
+  * prefix-boosted — the standard name/address blocking metric. Spark has
+  // no builtin, so this is a custom codegen Expression (SURVEY §7.3
+  * preference (b)): one generated static call participating in
+  * whole-stage codegen, no UDF serialization.
+  *
+  * Semantics are pinned to the de-facto standard (and DuckDB's
+  * `jaro_winkler_similarity`, verified exhaustively on 10k string pairs):
+  *  - match window = max(⌊max(|a|,|b|)/2⌋ − 1, 0), greedy left-to-right
+  *    matching;
+  *  - transpositions t = ⌊mismatched-match-positions / 2⌋ (floored, not
+  *    the textbook half — this is what Jaro's original code and modern
+  *    implementations compute);
+  *  - winkler boost only when jaro > 0.7: jw = j + ℓ·0.1·(1−j), common
+  *    prefix ℓ capped at 4;
+  *  - empty either side → 0.0; equal strings → 1.0; NULL if either NULL.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler expects (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = JaroWinkler.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.compute($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+
+  /** Shared by interpreted eval and generated code. Works on the decoded
+    * char sequence (code units) — ASCII-identical to byte-wise, and
+    * consistent with other engines' unicode-codepoint matching for BMP
+    * text. */
+  def compute(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val win = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val c = s1.charAt(i)
+      val hi = math.min(l2, i + win + 1)
+      var j = math.max(0, i - win)
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && s2.charAt(j) == c) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // walk both match sequences in order; count order-mismatched pairs
+    var half = 0
+    var j = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (s1.charAt(i) != s2.charAt(j)) half += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = half / 2
+    val md = m.toDouble
+    val jaro = (md / l1 + md / l2 + (md - t) / md) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val pmax = math.min(4, math.min(l1, l2))
+      while (l < pmax && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}

@@ -488,6 +488,40 @@ object StatsOps {
         .orderBy("user_id")
     },
 
+    // ---- fuzzy string similarity -------------------------------------
+
+    // Jaro-Winkler name-dictionary similarity via the native codegen
+    // expression (expressions/JaroWinkler.scala — Spark has no builtin;
+    // levenshtein is the wrong metric for name matching). Pairs the
+    // DISTINCT part-name vocabulary against itself (a < b) — the entity-
+    // resolution blocking pattern where the dictionary stays catalog-
+    // sized no matter how many billions of rows reference it, so the
+    // quadratic step is bounded and the per-row work is one broadcast
+    // lookup. Oracle is DuckDB's jaro_winkler_similarity, pinned to the
+    // same floored-transposition semantics (verified exhaustively on 10k
+    // random pairs; see the expression's scaladoc).
+    QueryDef.sql(
+      "f_jaro_winkler",
+      s"""WITH names AS (SELECT DISTINCT p_name FROM part),
+         |pairs AS (
+         |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |    ${roundN("jaro_winkler_similarity(a.p_name, b.p_name)", 6)} AS jw
+         |  FROM names a JOIN names b ON a.p_name < b.p_name)
+         |SELECT name_a, name_b, jw FROM pairs WHERE jw >= 0.5
+         |ORDER BY jw DESC, name_a, name_b LIMIT 40""".stripMargin) { (s, d) =>
+      graft.expressions.GraftFunctions.register(s)
+      val names = Tables.part(s, d).select("p_name").distinct()
+      val a = names.withColumnRenamed("p_name", "name_a")
+      val b = names.withColumnRenamed("p_name", "name_b")
+      a.join(b, col("name_a") < col("name_b"))
+        .withColumn("jw", Det.roundN(
+          graft.expressions.GraftFunctions.jaro_winkler(
+            col("name_a"), col("name_b")), 6))
+        .filter(col("jw") >= 0.5)
+        .orderBy(desc("jw"), col("name_a"), col("name_b"))
+        .limit(40)
+    },
+
     // ---- distributed PCA ---------------------------------------------
 
     // Top principal direction of the embedding corpus by two rounds of

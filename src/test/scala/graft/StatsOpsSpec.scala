@@ -90,6 +90,41 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.filter(col("covered_us") < 60L * 1000000L).count() == 0)
   }
 
+  test("jaro-winkler: matches the reference values pinned from DuckDB") {
+    import graft.expressions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111),
+      ("DIXON", "DICKSONX", 0.8133333333),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962963),
+      ("abcdef", "abdcef", 0.9555555556),
+      ("ab", "ba", 0.0),                      // window 0 — no matches
+      ("", "abc", 0.0), ("a", "", 0.0), ("", "", 0.0),
+      ("same", "same", 1.0),
+      ("prefixXXXXXX", "prefixYYYYYY", 0.6666666667), // jaro <= 0.7: no boost
+      ("CRATE", "TRACE", 0.7333333333),               // boost but prefix 0
+      ("ab", "abcdefghij", 0.7866666667),
+      ("aaaaa", "bbbbb", 0.0))
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(jw(a, b) - want) < 1e-9, s"jw($a, $b)")
+    }
+    // floored transpositions (not textbook half): pinned from DuckDB
+    assert(math.abs(jw("abaedecbf", "fccfcdcde") - 0.4444444444) < 1e-9)
+    // symmetry
+    cases.foreach { case (a, b, _) => assert(jw(a, b) == jw(b, a)) }
+  }
+
+  test("jaro-winkler query: pairs are ordered, scores in [0.5, 1)") {
+    val rows = run("f_jaro_winkler")
+      .as[(String, String, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, s) => a < b && s >= 0.5 && s < 1.0 })
+    assert(rows.map(_._3).sliding(2).forall {
+      case Array(x, y) => x >= y; case _ => true })
+  }
+
   test("power iteration: unit-norm loadings, positive dominant eigenvalue") {
     val rows = run("sim_power_iteration")
       .select("j", "loading", "lambda").as[(Long, Double, Double)].collect()
