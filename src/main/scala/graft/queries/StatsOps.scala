@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.{Det, Tables}
+import graft.operators.{Hilbert, ZOrder}
 
 /** Statistical / experimentation operators over the event and order
   * streams: survival analysis, resampling inference, independence tests,
@@ -486,6 +487,105 @@ object StatsOps {
           sum(col("i1") - col("i0")).as("covered_us"),
           max("n").as("max_merge"))
         .orderBy("user_id")
+    },
+
+    // ---- Hilbert file layout -----------------------------------------
+
+    // Hilbert-curve layout vs Morton on the SAME 256×256 quantized grid:
+    // both indexes range-partition into 512-row files, per-file min/max
+    // stats on the REAL dims, and the same three box predicates as
+    // z_order_pruning scan against them. Hilbert's unit-step locality
+    // (consecutive indexes are grid-adjacent — HilbertSpec proves it)
+    // yields tighter per-file boxes than Morton's quadrant seams, so its
+    // files_scanned should never be worse; the pruning counts themselves
+    // are the hash-checked output. The oracle replays the full xy2d
+    // round chain as CTEs (operators/Hilbert.scala).
+    QueryDef.sql(
+      "z_hilbert_layout",
+      s"""WITH evs AS (
+         |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |b AS (
+         |  SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+         |         MIN(day) AS dmin, MAX(day) AS dmax
+         |  FROM evs),
+         |q AS (
+         |  SELECT event_id, user_id, day,
+         |    ${Hilbert.quantizeSql("user_id", "umin", "umax", 8)} AS qx,
+         |    ${Hilbert.quantizeSql("day", "dmin", "dmax", 8)} AS qy
+         |  FROM evs, b),
+         |${Hilbert.indexSql("q", "qx", "qy", 8)},
+         |hf AS (
+         |  SELECT user_id, day,
+         |    (row_number() OVER (ORDER BY hd, event_id) - 1) // 512 AS file_id
+         |  FROM hil0),
+         |mf AS (
+         |  SELECT user_id, day,
+         |    (row_number() OVER (ORDER BY
+         |      ${ZOrder.zValueSql("qx", "qy", 8)}, event_id) - 1) // 512
+         |      AS file_id
+         |  FROM q),
+         |stats AS (
+         |  SELECT 'hilbert' AS layout, file_id, COUNT(*) AS n_rows,
+         |    MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+         |    MIN(day) AS min_d, MAX(day) AS max_d
+         |  FROM hf GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'morton', file_id, COUNT(*),
+         |    MIN(user_id), MAX(user_id), MIN(day), MAX(day)
+         |  FROM mf GROUP BY 2),
+         |boxes(query_name, a_lo, a_hi, b_lo, b_hi) AS (VALUES
+         |  ('user_only', 40, 70, 0, 1000000000),
+         |  ('day_only', 0, 1000000000, 19732, 19734),
+         |  ('both', 40, 70, 19732, 19734)),
+         |tot AS (SELECT layout, COUNT(*) AS n_files FROM stats GROUP BY 1),
+         |sc AS (
+         |  SELECT b.query_name, s.layout, COUNT(*) AS files_scanned,
+         |    CAST(SUM(s.n_rows) AS BIGINT) AS rows_scanned
+         |  FROM stats s JOIN boxes b
+         |    ON s.min_u <= b.a_hi AND s.max_u >= b.a_lo
+         |   AND s.min_d <= b.b_hi AND s.max_d >= b.b_lo
+         |  GROUP BY 1, 2)
+         |SELECT query_name, layout, n_files, files_scanned, rows_scanned
+         |FROM sc JOIN tot USING (layout)
+         |ORDER BY query_name, layout""".stripMargin) { (s, d) =>
+      val us = expr("unix_micros(ts)")
+      val evs = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        ((us - pmod(us, lit(86400000000L)))
+          .divide(lit(86400000000L))).cast("long").as("day"))
+      val b = evs.agg(min("user_id").as("umin"), max("user_id").as("umax"),
+        min("day").as("dmin"), max("day").as("dmax"))
+      val q = evs.crossJoin(broadcast(b)).select(
+        col("event_id"), col("user_id"), col("day"),
+        Hilbert.quantize(col("user_id"), col("umin"), col("umax"), 8).as("qx"),
+        Hilbert.quantize(col("day"), col("dmin"), col("dmax"), 8).as("qy"))
+      val hil = Hilbert.index(q, "qx", "qy", 8, "hd")
+      val hf = ZOrder.fileLayoutRanged(hil,
+        Seq(col("hd"), col("event_id")), rowsPerFile = 512)
+      val mf = ZOrder.fileLayoutRanged(
+        q.withColumn("zv", ZOrder.zValue(col("qx"), col("qy"), 8)),
+        Seq(col("zv"), col("event_id")), rowsPerFile = 512)
+      val stats = ZOrder.fileStats(hf, Seq("user_id", "day"))
+        .withColumn("layout", lit("hilbert"))
+        .unionByName(ZOrder.fileStats(mf, Seq("user_id", "day"))
+          .withColumn("layout", lit("morton")))
+      import s.implicits._
+      val boxes = Seq(
+        ("user_only", 40L, 70L, 0L, 1000000000L),
+        ("day_only", 0L, 1000000000L, 19732L, 19734L),
+        ("both", 40L, 70L, 19732L, 19734L))
+        .toDF("query_name", "a_lo", "a_hi", "b_lo", "b_hi")
+      val tot = stats.groupBy("layout").agg(count(lit(1)).as("n_files"))
+      stats.join(broadcast(boxes),
+          col("min_user_id") <= col("a_hi") && col("max_user_id") >= col("a_lo")
+            && col("min_day") <= col("b_hi") && col("max_day") >= col("b_lo"))
+        .groupBy("query_name", "layout")
+        .agg(count(lit(1)).as("files_scanned"),
+          sum("n_rows").as("rows_scanned"))
+        .join(tot, "layout")
+        .select(col("query_name"), col("layout"), col("n_files"),
+          col("files_scanned"), col("rows_scanned"))
+        .orderBy("query_name", "layout")
     },
 
     // ---- fuzzy string similarity -------------------------------------
