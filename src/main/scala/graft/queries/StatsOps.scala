@@ -622,6 +622,189 @@ object StatsOps {
         .limit(40)
     },
 
+    // Fellegi-Sunter probabilistic record linkage: match a deterministic
+    // "dirty" re-keyed copy of the customer feed (last two name chars
+    // transposed — the typo class Jaro-Winkler is built to tolerate —
+    // and balances jittered) back to the master, blocked on nationkey so
+    // the quadratic stays per-block-bounded — the classic linkage plan
+    // at scale (blocks shuffle independently; no global cross join).
+    // Three field comparators (Jaro-Winkler name band, segment equality,
+    // balance proximity) carry fixed agree/disagree log-odds weights;
+    // the summed score classifies match / possible / non_match (match =
+    // all three agree: template names make near-key pairs name-similar
+    // too, so one agreeing field can't decide). Exercises the native
+    // jaro_winkler expression inside a join. Output: top 25 scored pairs.
+    QueryDef.sql(
+      "j_record_linkage",
+      s"""WITH dirty AS (
+         |  SELECT c_custkey + 100000 AS d_key, c_nationkey AS d_nation,
+         |    substr(c_name, 1, length(c_name) - 2)
+         |      || reverse(substr(c_name, length(c_name) - 1, 2)) AS d_name,
+         |    c_mktsegment AS d_segment,
+         |    c_acctbal + (c_custkey % 7) - 3 AS d_bal
+         |  FROM customer),
+         |pairs AS (
+         |  SELECT c.c_custkey, d.d_key,
+         |    ${roundN("jaro_winkler_similarity(c.c_name, d.d_name)", 6)} AS jw,
+         |    CASE WHEN c.c_mktsegment = d.d_segment THEN 1 ELSE 0 END AS seg_eq,
+         |    CASE WHEN abs(c.c_acctbal - d.d_bal) <= 10.0 THEN 1 ELSE 0 END
+         |      AS bal_near
+         |  FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nation),
+         |scored AS (
+         |  SELECT c_custkey, d_key, jw,
+         |    ${roundN("(CASE WHEN jw >= 0.93 THEN 4.0 ELSE -3.0 END) + (CASE WHEN seg_eq = 1 THEN 1.5 ELSE -1.0 END) + (CASE WHEN bal_near = 1 THEN 1.0 ELSE -0.5 END)", 6)}
+         |      AS score
+         |  FROM pairs),
+         |cls AS (
+         |  SELECT c_custkey, d_key, jw, score,
+         |    CASE WHEN score >= 6.0 THEN 'match'
+         |         WHEN score >= 2.0 THEN 'possible'
+         |         ELSE 'non_match' END AS classification
+         |  FROM scored)
+         |SELECT c_custkey, d_key, jw, score, classification
+         |FROM cls ORDER BY score DESC, c_custkey, d_key LIMIT 25""".stripMargin) {
+      (s, d) =>
+      graft.expressions.GraftFunctions.register(s)
+      import graft.expressions.GraftFunctions.jaro_winkler
+      val cust = Tables.customer(s, d)
+      val dirty = cust.select(
+        (col("c_custkey") + 100000L).as("d_key"),
+        col("c_nationkey").as("d_nation"),
+        expr("concat(substr(c_name, 1, length(c_name) - 2), " +
+          "reverse(substr(c_name, length(c_name) - 1, 2)))").as("d_name"),
+        col("c_mktsegment").as("d_segment"),
+        (col("c_acctbal") + (col("c_custkey") % 7) - 3).as("d_bal"))
+      val pairs = cust.join(dirty, col("c_nationkey") === col("d_nation"))
+        .select(col("c_custkey"), col("d_key"),
+          Det.roundN(jaro_winkler(col("c_name"), col("d_name")), 6).as("jw"),
+          when(col("c_mktsegment") === col("d_segment"), 1).otherwise(0)
+            .as("seg_eq"),
+          when(abs(col("c_acctbal") - col("d_bal")) <= 10.0, 1).otherwise(0)
+            .as("bal_near"))
+      val scored = pairs.withColumn("score", Det.roundN(
+        when(col("jw") >= 0.93, lit(4.0)).otherwise(lit(-3.0))
+          + when(col("seg_eq") === 1, lit(1.5)).otherwise(lit(-1.0))
+          + when(col("bal_near") === 1, lit(1.0)).otherwise(lit(-0.5)), 6))
+      scored.withColumn("classification",
+          when(col("score") >= 6.0, "match")
+            .when(col("score") >= 2.0, "possible")
+            .otherwise("non_match"))
+        .select("c_custkey", "d_key", "jw", "score", "classification")
+        .orderBy(desc("score"), col("c_custkey"), col("d_key"))
+        .limit(25)
+    },
+
+    // ---- changepoint detection ---------------------------------------
+
+    // Single best changepoint per event-type daily series: for every
+    // split k the CUSUM-style statistic |mean_left − mean_right| ·
+    // √(k(n−k)/n) from prefix sums — one window pass over the daily
+    // rollup (horizon-bounded, not row-bounded), argmax by (stat, day).
+    // Complements w_cusum_alerts (threshold excursions) with the
+    // retrospective "where did the level shift" question. All rational
+    // from integer counts until the final sqrt on identical doubles.
+    QueryDef.sql(
+      "w_changepoint_split",
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    COUNT(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |pre AS (
+         |  SELECT event_type, day, c,
+         |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+         |      AS BIGINT) AS k,
+         |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS sn,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM daily),
+         |stats AS (
+         |  SELECT event_type, day,
+         |    sk * 1.0 / k AS mean_l,
+         |    (sn - sk) * 1.0 / (n - k) AS mean_r,
+         |    abs(sk * 1.0 / k - (sn - sk) * 1.0 / (n - k))
+         |      * sqrt(k * 1.0 * (n - k) / n) AS stat
+         |  FROM pre WHERE k < n),
+         |best AS (
+         |  SELECT event_type, day, mean_l, mean_r, stat,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY stat DESC, day) AS rn
+         |  FROM stats)
+         |SELECT event_type, day AS split_day,
+         |  ${roundN("stat", 6)} AS stat, ${roundN("mean_l", 6)} AS mean_left,
+         |  ${roundN("mean_r", 6)} AS mean_right
+         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val us = expr("unix_micros(ts)")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          ((us - pmod(us, lit(86400000000L))).divide(lit(86400000000L)))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      val pre = daily
+        .withColumn("sk", sum("c").over(wCum))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")).cast("long"))
+        .withColumn("sn", sum("c").over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      val stats = pre.filter(col("k") < col("n")).select(
+        col("event_type"), col("day"),
+        (col("sk") * lit(1.0) / col("k")).as("mean_l"),
+        ((col("sn") - col("sk")) * lit(1.0) / (col("n") - col("k")))
+          .as("mean_r"),
+        (abs(col("sk") * lit(1.0) / col("k")
+          - (col("sn") - col("sk")) * lit(1.0) / (col("n") - col("k")))
+          * sqrt(col("k") * lit(1.0) * (col("n") - col("k")) / col("n")))
+          .as("stat"))
+      stats.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("stat"), col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          Det.roundN(col("stat"), 6).as("stat"),
+          Det.roundN(col("mean_l"), 6).as("mean_left"),
+          Det.roundN(col("mean_r"), 6).as("mean_right"))
+        .orderBy("event_type")
+    },
+
+    // ---- differential privacy ----------------------------------------
+
+    // ε-DP count release for the (lang, source) histogram: Laplace(1/ε)
+    // noise by inverse-CDF at a reproducible uniform u = h56(cell)/2^56
+    // — deterministic "noise" so the release is auditable and
+    // cross-engine checkable (a production release would use a secret
+    // seed; the mechanism and sensitivity math are identical). ε = 0.5,
+    // count sensitivity 1 → scale b = 2. True counts are emitted here
+    // only because this is an engine-correctness query, not a privacy
+    // boundary. Noise is row-local map-side arithmetic — scale-free.
+    QueryDef.sql(
+      "t_dp_counts",
+      s"""WITH c AS (
+         |  SELECT lang, source, COUNT(*) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |u AS (
+         |  SELECT lang, source, n,
+         |    ${Det.h56Sql("'dp:' || lang || ':' || source")}
+         |      * 1.0 / 72057594037927936.0 - 0.5 AS v
+         |  FROM c)
+         |SELECT lang, source, n,
+         |  ${roundN("n + (CASE WHEN v > 0 THEN -2.0 WHEN v < 0 THEN 2.0 ELSE 0.0 END) * ln(1.0 - 2.0 * abs(v))", 4)}
+         |    AS released
+         |FROM u ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+      val u = c.withColumn("v",
+        Det.h56(concat(lit("dp:"), col("lang"), lit(":"), col("source")))
+          * lit(1.0) / lit(7.2057594037927936e16) - lit(0.5))
+      u.select(col("lang"), col("source"), col("n"),
+          Det.roundN(col("n")
+            + when(col("v") > 0, lit(-2.0)).when(col("v") < 0, lit(2.0))
+              .otherwise(lit(0.0))
+            * log(lit(1.0) - lit(2.0) * abs(col("v"))), 4).as("released"))
+        .orderBy("lang", "source")
+    },
+
     // ---- distributed PCA ---------------------------------------------
 
     // Top principal direction of the embedding corpus by two rounds of

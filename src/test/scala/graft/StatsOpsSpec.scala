@@ -125,6 +125,45 @@ class StatsOpsSpec extends AnyFunSuite {
       case Array(x, y) => x >= y; case _ => true })
   }
 
+  test("record linkage: true pairs score as matches and rank on top") {
+    val rows = run("j_record_linkage")
+      .select("c_custkey", "d_key", "score", "classification")
+      .as[(Long, Long, Double, String)].collect()
+    assert(rows.length == 25)
+    // the dirty feed re-keys by +100000: a top-scored pair should be the
+    // true identity pair and classify as a match
+    assert(rows.head._4 == "match")
+    assert(rows.filter(r => r._2 == r._1 + 100000L).forall(_._4 == "match"))
+    assert(rows.map(_._3).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("changepoint: one split per type, stat positive, means differ") {
+    val rows = run("w_changepoint_split")
+      .select("event_type", "stat", "mean_left", "mean_right")
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.length == rows.map(_._1).distinct.length)
+    rows.foreach { case (_, stat, l, r) =>
+      assert(stat >= 0.0)
+      assert(math.abs(l - r) > 0.0 || stat == 0.0)
+    }
+  }
+
+  test("dp counts: released value within ln-tail bound of true count") {
+    val rows = run("t_dp_counts")
+      .select("n", "released").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // Laplace(b=2) at 56-bit uniform granularity: |noise| <= 2*ln(2^55)
+    val bound = 2.0 * 55 * math.log(2.0) + 1e-6
+    rows.foreach { case (n, rel) =>
+      assert(math.abs(rel - n) <= bound, s"noise out of bound: $n -> $rel")
+    }
+    // determinism: same cell, same release
+    val again = run("t_dp_counts").select("n", "released")
+      .as[(Long, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("power iteration: unit-norm loadings, positive dominant eigenvalue") {
     val rows = run("sim_power_iteration")
       .select("j", "loading", "lambda").as[(Long, Double, Double)].collect()
