@@ -805,6 +805,251 @@ object StatsOps {
         .orderBy("lang", "source")
     },
 
+    // ---- late-arrival / watermark completeness -----------------------
+
+    // Watermark-choice report: with a reproducible synthetic ingest
+    // delay (70% same-day, 20% +1d, 7% +2d, 3% +5d by event hash), how
+    // complete is each event-type's partition k days after event time?
+    // The cumulative completeness curve (pct_d0/d1/d2) is exactly what
+    // picks a streaming watermark or a batch re-process horizon; at
+    // 100 TB this is one map-side flag + one small groupBy. Counts are
+    // integers; percentages rational → roundN.
+    QueryDef.sql(
+      "q_late_arrival",
+      s"""WITH f AS (
+         |  SELECT event_type,
+         |    CASE WHEN ${Det.h56Sql("'late:' || CAST(event_id AS VARCHAR)")} % 100 < 70 THEN 0
+         |         WHEN ${Det.h56Sql("'late:' || CAST(event_id AS VARCHAR)")} % 100 < 90 THEN 1
+         |         WHEN ${Det.h56Sql("'late:' || CAST(event_id AS VARCHAR)")} % 100 < 97 THEN 2
+         |         ELSE 5 END AS delay
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n,
+         |  ${roundN("COUNT(CASE WHEN delay <= 0 THEN 1 END) * 100.0 / COUNT(*)", 4)} AS pct_d0,
+         |  ${roundN("COUNT(CASE WHEN delay <= 1 THEN 1 END) * 100.0 / COUNT(*)", 4)} AS pct_d1,
+         |  ${roundN("COUNT(CASE WHEN delay <= 2 THEN 1 END) * 100.0 / COUNT(*)", 4)} AS pct_d2,
+         |  CAST(MAX(delay) AS BIGINT) AS max_delay_days
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val h = Det.h56(concat(lit("late:"), col("event_id").cast("string"))) % 100
+      val f = Tables.events(s, d).select(col("event_type"),
+        when(h < 70, 0L).when(h < 90, 1L).when(h < 97, 2L).otherwise(5L)
+          .as("delay"))
+      f.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          Det.roundN(count(when(col("delay") <= 0, 1)) * lit(100.0)
+            / count(lit(1)), 4).as("pct_d0"),
+          Det.roundN(count(when(col("delay") <= 1, 1)) * lit(100.0)
+            / count(lit(1)), 4).as("pct_d1"),
+          Det.roundN(count(when(col("delay") <= 2, 1)) * lit(100.0)
+            / count(lit(1)), 4).as("pct_d2"),
+          max("delay").as("max_delay_days"))
+        .orderBy("event_type")
+    },
+
+    // ---- Johnson-Lindenstrauss reduction -----------------------------
+
+    // JL random-projection reduction 64→16 dims with a measured
+    // distortion report: Rademacher signs from 16 bits of the per-dim
+    // hash, projections DECIMAL-exact, then the pairwise-distance
+    // ratio ‖y_i−y_j‖/‖x_i−x_j‖ over the 99 consecutive-id probe pairs
+    // summarized as min/q25/median/q75/max (exact order statistics via
+    // row_number — engine-identical). This is the materialized reduce
+    // step that makes downstream ANN 4× cheaper per vector; the report
+    // is the acceptance test a pipeline would gate the reduce on.
+    QueryDef.sql(
+      "sim_jl_reduce", {
+        s"""WITH dims AS (
+           |  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,
+           |    CAST(unnest(embedding) AS DOUBLE) AS x
+           |  FROM embeddings WHERE vec_id < 100),
+           |dh AS (
+           |  SELECT DISTINCT dim, ${Det.h56Sql("'jl:' || CAST(dim AS VARCHAR)")} AS dhash
+           |  FROM dims),
+           |proj AS (
+           |  SELECT id, p,
+           |    CAST(SUM(CASE WHEN (dhash >> p) & 1 = 1
+           |                  THEN CAST(x AS DECIMAL(18,9))
+           |                  ELSE -CAST(x AS DECIMAL(18,9)) END) AS DOUBLE)
+           |      / 4.0 AS y
+           |  FROM dims JOIN dh USING (dim),
+           |       (SELECT unnest(generate_series(0, 15)) AS p) pp
+           |  GROUP BY id, p),
+           |od AS (
+           |  SELECT a.id AS id_a,
+           |    sqrt(CAST(SUM(CAST((a.x - b.x) * (a.x - b.x)
+           |      AS DECIMAL(28,14))) AS DOUBLE)) AS dist_x
+           |  FROM dims a JOIN dims b ON b.id = a.id + 1 AND b.dim = a.dim
+           |  GROUP BY 1),
+           |pd AS (
+           |  SELECT a.id AS id_a,
+           |    sqrt(CAST(SUM(CAST((a.y - b.y) * (a.y - b.y)
+           |      AS DECIMAL(28,14))) AS DOUBLE)) AS dist_y
+           |  FROM proj a JOIN proj b ON b.id = a.id + 1 AND b.p = a.p
+           |  GROUP BY 1),
+           |r AS (
+           |  SELECT od.id_a, dist_y / dist_x AS ratio
+           |  FROM od JOIN pd USING (id_a) WHERE dist_x > 0),
+           |rk AS (
+           |  SELECT ratio, row_number() OVER (ORDER BY ratio, id_a) AS rn,
+           |    COUNT(*) OVER () AS n
+           |  FROM r)
+           |SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           |  ${roundN("MIN(ratio)", 6)} AS min_ratio,
+           |  ${roundN("MAX(CASE WHEN rn = (n + 3) // 4 THEN ratio END)", 6)} AS q25,
+           |  ${roundN("MAX(CASE WHEN rn = (n + 1) // 2 THEN ratio END)", 6)} AS median,
+           |  ${roundN("MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN ratio END)", 6)} AS q75,
+           |  ${roundN("MAX(ratio)", 6)} AS max_ratio
+           |FROM rk""".stripMargin
+      }) { (s, d) =>
+      def dsum9(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(18, 9))).cast("double")
+      def dsum14(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(28, 14))).cast("double")
+      val dims = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val dh = dims.select("dim").distinct()
+        .withColumn("dhash",
+          Det.h56(concat(lit("jl:"), col("dim").cast("string"))))
+      val ps = (0 until 16).map(lit(_))
+      val proj = dims.join(broadcast(dh), "dim")
+        .withColumn("p", explode(array(ps: _*)))
+        .groupBy("id", "p")
+        .agg((dsum9(when(expr("shiftright(dhash, p) & 1") === 1, col("x"))
+            .otherwise(-col("x")))
+          / lit(4.0)).as("y"))
+      val b = dims.select(col("id").as("id_b"), col("dim"),
+        col("x").as("xb"))
+      val od = dims.join(b,
+          col("id_b") === col("id") + 1 && b("dim") === dims("dim"))
+        .groupBy(col("id").as("id_a"))
+        .agg(sqrt(dsum14((col("x") - col("xb")) * (col("x") - col("xb"))))
+          .as("dist_x"))
+      val pb = proj.select(col("id").as("id_b"), col("p"),
+        col("y").as("yb"))
+      val pd = proj.join(pb,
+          col("id_b") === col("id") + 1 && pb("p") === proj("p"))
+        .groupBy(col("id").as("id_a"))
+        .agg(sqrt(dsum14((col("y") - col("yb")) * (col("y") - col("yb"))))
+          .as("dist_y"))
+      val r = od.join(pd, "id_a").filter(col("dist_x") > 0)
+        .select(col("id_a"), (col("dist_y") / col("dist_x")).as("ratio"))
+      val rk = r.withColumn("rn",
+          row_number().over(Window.orderBy("ratio", "id_a")))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      rk.agg(max("n").cast("long").as("n_pairs"),
+        Det.roundN(min("ratio"), 6).as("min_ratio"),
+        Det.roundN(max(when(col("rn") === expr("(n + 3) div 4"),
+          col("ratio"))), 6).as("q25"),
+        Det.roundN(max(when(col("rn") === expr("(n + 1) div 2"),
+          col("ratio"))), 6).as("median"),
+        Det.roundN(max(when(col("rn") === expr("(3 * n + 3) div 4"),
+          col("ratio"))), 6).as("q75"),
+        Det.roundN(max("ratio"), 6).as("max_ratio"))
+    },
+
+    // ---- span corruption (T5-style denoising targets) ----------------
+
+    // Seq2seq denoising pairs from the document corpus: tokens group
+    // into 3-token spans, ~20% of spans (hash-selected, reproducible)
+    // are masked; the corrupted text replaces each masked span with a
+    // sentinel <extra_id_K> and the target sequence lists sentinels with
+    // the original span text — the T5/UL2 pretraining objective as a
+    // relational program. Everything is per-document map-side work
+    // (tokenize → flag → two ordered string_aggs); the only shuffle is
+    // the doc_id group — scale-free. Sentinel numbering K is the dense
+    // rank of the masked span within the doc, mirrored in SQL.
+    QueryDef.sql(
+      "t_span_corruption",
+      raw"""WITH toks AS (
+         |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos,
+         |    unnest(parts) AS term
+         |  FROM (SELECT doc_id,
+         |          str_split_regex(trim(lower(text)), '\s+') AS parts
+         |        FROM documents)),
+         |sp AS (
+         |  SELECT doc_id, pos, term, pos // 3 AS span_id,
+         |    CASE WHEN ${Det.h56Sql("'span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos // 3 AS VARCHAR)")} % 5 = 0
+         |         THEN 1 ELSE 0 END AS masked
+         |  FROM toks WHERE term <> ''),
+         |ks AS (
+         |  SELECT *,
+         |    CASE WHEN masked = 1 THEN dense_rank() OVER (
+         |      PARTITION BY doc_id, masked ORDER BY span_id) - 1 END AS k,
+         |    MIN(pos) OVER (PARTITION BY doc_id, span_id) AS mp
+         |  FROM sp),
+         |corrupted AS (
+         |  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS corrupted
+         |  FROM (
+         |    SELECT doc_id, pos,
+         |      CASE WHEN masked = 0 THEN term
+         |           ELSE '<extra_id_' || CAST(k AS VARCHAR) || '>' END AS piece
+         |    FROM ks
+         |    WHERE masked = 0 OR pos = mp)
+         |  GROUP BY doc_id),
+         |targets AS (
+         |  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS targets,
+         |    COUNT(DISTINCT span_id) AS n_masked_spans
+         |  FROM (
+         |    SELECT doc_id, pos, span_id,
+         |      CASE WHEN pos = mp
+         |           THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || term
+         |           ELSE term END AS piece
+         |    FROM ks WHERE masked = 1)
+         |  GROUP BY doc_id)
+         |SELECT c.doc_id, c.corrupted,
+         |  COALESCE(t.targets, '') AS targets,
+         |  CAST(COALESCE(t.n_masked_spans, 0) AS BIGINT) AS n_masked_spans
+         |FROM corrupted c LEFT JOIN targets t ON c.doc_id = t.doc_id
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("pos", "term")))
+        .filter(col("term") =!= "")
+      val sp = toks
+        .withColumn("span_id", expr("pos div 3"))
+        .withColumn("masked",
+          when(Det.h56(concat(lit("span:"), col("doc_id").cast("string"),
+            lit(":"), expr("pos div 3").cast("string"))) % 5 === 0, 1)
+            .otherwise(0))
+      val ks = sp
+        .withColumn("k",
+          when(col("masked") === 1, dense_rank().over(
+            Window.partitionBy("doc_id", "masked").orderBy("span_id")) - 1))
+        .withColumn("mp",
+          min("pos").over(Window.partitionBy("doc_id", "span_id")))
+      // corrupted text: unmasked tokens verbatim; each masked span
+      // collapses to one sentinel at its first present token
+      val corrupted = ks
+        .filter(col("masked") === 0 || col("pos") === col("mp"))
+        .select(col("doc_id"), col("pos"),
+          when(col("masked") === 0, col("term"))
+            .otherwise(concat(lit("<extra_id_"), col("k").cast("string"),
+              lit(">"))).as("piece"))
+        .groupBy("doc_id")
+        .agg(array_join(expr("transform(array_sort(" +
+          "collect_list(struct(pos, piece))), x -> x.piece)"), " ")
+          .as("corrupted"))
+      val targets = ks.filter(col("masked") === 1)
+        .select(col("doc_id"), col("pos"), col("span_id"),
+          when(col("pos") === col("mp"),
+            concat(lit("<extra_id_"), col("k").cast("string"), lit("> "),
+              col("term"))).otherwise(col("term")).as("piece"))
+        .groupBy("doc_id")
+        .agg(array_join(expr("transform(array_sort(" +
+          "collect_list(struct(pos, piece))), x -> x.piece)"), " ")
+          .as("targets"),
+          countDistinct("span_id").as("n_masked_spans"))
+      corrupted.join(targets, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("corrupted"),
+          coalesce(col("targets"), lit("")).as("targets"),
+          coalesce(col("n_masked_spans"), lit(0L)).as("n_masked_spans"))
+        .orderBy("doc_id")
+    },
+
     // ---- distributed PCA ---------------------------------------------
 
     // Top principal direction of the embedding corpus by two rounds of

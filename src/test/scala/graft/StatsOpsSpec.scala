@@ -164,6 +164,43 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("span corruption: sentinel count matches masked spans, ids dense") {
+    val rows = run("t_span_corruption")
+      .select("corrupted", "targets", "n_masked_spans")
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (corrupted, targets, n) =>
+      val sentinels = "<extra_id_\\d+>".r.findAllIn(corrupted).toSeq
+      assert(sentinels.length == n, "one sentinel per masked span")
+      assert(sentinels.distinct.length == sentinels.length)
+      (0L until n).foreach { k =>
+        assert(corrupted.contains(s"<extra_id_$k>"))
+        assert(targets.contains(s"<extra_id_$k>"))
+      }
+      if (n == 0) assert(targets.isEmpty)
+    }
+    assert(rows.exists(_._3 > 0), "fixture must mask at least one span")
+  }
+
+  test("late arrival: completeness curve is monotone and capped at 100") {
+    val rows = run("q_late_arrival")
+      .select("pct_d0", "pct_d1", "pct_d2")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d0, d1, d2) =>
+      assert(d0 <= d1 + 1e-9 && d1 <= d2 + 1e-9)
+      assert(d2 <= 100.0 + 1e-9 && d0 >= 0.0)
+    }
+  }
+
+  test("jl reduce: order statistics sorted, median near 1") {
+    val Array((n, mn, q25, med, q75, mx)) = run("sim_jl_reduce")
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+    assert(n > 0)
+    assert(mn <= q25 && q25 <= med && med <= q75 && q75 <= mx)
+    assert(med > 0.5 && med < 1.5, s"JL median distortion off: $med")
+  }
+
   test("power iteration: unit-norm loadings, positive dominant eigenvalue") {
     val rows = run("sim_power_iteration")
       .select("j", "loading", "lambda").as[(Long, Double, Double)].collect()
