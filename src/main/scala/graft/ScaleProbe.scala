@@ -675,6 +675,151 @@ object ScaleProbe {
           <= 259200000000L)
         .groupBy("channel").agg(count(lit(1)).as("n"))
     }
+    // ---- round-7 probes ----------------------------------------------
+    // interval merge: two user-partitioned windows + two aggregates —
+    // cost tracks rows; per-user state never leaves its partition
+    time("interval_merge") {
+      import org.apache.spark.sql.expressions.Window
+      val iv = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts"))
+          + floor(greatest(col("value"), lit(1.0)) * 60).cast("long")
+            * 1000000L).as("e"))
+      val wPrev = Window.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("prev_max", max("e").over(wPrev))
+        .withColumn("ni", when(col("prev_max").isNull
+          || col("s") > col("prev_max"), 1L).otherwise(0L))
+        .withColumn("island", sum("ni").over(wCum))
+        .groupBy("user_id", "island")
+        .agg(min("s").as("i0"), max("e").as("i1"), count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_merged"), sum("n").as("n_intervals"))
+    }
+    // survival lifetable: one user agg + one day agg + horizon-bounded
+    // cumulative finish
+    time("kaplan_meier") {
+      import org.apache.spark.sql.expressions.Window
+      val u = ev.groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("tp"))
+      val m = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+      val lif = u.crossJoin(broadcast(m)).select(
+        expr("(COALESCE(tp, max_us) - t0) div 3600000000").as("t"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("evf"))
+      val lt = lif.groupBy("t")
+        .agg(count(lit(1)).as("leaving"), sum("evf").as("deaths"))
+      lt.withColumn("at_risk_proxy",
+        sum("leaving").over(Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    // hilbert layout job: quantize + 8 chained integer rounds + ranged
+    // file assignment + stats — the OPTIMIZE CLUSTER BY shape
+    time("hilbert_layout") {
+      val evs = ev.select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val b = evs.agg(min("user_id").as("umin"), max("user_id").as("umax"),
+        min("day").as("dmin"), max("day").as("dmax"))
+      val q = evs.crossJoin(broadcast(b)).select(
+        col("event_id"), col("user_id"), col("day"),
+        graft.operators.Hilbert.quantize(col("user_id"), col("umin"),
+          col("umax"), 8).as("qx"),
+        graft.operators.Hilbert.quantize(col("day"), col("dmin"),
+          col("dmax"), 8).as("qy"))
+      val hil = graft.operators.Hilbert.index(q, "qx", "qy", 8, "hd")
+      ZOrder.fileStats(
+        ZOrder.fileLayoutRanged(hil, Seq(col("hd"), col("event_id")),
+          rowsPerFile = 4096),
+        Seq("user_id", "day"))
+    }
+    // changepoint: one day rollup + per-type windows over the horizon
+    time("changepoint") {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev.groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      daily.withColumn("sk", sum("c").over(wCum))
+        .withColumn("sn", sum("c").over(wAll))
+        .filter(col("sk") < col("sn"))
+    }
+    // span corruption: tokenize + hash flag + two ordered reassembly
+    // aggregates — pure map + one doc-keyed shuffle
+    time("span_corruption") {
+      import org.apache.spark.sql.expressions.Window
+      val toks = corpus.select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+"))
+            .as(Seq("pos", "term")))
+        .filter(col("term") =!= "")
+      val sp = toks.withColumn("span_id", expr("pos div 3"))
+        .withColumn("masked",
+          when(Det.h56(concat(lit("span:"), col("doc_id").cast("string"),
+            lit(":"), expr("pos div 3").cast("string"))) % 5 === 0, 1)
+            .otherwise(0))
+      val ks = sp.withColumn("k",
+          when(col("masked") === 1, dense_rank().over(
+            Window.partitionBy("doc_id", "masked").orderBy("span_id")) - 1))
+        .withColumn("mp",
+          min("pos").over(Window.partitionBy("doc_id", "span_id")))
+      ks.filter(col("masked") === 0 || col("pos") === col("mp"))
+        .select(col("doc_id"), col("pos"),
+          when(col("masked") === 0, col("term"))
+            .otherwise(concat(lit("<extra_id_"), col("k").cast("string"),
+              lit(">"))).as("piece"))
+        .groupBy("doc_id")
+        .agg(array_join(expr("transform(array_sort(" +
+          "collect_list(struct(pos, piece))), x -> x.piece)"), " ")
+          .as("corrupted"))
+    }
+    // zipf fit: vocab agg + top-500 rank + one moment aggregate — the
+    // window runs over the VOCABULARY, not the corpus
+    time("zipf_fit") {
+      import org.apache.spark.sql.expressions.Window
+      val f = corpus.select(explode(split(trim(lower(col("text"))),
+          "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      f.withColumn("rank",
+          row_number().over(Window.orderBy(desc("freq"), col("term"))))
+        .filter(col("rank") <= 500)
+        .agg(count(lit(1)).as("n"), sum(log(col("rank"))).as("sx"),
+          sum(log(col("freq"))).as("sy"))
+    }
+    // native jaro-winkler throughput: one expression call per row over
+    // 40-char slices — map-side only
+    time("jaro_winkler") {
+      graft.expressions.GraftFunctions.register(spark)
+      corpus.select(col("doc_id"),
+          graft.expressions.GraftFunctions.jaro_winkler(
+            substring(col("text"), 1, 40),
+            reverse(substring(col("text"), 1, 40))).as("jw"))
+        .filter(col("jw") >= 0.0)
+    }
+    // poisson bootstrap over the event stream: ×32 map-side replicate
+    // explode + two aggregates — the replication happens in the map
+    // phase, never a shuffle of 32× data
+    time("poisson_bootstrap") {
+      val reps = ev.select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("u",
+          Det.h56(concat(col("event_id").cast("string"), lit(":"),
+            col("b").cast("string"))) * lit(1.0)
+            / lit(7.2057594037927936e16))
+      reps.withColumn("w",
+          when(col("u") < 0.36787944117144233, 0L)
+            .when(col("u") < 0.7357588823428846, 1L)
+            .when(col("u") < 0.9196986029286058, 2L).otherwise(3L))
+        .groupBy("event_type", "b")
+        .agg((sum(col("w") * col("value")) / sum("w")).as("bmean"))
+        .groupBy("event_type")
+        .agg(avg("bmean").as("bavg"), count(lit(1)).as("nb"))
+    }
+
     spark.stop()
   }
 }
