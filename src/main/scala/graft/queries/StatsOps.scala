@@ -950,6 +950,238 @@ object StatsOps {
         Det.roundN(max("ratio"), 6).as("max_ratio"))
     },
 
+    // ---- ANN recall/cost curve ---------------------------------------
+
+    // The acceptance test for an ANN index: recall@10 vs fraction of the
+    // corpus scanned, per probe budget (nProbe 1/2/4) against the exact
+    // brute-force top-11. This is the curve that decides an IVF
+    // deployment — recall rises with probes, scanned fraction is the
+    // cost. Reuses the ivfTopK operator with the one-time cell
+    // assignment staged (the at-rest partitioning at scale). Oracle
+    // re-derives assignment, probe ranking, per-probe top-k, and the
+    // intersection counts in SQL.
+    QueryDef.sql(
+      "sim_ann_recall", {
+        def cos(a: String, b: String) =
+          s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) > 0" +
+            s" THEN list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))" +
+            s" ELSE 0.0 END"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+           |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+           |scored AS (
+           |  SELECT e.vec_id, e.emb, cent.cell, ${cos("e.emb", "ce")} AS sim
+           |  FROM e CROSS JOIN cent),
+           |assigned AS (
+           |  SELECT vec_id, emb, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, cell ASC) AS rn
+           |    FROM scored) WHERE rn = 1),
+           |rc AS (
+           |  SELECT cell, row_number() OVER (ORDER BY (${cos("ce", "qe")})
+           |    DESC, cell) AS cr
+           |  FROM cent, q),
+           |exact AS (
+           |  SELECT vec_id FROM e, q
+           |  ORDER BY ${roundN(cos("emb", "qe"), 6)} DESC, vec_id LIMIT 11),
+           |probes(np) AS (VALUES (1), (2), (4)),
+           |cand AS (
+           |  SELECT p.np, a.vec_id, a.emb
+           |  FROM assigned a JOIN rc USING (cell) JOIN probes p
+           |    ON rc.cr <= p.np),
+           |ivf AS (
+           |  SELECT np, vec_id FROM (
+           |    SELECT c.np, c.vec_id, row_number() OVER (PARTITION BY c.np
+           |      ORDER BY ${roundN(cos("c.emb", "qe"), 6)} DESC, c.vec_id)
+           |      AS rn
+           |    FROM cand c, q) WHERE rn <= 11),
+           |hits AS (
+           |  SELECT i.np, COUNT(x.vec_id) AS hit
+           |  FROM ivf i LEFT JOIN exact x USING (vec_id) GROUP BY 1),
+           |scan AS (SELECT np, COUNT(*) AS n_scanned FROM cand GROUP BY 1),
+           |nv AS (SELECT COUNT(*) AS n FROM e)
+           |SELECT h.np AS n_probe,
+           |  ${roundN("hit * 1.0 / 11", 4)} AS recall_at_10,
+           |  s.n_scanned,
+           |  ${roundN("s.n_scanned * 1.0 / nv.n", 4)} AS scan_frac
+           |FROM hits h JOIN scan s USING (np), nv
+           |ORDER BY n_probe""".stripMargin
+      }) { (s, d) =>
+      import graft.engine.Stage.syntax._
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      // index-build once (the at-rest partitioning), reused by all probes
+      val assigned = Similarity.assignCells(emb, cent).staged
+      val exact = Similarity.bruteForceTopK(emb, q, 11).select("vec_id")
+        .staged
+      val nv = emb.agg(count(lit(1)).as("n"))
+      Seq(1, 2, 4).map { np =>
+        val ivf = Similarity.ivfTopK(emb, cent, q, k = 11, nProbe = np,
+          preAssigned = Some(assigned)).select("vec_id")
+        val probes = cent.crossJoin(broadcast(q))
+          .withColumn("__sim", graft.expressions.GraftFunctions.cosine_sim(
+            col("c_emb"), col("q_emb")))
+          .orderBy(desc("__sim"), col("cell")).limit(np).select("cell")
+        val scanned = assigned.join(broadcast(probes), Seq("cell"))
+          .agg(count(lit(1)).as("n_scanned"))
+        val hit = ivf.join(exact, "vec_id").agg(count(lit(1)).as("hit"))
+        hit.crossJoin(scanned).crossJoin(nv)
+          .select(lit(np.toLong).as("n_probe"),
+            Det.roundN(col("hit") * lit(1.0) / lit(11), 4).as("recall_at_10"),
+            col("n_scanned"),
+            Det.roundN(col("n_scanned") * lit(1.0) / col("n"), 4)
+              .as("scan_frac"))
+      }.reduce(_ unionByName _).orderBy("n_probe")
+    },
+
+    // ---- log-rank test -----------------------------------------------
+
+    // Two-cohort log-rank test on the time-to-first-purchase survival
+    // curves (even vs odd user ids): at each death hour the observed
+    // cohort-A deaths vs the hypergeometric expectation under H0, chi² =
+    // (Σ(d1−E1))²/ΣV. THE standard churn A/B significance test, and the
+    // natural companion to a_kaplan_meier. All terms are rational in the
+    // lifetable integers; per-term DECIMAL casts make the cross-row sums
+    // order-free.
+    QueryDef.sql(
+      "a_logrank_test",
+      s"""WITH u AS (
+         |  SELECT user_id, user_id % 2 AS grp, MIN(epoch_us(ts)) AS t0,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         |      AS tp
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+         |lif AS (
+         |  SELECT grp, (COALESCE(tp, max_us) - t0) // 3600000000 AS t,
+         |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM u, m),
+         |lt AS (
+         |  SELECT t,
+         |    COUNT(CASE WHEN grp = 0 THEN 1 END) AS l1,
+         |    COUNT(CASE WHEN grp = 1 THEN 1 END) AS l2,
+         |    COUNT(CASE WHEN grp = 0 AND ev = 1 THEN 1 END) AS d1,
+         |    COUNT(CASE WHEN grp = 1 AND ev = 1 THEN 1 END) AS d2
+         |  FROM lif GROUP BY 1),
+         |r AS (
+         |  SELECT t, d1, d2,
+         |    CAST(SUM(l1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+         |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+         |    CAST(SUM(l2) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+         |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n2
+         |  FROM lt),
+         |terms AS (
+         |  SELECT d1, d1 + d2 AS dd, n1, n2, n1 + n2 AS nn
+         |  FROM r WHERE d1 + d2 > 0),
+         |agg AS (
+         |  SELECT CAST(SUM(CAST(d1 AS BIGINT)) AS BIGINT) AS sum_d1,
+         |    CAST(SUM(CAST(dd * 1.0 * n1 / nn AS DECIMAL(28,12)))
+         |      AS DOUBLE) AS sum_e1,
+         |    CAST(SUM(CAST(CASE WHEN nn > 1
+         |      THEN (dd * 1.0 * n1 / nn) * (n2 * 1.0 / nn)
+         |           * ((nn - dd) * 1.0 / (nn - 1))
+         |      ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE) AS var_sum
+         |  FROM terms)
+         |SELECT sum_d1, ${roundN("sum_e1", 6)} AS expected_d1,
+         |  ${roundN("var_sum", 6)} AS variance,
+         |  ${roundN("CASE WHEN var_sum > 0 THEN (sum_d1 - sum_e1) * (sum_d1 - sum_e1) / var_sum ELSE 0.0 END", 6)}
+         |    AS chi2
+         |FROM agg""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val u = ev.groupBy(col("user_id"), (col("user_id") % 2).as("grp"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("tp"))
+      val m = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+      val lif = u.crossJoin(broadcast(m)).select(col("grp"),
+        expr("(COALESCE(tp, max_us) - t0) div 3600000000").as("t"),
+        when(col("tp").isNotNull, 1).otherwise(0).as("ev"))
+      val lt = lif.groupBy("t").agg(
+        count(when(col("grp") === 0, 1)).as("l1"),
+        count(when(col("grp") === 1, 1)).as("l2"),
+        count(when(col("grp") === 0 && col("ev") === 1, 1)).as("d1"),
+        count(when(col("grp") === 1 && col("ev") === 1, 1)).as("d2"))
+      val wTail = Window.orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val r = lt.select(col("t"), col("d1"), col("d2"),
+        sum("l1").over(wTail).as("n1"), sum("l2").over(wTail).as("n2"))
+      val terms = r.filter(col("d1") + col("d2") > 0).select(
+        col("d1"), (col("d1") + col("d2")).as("dd"),
+        col("n1"), col("n2"), (col("n1") + col("n2")).as("nn"))
+      val e1 = col("dd") * lit(1.0) * col("n1") / col("nn")
+      val v = when(col("nn") > 1,
+        e1 * (col("n2") * lit(1.0) / col("nn"))
+          * ((col("nn") - col("dd")) * lit(1.0) / (col("nn") - 1)))
+        .otherwise(lit(0.0))
+      terms.agg(sum("d1").as("sum_d1"),
+          sum(e1.cast(DecimalType(28, 12))).cast("double").as("sum_e1"),
+          sum(v.cast(DecimalType(28, 12))).cast("double").as("var_sum"))
+        .select(col("sum_d1"),
+          Det.roundN(col("sum_e1"), 6).as("expected_d1"),
+          Det.roundN(col("var_sum"), 6).as("variance"),
+          Det.roundN(when(col("var_sum") > 0,
+            (col("sum_d1") - col("sum_e1")) * (col("sum_d1") - col("sum_e1"))
+              / col("var_sum")).otherwise(lit(0.0)), 6).as("chi2"))
+    },
+
+    // ---- source reconciliation ---------------------------------------
+
+    // Accounting-style two-source reconciliation: the order header total
+    // vs the recomputed lineitem net (Σ extendedprice·(1−discount),
+    // DECIMAL-exact at 4dp) per order, rolled up by status — matched /
+    // mismatched counts, headerless orders, absolute-difference mass and
+    // worst offender. The daily close every warehouse runs; one keyed
+    // join + one rollup, no shape that degrades at 100 TB.
+    QueryDef.sql(
+      "q_reconciliation",
+      s"""WITH li AS (
+         |  SELECT l_orderkey,
+         |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+         |      AS DECIMAL(18,4))) AS DOUBLE) AS computed
+         |  FROM lineitem GROUP BY 1),
+         |j AS (
+         |  SELECT o.o_orderstatus, o.o_totalprice, li.computed,
+         |    CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END AS no_lines,
+         |    CASE WHEN li.l_orderkey IS NOT NULL
+         |              AND abs(o.o_totalprice - li.computed) > 0.01
+         |         THEN 1 ELSE 0 END AS mismatch,
+         |    CASE WHEN li.l_orderkey IS NOT NULL
+         |         THEN abs(o.o_totalprice - li.computed) ELSE 0.0 END
+         |      AS adiff
+         |  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+         |SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  CAST(SUM(no_lines) AS BIGINT) AS n_headerless,
+         |  CAST(SUM(mismatch) AS BIGINT) AS n_mismatch,
+         |  ${roundN("CAST(SUM(CAST(adiff AS DECIMAL(18,4))) AS DOUBLE)", 2)}
+         |    AS total_abs_diff,
+         |  ${roundN("MAX(adiff)", 2)} AS max_abs_diff
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("computed"))
+      val j = Tables.orders(s, d).join(li,
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .select(col("o_orderstatus"), col("o_totalprice"), col("computed"),
+          when(col("l_orderkey").isNull, 1L).otherwise(0L).as("no_lines"),
+          when(col("l_orderkey").isNotNull
+            && abs(col("o_totalprice") - col("computed")) > 0.01, 1L)
+            .otherwise(0L).as("mismatch"),
+          when(col("l_orderkey").isNotNull,
+            abs(col("o_totalprice") - col("computed"))).otherwise(lit(0.0))
+            .as("adiff"))
+      j.groupBy("o_orderstatus").agg(
+          count(lit(1)).as("n_orders"),
+          sum("no_lines").as("n_headerless"),
+          sum("mismatch").as("n_mismatch"),
+          Det.roundN(sum(col("adiff").cast(DecimalType(18, 4)))
+            .cast("double"), 2).as("total_abs_diff"),
+          Det.roundN(max("adiff"), 2).as("max_abs_diff"))
+        .orderBy("o_orderstatus")
+    },
+
     // ---- span corruption (T5-style denoising targets) ----------------
 
     // Seq2seq denoising pairs from the document corpus: tokens group

@@ -201,6 +201,39 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(med > 0.5 && med < 1.5, s"JL median distortion off: $med")
   }
 
+  test("ann recall: monotone in probes, scan fraction grows, recall<=1") {
+    val rows = run("sim_ann_recall")
+      .select("n_probe", "recall_at_10", "scan_frac")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    rows.foreach { case (_, r, f) =>
+      assert(r >= 0.0 && r <= 1.0 && f > 0.0 && f <= 1.0)
+    }
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      b._2 >= a._2 - 1e-9 && b._3 >= a._3 - 1e-9; case _ => true },
+      "recall and scan fraction must be non-decreasing in probes")
+  }
+
+  test("log-rank: chi2 non-negative; equal-split cohorts not extreme") {
+    val Array((d1, e1, v, chi2)) = run("a_logrank_test")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(chi2 >= 0.0 && v > 0.0 && d1 > 0 && e1 > 0)
+    // user_id % 2 is an arbitrary split — the test should not scream
+    assert(chi2 < 15.0, s"arbitrary cohorts produced chi2=$chi2")
+  }
+
+  test("reconciliation: conservation of order counts, diffs non-negative") {
+    val rows = run("q_reconciliation")
+      .select("n_orders", "n_headerless", "n_mismatch", "total_abs_diff",
+        "max_abs_diff")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, hl, mm, tot, mx) =>
+      assert(hl + mm <= n)
+      assert(tot >= 0.0 && mx >= 0.0 && tot >= mx - 1e-9)
+    }
+  }
+
   test("power iteration: unit-norm loadings, positive dominant eigenvalue") {
     val rows = run("sim_power_iteration")
       .select("j", "loading", "lambda").as[(Long, Double, Double)].collect()
