@@ -1127,6 +1127,187 @@ object StatsOps {
               / col("var_sum")).otherwise(lit(0.0)), 6).as("chi2"))
     },
 
+    // ---- robust trend ------------------------------------------------
+
+    // Theil-Sen slope per event-type daily series: the median of all
+    // pairwise slopes — the robust estimator OLS isn't (one bad day
+    // can't move the median). The pair set is HORIZON², not data², so
+    // the quadratic is calendar-bounded (30 days → 435 pairs) no matter
+    // how many rows feed the daily rollup. Median = mean of the two
+    // middle order statistics (IEEE addition is commutative, so the
+    // 2-value average is order-free); OLS slope alongside for contrast.
+    QueryDef.sql(
+      "w_theil_sen",
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    COUNT(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.event_type,
+         |    (b.c - a.c) * 1.0 / (b.day - a.day) AS slope,
+         |    a.day AS d1, b.day AS d2
+         |  FROM daily a JOIN daily b
+         |    ON a.event_type = b.event_type AND b.day > a.day),
+         |rk AS (
+         |  SELECT event_type, slope,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY slope, d1, d2) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS np
+         |  FROM pairs),
+         |ts AS (
+         |  SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+         |    AVG(CASE WHEN rn IN ((np + 1) // 2, (np + 2) // 2)
+         |             THEN slope END) AS ts_slope
+         |  FROM rk GROUP BY 1),
+         |mo AS (
+         |  SELECT event_type, COUNT(*) AS n, SUM(day * 1.0) AS sx,
+         |    SUM(c * 1.0) AS sy, SUM(day * 1.0 * c) AS sxy,
+         |    SUM(day * 1.0 * day) AS sxx
+         |  FROM daily GROUP BY 1)
+         |SELECT t.event_type, CAST(mo.n AS BIGINT) AS n_days, t.n_pairs,
+         |  ${roundN("t.ts_slope", 6)} AS ts_slope,
+         |  ${roundN("(mo.n * mo.sxy - mo.sx * mo.sy) / (mo.n * mo.sxx - mo.sx * mo.sx)", 6)}
+         |    AS ols_slope
+         |FROM ts t JOIN mo ON t.event_type = mo.event_type
+         |ORDER BY t.event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val b = daily.select(col("event_type"), col("day").as("d2"),
+        col("c").as("c2"))
+      val pairs = daily.join(b, Seq("event_type"))
+        .filter(col("d2") > col("day"))
+        .select(col("event_type"),
+          ((col("c2") - col("c")) * lit(1.0) / (col("d2") - col("day")))
+            .as("slope"),
+          col("day").as("d1"), col("d2"))
+      val rk = pairs
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy("slope", "d1", "d2")))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+      val ts = rk.groupBy("event_type").agg(
+        max("np").cast("long").as("n_pairs"),
+        avg(when(col("rn") === expr("(np + 1) div 2")
+          || col("rn") === expr("(np + 2) div 2"), col("slope")))
+          .as("ts_slope"))
+      val mo = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("day") * lit(1.0)).as("sx"),
+        sum(col("c") * lit(1.0)).as("sy"),
+        sum(col("day") * lit(1.0) * col("c")).as("sxy"),
+        sum(col("day") * lit(1.0) * col("day")).as("sxx"))
+      ts.join(mo, "event_type")
+        .select(col("event_type"), col("n").as("n_days"), col("n_pairs"),
+          Det.roundN(col("ts_slope"), 6).as("ts_slope"),
+          Det.roundN((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("ols_slope"))
+        .orderBy("event_type")
+    },
+
+    // ---- linear probe (distributed GD) -------------------------------
+
+    // Two unrolled gradient steps of a least-squares linear probe
+    // predicting lang='en' from three cheap text features — the
+    // "train a tiny probe on corpus features" loop as a relational
+    // program. Squared loss keeps every per-row term POLYNOMIAL in
+    // exact inputs (a sigmoid would put a transcendental on every row —
+    // ulp-drift russian roulette across engines at corpus scale), so
+    // residuals are identical doubles and the gradient sums
+    // DECIMAL-route to order-freedom. Each step is one scan + one
+    // 4-number reduce: the classic distributed full-batch GD shape.
+    QueryDef.sql(
+      "t_linear_probe", {
+        val x1 = "n_chars / 1000.0"
+        val x2 = "len(str_split_regex(trim(lower(text)), '\\s+')) / 100.0"
+        val x3 = "length(text) / (1.0 + len(str_split_regex(trim(lower(text)), '\\s+')))/ 10.0"
+        s"""WITH f AS (
+           |  SELECT doc_id, $x1 AS x1, $x2 AS x2, $x3 AS x3,
+           |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           |  FROM documents),
+           |n AS (SELECT COUNT(*) AS nn FROM f),
+           |g1 AS (
+           |  SELECT
+           |    CAST(SUM(CAST(y * x1 AS DECIMAL(28,14))) AS DOUBLE) AS gyx1,
+           |    CAST(SUM(CAST(y * x2 AS DECIMAL(28,14))) AS DOUBLE) AS gyx2,
+           |    CAST(SUM(CAST(y * x3 AS DECIMAL(28,14))) AS DOUBLE) AS gyx3,
+           |    CAST(SUM(CAST(y AS DECIMAL(28,14))) AS DOUBLE) AS gy
+           |  FROM f),
+           |w1 AS (
+           |  SELECT 0.1 * 2 * gyx1 / nn AS w1, 0.1 * 2 * gyx2 / nn AS w2,
+           |    0.1 * 2 * gyx3 / nn AS w3, 0.1 * 2 * gy / nn AS b
+           |  FROM g1, n),
+           |r2 AS (
+           |  SELECT f.*, w1.w1 * x1 + w1.w2 * x2 + w1.w3 * x3 + w1.b - y
+           |    AS res
+           |  FROM f, w1),
+           |g2 AS (
+           |  SELECT
+           |    CAST(SUM(CAST(res * x1 AS DECIMAL(28,14))) AS DOUBLE) AS gx1,
+           |    CAST(SUM(CAST(res * x2 AS DECIMAL(28,14))) AS DOUBLE) AS gx2,
+           |    CAST(SUM(CAST(res * x3 AS DECIMAL(28,14))) AS DOUBLE) AS gx3,
+           |    CAST(SUM(CAST(res AS DECIMAL(28,14))) AS DOUBLE) AS gb
+           |  FROM r2),
+           |w2 AS (
+           |  SELECT w1.w1 - 0.1 * 2 * gx1 / nn AS w1,
+           |    w1.w2 - 0.1 * 2 * gx2 / nn AS w2,
+           |    w1.w3 - 0.1 * 2 * gx3 / nn AS w3,
+           |    w1.b - 0.1 * 2 * gb / nn AS b
+           |  FROM w1, g2, n),
+           |mse AS (
+           |  SELECT CAST(SUM(CAST(
+           |      (w2.w1 * x1 + w2.w2 * x2 + w2.w3 * x3 + w2.b - y)
+           |      * (w2.w1 * x1 + w2.w2 * x2 + w2.w3 * x3 + w2.b - y)
+           |      AS DECIMAL(28,14))) AS DOUBLE) AS sse
+           |  FROM f, w2)
+           |SELECT ${roundN("w2.w1", 6)} AS w1, ${roundN("w2.w2", 6)} AS w2,
+           |  ${roundN("w2.w3", 6)} AS w3, ${roundN("w2.b", 6)} AS b,
+           |  ${roundN("mse.sse / n.nn", 6)} AS train_mse,
+           |  CAST(n.nn AS BIGINT) AS n
+           |FROM w2, mse, n""".stripMargin
+      }) { (s, d) =>
+      def d14(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(28, 14))).cast("double")
+      val toks = size(split(trim(lower(col("text"))), "\\s+"))
+      val f = Tables.documents(s, d).select(
+        (col("n_chars") / 1000.0).as("x1"),
+        (toks / lit(100.0)).as("x2"),
+        (length(col("text")) / (lit(1.0) + toks) / lit(10.0)).as("x3"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val n = f.agg(count(lit(1)).as("nn"))
+      val g1 = f.agg(d14(col("y") * col("x1")).as("gyx1"),
+        d14(col("y") * col("x2")).as("gyx2"),
+        d14(col("y") * col("x3")).as("gyx3"), d14(col("y")).as("gy"))
+      val w1 = g1.crossJoin(broadcast(n)).select(
+        (lit(0.1) * 2 * col("gyx1") / col("nn")).as("w1"),
+        (lit(0.1) * 2 * col("gyx2") / col("nn")).as("w2"),
+        (lit(0.1) * 2 * col("gyx3") / col("nn")).as("w3"),
+        (lit(0.1) * 2 * col("gy") / col("nn")).as("b"))
+      val r2 = f.crossJoin(broadcast(w1)).withColumn("res",
+        col("w1") * col("x1") + col("w2") * col("x2")
+          + col("w3") * col("x3") + col("b") - col("y"))
+      val g2 = r2.agg(d14(col("res") * col("x1")).as("gx1"),
+        d14(col("res") * col("x2")).as("gx2"),
+        d14(col("res") * col("x3")).as("gx3"), d14(col("res")).as("gb"))
+      val w2 = w1.crossJoin(g2).crossJoin(broadcast(n)).select(
+        (col("w1") - lit(0.1) * 2 * col("gx1") / col("nn")).as("w1"),
+        (col("w2") - lit(0.1) * 2 * col("gx2") / col("nn")).as("w2"),
+        (col("w3") - lit(0.1) * 2 * col("gx3") / col("nn")).as("w3"),
+        (col("b") - lit(0.1) * 2 * col("gb") / col("nn")).as("b"))
+      val pred = f.crossJoin(broadcast(w2)).withColumn("res",
+        col("w1") * col("x1") + col("w2") * col("x2")
+          + col("w3") * col("x3") + col("b") - col("y"))
+      val mse = pred.agg(d14(col("res") * col("res")).as("sse"))
+      w2.crossJoin(mse).crossJoin(n).select(
+        Det.roundN(col("w1"), 6).as("w1"),
+        Det.roundN(col("w2"), 6).as("w2"),
+        Det.roundN(col("w3"), 6).as("w3"),
+        Det.roundN(col("b"), 6).as("b"),
+        Det.roundN(col("sse") / col("nn"), 6).as("train_mse"),
+        col("nn").as("n"))
+    },
+
     // ---- source reconciliation ---------------------------------------
 
     // Accounting-style two-source reconciliation: the order header total

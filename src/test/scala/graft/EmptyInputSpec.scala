@@ -208,4 +208,21 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, Double, Double)].toDF("id", "x", "y"),
       "id", "x", "y", eps = 0.1, minPts = 2).count() === 0)
   }
+
+  test("session-5 operators on empty and null inputs") {
+    // hilbert walk on an empty relation keeps its shape
+    val noPts = Seq.empty[(Long, Long)].toDF("x", "y")
+    val hil = Hilbert.index(noPts, "x", "y", 8, "d")
+    assert(hil.count() === 0)
+    assert(hil.columns.toSeq === Seq("x", "y", "d"))
+    // jaro_winkler: NULL propagates, never throws
+    import graft.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    val jw = Seq((Some("abc"), None: Option[String]),
+        (None: Option[String], Some("x")), (Some(""), Some("")))
+      .toDF("a", "b")
+      .select(GraftFunctions.jaro_winkler(col("a"), col("b")).as("jw"))
+      .as[Option[Double]].collect()
+    assert(jw.toSeq === Seq(None, None, Some(0.0)))
+  }
 }

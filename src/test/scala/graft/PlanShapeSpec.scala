@@ -76,7 +76,24 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_silhouette",         // broadcast 16-row centroid codebook (same
                               // class as sim_kmeans_step)
     "t_priority_sample",      // broadcast 1-row threshold (tau) aggregate
-    "z_bloom_file_skip")      // broadcast 1-row file-count total
+    "z_bloom_file_skip",      // broadcast 1-row file-count total
+    "a_kaplan_meier",         // broadcast 1-row horizon max + 1-row total
+    "a_logrank_test",         // broadcast 1-row horizon max
+    "a_chisq_independence",   // broadcast 1-row N + 1-row table dims
+    "a_mutual_info",          // broadcast 1-row N onto the cell relation
+    "t_zipf_fit",             // 1-row moment sums x 1-row vocab count
+    "k_backfill_plan",        // broadcast horizon-bounded calendar spine
+                              // + 1-row expected-days onto per-type totals
+    "z_hilbert_layout",       // broadcast 1-row min/max bounds; box-vs-
+                              // file-stats inequality join (manifest-
+                              // bounded x 3 probe boxes)
+    "f_jaro_winkler",         // dictionary self-join under '<' — DISTINCT
+                              // catalog names, quadratic bounded by the
+                              // name vocabulary, never by row count
+    "sim_power_iteration",    // broadcast 1-row norm / eigenvalue scalars
+    "sim_ann_recall",         // broadcast 1-row query + scalar hit/scan
+                              // counts per probe budget
+    "t_linear_probe")         // broadcast 1-row weight vector per GD step
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries

