@@ -1127,6 +1127,218 @@ object StatsOps {
               / col("var_sum")).otherwise(lit(0.0)), 6).as("chi2"))
     },
 
+    // ---- target encoding ---------------------------------------------
+
+    // Leave-one-out target encoding of `source` against the lang='en'
+    // label with additive smoothing toward the global prior (m=10): the
+    // standard leakage-aware categorical feature for tabular/quality
+    // models — each row's own label is subtracted from its category sum
+    // so the feature never memorizes the row. One category aggregate
+    // broadcast back over the corpus; everything rational from integer
+    // counts, so the encodings are engine-identical doubles.
+    QueryDef.sql(
+      "t_target_encoding",
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |g AS (SELECT CAST(SUM(y) AS BIGINT) AS gy, COUNT(*) AS gn FROM f),
+         |c AS (
+         |  SELECT source, CAST(SUM(y) AS BIGINT) AS cy, COUNT(*) AS cn
+         |  FROM f GROUP BY 1)
+         |SELECT f.doc_id, f.source, f.y,
+         |  ${roundN("(c.cy - f.y + (g.gy * 1.0 / g.gn) * 10) / (c.cn - 1 + 10)", 6)}
+         |    AS enc
+         |FROM f JOIN c USING (source), g
+         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      val g = f.agg(sum("y").as("gy"), count(lit(1)).as("gn"))
+      val c = f.groupBy("source").agg(sum("y").as("cy"),
+        count(lit(1)).as("cn"))
+      f.join(broadcast(c), "source").crossJoin(broadcast(g))
+        .select(col("doc_id"), col("source"), col("y"),
+          Det.roundN((col("cy") - col("y")
+            + (col("gy") * lit(1.0) / col("gn")) * 10)
+            / (col("cn") - 1 + 10), 6).as("enc"))
+        .orderBy("doc_id")
+    },
+
+    // ---- sequential monitoring (SPRT-style) --------------------------
+
+    // Sequential conversion-rate monitor per event type: a cumulative
+    // log-likelihood-ratio walk (+0.2 per purchase, −0.05 per
+    // non-purchase — fixed-point LLR coefficients for H1 p≈0.22 vs H0
+    // p≈0.18, kept as exact decimal literals so the walk and its
+    // boundary crossings are bit-deterministic; true ln ratios would put
+    // an engine-ulp inside every comparison) with Wald boundaries
+    // ±2.944439 (α=β≈0.05). Reports the first crossing per type — the
+    // "stop the experiment early" signal — and the final walk value.
+    QueryDef.sql(
+      "a_sprt_monitor",
+      s"""WITH seq AS (
+         |  SELECT event_type AS grp,
+         |    row_number() OVER w AS rn,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 0.2 ELSE -0.05 END)
+         |      OVER w AS llr
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+         |               ROWS UNBOUNDED PRECEDING)),
+         |crossed AS (
+         |  SELECT grp, rn, llr,
+         |    CASE WHEN llr >= 2.944439 THEN 'reject_h0'
+         |         WHEN llr <= -2.944439 THEN 'accept_h0' END AS decision,
+         |    row_number() OVER (PARTITION BY grp ORDER BY rn) AS cross_rank
+         |  FROM seq WHERE llr >= 2.944439 OR llr <= -2.944439),
+         |fin AS (
+         |  SELECT grp, CAST(MAX(rn) AS BIGINT) AS n_events,
+         |    ${roundN("MAX_BY(llr, rn)", 6)} AS final_llr
+         |  FROM seq GROUP BY 1)
+         |SELECT f.grp AS event_type, f.n_events,
+         |  CAST(c.rn AS BIGINT) AS first_cross_at,
+         |  COALESCE(c.decision, 'none') AS decision, f.final_llr
+         |FROM fin f LEFT JOIN (SELECT * FROM crossed WHERE cross_rank = 1) c
+         |  ON c.grp = f.grp
+         |ORDER BY f.grp""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type").as("grp"),
+        col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("x"))
+      val w = Window.partitionBy("grp").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seq = e.withColumn("rn", row_number().over(
+          Window.partitionBy("grp").orderBy("ts", "event_id")))
+        .withColumn("llr", sum(when(col("x") === 1, lit(0.2))
+          .otherwise(lit(-0.05))).over(w))
+      val crossed = seq
+        .filter(col("llr") >= 2.944439 || col("llr") <= -2.944439)
+        .withColumn("decision", when(col("llr") >= 2.944439, "reject_h0")
+          .otherwise("accept_h0"))
+        .withColumn("cross_rank", row_number().over(
+          Window.partitionBy("grp").orderBy("rn")))
+        .filter(col("cross_rank") === 1)
+        .select(col("grp"), col("rn").as("first_cross_at"),
+          col("decision"))
+      val fin = seq.groupBy("grp").agg(
+        max("rn").cast("long").as("n_events"),
+        Det.roundN(max_by(col("llr"), col("rn")), 6).as("final_llr"))
+      fin.join(crossed, Seq("grp"), "left")
+        .select(col("grp").as("event_type"), col("n_events"),
+          col("first_cross_at").cast("long").as("first_cross_at"),
+          coalesce(col("decision"), lit("none")).as("decision"),
+          col("final_llr"))
+        .orderBy("event_type")
+    },
+
+    // ---- lake retention sweep ----------------------------------------
+
+    // Retention tiering over the day-ordered file manifest: files whose
+    // newest row is >20 days behind the horizon are expirable, >10 days
+    // cold, else hot — the deletion/compaction work order a lake
+    // retention policy emits, derived purely from the per-file min/max
+    // stats the layout job already maintains (never re-reading data
+    // files). Manifest-bounded: the sweep costs O(files), not O(rows).
+    QueryDef.sql(
+      "k_retention_sweep",
+      s"""WITH evs AS (
+         |  SELECT event_id, epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |lay AS (
+         |  SELECT day,
+         |    (row_number() OVER (ORDER BY day, event_id) - 1) // 2048
+         |      AS file_id
+         |  FROM evs),
+         |stats AS (
+         |  SELECT file_id, COUNT(*) AS n_rows, MAX(day) AS max_day
+         |  FROM lay GROUP BY 1),
+         |h AS (SELECT MAX(day) AS horizon FROM evs),
+         |tiered AS (
+         |  SELECT file_id, n_rows,
+         |    CASE WHEN max_day < horizon - 20 THEN 'expire'
+         |         WHEN max_day < horizon - 10 THEN 'cold'
+         |         ELSE 'hot' END AS tier
+         |  FROM stats, h),
+         |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS all_rows FROM stats)
+         |SELECT tier, COUNT(*) AS n_files,
+         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         |  ${roundN("CAST(SUM(n_rows) AS BIGINT) * 100.0 / all_rows", 4)}
+         |    AS pct_rows
+         |FROM tiered, tot GROUP BY tier, all_rows
+         |ORDER BY tier""".stripMargin) { (s, d) =>
+      val evs = Tables.events(s, d).select(col("event_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val lay = ZOrder.fileLayout(evs, Seq(col("day"), col("event_id")),
+        rowsPerFile = 2048)
+      val stats = lay.groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"), max("day").as("max_day"))
+      val h = evs.agg(max("day").as("horizon"))
+      val tiered = stats.crossJoin(broadcast(h)).select(col("n_rows"),
+        when(col("max_day") < col("horizon") - 20, "expire")
+          .when(col("max_day") < col("horizon") - 10, "cold")
+          .otherwise("hot").as("tier"))
+      val tot = stats.agg(sum("n_rows").as("all_rows"))
+      tiered.groupBy("tier")
+        .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"))
+        .crossJoin(broadcast(tot))
+        .select(col("tier"), col("n_files"), col("n_rows"),
+          Det.roundN(col("n_rows") * lit(100.0) / col("all_rows"), 4)
+            .as("pct_rows"))
+        .orderBy("tier")
+    },
+
+    // ---- audio frame planning (multimodal) ---------------------------
+
+    // STFT-style frame plan for synthetic audio metadata (duration and
+    // sample rate hash-derived per media id — the decode stays a
+    // deterministic stub per the multimodal contract, the frame math is
+    // real): win=1024, hop=512 samples, n_frames = (n−win)/hop + 1,
+    // padded tail = samples the last full hop leaves uncovered. This is
+    // the batch-shape planning a Pandas-UDF feature extractor consumes —
+    // all integer arithmetic, summarized per sample rate.
+    QueryDef.sql(
+      "mm_audio_frames",
+      s"""WITH m AS (
+         |  SELECT doc_id AS id,
+         |    ([8000, 16000, 44100])[CAST(doc_id % 3 + 1 AS INT)] AS rate,
+         |    ${Det.h56Sql("'dur:' || CAST(doc_id AS VARCHAR)")} % 30000 + 500
+         |      AS dur_ms
+         |  FROM documents),
+         |s AS (
+         |  SELECT id, rate, dur_ms, (dur_ms * rate) // 1000 AS n_samples
+         |  FROM m),
+         |f AS (
+         |  SELECT id, rate, dur_ms, n_samples,
+         |    CASE WHEN n_samples >= 1024
+         |         THEN (n_samples - 1024) // 512 + 1 ELSE 0 END AS n_frames
+         |  FROM s)
+         |SELECT rate, COUNT(*) AS n_media,
+         |  CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+         |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+         |  CAST(SUM(CASE WHEN n_frames > 0
+         |    THEN n_samples - ((n_frames - 1) * 512 + 1024)
+         |    ELSE n_samples END) AS BIGINT) AS tail_samples,
+         |  CAST(MAX(n_frames) AS BIGINT) AS max_frames
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val m = Tables.documents(s, d).select(col("doc_id").as("id"),
+        element_at(array(lit(8000), lit(16000), lit(44100)),
+          (col("doc_id") % 3 + 1).cast("int")).as("rate"),
+        (Det.h56(concat(lit("dur:"), col("doc_id").cast("string"))) % 30000
+          + 500).as("dur_ms"))
+      val sdf = m.withColumn("n_samples",
+        expr("(dur_ms * rate) div 1000"))
+      val f = sdf.withColumn("n_frames",
+        when(col("n_samples") >= 1024,
+          expr("(n_samples - 1024) div 512") + 1).otherwise(0L))
+      f.groupBy("rate").agg(
+          count(lit(1)).as("n_media"),
+          sum("n_samples").as("total_samples"),
+          sum("n_frames").as("total_frames"),
+          sum(when(col("n_frames") > 0,
+            col("n_samples") - ((col("n_frames") - 1) * 512 + 1024))
+            .otherwise(col("n_samples"))).as("tail_samples"),
+          max("n_frames").as("max_frames"))
+        .orderBy("rate")
+    },
+
     // ---- robust trend ------------------------------------------------
 
     // Theil-Sen slope per event-type daily series: the median of all

@@ -93,7 +93,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_power_iteration",    // broadcast 1-row norm / eigenvalue scalars
     "sim_ann_recall",         // broadcast 1-row query + scalar hit/scan
                               // counts per probe budget
-    "t_linear_probe")         // broadcast 1-row weight vector per GD step
+    "t_linear_probe",         // broadcast 1-row weight vector per GD step
+    "t_target_encoding",      // broadcast 1-row global prior
+    "k_retention_sweep")      // broadcast 1-row horizon + 1-row total
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries

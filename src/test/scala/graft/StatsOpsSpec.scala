@@ -257,6 +257,61 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(Seq(w1, w2, w3, b).forall(w => !w.isNaN && math.abs(w) < 100))
   }
 
+  test("target encoding: leave-one-out gap is exactly 1/(cn-1+m)") {
+    val rows = run("t_target_encoding")
+      .select("source", "y", "enc").as[(String, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, enc) => assert(enc >= 0.0 && enc <= 1.0) }
+    // within a source, a y=1 row sees one less positive than a y=0 row
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val cn = rs.length
+      val e0 = rs.filter(_._2 == 0).map(_._3)
+      val e1 = rs.filter(_._2 == 1).map(_._3)
+      if (e0.nonEmpty && e1.nonEmpty) {
+        val gap = e0.head - e1.head
+        assert(math.abs(gap - 1.0 / (cn - 1 + 10)) < 1e-4,
+          s"LOO gap wrong for $src: $gap vs ${1.0 / (cn - 1 + 10)}")
+      }
+    }
+  }
+
+  test("sprt monitor: purchase stream rejects H0 at the Wald boundary") {
+    val rows = run("a_sprt_monitor")
+      .select("event_type", "first_cross_at", "decision", "final_llr")
+      .as[(String, Option[Long], String, Double)].collect()
+    val byType = rows.map(r => r._1 -> r).toMap
+    // the purchase partition gains +0.2 every event: crosses 2.944439
+    // at event 15; every other type walks down at -0.05 per event
+    assert(byType("purchase")._3 == "reject_h0")
+    assert(byType("purchase")._2.contains(15L))
+    rows.filter(_._1 != "purchase").foreach { r =>
+      assert(r._3 == "accept_h0", s"${r._1} should accept H0")
+    }
+  }
+
+  test("retention sweep: percentages sum to 100, tiers are known") {
+    val rows = run("k_retention_sweep")
+      .select("tier", "pct_rows").as[(String, Double)].collect()
+    assert(rows.map(_._1).toSet.subsetOf(Set("hot", "cold", "expire")))
+    assert(math.abs(rows.map(_._2).sum - 100.0) < 0.01)
+  }
+
+  test("audio frames: framing covers samples minus a sub-hop tail") {
+    val rows = run("mm_audio_frames")
+      .select("rate", "n_media", "total_samples", "total_frames",
+        "tail_samples", "max_frames")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq.sorted == Seq(8000, 16000, 44100))
+    rows.foreach { case (_, nMedia, samples, frames, tail, mx) =>
+      assert(frames > 0 && mx > 0)
+      assert(tail >= 0 && tail < nMedia * 1024,
+        "per-media tail is < win; summed tail must stay under n*win")
+      // reconstruct: samples = frames*hop + (win-hop)*framed_media + tail
+      // can't recover framed_media from the summary; bound instead
+      assert(frames * 512 <= samples)
+    }
+  }
+
   test("power iteration: unit-norm loadings, positive dominant eigenvalue") {
     val rows = run("sim_power_iteration")
       .select("j", "loading", "lambda").as[(Long, Double, Double)].collect()
