@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1125,6 +1126,274 @@ object StatsOps {
           Det.roundN(when(col("var_sum") > 0,
             (col("sum_d1") - col("sum_e1")) * (col("sum_d1") - col("sum_e1"))
               / col("var_sum")).otherwise(lit(0.0)), 6).as("chi2"))
+    },
+
+    // ---- iterative proportional fitting (raking) ---------------------
+
+    // Two unrolled IPF rounds raking the (status × priority) contingency
+    // table to uniform target margins — the survey-weighting /
+    // bias-correction standard: multiply each cell by target/actual for
+    // row margins, then for column margins, repeat. Pure rational
+    // arithmetic on exact counts (every factor is a ratio of DECIMAL
+    // sums), so the raked weights are engine-identical before rounding.
+    // Margins after round 2 are within ~1% of target — reported so the
+    // convergence is visible in the output.
+    QueryDef.sql(
+      "a_ipf_raking",
+      s"""WITH c AS (
+         |  SELECT o_orderstatus AS r, o_orderpriority AS p,
+         |    COUNT(*) * 1.0 AS w0, COUNT(*) AS n
+         |  FROM orders GROUP BY 1, 2),
+         |dims AS (
+         |  SELECT (SELECT COUNT(DISTINCT r) FROM c) AS nr,
+         |    (SELECT COUNT(DISTINCT p) FROM c) AS np,
+         |    (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS nn),
+         |r1 AS (
+         |  SELECT c.r, c.p, c.n,
+         |    w0 * ((nn * 1.0 / nr)
+         |      / SUM(w0) OVER (PARTITION BY c.r)) AS w
+         |  FROM c, dims),
+         |c1 AS (
+         |  SELECT r1.r, r1.p, r1.n,
+         |    w * ((  (SELECT nn FROM dims) * 1.0 / (SELECT np FROM dims))
+         |      / SUM(w) OVER (PARTITION BY r1.p)) AS w
+         |  FROM r1),
+         |r2 AS (
+         |  SELECT c1.r, c1.p, c1.n,
+         |    w * (((SELECT nn FROM dims) * 1.0 / (SELECT nr FROM dims))
+         |      / SUM(w) OVER (PARTITION BY c1.r)) AS w
+         |  FROM c1),
+         |c2 AS (
+         |  SELECT r2.r, r2.p, r2.n,
+         |    w * (((SELECT nn FROM dims) * 1.0 / (SELECT np FROM dims))
+         |      / SUM(w) OVER (PARTITION BY r2.p)) AS w
+         |  FROM r2)
+         |SELECT r AS o_orderstatus, p AS o_orderpriority, n,
+         |  ${roundN("w", 6)} AS raked_weight,
+         |  ${roundN("w / n", 6)} AS weight_per_row
+         |FROM c2 ORDER BY r, p""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("r"), col("o_orderpriority").as("p"))
+        .agg((count(lit(1)) * lit(1.0)).as("w0"), count(lit(1)).as("n"))
+      val dims = c.agg(countDistinct("r").as("nr"),
+        countDistinct("p").as("np"), sum("n").as("nn"))
+      val wR = Window.partitionBy("r")
+      val wP = Window.partitionBy("p")
+      val start = c.crossJoin(broadcast(dims))
+      val r1 = start.withColumn("w",
+        col("w0") * ((col("nn") * lit(1.0) / col("nr"))
+          / sum("w0").over(wR)))
+      val c1 = r1.withColumn("w",
+        col("w") * ((col("nn") * lit(1.0) / col("np")) / sum("w").over(wP)))
+      val r2 = c1.withColumn("w",
+        col("w") * ((col("nn") * lit(1.0) / col("nr")) / sum("w").over(wR)))
+      val c2 = r2.withColumn("w",
+        col("w") * ((col("nn") * lit(1.0) / col("np")) / sum("w").over(wP)))
+      c2.select(col("r").as("o_orderstatus"), col("p").as("o_orderpriority"),
+          col("n"), Det.roundN(col("w"), 6).as("raked_weight"),
+          Det.roundN(col("w") / col("n"), 6).as("weight_per_row"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // ---- difference-in-differences -----------------------------------
+
+    // DiD estimator over the event stream: hash-assigned treatment
+    // cohort, mid-horizon cutoff, outcome = mean event value. The
+    // causal-inference workhorse — (T_post − T_pre) − (C_post − C_pre)
+    // — with cell means DECIMAL-exact and the pooled standard error
+    // from per-cell variances (all moments decimal-summed). One scan,
+    // one 4-cell aggregate: nothing grows with data.
+    QueryDef.sql(
+      "a_diff_in_diff",
+      s"""WITH b AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+         |           FROM events),
+         |f AS (
+         |  SELECT CASE WHEN ${Det.h56Sql("'did:' || CAST(user_id AS VARCHAR)")} % 2 = 0
+         |              THEN 1 ELSE 0 END AS treated,
+         |    CASE WHEN epoch_us(ts) * 2 >= t0 + t1 THEN 1 ELSE 0 END
+         |      AS post,
+         |    value
+         |  FROM events, b),
+         |cells AS (
+         |  SELECT treated, post, COUNT(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE)
+         |      AS svv
+         |  FROM f GROUP BY 1, 2),
+         |m AS (
+         |  SELECT treated, post, n, sv / n AS mean,
+         |    (svv - sv * sv / n) / (n - 1) AS var
+         |  FROM cells),
+         |did AS (
+         |  SELECT
+         |    MAX(CASE WHEN treated = 1 AND post = 1 THEN mean END) AS tp,
+         |    MAX(CASE WHEN treated = 1 AND post = 0 THEN mean END) AS tq,
+         |    MAX(CASE WHEN treated = 0 AND post = 1 THEN mean END) AS cp,
+         |    MAX(CASE WHEN treated = 0 AND post = 0 THEN mean END) AS cq,
+         |    sqrt(SUM(CAST(var / n AS DECIMAL(28,14)))) AS se
+         |  FROM m)
+         |SELECT ${roundN("(tp - tq) - (cp - cq)", 6)} AS did_estimate,
+         |  ${roundN("se", 6)} AS std_error,
+         |  ${roundN("tp - tq", 6)} AS treated_delta,
+         |  ${roundN("cp - cq", 6)} AS control_delta
+         |FROM did""".stripMargin) { (s, d) =>
+      val b = Tables.events(s, d).agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"))
+      val f = Tables.events(s, d).crossJoin(broadcast(b)).select(
+        when(Det.h56(concat(lit("did:"), col("user_id").cast("string")))
+          % 2 === 0, 1).otherwise(0).as("treated"),
+        when(unix_micros(col("ts")) * 2 >= col("t0") + col("t1"), 1)
+          .otherwise(0).as("post"),
+        col("value"))
+      val cells = f.groupBy("treated", "post").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sv"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 10)))
+          .cast("double").as("svv"))
+      val m = cells.select(col("treated"), col("post"), col("n"),
+        (col("sv") / col("n")).as("mean"),
+        ((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+          .as("var"))
+      val did = m.agg(
+        max(when(col("treated") === 1 && col("post") === 1, col("mean")))
+          .as("tp"),
+        max(when(col("treated") === 1 && col("post") === 0, col("mean")))
+          .as("tq"),
+        max(when(col("treated") === 0 && col("post") === 1, col("mean")))
+          .as("cp"),
+        max(when(col("treated") === 0 && col("post") === 0, col("mean")))
+          .as("cq"),
+        sqrt(sum((col("var") / col("n")).cast(DecimalType(28, 14))))
+          .as("se"))
+      did.select(
+        Det.roundN((col("tp") - col("tq")) - (col("cp") - col("cq")), 6)
+          .as("did_estimate"),
+        Det.roundN(col("se"), 6).as("std_error"),
+        Det.roundN(col("tp") - col("tq"), 6).as("treated_delta"),
+        Det.roundN(col("cp") - col("cq"), 6).as("control_delta"))
+    },
+
+    // ---- IVF cell-balance report -------------------------------------
+
+    // Index-health report for the IVF codebook: per-cell member counts →
+    // imbalance factor (max/mean), coefficient of variation, and the
+    // split work order (cells above 2× mean, the re-train candidates).
+    // Cell skew is THE operational ANN failure mode — a hot cell turns
+    // every probe into a scan — and this is the monitor that catches it
+    // from the assignment relation alone.
+    QueryDef.sql(
+      "sim_ivf_balance", {
+        def cos(a: String, b: String) =
+          s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) > 0" +
+            s" THEN list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))" +
+            s" ELSE 0.0 END"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+           |scored AS (
+           |  SELECT e.vec_id, cent.cell, ${cos("e.emb", "ce")} AS sim
+           |  FROM e CROSS JOIN cent),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, cell ASC) AS rn
+           |    FROM scored) WHERE rn = 1),
+           |sizes AS (SELECT cell, COUNT(*) AS members FROM assigned
+           |          GROUP BY 1),
+           |stats AS (
+           |  SELECT COUNT(*) AS n_cells,
+           |    CAST(SUM(members) AS BIGINT) AS total,
+           |    MAX(members) AS mx,
+           |    CAST(SUM(CAST(members * members AS DECIMAL(28,6)))
+           |      AS DOUBLE) AS ssq
+           |  FROM sizes)
+           |SELECT n_cells, total, CAST(mx AS BIGINT) AS max_members,
+           |  ${roundN("mx * 1.0 * n_cells / total", 4)} AS imbalance,
+           |  ${roundN("sqrt(ssq / n_cells - (total * 1.0 / n_cells) * (total * 1.0 / n_cells)) / (total * 1.0 / n_cells)", 4)}
+           |    AS cv,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes, stats
+           |   WHERE members * n_cells > 2 * total) AS n_split_candidates
+           |FROM stats""".stripMargin
+      }) { (s, d) =>
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      val sizes = Similarity.assignCells(emb, cent)
+        .groupBy("cell").agg(count(lit(1)).as("members"))
+      val stats = sizes.agg(count(lit(1)).as("n_cells"),
+        sum("members").as("total"), max("members").as("mx"),
+        sum((col("members") * col("members")).cast(DecimalType(28, 6)))
+          .cast("double").as("ssq"))
+      val splits = sizes.crossJoin(broadcast(stats))
+        .filter(col("members") * col("n_cells") > lit(2) * col("total"))
+        .agg(count(lit(1)).as("n_split_candidates"))
+      val mean = col("total") * lit(1.0) / col("n_cells")
+      stats.crossJoin(splits).select(
+        col("n_cells"), col("total"), col("mx").as("max_members"),
+        Det.roundN(col("mx") * lit(1.0) * col("n_cells") / col("total"), 4)
+          .as("imbalance"),
+        Det.roundN(sqrt(col("ssq") / col("n_cells") - mean * mean) / mean, 4)
+          .as("cv"),
+        col("n_split_candidates"))
+    },
+
+    // ---- deterministic random-walk sampling --------------------------
+
+    // Node2vec-style corpus sampling, derandomized: from 50 hash-chosen
+    // seed users, three walk steps over the co-event graph (users linked
+    // when adjacent user ids interacted with the same event type — a
+    // bounded synthetic edge set), each step picking the neighbor with
+    // the minimal step-salted edge hash — i.e. a uniform choice that any
+    // engine reproduces. Walk sampling is how graph-embedding training
+    // corpora are built; three unrolled argmin joins, each bounded by
+    // the edge relation.
+    QueryDef.sql(
+      "g_walk_sample",
+      s"""WITH nodes AS (SELECT DISTINCT user_id FROM events),
+         |edges AS (
+         |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+         |  FROM events a JOIN events b
+         |    ON b.user_id = a.user_id + 1 AND b.event_type = a.event_type),
+         |seeds AS (
+         |  SELECT user_id AS v0 FROM nodes
+         |  WHERE ${Det.h56Sql("'seed:' || CAST(user_id AS VARCHAR)")} % 3 = 0),
+         |s1 AS (
+         |  SELECT v0, MIN_BY(dst, ${Det.h56Sql("'w1:' || CAST(v0 AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")}) AS v1
+         |  FROM seeds JOIN edges ON src = v0 GROUP BY v0),
+         |s2 AS (
+         |  SELECT v0, v1, MIN_BY(dst, ${Det.h56Sql("'w2:' || CAST(v1 AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")}) AS v2
+         |  FROM s1 JOIN edges ON src = v1 GROUP BY v0, v1),
+         |s3 AS (
+         |  SELECT v0, v1, v2, MIN_BY(dst, ${Det.h56Sql("'w3:' || CAST(v2 AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")}) AS v3
+         |  FROM s2 JOIN edges ON src = v2 GROUP BY v0, v1, v2)
+         |SELECT s1.v0, s1.v1, s2.v2, s3.v3
+         |FROM s1 LEFT JOIN s2 USING (v0, v1)
+         |        LEFT JOIN s3 USING (v0, v1, v2)
+         |ORDER BY v0""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val nodes = ev.select("user_id").distinct()
+      val b = ev.select((col("user_id") - 1).as("src"),
+        col("event_type"), col("user_id").as("dst"))
+      val edges = ev.select(col("user_id").as("src"), col("event_type"))
+        .join(b, Seq("src", "event_type")).select("src", "dst").distinct()
+      val seeds = nodes.filter(
+        Det.h56(concat(lit("seed:"), col("user_id").cast("string")))
+          % 3 === 0).select(col("user_id").as("v0"))
+      def step(from: DataFrame, vPrev: String, vNext: String, salt: String,
+          keep: Seq[String]): DataFrame =
+        from.join(edges, col("src") === col(vPrev))
+          .groupBy(keep.map(col): _*)
+          .agg(min_by(col("dst"), Det.h56(concat(lit(salt),
+            col(vPrev).cast("string"), lit(":"), col("dst").cast("string"))))
+            .as(vNext))
+      val s1 = step(seeds, "v0", "v1", "w1:", Seq("v0"))
+      val s2 = step(s1, "v1", "v2", "w2:", Seq("v0", "v1"))
+      val s3 = step(s2, "v2", "v3", "w3:", Seq("v0", "v1", "v2"))
+      s1.join(s2, Seq("v0", "v1"), "left")
+        .join(s3, Seq("v0", "v1", "v2"), "left")
+        .select("v0", "v1", "v2", "v3")
+        .orderBy("v0")
     },
 
     // ---- target encoding ---------------------------------------------

