@@ -1128,6 +1128,154 @@ object StatsOps {
               / col("var_sum")).otherwise(lit(0.0)), 6).as("chi2"))
     },
 
+    // ---- OOD / outlier detection over embeddings ---------------------
+
+    // Out-of-distribution report: a vector whose best cosine against the
+    // whole codebook stays under 0.25 lives in no cell's neighborhood —
+    // the curation signal for dropping (or quarantining) outlier
+    // embeddings before training. Per-label rates localize WHERE the
+    // outliers come from. Reuses the broadcast-codebook max-sim scan
+    // (one pass, map-side); means decimal-routed.
+    QueryDef.sql(
+      "sim_ood_report", {
+        def cos(a: String, b: String) =
+          s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) > 0" +
+            s" THEN list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))" +
+            s" ELSE 0.0 END"
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+           |           FROM embeddings),
+           |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+           |best AS (
+           |  SELECT e.vec_id, e.label, MAX(${cos("e.emb", "ce")}) AS best_sim
+           |  FROM e CROSS JOIN cent GROUP BY 1, 2)
+           |SELECT label, COUNT(*) AS n,
+           |  CAST(COUNT(CASE WHEN best_sim < 0.25 THEN 1 END) AS BIGINT)
+           |    AS n_ood,
+           |  ${roundN("COUNT(CASE WHEN best_sim < 0.25 THEN 1 END) * 100.0 / COUNT(*)", 4)}
+           |    AS pct_ood,
+           |  ${roundN("CAST(SUM(CAST(best_sim AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)", 6)}
+           |    AS mean_best_sim
+           |FROM best GROUP BY 1 ORDER BY 1""".stripMargin
+      }) { (s, d) =>
+      graft.expressions.GraftFunctions.register(s)
+      import graft.expressions.GraftFunctions.cosine_sim
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      val best = emb.crossJoin(broadcast(cent))
+        .groupBy("vec_id", "label")
+        .agg(max(cosine_sim(col("embedding"), col("c_emb"))).as("best_sim"))
+      best.groupBy("label").agg(
+          count(lit(1)).as("n"),
+          count(when(col("best_sim") < 0.25, 1)).as("n_ood"),
+          Det.roundN(count(when(col("best_sim") < 0.25, 1)) * lit(100.0)
+            / count(lit(1)), 4).as("pct_ood"),
+          Det.roundN(sum(col("best_sim").cast(DecimalType(18, 9)))
+            .cast("double") / count(lit(1)), 6).as("mean_best_sim"))
+        .orderBy("label")
+    },
+
+    // ---- URL parsing surface -----------------------------------------
+
+    // Structured URL decomposition with plain regexes (host, path, query
+    // param) — Spark's parse_url has no DuckDB twin, so the portable
+    // regex forms ARE the cross-engine contract; the query builds
+    // deterministic URLs from corpus fields, parses them back, and
+    // verifies the round trip (n_lang_match = n proves extraction).
+    // Pure map-side string work + one host rollup.
+    QueryDef.sql(
+      "f_url_parse",
+      s"""WITH u AS (
+         |  SELECT doc_id, lang,
+         |    'https://' || source || '.example.com/docs/'
+         |      || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, url,
+         |    regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         |    regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path,
+         |    regexp_extract(url, 'lang=([a-z]+)', 1) AS q_lang
+         |  FROM u)
+         |SELECT host, COUNT(*) AS n,
+         |  CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+         |  CAST(COUNT(CASE WHEN q_lang = lang THEN 1 END) AS BIGINT)
+         |    AS n_lang_match,
+         |  MIN(path) AS first_path
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val u = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id").cast("string"), lit("?lang="), col("lang"))
+          .as("url"))
+      val p = u.select(col("doc_id"), col("lang"),
+        regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+        regexp_extract(col("url"), "^https?://[^/]+([^?]*)", 1).as("path"),
+        regexp_extract(col("url"), "lang=([a-z]+)", 1).as("q_lang"))
+      p.groupBy("host").agg(
+          count(lit(1)).as("n"),
+          countDistinct("path").as("n_paths"),
+          count(when(col("q_lang") === col("lang"), 1)).as("n_lang_match"),
+          min("path").as("first_path"))
+        .orderBy("host")
+    },
+
+    // ---- calibration -------------------------------------------------
+
+    // Expected-calibration-error bins for a cheap "is-English"
+    // confidence score (length-saturating, rational): decile bins of
+    // confidence vs realized label rate, per-bin gap, and the
+    // bin-weighted ECE repeated on each row (window total over the
+    // 10-row bin relation). The reliability diagram behind every model
+    // scorecard — integer/rational throughout.
+    QueryDef.sql(
+      "a_calibration_error",
+      s"""WITH f AS (
+         |  SELECT CASE WHEN n_chars * 1.0 / 500 < 1.0
+         |              THEN n_chars * 1.0 / 500 ELSE 1.0 END AS conf,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |b AS (
+         |  SELECT CASE WHEN conf >= 1.0 THEN 9
+         |              ELSE CAST(floor(conf * 10) AS BIGINT) END AS bin,
+         |    conf, y
+         |  FROM f),
+         |g AS (
+         |  SELECT bin, COUNT(*) AS n,
+         |    CAST(SUM(CAST(conf AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+         |      AS avg_conf,
+         |    CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+         |      AS acc
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM g)
+         |SELECT bin, n, ${roundN("avg_conf", 6)} AS avg_conf,
+         |  ${roundN("acc", 6)} AS acc,
+         |  ${roundN("abs(avg_conf - acc)", 6)} AS gap,
+         |  ${roundN("SUM(abs(avg_conf - acc) * n / nn) OVER ()", 6)} AS ece
+         |FROM g, t ORDER BY bin""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d).select(
+        least(col("n_chars") * lit(1.0) / 500, lit(1.0)).as("conf"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val b = f.withColumn("bin",
+        when(col("conf") >= 1.0, 9L)
+          .otherwise(floor(col("conf") * 10).cast("long")))
+      val g = b.groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        (sum(col("conf").cast(DecimalType(18, 9))).cast("double")
+          / count(lit(1))).as("avg_conf"),
+        (sum(col("y").cast(DecimalType(18, 9))).cast("double")
+          / count(lit(1))).as("acc"))
+      val t = g.agg(sum("n").as("nn"))
+      g.crossJoin(broadcast(t))
+        .select(col("bin"), col("n"),
+          Det.roundN(col("avg_conf"), 6).as("avg_conf"),
+          Det.roundN(col("acc"), 6).as("acc"),
+          Det.roundN(abs(col("avg_conf") - col("acc")), 6).as("gap"),
+          Det.roundN(sum(abs(col("avg_conf") - col("acc")) * col("n")
+            / col("nn")).over(Window.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)), 6)
+            .as("ece"))
+        .orderBy("bin")
+    },
+
     // ---- iterative proportional fitting (raking) ---------------------
 
     // Two unrolled IPF rounds raking the (status × priority) contingency

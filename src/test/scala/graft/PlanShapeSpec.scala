@@ -98,7 +98,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "k_retention_sweep",      // broadcast 1-row horizon + 1-row total
     "a_diff_in_diff",         // broadcast 1-row horizon bounds
     "sim_ivf_balance",        // 1-row size stats x 1-row split count
-    "a_ipf_raking")           // broadcast 1-row margin targets (nr/np/nn)
+    "a_ipf_raking",           // broadcast 1-row margin targets (nr/np/nn)
+    "sim_ood_report",         // broadcast 16-row codebook max-sim scan
+    "a_calibration_error")    // broadcast 1-row bin total
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries

@@ -356,6 +356,42 @@ class StatsOpsSpec extends AnyFunSuite {
     rows.foreach { case (v0, v1, _) => assert(v1 != v0 || v1 == v0) }
   }
 
+  test("ood report: rates bounded, ood consistent with mean similarity") {
+    val rows = run("sim_ood_report")
+      .select("n", "n_ood", "pct_ood", "mean_best_sim")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, ood, pct, ms) =>
+      assert(ood <= n && pct >= 0.0 && pct <= 100.0)
+      assert(ms > -1.0 && ms < 1.0)
+      assert(math.abs(pct - ood * 100.0 / n) < 0.01)
+    }
+  }
+
+  test("url parse: round trip recovers the lang param on every row") {
+    val rows = run("f_url_parse")
+      .select("n", "n_lang_match", "host", "first_path")
+      .as[(Long, Long, String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, m, host, path) =>
+      assert(m == n, s"lang param extraction failed for $host")
+      assert(host.endsWith(".example.com"))
+      assert(path.startsWith("/docs/"))
+    }
+  }
+
+  test("calibration: ece is the bin-weighted gap, bins ordered") {
+    val rows = run("a_calibration_error")
+      .select("bin", "n", "gap", "ece").as[(Long, Long, Double, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum.toDouble
+    val ece = rows.map(r => r._3 * r._2 / total).sum
+    assert(math.abs(ece - rows.head._4) < 1e-4,
+      s"reported ece ${rows.head._4} vs recomputed $ece")
+    assert(rows.map(_._4).distinct.length == 1, "ece constant across rows")
+  }
+
   test("power iteration: unit-norm loadings, positive dominant eigenvalue") {
     val rows = run("sim_power_iteration")
       .select("j", "loading", "lambda").as[(Long, Double, Double)].collect()
