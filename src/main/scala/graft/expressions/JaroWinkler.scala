@@ -57,13 +57,66 @@ case class JaroWinkler(left: Expression, right: Expression)
 
 object JaroWinkler {
 
-  /** Shared by interpreted eval and generated code. Works on the decoded
-    * char sequence (code units) — ASCII-identical to byte-wise, and
-    * consistent with other engines' unicode-codepoint matching for BMP
-    * text. */
-  def compute(a: UTF8String, b: UTF8String): Double = {
-    val s1 = a.toString
-    val s2 = b.toString
+  /** Shared by interpreted eval and generated code. ASCII pairs (the
+    * overwhelming case for name/key matching) take a zero-decode byte
+    * path directly over the UTF8String buffers; anything else decodes to
+    * the char sequence (code units), which is ASCII-identical and
+    * consistent with other engines' codepoint matching for BMP text.
+    * Blocked linkage evaluates this millions of times per block — the
+    * byte path exists because the String+charAt decode was ~half the
+    * per-pair cost in j_record_linkage. */
+  def compute(a: UTF8String, b: UTF8String): Double =
+    if (a.isFullAscii && b.isFullAscii) computeAscii(a, b)
+    else computeChars(a.toString, b.toString)
+
+  /** Byte-level twin of [[computeChars]] — same algorithm, no decode. */
+  private def computeAscii(a: UTF8String, b: UTF8String): Double = {
+    val l1 = a.numBytes
+    val l2 = b.numBytes
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (a.equals(b)) return 1.0
+    val win = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val c = a.getByte(i)
+      val hi = math.min(l2, i + win + 1)
+      var j = math.max(0, i - win)
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && b.getByte(j) == c) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var half = 0
+    var j = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (a.getByte(i) != b.getByte(j)) half += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = half / 2
+    val md = m.toDouble
+    val jaro = (md / l1 + md / l2 + (md - t) / md) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val pmax = math.min(4, math.min(l1, l2))
+      while (l < pmax && a.getByte(l) == b.getByte(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+
+  private def computeChars(s1: String, s2: String): Double = {
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0

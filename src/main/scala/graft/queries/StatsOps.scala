@@ -675,7 +675,14 @@ object StatsOps {
           "reverse(substr(c_name, length(c_name) - 1, 2)))").as("d_name"),
         col("c_mktsegment").as("d_segment"),
         (col("c_acctbal") + (col("c_custkey") % 7) - 3).as("d_bal"))
-      val pairs = cust.join(dirty, col("c_nationkey") === col("d_nation"))
+      // spread the probe side: the fixture's single parquet file scans as
+      // one partition, which would serialize the block-pair scoring on a
+      // single thread under the broadcast join; at warehouse scale the
+      // fact side arrives in thousands of scan partitions and this
+      // round-robin is a no-op in spirit
+      val shufP = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val pairs = cust.repartition(shufP)
+        .join(dirty, col("c_nationkey") === col("d_nation"))
         .select(col("c_custkey"), col("d_key"),
           Det.roundN(jaro_winkler(col("c_name"), col("d_name")), 6).as("jw"),
           when(col("c_mktsegment") === col("d_segment"), 1).otherwise(0)

