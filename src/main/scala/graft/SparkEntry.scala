@@ -15,7 +15,8 @@ object SparkEntry {
     Relational.defs ++ Aggregates.defs ++ Windows.defs ++ Scalars.defs ++
       Composites.defs ++ GoldRollups.defs ++ QualityQueries.defs ++
       Extensions.defs ++ PipelineQueries.defs ++ ScaleOps.defs ++
-      Curation.defs ++ StreamingQueries.defs ++ StatsOps.defs
+      Curation.defs ++ StreamingQueries.defs ++ StatsOps.defs ++
+      ExperimentOps.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names")

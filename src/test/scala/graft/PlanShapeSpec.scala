@@ -100,7 +100,15 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_ivf_balance",        // 1-row size stats x 1-row split count
     "a_ipf_raking",           // broadcast 1-row margin targets (nr/np/nn)
     "sim_ood_report",         // broadcast 16-row codebook max-sim scan
-    "a_calibration_error")    // broadcast 1-row bin total
+    "a_calibration_error",    // broadcast 1-row bin total
+    "a_ks_test",              // broadcast 1-row totals + 1-row scalars
+                              // onto the 100-row Kolmogorov-series range
+    "a_bh_fdr",               // broadcast 1-row pooled rate onto the
+                              // nation-bounded test relation
+    "a_cuped",                // 1-row moments x 1-row group means
+    "a_randomization_test")   // broadcast 64-row replicate range onto the
+                              // pooled rows (constant fanout, the
+                              // a_poisson_bootstrap shape) + 1-row scalars
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
