@@ -774,6 +774,342 @@ object ExperimentOps {
         Det.roundN(col("n_unique").cast("double") /
           col("n_shingles").cast("double"), 6).as("novelty"))
         .orderBy("doc_id")
+    },
+
+    // ---- monotone calibration ----------------------------------------
+
+    // Isotonic-regression calibration curve via the closed-form minimax
+    // characterization iso(i) = max_{j≤i} min_{k≥i} avg(y over bins
+    // [j,k]) — the PAVA fixpoint WITHOUT PAVA's sequential pooling loop,
+    // which has no distributed form. The trick that makes it a Spark
+    // plan: rows are first reduced to a BOUNDED bin histogram (20
+    // confidence vigintiles of the a_calibration_error score), so the
+    // O(B³) minimax enumeration runs on ≤20·210 rows regardless of input
+    // scale — the inequality join is allowlisted BNLJ over constants.
+    // Interval averages are ratios of exact integer prefix sums, so the
+    // min/max comparisons are on identical doubles cross-engine.
+    QueryDef.sql(
+      "a_isotonic_calibration", {
+        s"""WITH f AS (
+           |  SELECT CASE WHEN n_chars * 1.0 / 500 < 1.0
+           |              THEN n_chars * 1.0 / 500 ELSE 1.0 END AS conf,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |b AS (
+           |  SELECT CASE WHEN conf >= 1.0 THEN 19
+           |              ELSE CAST(floor(conf * 20) AS BIGINT) END AS bin,
+           |    conf, y
+           |  FROM f),
+           |g AS (
+           |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+           |    CAST(SUM(CAST(conf AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+           |      AS avg_conf
+           |  FROM b GROUP BY 1),
+           |cum AS (
+           |  SELECT bin, n, sy, avg_conf,
+           |    CAST(SUM(n) OVER w AS BIGINT) AS cs,
+           |    CAST(SUM(sy) OVER w AS BIGINT) AS cy
+           |  FROM g
+           |  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+           |               AND CURRENT ROW)),
+           |pairs AS (
+           |  SELECT a.bin AS j, b.bin AS k,
+           |    CAST(b.cy - (a.cy - a.sy) AS DOUBLE)
+           |      / CAST(b.cs - (a.cs - a.n) AS DOUBLE) AS iavg
+           |  FROM cum a JOIN cum b ON a.bin <= b.bin),
+           |tri AS (
+           |  SELECT i.bin, p.j, MIN(p.iavg) AS mn
+           |  FROM pairs p JOIN cum i ON p.j <= i.bin AND i.bin <= p.k
+           |  GROUP BY 1, 2),
+           |iso AS (SELECT bin, MAX(mn) AS iso_acc FROM tri GROUP BY 1)
+           |SELECT g.bin, g.n, ${roundN("g.avg_conf", 6)} AS avg_conf,
+           |  ${roundN("CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE)", 6)}
+           |    AS raw_acc,
+           |  ${roundN("iso.iso_acc", 6)} AS iso_acc
+           |FROM g JOIN iso ON g.bin = iso.bin
+           |ORDER BY g.bin""".stripMargin
+      }) { (s, d) =>
+      val f = Tables.documents(s, d).select(
+        least(col("n_chars") * lit(1.0) / 500, lit(1.0)).as("conf"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      val b = f.withColumn("bin",
+        when(col("conf") >= 1.0, 19L)
+          .otherwise(floor(col("conf") * 20).cast("long")))
+      val g = b.groupBy("bin").agg(
+        count(lit(1)).as("n"), sum("y").cast("long").as("sy"),
+        (sum(col("conf").cast(DecimalType(18, 9))).cast("double")
+          / count(lit(1))).as("avg_conf"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = g.select(col("bin"), col("n"), col("sy"), col("avg_conf"),
+        sum("n").over(w).as("cs"), sum("sy").over(w).as("cy"))
+      val a = cum.select(col("bin").as("j"), col("cs").as("jcs"),
+        col("cy").as("jcy"), col("n").as("jn"), col("sy").as("jsy"))
+      val bb = cum.select(col("bin").as("k"), col("cs").as("kcs"),
+        col("cy").as("kcy"))
+      val pairs = a.join(bb, col("j") <= col("k")).select(
+        col("j"), col("k"),
+        ((col("kcy") - (col("jcy") - col("jsy"))).cast("double") /
+          (col("kcs") - (col("jcs") - col("jn"))).cast("double")).as("iavg"))
+      val tri = pairs
+        .join(cum.select(col("bin")),
+          col("j") <= col("bin") && col("bin") <= col("k"))
+        .groupBy("bin", "j").agg(min("iavg").as("mn"))
+      val iso = tri.groupBy("bin").agg(max("mn").as("iso_acc"))
+      g.join(iso, "bin").select(col("bin"), col("n"),
+          Det.roundN(col("avg_conf"), 6).as("avg_conf"),
+          Det.roundN(col("sy").cast("double") / col("n").cast("double"), 6)
+            .as("raw_acc"),
+          Det.roundN(col("iso_acc"), 6).as("iso_acc"))
+        .orderBy("bin")
+    },
+
+    // ---- stratified odds ratio ---------------------------------------
+
+    // Mantel-Haenszel pooled odds ratio of priority escalation on order
+    // fulfilment across nation strata, with the Robins-Breslow-Greenland
+    // SE and the 95% CI on the log scale — the epidemiology-standard
+    // "common effect after controlling for the stratifier", companion
+    // to a_ipw_estimate's additive ATE. Per-stratum 2×2 cells are exact
+    // integers; the classic R = ad/n, S = bc/n (and RBG's P, Q cross
+    // terms) are per-stratum doubles re-cast to DECIMAL(38,10) before
+    // the cross-stratum sums so the nation-bounded reduction is
+    // order-free. ln/exp/sqrt appear once, on identical reduced doubles.
+    QueryDef.sql(
+      "a_mantel_haenszel", {
+        s"""WITH j AS (
+           |  SELECT c.c_nationkey AS st,
+           |    CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+           |         THEN 1 ELSE 0 END AS t,
+           |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+           |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+           |cells AS (
+           |  SELECT st,
+           |    CAST(SUM(t * f) AS BIGINT) AS a,
+           |    CAST(SUM(t * (1 - f)) AS BIGINT) AS b,
+           |    CAST(SUM((1 - t) * f) AS BIGINT) AS c,
+           |    CAST(SUM((1 - t) * (1 - f)) AS BIGINT) AS d
+           |  FROM j GROUP BY 1),
+           |terms AS (
+           |  SELECT st, a, b, c, d, a + b + c + d AS n,
+           |    CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           |      / CAST(a + b + c + d AS DOUBLE) AS r,
+           |    CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+           |      / CAST(a + b + c + d AS DOUBLE) AS s,
+           |    CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS p,
+           |    CAST(b + c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS q
+           |  FROM cells),
+           |red AS (
+           |  SELECT COUNT(*) AS n_strata,
+           |    CAST(SUM(CAST(r AS DECIMAL(38,10))) AS DOUBLE) AS sr,
+           |    CAST(SUM(CAST(s AS DECIMAL(38,10))) AS DOUBLE) AS ss,
+           |    CAST(SUM(CAST(p * r AS DECIMAL(38,10))) AS DOUBLE) AS spr,
+           |    CAST(SUM(CAST(p * s + q * r AS DECIMAL(38,10))) AS DOUBLE)
+           |      AS spsqr,
+           |    CAST(SUM(CAST(q * s AS DECIMAL(38,10))) AS DOUBLE) AS sqs
+           |  FROM terms),
+           |fin AS (
+           |  SELECT n_strata, sr / ss AS or_mh, ln(sr / ss) AS ln_or,
+           |    sqrt(spr / (2.0 * sr * sr) + spsqr / (2.0 * sr * ss)
+           |      + sqs / (2.0 * ss * ss)) AS se
+           |  FROM red)
+           |SELECT n_strata, ${roundN("or_mh", 6)} AS or_mh,
+           |  ${roundN("ln_or", 6)} AS ln_or, ${roundN("se", 6)} AS se,
+           |  ${roundN("exp(ln_or - 1.959964 * se)", 6)} AS ci_lo,
+           |  ${roundN("exp(ln_or + 1.959964 * se)", 6)} AS ci_hi
+           |FROM fin""".stripMargin
+      }) { (s, d) =>
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("st"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0).as("t"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("f"))
+      val cells = j.groupBy("st").agg(
+        sum(col("t") * col("f")).cast("long").as("a"),
+        sum(col("t") * (lit(1) - col("f"))).cast("long").as("b"),
+        sum((lit(1) - col("t")) * col("f")).cast("long").as("c"),
+        sum((lit(1) - col("t")) * (lit(1) - col("f"))).cast("long").as("d"))
+      val nD = (col("a") + col("b") + col("c") + col("d")).cast("double")
+      val terms = cells.select(col("st"),
+        (col("a").cast("double") * col("d").cast("double") / nD).as("r"),
+        (col("b").cast("double") * col("c").cast("double") / nD).as("s"),
+        ((col("a") + col("d")).cast("double") / nD).as("p"),
+        ((col("b") + col("c")).cast("double") / nD).as("q"))
+      val dec10 = DecimalType(38, 10)
+      val red = terms.agg(count(lit(1)).as("n_strata"),
+        sum(col("r").cast(dec10)).cast("double").as("sr"),
+        sum(col("s").cast(dec10)).cast("double").as("ss"),
+        sum((col("p") * col("r")).cast(dec10)).cast("double").as("spr"),
+        sum((col("p") * col("s") + col("q") * col("r")).cast(dec10))
+          .cast("double").as("spsqr"),
+        sum((col("q") * col("s")).cast(dec10)).cast("double").as("sqs"))
+      val fin = red.select(col("n_strata"),
+        (col("sr") / col("ss")).as("or_mh"),
+        log(col("sr") / col("ss")).as("ln_or"),
+        sqrt(col("spr") / (lit(2.0) * col("sr") * col("sr")) +
+          col("spsqr") / (lit(2.0) * col("sr") * col("ss")) +
+          col("sqs") / (lit(2.0) * col("ss") * col("ss"))).as("se"))
+      fin.select(col("n_strata"),
+        Det.roundN(col("or_mh"), 6).as("or_mh"),
+        Det.roundN(col("ln_or"), 6).as("ln_or"),
+        Det.roundN(col("se"), 6).as("se"),
+        Det.roundN(exp(col("ln_or") - lit(1.959964) * col("se")), 6)
+          .as("ci_lo"),
+        Det.roundN(exp(col("ln_or") + lit(1.959964) * col("se")), 6)
+          .as("ci_hi"))
+    },
+
+    // ---- experiment design -------------------------------------------
+
+    // Power / minimum-detectable-effect planner: for each nation's
+    // current traffic and conversion rate, the absolute MDE an equal-
+    // split A/B could detect at α = 0.05 (two-sided) / 80% power, and
+    // the per-arm sample size required to reach each target MDE in
+    // {1, 2, 5} pp — the "is this experiment even runnable on this
+    // segment" table every platform ships. Closed-form normal
+    // approximation with z constants as literals; the grid is a 3-row
+    // broadcast onto the nation-bounded rate relation. Conversion rates
+    // are exact integer ratios, so every double input is identical
+    // cross-engine; CEIL of identical doubles is identical.
+    QueryDef.sql(
+      "a_power_mde", {
+        val zsum = "2.801585" // z_{0.025} + z_{0.20} = 1.959964 + 0.841621
+        s"""WITH pn AS (
+           |  SELECT n.n_name, COUNT(*) AS n,
+           |    CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS k
+           |  FROM orders o
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |  GROUP BY 1),
+           |rt AS (
+           |  SELECT n_name, n, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+           |  FROM pn),
+           |grid AS (SELECT unnest([0.01, 0.02, 0.05]) AS target_mde)
+           |SELECT n_name, n, ${roundN("p", 6)} AS conv_rate,
+           |  ${roundN(
+            s"$zsum * sqrt(2.0 * p * (1.0 - p) / (CAST(n AS DOUBLE) / 2.0))",
+            6)} AS mde_now,
+           |  target_mde,
+           |  CAST(CEIL(2.0 * p * (1.0 - p) * ($zsum / target_mde)
+           |    * ($zsum / target_mde)) AS BIGINT) AS n_per_arm_required
+           |FROM rt, grid
+           |ORDER BY n_name, target_mde""".stripMargin
+      }) { (s, d) =>
+      val zsum = lit(2.801585)
+      val pn = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+            .cast("long").as("k"))
+      val rt = pn.select(col("n_name"), col("n"),
+        (col("k").cast("double") / col("n").cast("double")).as("p"))
+      val grid = s.range(0, 3).select(
+        element_at(array(lit(0.01), lit(0.02), lit(0.05)),
+          (col("id") + 1).cast("int")).as("target_mde"))
+      rt.crossJoin(broadcast(grid)).select(
+          col("n_name"), col("n"),
+          Det.roundN(col("p"), 6).as("conv_rate"),
+          Det.roundN(zsum * sqrt(lit(2.0) * col("p") * (lit(1.0) - col("p")) /
+            (col("n").cast("double") / lit(2.0))), 6).as("mde_now"),
+          col("target_mde"),
+          ceil(lit(2.0) * col("p") * (lit(1.0) - col("p")) *
+            (zsum / col("target_mde")) * (zsum / col("target_mde")))
+            .cast("long").as("n_per_arm_required"))
+        .orderBy("n_name", "target_mde")
+    },
+
+    // ---- community quality -------------------------------------------
+
+    // Newman modularity of the g_label_propagation communities over the
+    // same deterministic doc graph: Q = Σ_c [e_c/m − (d_c/2m)²], computed
+    // on the symmetric edge relation (so e_c/m = e2_c/m2 and d_c/2m =
+    // d_c/m2 with m2 = |directed rows| — no halving anywhere, the
+    // integer-exact form). Per-community terms reduce from two narrow
+    // joins (edge→label, label→degree); the ≤|labels| double terms are
+    // DECIMAL-cast before the final sum. The closing score for the
+    // clustering family: LP assigns, modularity grades the assignment.
+    QueryDef.sql(
+      "g_modularity", {
+        s"""WITH nd AS (SELECT doc_id FROM documents),
+           |cnt AS (SELECT COUNT(*) AS n FROM nd),
+           |e0 AS (
+           |  SELECT doc_id AS src, (doc_id * p + j) % cnt.n AS dst
+           |  FROM nd, cnt, (VALUES (1, 31), (2, 97), (3, 211)) m(j, p)),
+           |ed AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+           |es AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT src, dst FROM ed
+           |  UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+           |${graft.operators.Graph.labelPropagationSql("doc_id", rounds = 3)},
+           |m2t AS (SELECT COUNT(*) AS m2 FROM es),
+           |dg AS (
+           |  SELECT l.label, COUNT(*) AS d_c
+           |  FROM es JOIN l3 l ON l.id = es.src GROUP BY 1),
+           |wi AS (
+           |  SELECT a.label, COUNT(*) AS e2_c
+           |  FROM es JOIN l3 a ON a.id = es.src JOIN l3 b ON b.id = es.dst
+           |  WHERE a.label = b.label GROUP BY 1),
+           |terms AS (
+           |  SELECT d.label,
+           |    CAST(COALESCE(w.e2_c, 0) AS DOUBLE) / CAST(m2 AS DOUBLE)
+           |      - (CAST(d.d_c AS DOUBLE) / CAST(m2 AS DOUBLE))
+           |        * (CAST(d.d_c AS DOUBLE) / CAST(m2 AS DOUBLE)) AS term
+           |  FROM dg d LEFT JOIN wi w ON d.label = w.label, m2t),
+           |fin AS (
+           |  SELECT CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+           |    AS modularity
+           |  FROM terms)
+           |SELECT (SELECT COUNT(*) FROM nd) AS n_nodes,
+           |  CAST((SELECT m2 FROM m2t) // 2 AS BIGINT) AS n_edges,
+           |  (SELECT COUNT(DISTINCT label) FROM l3) AS n_communities,
+           |  ${roundN("modularity", 6)} AS modularity
+           |FROM fin""".stripMargin
+      }) { (s, d) =>
+      import graft.operators.Graph
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      val lab = Graph.labelPropagation(docs, edges, "doc_id", rounds = 3)
+        .select(col("doc_id").as("id"), col("community").as("label"))
+      // the operator's symmetric deduped edge relation, rebuilt: the
+      // oracle CTE `es` and this must be the same set
+      val base = edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val es = base.unionByName(
+        base.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val m2t = es.agg(count(lit(1)).as("m2"))
+      val dg = es.join(lab, es("src") === lab("id"))
+        .groupBy("label").agg(count(lit(1)).as("d_c"))
+      val labB = lab.select(col("id").as("bid"), col("label").as("blabel"))
+      val wi = es.join(lab, es("src") === lab("id"))
+        .join(labB, es("dst") === col("bid"))
+        .filter(col("label") === col("blabel"))
+        .groupBy("label").agg(count(lit(1)).as("e2_c"))
+      val terms = dg.join(wi, Seq("label"), "left")
+        .crossJoin(broadcast(m2t))
+        .select((coalesce(col("e2_c"), lit(0L)).cast("double") /
+          col("m2").cast("double") -
+          (col("d_c").cast("double") / col("m2").cast("double")) *
+            (col("d_c").cast("double") / col("m2").cast("double")))
+          .as("term"))
+      val fin = terms.agg(
+        sum(col("term").cast(DecimalType(38, 12))).cast("double")
+          .as("modularity"))
+      val nNodes = docs.agg(count(lit(1)).as("n_nodes"))
+      val nComm = lab.agg(countDistinct("label").as("n_communities"))
+      fin.crossJoin(broadcast(nNodes)).crossJoin(broadcast(m2t))
+        .crossJoin(broadcast(nComm))
+        .select(col("n_nodes"), (col("m2") / 2).cast("long").as("n_edges"),
+          col("n_communities"),
+          Det.roundN(col("modularity"), 6).as("modularity"))
     }
   )
 }

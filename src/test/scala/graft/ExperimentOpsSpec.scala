@@ -111,6 +111,58 @@ class ExperimentOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("isotonic calibration: fit is monotone and mean-preserving") {
+    val rows = run("a_isotonic_calibration")
+      .select("bin", "n", "raw_acc", "iso_acc")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 <= b._4 + 1e-9, s"iso not monotone at bin ${b._1}")
+      case _ => ()
+    }
+    // isotonic regression preserves the weighted mean of the response
+    val totN = rows.map(_._2).sum.toDouble
+    val rawMean = rows.map(r => r._3 * r._2).sum / totN
+    val isoMean = rows.map(r => r._4 * r._2).sum / totN
+    assert(math.abs(rawMean - isoMean) < 1e-4,
+      s"mean not preserved: raw $rawMean iso $isoMean")
+    rows.foreach(r => assert(r._4 >= -1e-9 && r._4 <= 1.0 + 1e-9))
+  }
+
+  test("mantel-haenszel: CI brackets the OR, se positive") {
+    val Array((strata, or, lnOr, se, lo, hi)) = run("a_mantel_haenszel")
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+    assert(strata > 0 && strata <= 25)
+    assert(or > 0 && se > 0)
+    assert(lo <= or && or <= hi)
+    assert(math.abs(math.log(or) - lnOr) < 1e-4)
+  }
+
+  test("power/mde: required n shrinks as target MDE grows") {
+    val rows = run("a_power_mde")
+      .select("n_name", "target_mde", "n_per_arm_required", "mde_now")
+      .as[(String, Double, Long, Double)].collect()
+    assert(rows.length % 3 == 0)
+    rows.groupBy(_._1).foreach { case (nation, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 > b._3,
+          s"$nation: n_req not decreasing in MDE")
+        case _ => ()
+      }
+      rs.foreach(r => assert(r._4 > 0 && r._3 > 0))
+    }
+  }
+
+  test("modularity: score in valid range over LP communities") {
+    val Array((nodes, edges, comms, q)) = run("g_modularity")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(nodes == 500 || nodes == 50) // sf0.001 has 50 docs
+    assert(edges > 0 && comms > 0 && comms <= nodes)
+    assert(q >= -0.5 && q <= 1.0)
+  }
+
   test("ngram novelty: bounds hold and unique <= total shingles") {
     val rows = run("t_ngram_novelty")
       .select("n_shingles", "n_unique", "novelty")

@@ -106,9 +106,14 @@ class PlanShapeSpec extends AnyFunSuite {
     "a_bh_fdr",               // broadcast 1-row pooled rate onto the
                               // nation-bounded test relation
     "a_cuped",                // 1-row moments x 1-row group means
-    "a_randomization_test")   // broadcast 64-row replicate range onto the
+    "a_randomization_test",   // broadcast 64-row replicate range onto the
                               // pooled rows (constant fanout, the
                               // a_poisson_bootstrap shape) + 1-row scalars
+    "a_isotonic_calibration", // bin x bin interval enumeration — both
+                              // sides bounded by the 20-bin histogram
+    "a_power_mde",            // broadcast 3-row MDE grid onto the
+                              // nation-bounded rate relation
+    "g_modularity")           // 1-row m2/node/community scalar combines
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
