@@ -820,6 +820,120 @@ object ScaleProbe {
         .agg(avg("bmean").as("bavg"), count(lit(1)).as("nb"))
     }
 
+    // ---- session-6 probes (experiment-analysis family) ---------------
+    // discretized KS: one groupBy over the fixed $100 bin domain, window
+    // over ≤5k bins, scalar finish — bin count is scale-invariant, so
+    // cost should track the scan alone
+    time("ks_test") {
+      import org.apache.spark.sql.expressions.Window
+      val h = ord.select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0).as("hi"),
+        floor(col("o_totalprice") / 100.0).cast("long").as("bin"))
+      val hist = h.groupBy("bin").agg(
+        sum("hi").as("c_hi"), sum(expr("1 - hi")).as("c_lo"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.select(col("bin"), sum("c_hi").over(w).as("a"),
+        sum("c_lo").over(w).as("b"))
+    }
+    // randomization test: ×64 map-side replicate fanout (explode, no
+    // pre-shuffle data copy) + one (b, side) groupBy — the honest 64×
+    // compute is all in the map phase; shuffle carries 128 groups
+    time("randomization") {
+      val pool = ev.filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("value"))
+        .withColumn("b", explode(sequence(lit(0), lit(63))))
+        .withColumn("side",
+          (Det.h56(concat(col("event_id").cast("string"), lit(":"),
+            col("b").cast("string"))) % 2).cast("int"))
+      pool.groupBy("b", "side")
+        .agg(Det.dsum(col("value")).as("s"), count(lit(1)).as("n"))
+    }
+    // CUPED: one groupBy(user) then two constant-size moment aggregates
+    time("cuped_moments") {
+      import org.apache.spark.sql.types.DecimalType
+      val dec2 = DecimalType(18, 2)
+      val u = ev.groupBy("user_id").agg(
+        sum(when(unix_micros(col("ts")) < 1705363200000000L,
+          col("value").cast(dec2)).otherwise(lit(0).cast(dec2))).as("x"),
+        sum(when(unix_micros(col("ts")) >= 1705363200000000L,
+          col("value").cast(dec2)).otherwise(lit(0).cast(dec2))).as("y"))
+      val x15 = col("x").cast(DecimalType(15, 2))
+      val y15 = col("y").cast(DecimalType(15, 2))
+      u.agg(count(lit(1)).as("n"),
+        sum(x15 * y15).cast("double").as("sxy"),
+        sum(x15 * x15).cast("double").as("sxx"))
+    }
+    // Mantel-Haenszel (stands in for the whole ord⋈cust stratified
+    // family: bh_fdr, ipw, power_mde share the join→nation-agg shape)
+    time("mantel_haenszel") {
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("st"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0).as("t"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("f"))
+        .groupBy("st").agg(
+          sum(col("t") * col("f")).as("a"),
+          sum(col("t") * (lit(1) - col("f"))).as("b"),
+          sum((lit(1) - col("t")) * col("f")).as("c"),
+          sum((lit(1) - col("t")) * (lit(1) - col("f"))).as("d"))
+    }
+    // encoding anomaly: map-only injection + length-diff metrics — text
+    // bytes never leave the scan stage
+    time("encoding_anomaly") {
+      val inj = corpus.select(col("doc_id"), col("text"),
+        (Det.h56(concat(lit("enc:"), col("doc_id").cast("string"))) % 10)
+          .cast("int").as("r"))
+      val cor = inj.select(col("doc_id"),
+        when(col("r") === 0, expr("replace(text, 'a', 'Ã¡')"))
+          .when(col("r") === 1, concat(col("text"), lit("�")))
+          .otherwise(col("text")).as("t"))
+      cor.select(col("doc_id"),
+        (length(col("t")) - length(expr("replace(t, 'Ã', '')")))
+          .as("n_moji"),
+        (length(col("t")) - length(regexp_replace(col("t"),
+          "[^\\x00-\\x7F]", ""))).as("n_nonascii"))
+    }
+    // n-gram novelty: distinct (doc, h56(shingle)) → df groupBy → join
+    // back — shingles shuffle as 16-byte hashes; the k× duplicate corpus
+    // is the worst case (every shingle's df inflates k×, zero uniques)
+    time("ngram_novelty") {
+      val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val sh = toks.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 2), i -> concat(" +
+            "element_at(t, i), ' ', element_at(t, i + 1), ' ', " +
+            "element_at(t, i + 2)))")).as("sg"))
+        .select(col("doc_id"), Det.h56(col("sg")).as("shash")).distinct()
+      val freq = sh.groupBy("shash").agg(count(lit(1)).as("df"))
+      sh.join(freq, "shash").groupBy("doc_id").agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1).otherwise(0)).as("n_uniq"))
+    }
+    // modularity finish over the LP labels (LP itself probed above):
+    // two edge→label joins + community aggregates
+    time("modularity") {
+      import graft.operators.Graph
+      val docs = corpus.select(col("doc_id"))
+      val nn = docs.agg(count(lit(1)).as("__en"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 31 + 1) % col("__en"),
+          (col("doc_id") * 97 + 2) % col("__en"),
+          (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      val lab = Graph.labelPropagation(docs, edges, "doc_id", rounds = 1)
+        .select(col("doc_id").as("id"), col("community").as("label"))
+      val base = edges.filter(col("src") =!= col("dst")).distinct()
+      val es = base.unionByName(
+        base.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val labB = lab.select(col("id").as("bid"), col("label").as("blabel"))
+      es.join(lab, es("src") === lab("id"))
+        .join(labB, es("dst") === col("bid"))
+        .filter(col("label") === col("blabel"))
+        .groupBy("label").agg(count(lit(1)).as("e2_c"))
+    }
+
     spark.stop()
   }
 }
