@@ -934,6 +934,118 @@ object ScaleProbe {
         .groupBy("label").agg(count(lit(1)).as("e2_c"))
     }
 
+    // ---- round-7 session-7 probes: the alignment/preference family ---
+
+    // preference pairs: one qualityFeatures scan + one struct-argmax hash
+    // aggregate; groups stay (source, lang)-bounded while members grow k×
+    time("preference_pairs") {
+      TextFunctions.qualityFeatures(corpus, "doc_id", "text")
+        .groupBy("source", "lang").agg(
+          count(lit(1)).as("n"),
+          max(struct(col("quality_score"), (-col("doc_id")).as("negid")))
+            .as("c"),
+          min(struct(col("quality_score"), (-col("doc_id")).as("negid")))
+            .as("r"))
+    }
+    // bradley-terry: match generation (per-lang rank window) grows k× in
+    // battles; the fit itself runs on the (source × source)-bounded win
+    // matrix, so iterations are constant-size regardless of k
+    time("bradley_terry") {
+      import org.apache.spark.sql.expressions.Window
+      val feats = TextFunctions.qualityFeatures(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("quality_score"))
+      val ranked = feats
+        .withColumn("__h", Det.h56(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))))
+        .withColumn("m", expr("(rn + 1) DIV 2"))
+      val l = ranked.filter(col("rn") % 2 === 1)
+        .select(col("lang"), col("m"), col("doc_id").as("l_doc"),
+          col("source").as("l_src"), col("quality_score").as("l_q"))
+      val r = ranked.filter(col("rn") % 2 === 0)
+        .select(col("lang"), col("m"), col("doc_id").as("r_doc"),
+          col("source").as("r_src"), col("quality_score").as("r_q"))
+      val games = l.join(r, Seq("lang", "m"))
+        .filter(col("l_src") =!= col("r_src"))
+        .withColumn("winner",
+          when(col("l_q") > col("r_q") ||
+            (col("l_q") === col("r_q") && col("l_doc") < col("r_doc")),
+            col("l_src")).otherwise(col("r_src")))
+        .withColumn("a", least(col("l_src"), col("r_src")))
+        .withColumn("b", greatest(col("l_src"), col("r_src")))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("winner") === col("a"), 1)).as("wins_a"))
+      graft.operators.BradleyTerry.fit(games, rounds = 5)
+    }
+    // quantile normalize: per-source rank windows deepen k× per source
+    // partition; the quantile function stays a VALUE-bounded histogram
+    // (distinct n_chars), so the banded range probe's build side is flat
+    time("quantile_normalize") {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = corpus.select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = d0
+        .withColumn("src_rank", row_number().over(Window.partitionBy("source")
+          .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .withColumn("src_n", count(lit(1)).over(Window.partitionBy("source")))
+      val nn = d0.agg(count(lit(1)).as("nn"))
+      val points = ranked.crossJoin(broadcast(nn))
+        .withColumn("target_rank",
+          when(col("src_n") === 1, expr("1L + nn DIV 2"))
+            .otherwise(expr(
+              "1L + ((src_rank - 1) * (nn - 1) + src_n - 2) DIV (src_n - 1)")))
+      val bins = d0.select(col("n_chars").as("q_value"))
+        .groupBy("q_value").agg(count(lit(1)).as("cnt"))
+        .withColumn("hi", sum("cnt").over(Window.orderBy("q_value")))
+        .select(col("q_value"), (col("hi") - col("cnt") + 1).as("lo"),
+          (col("hi") + 1).as("hi_excl"))
+      graft.operators.RangeJoin.pointInInterval(points, bins,
+        "target_rank", "lo", "hi_excl", bucketWidth = 4096.0)
+    }
+    // url canonicalization: map-side explode ×2 + one hash aggregate
+    time("url_canonical") {
+      val id = col("doc_id").cast("string")
+      val raw = corpus.select(col("doc_id"), explode(array(
+        concat(lit("https://"), upper(col("source")), lit(".Example.COM/d/"),
+          id, lit("?lang="), col("lang")),
+        concat(lit("https://"), col("source"), lit(".example.com/d/"),
+          id, lit("/?lang="), col("lang"), lit("&utm_source=f"))))
+        .as("raw_url"))
+      raw.withColumn("c",
+          graft.functions.UrlFunctions.canonicalUrl(col("raw_url")))
+        .groupBy("c").agg(count(lit(1)).as("n"), min("raw_url").as("first"))
+    }
+    // range search: member side grows k× (every clone qualifies at
+    // cosine 1.0 — worst case for output volume); probes stay 8×4
+    time("range_search") {
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      graft.operators.Similarity.ivfRangeSearch(emb, centroids, qs,
+        tau = 0.25, nProbe = 4)
+    }
+    // feature scale: two explode → hash-aggregate passes over rows × dims
+    time("feature_scale") {
+      import org.apache.spark.sql.types.DecimalType
+      val dims = emb.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("pos").cast("long").as("dim"),
+          col("col").cast("double").as("x"))
+      val stats = dims.groupBy("dim").agg(
+          count(lit(1)).as("n"),
+          (sum(Det.roundN(col("x"), 12).cast(DecimalType(38, 18)))
+            .cast("double") / count(lit(1))).as("mean"),
+          (sum(Det.roundN(col("x") * col("x"), 12).cast(DecimalType(38, 18)))
+            .cast("double") / count(lit(1))).as("m2"))
+        .withColumn("std",
+          sqrt(greatest(col("m2") - col("mean") * col("mean"), lit(0.0))))
+      dims.join(broadcast(stats), Seq("dim"))
+        .withColumn("zv", when(col("std") > 0,
+          (col("x") - col("mean")) / col("std")).otherwise(lit(0.0)))
+        .groupBy("dim").agg(avg("zv").as("post_mean"))
+    }
+
     spark.stop()
   }
 }

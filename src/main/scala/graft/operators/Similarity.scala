@@ -161,6 +161,46 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cell"), col("cosine"))
   }
 
+  /** IVF RANGE search: every vector within a cosine radius of each query
+    * (`cosine >= tau`), not a fixed top-k — the primitive behind
+    * "find all near-duplicates of these N suspect documents" and
+    * radius-bounded retrieval, where result-set size is data-dependent.
+    *
+    * Same probe discipline as [[ivfTopKBatch]]: per-query nProbe nearest
+    * cells from the broadcast codebook×query grid, members fanned only to
+    * the queries probing their cell. The only differences are the
+    * threshold filter replacing the rank window (no per-query sort at
+    * all — a range search needs no ordering shuffle) and self-match
+    * removal. Cosine is pinned via Det.roundN(6) BEFORE the threshold so
+    * the boundary decision is engine-identical.
+    *
+    * Shape at scale: broadcast codebook + query batch; the member side is
+    * scanned once; output is the qualifying pairs only. Nothing
+    * corpus-sized is broadcast and no global sort runs — the final
+    * ORDER BY is the caller's presentation choice.
+    *
+    * Returns (query_id, idCol, cell, cosine) for cosine >= tau,
+    * excluding the query row itself. */
+  def ivfRangeSearch(vectors: DataFrame, centroids: DataFrame,
+      queries: DataFrame, tau: Double, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("__sim"), col("cell"))
+    val probes = centroids
+      .crossJoin(broadcast(queries))
+      .withColumn("__sim", GraftFunctions.cosine_sim(col("c_emb"), col("q_emb")))
+      .withColumn("__rk", row_number().over(probeW))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("cell"), col("q_emb"))
+    assignCells(vectors, centroids, idCol, embCol)
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("cosine",
+        Det.roundN(GraftFunctions.cosine_sim(col(embCol), col("q_emb")), 6))
+      .filter(col("cosine") >= tau && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("cell"), col("cosine"))
+  }
+
   /** One Lloyd (k-means) iteration over an embedding column: assign every
     * vector to its nearest centroid by cosine (broadcast codebook), then
     * recompute each cell's centroid as the member mean — the index-build /

@@ -113,7 +113,12 @@ class PlanShapeSpec extends AnyFunSuite {
                               // sides bounded by the 20-bin histogram
     "a_power_mde",            // broadcast 3-row MDE grid onto the
                               // nation-bounded rate relation
-    "g_modularity")           // 1-row m2/node/community scalar combines
+    "g_modularity",           // 1-row m2/node/community scalar combines
+    "a_bradley_terry",        // 1-row mean-rescale broadcast per MM round
+    "t_quantile_normalize",   // broadcast 1-row corpus count; the quantile
+                              // probe itself is a banded equi-join
+    "sim_range_search")       // broadcast codebook x 8-query batch (same
+                              // class as sim_ivf_batch)
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
