@@ -1046,6 +1046,68 @@ object ScaleProbe {
         .groupBy("dim").agg(avg("zv").as("post_mean"))
     }
 
+    // huber: two broadcast-stat passes over the replicated event scan +
+    // DECIMAL-summed aggregates — cost should track the scan alone
+    time("huber_mean") {
+      import org.apache.spark.sql.types.DecimalType
+      val kk = lit(1.345)
+      val v = ev.filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").as("x"))
+      val st = v.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        (Det.dsum(col("x"), 6) / count(lit(1))).as("m0"),
+        sqrt(greatest(Det.dsum(col("x") * col("x"), 4) / count(lit(1))
+          - (Det.dsum(col("x"), 6) / count(lit(1)))
+            * (Det.dsum(col("x"), 6) / count(lit(1))), lit(0.0))).as("s"))
+      v.join(broadcast(st), Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("m0"), col("s"))
+        .agg((col("m0") + sum(Det.roundN(greatest(-kk * col("s"),
+          least(kk * col("s"), col("x") - col("m0"))), 12)
+          .cast(DecimalType(38, 18))).cast("double") / col("n")).as("m1"))
+    }
+    // pattern match: per-(user, day) ordered reassembly — group state is
+    // one user-day, so replication grows group COUNT, not group size
+    time("pattern_match") {
+      val e = ev.select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .when(col("event_type") === "signup", "s")
+          .otherwise("e").as("ini"))
+      e.groupBy("user_id", "day")
+        .agg(collect_list(struct(col("ts"), col("event_id"), col("ini")))
+          .as("__evs"))
+        .withColumn("seq",
+          expr("array_join(transform(array_sort(__evs), x -> x.ini), '')"))
+        .select(col("user_id"), col("day"),
+          expr("size(regexp_extract_all(seq, 'v[ce]*p', 0))").as("nc"))
+    }
+    // ratio-delta CI: broadcast-dim star join + one moment aggregate
+    time("ratio_delta_ci") {
+      val supp = graft.engine.Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = graft.engine.Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nat), col("n_nationkey") === col("s_nationkey"))
+        .select(col("n_name"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("x"),
+          col("l_quantity").cast("double").as("y"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"),
+          Det.dsum(col("x"), 6).as("sx"), Det.dsum(col("y"), 6).as("sy"),
+          Det.dsum(col("x") * col("y"), 4).as("sxy"))
+    }
+    // l-diversity: two nested map-side-combinable aggregates
+    time("l_diversity") {
+      cust.select(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 2000).cast("long").as("band"))
+        .groupBy("c_mktsegment", "c_nationkey", "band")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(sum("c").as("n"), count(lit(1)).as("l"), max("c").as("max_c"))
+    }
+
     spark.stop()
   }
 }

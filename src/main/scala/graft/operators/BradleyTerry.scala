@@ -48,19 +48,28 @@ object BradleyTerry {
     val spark = games.sparkSession
 
     // directed edge relation: one row per (player, opponent) with that
-    // player's win count in the pairing
-    val edges = games.select(col("a").as("i"), col("b").as("j"),
-        col("n"), col("wins_a").as("w"))
-      .unionAll(games.select(col("b").as("i"), col("a").as("j"),
-        col("n"), (col("n") - col("wins_a")).as("w")))
+    // player's win count in the pairing. Staged ONCE — every MM round
+    // reads it, and without the cut the upstream match-generation
+    // pipeline would re-execute per round (measured 5× the fit cost).
+    val edges = Stage.materialize(
+      games.select(col("a").as("i"), col("b").as("j"),
+          col("n"), col("wins_a").as("w"))
+        .unionAll(games.select(col("b").as("i"), col("a").as("j"),
+          col("n"), (col("n") - col("wins_a")).as("w"))))
 
-    val totals = edges.groupBy("i").agg(
-      sum("n").as("games"), sum("w").as("wins"))
+    val totals = Stage.materialize(edges.groupBy("i").agg(
+      sum("n").as("games"), sum("w").as("wins")).coalesce(1))
 
     var ratings = totals.select(col("i").as("player"), lit(1.0).as("p"))
     for (_ <- 1 to rounds) {
-      val pi = ratings.select(col("player").as("i"), col("p").as("p_i"))
-      val pj = ratings.select(col("player").as("j"), col("p").as("p_j"))
+      // ratings is the SMALL side of both joins (one row per player vs
+      // one per pairing) — broadcast it so each round costs one shuffle
+      // (the per-player aggregate), not three. BroadcastGuard strips the
+      // hint if a caller's player set outgrows the broadcast budget.
+      val pi = broadcast(
+        ratings.select(col("player").as("i"), col("p").as("p_i")))
+      val pj = broadcast(
+        ratings.select(col("player").as("j"), col("p").as("p_j")))
       val den = edges.join(pi, "i").join(pj, "j")
         .withColumn("__t", r12(col("n") / (col("p_i") + col("p_j")))
           .cast(DecimalType(38, 18)))
@@ -73,9 +82,15 @@ object BradleyTerry {
             .as("p"))
       val mean = raw.agg((sum(col("p").cast(DecimalType(38, 18)))
           .cast("double") / count(lit(1))).as("__mean"))
+      // coalesce(1): the ratings relation is player-bounded and tiny
+      // relative to the edge relation; single-partition rounds keep each
+      // iteration's jobs from paying 32-partition scheduling overhead.
+      // (With millions of players, drop the coalesce — the joins stay
+      // keyed either way.)
       ratings = Stage.materializeAlways(
         raw.crossJoin(broadcast(mean))
-          .select(col("player"), r12(col("p") / col("__mean")).as("p")))
+          .select(col("player"), r12(col("p") / col("__mean")).as("p"))
+          .coalesce(1))
     }
     ratings.join(totals.select(col("i").as("player"), col("games"),
         col("wins")), "player")
