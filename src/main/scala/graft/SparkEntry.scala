@@ -16,7 +16,8 @@ object SparkEntry {
       Composites.defs ++ GoldRollups.defs ++ QualityQueries.defs ++
       Extensions.defs ++ PipelineQueries.defs ++ ScaleOps.defs ++
       Curation.defs ++ StreamingQueries.defs ++ StatsOps.defs ++
-      ExperimentOps.defs ++ AlignmentOps.defs ++ RobustOps.defs
+      ExperimentOps.defs ++ AlignmentOps.defs ++ RobustOps.defs ++
+      EvalOps.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names")

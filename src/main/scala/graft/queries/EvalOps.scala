@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Tables}
+
+/** The model/data evaluation layer: classifier quality (exact tie-corrected
+  * ROC-AUC, trapezoidal PR-AUC) computed entirely from score histograms —
+  * never from per-row global ranks — plus deterministic class balancing
+  * (fractional oversampling) and multimodal type sniffing for ingest
+  * routing.
+  *
+  * The histogram discipline is the 100 TB story: every curve statistic here
+  * reduces to one groupBy over the VALUE-bounded score domain + windows
+  * over that bounded relation. A per-row `row_number() OVER (ORDER BY
+  * score)` — the naive AUC — is a single-reducer sort; the histogram form
+  * is exact (integer pair counts) and corpus-size-free above the scan.
+  */
+object EvalOps {
+
+  private val roundN = Det.roundNSql _
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact ROC-AUC for the "is-English" length classifier, tie-corrected
+    // via the pair-count identity 2U = Σ_v (2·c1(v)·C0(<v) + c1(v)·c0(v)),
+    // all integers until the final division — the a_mann_whitney trick
+    // pointed at classifier evaluation. ROC operating points at the 10
+    // fixed length thresholds ride along, each from the same histogram.
+    QueryDef.sql(
+      "a_auc_roc",
+      s"""WITH f AS (
+         |  SELECT CASE WHEN n_chars > 500 THEN 500 ELSE n_chars END AS s,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |h AS (
+         |  SELECT s, COUNT(CASE WHEN y = 1 THEN 1 END) AS c1,
+         |    COUNT(CASE WHEN y = 0 THEN 1 END) AS c0
+         |  FROM f GROUP BY 1),
+         |cum AS (
+         |  SELECT s, c1, c0,
+         |    SUM(c0) OVER (ORDER BY s) - c0 AS c0_below,
+         |    SUM(c1) OVER (ORDER BY s) - c1 AS c1_below
+         |  FROM h),
+         |tot AS (
+         |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0,
+         |    CAST(SUM(2 * c1 * c0_below + c1 * c0) AS BIGINT) AS u2
+         |  FROM cum),
+         |thr AS (SELECT unnest(range(1, 11)) * 50 AS t),
+         |pts AS (
+         |  SELECT t.t,
+         |    CAST(SUM(CASE WHEN c.s >= t.t THEN c.c1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN c.s >= t.t THEN c.c0 ELSE 0 END) AS BIGINT) AS fp
+         |  FROM thr t, cum c GROUP BY 1)
+         |SELECT p.t AS threshold, p.tp, p.fp,
+         |  ${roundN("p.tp * 1.0 / n1", 6)} AS tpr,
+         |  ${roundN("p.fp * 1.0 / n0", 6)} AS fpr,
+         |  ${roundN("u2 * 1.0 / (2.0 * n1 * n0)", 6)} AS auc
+         |FROM pts p, tot ORDER BY threshold""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d).select(
+        when(col("n_chars") > 500, 500).otherwise(col("n_chars")).as("s"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      val h = f.groupBy("s").agg(
+        count(when(col("y") === 1, 1)).as("c1"),
+        count(when(col("y") === 0, 1)).as("c0"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("s")
+      val cum = h
+        .withColumn("c0_below", sum("c0").over(w) - col("c0"))
+        .withColumn("c1_below", sum("c1").over(w) - col("c1"))
+      val tot = cum.agg(
+        sum("c1").as("n1"), sum("c0").as("n0"),
+        sum(lit(2) * col("c1") * col("c0_below") + col("c1") * col("c0"))
+          .as("u2"))
+      val thr = s.range(1, 11).select((col("id") * 50).as("t"))
+      val pts = cum.crossJoin(broadcast(thr)).groupBy("t").agg(
+        sum(when(col("s") >= col("t"), col("c1")).otherwise(0)).as("tp"),
+        sum(when(col("s") >= col("t"), col("c0")).otherwise(0)).as("fp"))
+      pts.crossJoin(broadcast(tot))
+        .select(col("t").as("threshold"), col("tp"), col("fp"),
+          Det.roundN(col("tp") * 1.0 / col("n1"), 6).as("tpr"),
+          Det.roundN(col("fp") * 1.0 / col("n0"), 6).as("fpr"),
+          Det.roundN(col("u2") * 1.0 / (lit(2.0) * col("n1") * col("n0")), 6)
+            .as("auc"))
+        .orderBy("threshold")
+    },
+
+    // Trapezoidal PR-AUC over score blocks (descending): precision/recall
+    // at each distinct score, interpolated block-to-block — the standard
+    // tie-robust PR curve that needs no per-row ranking. The running
+    // trapezoid sum is a window over the score histogram; recall steps
+    // are exact rationals.
+    QueryDef.sql(
+      "a_pr_auc",
+      s"""WITH f AS (
+         |  SELECT CASE WHEN n_chars > 500 THEN 500 ELSE n_chars END AS s,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |h AS (
+         |  SELECT s, COUNT(CASE WHEN y = 1 THEN 1 END) AS c1,
+         |    COUNT(*) AS c FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1 FROM h),
+         |cum AS (
+         |  SELECT s, SUM(c1) OVER (ORDER BY s DESC) AS ctp,
+         |    SUM(c) OVER (ORDER BY s DESC) AS cn
+         |  FROM h),
+         |pr AS (
+         |  SELECT s, CAST(ctp AS BIGINT) AS ctp, CAST(cn AS BIGINT) AS cn,
+         |    ctp * 1.0 / cn AS prec, ctp * 1.0 / n1 AS rec,
+         |    LAG(ctp * 1.0 / cn, 1, 1.0) OVER (ORDER BY s DESC) AS prec_prev,
+         |    LAG(ctp * 1.0 / n1, 1, 0.0) OVER (ORDER BY s DESC) AS rec_prev
+         |  FROM cum, tot)
+         |SELECT s AS score, ctp, cn, ${roundN("prec", 6)} AS prec,
+         |  ${roundN("rec", 6)} AS rec,
+         |  ${roundN(
+             "SUM((rec - rec_prev) * (prec + prec_prev) / 2.0) OVER ()", 6)}
+         |    AS pr_auc
+         |FROM pr ORDER BY score DESC""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.documents(s, d).select(
+        when(col("n_chars") > 500, 500).otherwise(col("n_chars")).as("s"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      val h = f.groupBy("s").agg(
+        count(when(col("y") === 1, 1)).as("c1"), count(lit(1)).as("c"))
+      val tot = h.agg(sum("c1").as("n1"))
+      val wd = Window.orderBy(desc("s"))
+      val cum = h
+        .withColumn("ctp", sum("c1").over(wd))
+        .withColumn("cn", sum("c").over(wd))
+      val pr = cum.crossJoin(broadcast(tot))
+        .withColumn("prec", col("ctp") * 1.0 / col("cn"))
+        .withColumn("rec", col("ctp") * 1.0 / col("n1"))
+        .withColumn("prec_prev", lag(col("prec"), 1, 1.0).over(wd))
+        .withColumn("rec_prev", lag(col("rec"), 1, 0.0).over(wd))
+      pr.select(col("s").as("score"), col("ctp"), col("cn"),
+          Det.roundN(col("prec"), 6).as("prec"),
+          Det.roundN(col("rec"), 6).as("rec"),
+          Det.roundN(sum((col("rec") - col("rec_prev"))
+            * (col("prec") + col("prec_prev")) / 2.0)
+            .over(Window.partitionBy()), 6).as("pr_auc"))
+        .orderBy(desc("score"))
+    },
+
+    // Deterministic class balancing: oversample every language to the
+    // majority class size with fractional replication — base = target DIV n,
+    // plus one extra copy for the h56-modular slice covering the remainder
+    // (membership by hash value, NOT by rank: no per-class ranking window,
+    // so the plan is corpus-size-free above the scan; counts are
+    // approximately exact and fully reproducible by any engine). The copies
+    // are actually GENERATED (map-side sequence explode) and re-counted, so
+    // the hash check covers the materialized plan, not just the arithmetic.
+    QueryDef.sql(
+      "t_class_balance",
+      s"""WITH n AS (
+         |  SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY 1),
+         |t AS (SELECT MAX(n_before) AS target FROM n),
+         |plan0 AS (
+         |  SELECT d.doc_id, d.lang, n.n_before, t.target,
+         |    t.target // n.n_before
+         |      + CASE WHEN ${Det.h56Sql("CAST(d.doc_id AS VARCHAR)")} % n.n_before
+         |                  < t.target % n.n_before THEN 1 ELSE 0 END AS copies
+         |  FROM documents d JOIN n USING (lang), t),
+         |gen AS (
+         |  SELECT doc_id, lang, n_before, target,
+         |    unnest(range(1, CAST(copies AS INT) + 1)) AS copy_idx
+         |  FROM plan0)
+         |SELECT lang, n_before, target,
+         |  COUNT(*) AS n_after,
+         |  CAST(SUM(doc_id * copy_idx) % 1000000007 AS BIGINT) AS checksum
+         |FROM gen GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val n = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      val t = n.agg(max("n_before").as("target"))
+      val plan = docs.join(broadcast(n), "lang").crossJoin(broadcast(t))
+        .withColumn("copies",
+          expr("target DIV n_before") +
+            when(Det.h56(col("doc_id").cast("string")) % col("n_before")
+              < col("target") % col("n_before"), 1).otherwise(0))
+      plan.select(col("doc_id"), col("lang"), col("n_before"), col("target"),
+          explode(sequence(lit(1), col("copies").cast("int"))).as("copy_idx"))
+        .groupBy("lang", "n_before", "target")
+        .agg(count(lit(1)).as("n_after"),
+          (sum(col("doc_id") * col("copy_idx")) % 1000000007L).as("checksum"))
+        .orderBy("lang")
+    },
+
+    // Multimodal ingest routing: magic-byte type sniffing over a
+    // deterministic synthetic header column (hex-encoded — the binary
+    // decode itself is the Multimodal.scala stub seam; ROUTING on the
+    // sniffed type is the part an engine must get right). PNG/JPEG/WAV
+    // magics plus container validation (RIFF must carry WAVE at offset 8);
+    // corrupt rows (doc_id % 7 = 0 flips the payload) must fall out as
+    // invalid. Pure map-side string work + the routing rollup.
+    QueryDef.sql(
+      "mm_type_sniff",
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 4 AS INT)
+         |      WHEN 0 THEN '89504E470D0A1A0A' || upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      WHEN 1 THEN 'FFD8FFE0' || upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+         |      WHEN 2 THEN '52494646' || upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        || '57415645'
+         |      ELSE upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+         |    END AS hdr
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 AND doc_id % 4 = 2
+         |         THEN substring(hdr, 1, 16) || '58585858'
+         |         ELSE hdr END AS hdr
+         |  FROM b),
+         |s AS (
+         |  SELECT doc_id, hdr,
+         |    CASE WHEN substring(hdr, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+         |         WHEN substring(hdr, 1, 6) = 'FFD8FF' THEN 'jpeg'
+         |         WHEN substring(hdr, 1, 8) = '52494646' THEN 'riff'
+         |         ELSE 'unknown' END AS kind
+         |  FROM c)
+         |SELECT doc_id, kind,
+         |  CASE WHEN kind = 'riff'
+         |       THEN substring(hdr, 17, 8) = '57415645'
+         |       WHEN kind = 'unknown' THEN FALSE
+         |       ELSE TRUE END AS is_valid,
+         |  substring(hdr, 1, 8) AS magic4
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val payload8 = upper(md5(id.cast("string")).substr(1, 8))
+      val hdr0 = when(id % 4 === 0,
+          concat(lit("89504E470D0A1A0A"), payload8))
+        .when(id % 4 === 1,
+          concat(lit("FFD8FFE0"), upper(md5(id.cast("string")).substr(1, 12))))
+        .when(id % 4 === 2,
+          concat(lit("52494646"), payload8, lit("57415645")))
+        .otherwise(upper(md5(id.cast("string")).substr(1, 16)))
+      val hdr = when(id % 7 === 0 && id % 4 === 2,
+          concat(substring(hdr0, 1, 16), lit("58585858")))
+        .otherwise(hdr0)
+      val kind = when(substring(hdr, 1, 16) === "89504E470D0A1A0A", "png")
+        .when(substring(hdr, 1, 6) === "FFD8FF", "jpeg")
+        .when(substring(hdr, 1, 8) === "52494646", "riff")
+        .otherwise("unknown")
+      Tables.documents(s, d)
+        .select(col("doc_id"), hdr.as("hdr"), kind.as("kind"))
+        .select(col("doc_id"), col("kind"),
+          when(col("kind") === "riff",
+            substring(col("hdr"), 17, 8) === "57415645")
+            .when(col("kind") === "unknown", lit(false))
+            .otherwise(lit(true)).as("is_valid"),
+          substring(col("hdr"), 1, 8).as("magic4"))
+        .orderBy("doc_id")
+    }
+  )
+}

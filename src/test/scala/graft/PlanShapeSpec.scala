@@ -117,8 +117,13 @@ class PlanShapeSpec extends AnyFunSuite {
     "a_bradley_terry",        // 1-row mean-rescale broadcast per MM round
     "t_quantile_normalize",   // broadcast 1-row corpus count; the quantile
                               // probe itself is a banded equi-join
-    "sim_range_search")       // broadcast codebook x 8-query batch (same
+    "sim_range_search",       // broadcast codebook x 8-query batch (same
                               // class as sim_ivf_batch)
+    "a_auc_roc",              // 10-row threshold grid x bounded histogram
+                              // + 1-row pair-count totals
+    "a_pr_auc",               // broadcast 1-row positive total onto the
+                              // bounded score histogram
+    "t_class_balance")        // broadcast 1-row majority-class target
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
