@@ -123,7 +123,10 @@ class PlanShapeSpec extends AnyFunSuite {
                               // + 1-row pair-count totals
     "a_pr_auc",               // broadcast 1-row positive total onto the
                               // bounded score histogram
-    "t_class_balance")        // broadcast 1-row majority-class target
+    "t_class_balance",        // broadcast 1-row majority-class target
+    "sim_hard_negatives",     // broadcast codebook x 8-query batch (the
+                              // sim_range_search shape + band filter)
+    "t_loo_source_impact")    // broadcast 1-row corpus totals
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
