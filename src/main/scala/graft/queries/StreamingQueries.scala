@@ -24,15 +24,14 @@ object StreamingQueries {
 
   private val NumBatches = 4
 
-  /** Write each batch slice as a single deterministically-named and
+  /** Write each batch frame as a single deterministically-named and
     * -timestamped parquet file so the file source's mtime ordering is the
     * batch order by construction. */
-  private def stageBatches(docs: org.apache.spark.sql.DataFrame,
-      srcDir: Path, nBatches: Int = NumBatches): Unit = {
-    (0 until nBatches).foreach { i =>
+  private def stageBatchFrames(frames: Seq[org.apache.spark.sql.DataFrame],
+      srcDir: Path): Unit = {
+    frames.zipWithIndex.foreach { case (frame, i) =>
       val tmp = Files.createTempDirectory(s"replay-b$i")
-      docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      frame.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.getFileName.toString
         .startsWith("part-")).findFirst().get()
       val dst = srcDir.resolve(f"batch-$i%02d.parquet")
@@ -41,6 +40,13 @@ object StreamingQueries {
         FileTime.fromMillis(1000000000000L + i * 60000L))
     }
   }
+
+  private def stageBatches(docs: org.apache.spark.sql.DataFrame,
+      srcDir: Path, nBatches: Int = NumBatches): Unit =
+    stageBatchFrames(
+      (0 until nBatches).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)),
+      srcDir)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -128,6 +134,78 @@ object StreamingQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"),
           col("batch_id").cast("long").as("reported_batch"))
         .orderBy("id_a", "id_b")
+    },
+
+    // End state of the WATERMARKED tumbling-window aggregate under late
+    // data — the EventStreams.windowedAgg path driven for real (append
+    // mode, parquet sink) over 5 deterministic micro-batches: three
+    // 10-day time blocks of the events table, with an h-selected straggler
+    // slice (event_id % 17 = 0 from the first 8 days) arriving in block
+    // 2 — by then the 1-day watermark sits ~10 days past their windows,
+    // so Spark MUST drop them (their state was emitted batches ago).
+    // The stragglers stop a full day before block 0's edge because
+    // Spark's LATE-INPUT filter runs one batch behind its EVICTION
+    // watermark (measured on the checkpoint offsets log: batch 2 filters
+    // with batch 1's watermark but emits with batch 2's), and rows in
+    // that one-batch gray zone would re-enter still-live state —
+    // plus two far-future 'flush' sentinel rows whose only job is to push
+    // the watermark past January so every real window is emitted before
+    // the stream stops. The oracle is the windowed aggregate over exactly
+    // the non-straggler rows: the hash check pins the drop semantics, the
+    // exactly-once emission, and the per-window sums (DECIMAL-cast value
+    // so stream-partial addition order can't smear the hash).
+    QueryDef.sql(
+      "q_stream_window_replay",
+      s"""WITH e AS (
+         |  SELECT event_id, ts, event_type, value,
+         |    event_id % 17 = 0 AND ts < TIMESTAMP '2024-01-09'
+         |      AS is_straggler
+         |  FROM events)
+         |SELECT date_trunc('hour', ts) AS window_start,
+         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         |  event_type, COUNT(*) AS n_events,
+         |  ${Det.dsumSql("value", 6)} AS total_value
+         |FROM e WHERE NOT is_straggler
+         |GROUP BY 1, 2, 3
+         |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value").cast(DecimalType(18, 6))
+            .as("value"))
+      val d1 = lit("2024-01-11").cast("timestamp")
+      val d2 = lit("2024-01-21").cast("timestamp")
+      val straggler = pmod(col("event_id"), lit(17)) === 0 &&
+        col("ts") < lit("2024-01-09").cast("timestamp")
+      def sentinel(ts: String) = s.range(1).select(
+        lit(-1L).as("event_id"), lit(ts).cast("timestamp").as("ts"),
+        lit(-1L).as("user_id"), lit("flush").as("event_type"),
+        lit(null).cast(DecimalType(18, 6)).as("value"))
+      val srcDir = Files.createTempDirectory("window-replay-src")
+      stageBatchFrames(Seq(
+        ev.filter(col("ts") < d1 && !straggler),
+        ev.filter(col("ts") >= d1 && col("ts") < d2),
+        ev.filter(col("ts") >= d2 || straggler),
+        sentinel("2024-03-01 00:00:00"),
+        sentinel("2024-03-02 00:00:00")), srcDir)
+      val outDir = Files.createTempDirectory("window-replay-out").toString
+      val ckDir = Files.createTempDirectory("window-replay-ck").toString
+      val stream = s.readStream
+        .schema(ev.filter(col("ts") < d1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val q = graft.streaming.EventStreams
+        .windowedAgg(stream, windowLen = "1 hour", watermark = "1 day")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "flush")
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"), col("total_value").cast("double")
+            .as("total_value"))
+        .orderBy("window_start", "event_type")
     },
   )
 }
