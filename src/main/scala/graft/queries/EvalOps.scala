@@ -246,6 +246,150 @@ object EvalOps {
             .otherwise(lit(true)).as("is_valid"),
           substring(col("hdr"), 1, 8).as("magic4"))
         .orderBy("doc_id")
+    },
+
+    // Split-conformal prediction intervals per order priority: h56 thirds
+    // give train/calibration/test; the "model" is the train-split group
+    // mean (DECIMAL-exact); q-hat is the ⌈(n_cal+1)·0.9⌉-th smallest
+    // calibration residual (EXACT rank selection, integer k); coverage is
+    // measured on the held-out test split — the distribution-free ≥90%
+    // guarantee, hash-checked end to end. Rank selection runs per group
+    // over the calibration slice (a window per priority — at corpus scale
+    // the same k-th statistic comes from a bottom-k sketch; the quantile
+    // contract is identical).
+    QueryDef.sql(
+      "a_conformal_interval",
+      s"""WITH f AS (
+         |  SELECT o_orderkey, o_orderpriority AS grp, o_totalprice AS y,
+         |    ${Det.h56Sql("CAST(o_orderkey AS VARCHAR)")} % 3 AS fold
+         |  FROM orders),
+         |m AS (
+         |  SELECT grp, ${Det.dsumSql("y")} / COUNT(*) AS yhat,
+         |    COUNT(*) AS n_train
+         |  FROM f WHERE fold = 0 GROUP BY 1),
+         |cal AS (
+         |  SELECT f.grp, abs(f.y - m.yhat) AS score, f.o_orderkey
+         |  FROM f JOIN m USING (grp) WHERE f.fold = 1),
+         |ranked AS (
+         |  SELECT grp, score,
+         |    row_number() OVER (PARTITION BY grp ORDER BY score, o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY grp) AS n_cal
+         |  FROM cal),
+         |qh AS (
+         |  SELECT grp, n_cal, score AS qhat
+         |  FROM ranked
+         |  WHERE rn = ((n_cal + 1) * 9 + 9) // 10),
+         |tst AS (
+         |  SELECT f.grp, COUNT(*) AS n_test,
+         |    COUNT(CASE WHEN abs(f.y - m.yhat) <= q.qhat THEN 1 END) AS covered
+         |  FROM f JOIN m USING (grp) JOIN qh q USING (grp)
+         |  WHERE f.fold = 2 GROUP BY 1)
+         |SELECT t.grp AS o_orderpriority, m.n_train, q.n_cal, t.n_test,
+         |  ${roundN("m.yhat", 6)} AS yhat, ${roundN("q.qhat", 6)} AS qhat,
+         |  ${roundN("t.covered * 1.0 / t.n_test", 6)} AS coverage
+         |FROM tst t JOIN m USING (grp) JOIN qh q USING (grp)
+         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority").as("grp"), col("o_totalprice").as("y"),
+        (Det.h56(col("o_orderkey").cast("string")) % 3).as("fold"))
+      val m = f.filter(col("fold") === 0).groupBy("grp")
+        .agg((Det.dsum(col("y")) / count(lit(1))).as("yhat"),
+          count(lit(1)).as("n_train"))
+      val cal = f.filter(col("fold") === 1).join(broadcast(m), "grp")
+        .select(col("grp"), abs(col("y") - col("yhat")).as("score"),
+          col("o_orderkey"))
+      val wr = Window.partitionBy("grp").orderBy(col("score"),
+        col("o_orderkey"))
+      val qh = cal
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n_cal", count(lit(1)).over(Window.partitionBy("grp")))
+        .filter(col("rn") === expr("((n_cal + 1) * 9 + 9) DIV 10"))
+        .select(col("grp"), col("n_cal"), col("score").as("qhat"))
+      val tst = f.filter(col("fold") === 2).join(broadcast(m), "grp")
+        .join(broadcast(qh), "grp")
+        .groupBy("grp").agg(count(lit(1)).as("n_test"),
+          count(when(abs(col("y") - col("yhat")) <= col("qhat"), 1))
+            .as("covered"))
+      tst.join(broadcast(m.select(col("grp"), col("yhat"), col("n_train"))),
+          "grp")
+        .join(broadcast(qh.select(col("grp"), col("n_cal"), col("qhat"))),
+          "grp")
+        .select(col("grp").as("o_orderpriority"), col("n_train"),
+          col("n_cal"), col("n_test"),
+          Det.roundN(col("yhat"), 6).as("yhat"),
+          Det.roundN(col("qhat"), 6).as("qhat"),
+          Det.roundN(col("covered") * 1.0 / col("n_test"), 6).as("coverage"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Matryoshka-style dimension-truncation audit: per query, top-10 by
+    // full 64-dim cosine vs top-10 using only the FIRST 16 dimensions —
+    // overlap@10 measures how much retrieval quality a 4× cheaper index
+    // keeps. Both rankings are brute-force over the broadcast query
+    // batch (the exact baseline), windows partitioned per query.
+    QueryDef.sql(
+      "sim_dim_truncation_recall", {
+        def cos(a: String, b: String) =
+          s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) > 0" +
+            s" THEN list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))" +
+            s" ELSE 0.0 END"
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+           |    (embedding::DOUBLE[])[1:16] AS emb16
+           |  FROM embeddings),
+           |qs AS (SELECT vec_id AS query_id, emb AS qe, emb16 AS qe16
+           |  FROM e WHERE vec_id < 8),
+           |full_rank AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT q.query_id, e.vec_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${roundN(cos("e.emb", "q.qe"), 6)} DESC, e.vec_id) AS rk
+           |    FROM e CROSS JOIN qs q WHERE e.vec_id <> q.query_id)
+           |  WHERE rk <= 10),
+           |trunc_rank AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT q.query_id, e.vec_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${roundN(cos("e.emb16", "q.qe16"), 6)} DESC, e.vec_id) AS rk
+           |    FROM e CROSS JOIN qs q WHERE e.vec_id <> q.query_id)
+           |  WHERE rk <= 10)
+           |SELECT f.query_id,
+           |  CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           |  ${roundN("COUNT(t.vec_id) * 1.0 / 10", 6)} AS recall_at_10
+           |FROM full_rank f LEFT JOIN trunc_rank t
+           |  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+           |GROUP BY 1 ORDER BY f.query_id""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.expressions.GraftFunctions.register(s)
+      import graft.expressions.GraftFunctions.cosine_sim
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          slice(col("embedding"), 1, 16).as("qe16"))
+      def topk(simCol: org.apache.spark.sql.Column) = {
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("__sim"), col("vec_id"))
+        e.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("__sim", Det.roundN(simCol, 6))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= 10)
+          .select(col("query_id"), col("vec_id"))
+      }
+      val full = topk(cosine_sim(col("embedding"), col("qe")))
+      val trunc = topk(
+        cosine_sim(slice(col("embedding"), 1, 16), col("qe16")))
+        .withColumnRenamed("vec_id", "t_vec")
+        .withColumnRenamed("query_id", "t_qid")
+      full.join(trunc,
+          col("query_id") === col("t_qid") && col("vec_id") === col("t_vec"),
+          "left")
+        .groupBy("query_id")
+        .agg(count(col("t_vec")).as("n_overlap"),
+          Det.roundN(count(col("t_vec")) * 1.0 / 10, 6).as("recall_at_10"))
+        .orderBy("query_id")
     }
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.{Files, Path, Paths}
 import java.nio.file.attribute.FileTime
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.streaming.{BloomIngest, NearDupIngest}
@@ -206,6 +207,77 @@ object StreamingQueries {
           col("n_events"), col("total_value").cast("double")
             .as("total_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // End state of the flatMapGroupsWithState SESSIONIZER (Update mode via
+    // foreachBatch, event-time timeout) over three time-ordered 10-day
+    // micro-batches: the final update per (user, session_start) — sessions
+    // straddling a batch edge must merge (the state survives because the
+    // 30-min-gap timeout sits past the watermark), duplicate closed-session
+    // emissions collapse under last-update-wins, and idle keys evict
+    // silently. The oracle is the batch islands-and-gaps sessionization:
+    // custom streaming STATE hash-equal to the declarative form. The
+    // stream's per-session value accumulates double-sequentially in ts
+    // order; events carry exact 2-decimal values, so the r6 pin and the
+    // oracle's DECIMAL sum agree with ~1e-11 of float headroom.
+    QueryDef.sql(
+      "q_stream_session_replay",
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessioned AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  COUNT(*) AS n_events,
+         |  ${Det.roundNSql(s"CAST(${Det.dsumSql("value", 6)} AS DOUBLE)", 6)}
+         |    AS total_value,
+         |  MAX(ts) AS last_seen
+         |FROM sessioned GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val d1 = lit("2024-01-11").cast("timestamp")
+      val d2 = lit("2024-01-21").cast("timestamp")
+      val srcDir = Files.createTempDirectory("session-replay-src")
+      stageBatchFrames(Seq(
+        ev.filter(col("ts") < d1),
+        ev.filter(col("ts") >= d1 && col("ts") < d2),
+        ev.filter(col("ts") >= d2)), srcDir)
+      val outDir = Files.createTempDirectory("session-replay-out").toString
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .as[graft.streaming.EventStreams.Event]
+      val q = graft.streaming.EventStreams
+        .sessionize(s, stream, gapMs = 30 * 60 * 1000L,
+          watermark = "10 minutes")
+        .toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val updates = s.read.parquet(outDir)
+      val wLast = Window.partitionBy("user_id", "session_start")
+        .orderBy(desc("batch_id"))
+      updates
+        .withColumn("__rn", row_number().over(wLast))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("session_start"), col("events")
+            .as("n_events"),
+          Det.roundN(col("total_value"), 6).as("total_value"),
+          col("last_seen"))
+        .orderBy("user_id", "session_start")
     },
   )
 }

@@ -55,6 +55,30 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("conformal: empirical coverage honors the 90% guarantee band") {
+    val rows = SparkEntry.queries("a_conformal_interval")(spark,
+        "/root/testdata/sf0.01")
+      .select("n_cal", "n_test", "coverage")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nCal, nTest, cov) =>
+      assert(nCal >= 9, "calibration split too small for k-selection")
+      // finite-sample: coverage ~ Binomial(n_test, >=0.9); allow 4 sigma
+      val slack = 4 * math.sqrt(0.9 * 0.1 / nTest)
+      assert(cov >= 0.9 - slack, s"coverage $cov below band (n=$nTest)")
+    }
+  }
+
+  test("dim truncation: recall in (0,1], self-consistent with overlap") {
+    val rows = SparkEntry.queries("sim_dim_truncation_recall")(spark, sf)
+      .select("n_overlap", "recall_at_10").as[(Long, Double)].collect()
+    assert(rows.length == 8)
+    rows.foreach { case (n, r) =>
+      assert(n >= 0 && n <= 10)
+      assert(math.abs(r - n / 10.0) < 1e-9)
+    }
+  }
+
   test("type sniff: corrupted RIFF rows fall out invalid, others valid") {
     val rows = SparkEntry.queries("mm_type_sniff")(spark, sf)
       .select("doc_id", "kind", "is_valid")

@@ -126,7 +126,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "t_class_balance",        // broadcast 1-row majority-class target
     "sim_hard_negatives",     // broadcast codebook x 8-query batch (the
                               // sim_range_search shape + band filter)
-    "t_loo_source_impact")    // broadcast 1-row corpus totals
+    "t_loo_source_impact",    // broadcast 1-row corpus totals
+    "sim_dim_truncation_recall") // broadcast 8-query batch, twice (full
+                              // + truncated brute-force baselines)
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
