@@ -225,4 +225,28 @@ class EmptyInputSpec extends AnyFunSuite {
       .as[Option[Double]].collect()
     assert(jw.toSeq === Seq(None, None, Some(0.0)))
   }
+
+  test("session-7 operators on empty and degenerate inputs") {
+    // Bradley-Terry: an empty match relation yields an empty leaderboard
+    val noGames = Seq.empty[(String, String, Long, Long)]
+      .toDF("a", "b", "n", "wins_a")
+    val bt = BradleyTerry.fit(noGames, rounds = 2)
+    assert(bt.count() === 0)
+    assert(bt.columns.toSeq === Seq("player", "games", "wins", "rating"))
+    // range search with no queries / no vectors
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("cell", "c_emb")
+    val noQs = Seq.empty[(Long, Array[Float])].toDF("query_id", "q_emb")
+    assert(Similarity.ivfRangeSearch(noVecs, cents, noQs,
+      tau = 0.5, nProbe = 1).count() === 0)
+    val q1 = Seq((0L, Array(1.0f, 0.0f))).toDF("query_id", "q_emb")
+    assert(Similarity.ivfRangeSearch(noVecs, cents, q1,
+      tau = 0.5, nProbe = 1).count() === 0)
+    // URL canonicalizer: null propagates; non-URL strings pass through
+    // the regex pipeline without throwing
+    import graft.functions.UrlFunctions
+    val urls = Seq(Option("not a url"), None)
+      .toDF("u").select(UrlFunctions.canonicalUrl(col("u")).as("c"))
+      .as[Option[String]].collect()
+    assert(urls.length === 2 && urls(1).isEmpty)
+  }
 }
