@@ -1107,6 +1107,98 @@ object ScaleProbe {
         .groupBy("c_mktsegment", "c_nationkey")
         .agg(sum("c").as("n"), count(lit(1)).as("l"), max("c").as("max_c"))
     }
+    // class balance: the explode GENERATES target-per-class rows — output
+    // grows k× (5 classes × majority size), the deliberate worst case
+    time("class_balance") {
+      val docs2 = corpus.select(col("doc_id"), col("lang"))
+      val n = docs2.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      val t = n.agg(max("n_before").as("target"))
+      docs2.join(broadcast(n), "lang").crossJoin(broadcast(t))
+        .withColumn("copies",
+          expr("target DIV n_before") +
+            when(Det.h56(col("doc_id").cast("string")) % col("n_before")
+              < col("target") % col("n_before"), 1).otherwise(0))
+        .select(col("lang"),
+          explode(sequence(lit(1), col("copies").cast("int")))
+            .as("copy_idx"))
+        .groupBy("lang").agg(count(lit(1)).as("n_after"))
+    }
+    // ROC-AUC: one histogram groupBy over the value-bounded score
+    // domain + windows over that bounded relation
+    time("auc_histogram") {
+      import org.apache.spark.sql.expressions.Window
+      val f = corpus.select(
+        when(col("n_chars") > 500, 500).otherwise(col("n_chars")).as("s"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      val h = f.groupBy("s").agg(
+        count(when(col("y") === 1, 1)).as("c1"),
+        count(when(col("y") === 0, 1)).as("c0"))
+      h.withColumn("c0_below",
+          sum("c0").over(Window.orderBy("s")) - col("c0"))
+        .agg(sum(lit(2) * col("c1") * col("c0_below")
+          + col("c1") * col("c0")).as("u2"))
+    }
+    // conformal: per-group rank windows over the calibration third —
+    // partitions deepen k× per priority group (5 groups)
+    time("conformal") {
+      import org.apache.spark.sql.expressions.Window
+      val f = ord.select(col("o_orderkey"),
+        col("o_orderpriority").as("grp"), col("o_totalprice").as("y"),
+        (Det.h56(col("o_orderkey").cast("string")) % 3).as("fold"))
+      val m = f.filter(col("fold") === 0).groupBy("grp")
+        .agg((Det.dsum(col("y")) / count(lit(1))).as("yhat"))
+      f.filter(col("fold") === 1).join(broadcast(m), "grp")
+        .select(col("grp"), abs(col("y") - col("yhat")).as("score"),
+          col("o_orderkey"))
+        .withColumn("rn", row_number().over(Window.partitionBy("grp")
+          .orderBy(col("score"), col("o_orderkey"))))
+        .groupBy("grp").agg(max("rn").as("n_cal"))
+    }
+    // matryoshka: TWO brute-force rankings (full + truncated) over the
+    // replicated vectors × 8-query broadcast
+    time("dim_truncation") {
+      import org.apache.spark.sql.expressions.Window
+      graft.expressions.GraftFunctions.register(spark)
+      import graft.expressions.GraftFunctions.cosine_sim
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          slice(col("embedding"), 1, 16).as("qe16"))
+      def topk(simCol: org.apache.spark.sql.Column) =
+        emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("__sim", Det.roundN(simCol, 6))
+          .withColumn("__rk", row_number().over(Window
+            .partitionBy("query_id").orderBy(desc("__sim"), col("vec_id"))))
+          .filter(col("__rk") <= 10)
+          .select(col("query_id"), col("vec_id"))
+      topk(cosine_sim(col("embedding"), col("qe"))).unionByName(
+        topk(cosine_sim(slice(col("embedding"), 1, 16), col("qe16"))))
+    }
+    // cohort LTV: customer-keyed first-order join + calendar² cell grid
+    time("cohort_ltv") {
+      import org.apache.spark.sql.types.DecimalType
+      val firstO = ord.groupBy("o_custkey")
+        .agg(min("o_orderdate").as("first_dt"))
+      ord.join(firstO, "o_custkey")
+        .select(
+          (year(col("first_dt")) * 100 + month(col("first_dt")))
+            .as("cohort_ym"),
+          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            - (year(col("first_dt")) * 12 + month(col("first_dt"))))
+            .as("age_months"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("rev"))
+        .groupBy("cohort_ym", "age_months").agg(sum("rev").as("rev"))
+    }
+    // absorption: one corpus-sized LEAD window + constant-size value
+    // iteration over the 5x5 matrix
+    time("absorption") {
+      import org.apache.spark.sql.expressions.Window
+      val steps = ev.select(col("event_type").as("from_type"),
+        lead("event_type", 1).over(Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))).as("to_type"))
+      steps.filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    }
 
     spark.stop()
   }
