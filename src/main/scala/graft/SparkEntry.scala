@@ -17,7 +17,8 @@ object SparkEntry {
       Extensions.defs ++ PipelineQueries.defs ++ ScaleOps.defs ++
       Curation.defs ++ StreamingQueries.defs ++ StatsOps.defs ++
       ExperimentOps.defs ++ AlignmentOps.defs ++ RobustOps.defs ++
-      EvalOps.defs ++ AnalysisOps.defs ++ RevenueOps.defs
+      EvalOps.defs ++ AnalysisOps.defs ++ RevenueOps.defs ++
+      AppliedOps.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names")

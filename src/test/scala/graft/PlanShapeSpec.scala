@@ -127,8 +127,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_hard_negatives",     // broadcast codebook x 8-query batch (the
                               // sim_range_search shape + band filter)
     "t_loo_source_impact",    // broadcast 1-row corpus totals
-    "sim_dim_truncation_recall") // broadcast 8-query batch, twice (full
+    "sim_dim_truncation_recall", // broadcast 8-query batch, twice (full
                               // + truncated brute-force baselines)
+    "j_geo_nearest")          // broadcast 25-anchor set x corpus
+                              // (nearest-assignment argmin, map-side)
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
