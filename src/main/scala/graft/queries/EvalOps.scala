@@ -18,6 +18,7 @@ import graft.engine.{Det, Tables}
 object EvalOps {
 
   private val roundN = Det.roundNSql _
+  private def r12s(e: String) = Det.roundNSql(e, 12)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -246,6 +247,216 @@ object EvalOps {
             .otherwise(lit(true)).as("is_valid"),
           substring(col("hdr"), 1, 8).as("magic4"))
         .orderBy("doc_id")
+    },
+
+    // McNemar's paired test between two rule classifiers on the SAME
+    // docs (marker-based langId vs a stopword-hit threshold, truth =
+    // declared lang): the discordant-pair counts b/c and the
+    // continuity-corrected statistic — the correct way to compare two
+    // models evaluated on one dataset (a two-proportion z-test on the
+    // same rows is wrong; only disagreements carry information). One
+    // map-side scoring pass + one scalar aggregate.
+    QueryDef.sql(
+      "a_mcnemar", {
+        def hits(ws: Seq[String]) =
+          raw"len(list_filter(str_split_regex(trim(lower(text)), '\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        val m = graft.functions.TextFunctions.langMarkers.toMap
+        s"""WITH h AS (
+           |  SELECT lang = 'en' AS truth,
+           |    ${hits(m("en"))} AS en, ${hits(m("es"))} AS es,
+           |    ${hits(m("de"))} AS de, ${hits(m("fr"))} AS fr
+           |  FROM documents),
+           |p AS (
+           |  SELECT truth,
+           |    (en >= es AND en >= de AND en >= fr) AS pred_a,
+           |    en >= 2 AS pred_b
+           |  FROM h),
+           |m AS (
+           |  SELECT COUNT(*) AS n,
+           |    COUNT(CASE WHEN pred_a = truth AND pred_b <> truth THEN 1 END) AS b,
+           |    COUNT(CASE WHEN pred_a <> truth AND pred_b = truth THEN 1 END) AS c,
+           |    COUNT(CASE WHEN pred_a = truth AND pred_b = truth THEN 1 END) AS both_right
+           |  FROM p)
+           |SELECT n, b, c, both_right,
+           |  CASE WHEN b + c > 0 THEN ${roundN(
+               "(abs(b - c) - 1) * (abs(b - c) - 1) * 1.0 / (b + c)", 6)}
+           |       ELSE 0.0 END AS mcnemar_stat
+           |FROM m ORDER BY n""".stripMargin
+      }) { (s, d) =>
+      import graft.functions.TextFunctions
+      val feats = TextFunctions.tokenFeatures(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(feats, "doc_id")
+      val h = TextFunctions.langMarkers
+        .map { case (l, _) => l -> col(s"hits_$l") }.toMap
+      val p = docs.select((col("lang") === "en").as("truth"),
+        (h("en") >= h("es") && h("en") >= h("de") && h("en") >= h("fr"))
+          .as("pred_a"),
+        (h("en") >= 2).as("pred_b"))
+      p.agg(count(lit(1)).as("n"),
+          count(when(col("pred_a") === col("truth")
+            && col("pred_b") =!= col("truth"), 1)).as("b"),
+          count(when(col("pred_a") =!= col("truth")
+            && col("pred_b") === col("truth"), 1)).as("c"),
+          count(when(col("pred_a") === col("truth")
+            && col("pred_b") === col("truth"), 1)).as("both_right"))
+        .select(col("n"), col("b"), col("c"), col("both_right"),
+          when(col("b") + col("c") > 0,
+            Det.roundN((abs(col("b") - col("c")) - 1)
+              * (abs(col("b") - col("c")) - 1) * 1.0
+              / (col("b") + col("c")), 6))
+            .otherwise(0.0).as("mcnemar_stat"))
+        .orderBy("n")
+    },
+
+    // Cohen's kappa between the same two raters: observed agreement
+    // corrected for the agreement their marginals would produce by
+    // chance — the inter-annotator metric every labeling pipeline
+    // reports before trusting its labels.
+    QueryDef.sql(
+      "a_cohen_kappa", {
+        def hits(ws: Seq[String]) =
+          raw"len(list_filter(str_split_regex(trim(lower(text)), '\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        val m = graft.functions.TextFunctions.langMarkers.toMap
+        s"""WITH h AS (
+           |  SELECT ${hits(m("en"))} AS en, ${hits(m("es"))} AS es,
+           |    ${hits(m("de"))} AS de, ${hits(m("fr"))} AS fr
+           |  FROM documents),
+           |p AS (
+           |  SELECT (en >= es AND en >= de AND en >= fr) AS ra,
+           |    en >= 2 AS rb
+           |  FROM h),
+           |m AS (
+           |  SELECT COUNT(*) AS n,
+           |    COUNT(CASE WHEN ra AND rb THEN 1 END) AS n11,
+           |    COUNT(CASE WHEN ra AND NOT rb THEN 1 END) AS n10,
+           |    COUNT(CASE WHEN NOT ra AND rb THEN 1 END) AS n01,
+           |    COUNT(CASE WHEN NOT ra AND NOT rb THEN 1 END) AS n00
+           |  FROM p),
+           |k AS (
+           |  SELECT n, n11, n10, n01, n00,
+           |    (n11 + n00) * 1.0 / n AS po,
+           |    ((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+           |      + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n) AS pe
+           |  FROM m)
+           |SELECT n, n11, n10, n01, n00, ${roundN("po", 6)} AS po,
+           |  ${roundN("pe", 6)} AS pe,
+           |  CASE WHEN pe < 1.0 THEN ${roundN("(po - pe) / (1.0 - pe)", 6)}
+           |       ELSE 1.0 END AS kappa
+           |FROM k ORDER BY n""".stripMargin
+      }) { (s, d) =>
+      import graft.functions.TextFunctions
+      val feats = TextFunctions.tokenFeatures(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+      val h = TextFunctions.langMarkers
+        .map { case (l, _) => l -> col(s"hits_$l") }.toMap
+      val p = feats.select(
+        (h("en") >= h("es") && h("en") >= h("de") && h("en") >= h("fr"))
+          .as("ra"),
+        (h("en") >= 2).as("rb"))
+      val m = p.agg(count(lit(1)).as("n"),
+        count(when(col("ra") && col("rb"), 1)).as("n11"),
+        count(when(col("ra") && !col("rb"), 1)).as("n10"),
+        count(when(!col("ra") && col("rb"), 1)).as("n01"),
+        count(when(!col("ra") && !col("rb"), 1)).as("n00"))
+      val k = m.select(col("*"),
+        ((col("n11") + col("n00")) * 1.0 / col("n")).as("po"),
+        (((col("n11") + col("n10")) * 1.0 / col("n"))
+          * ((col("n11") + col("n01")) * 1.0 / col("n"))
+          + ((col("n01") + col("n00")) * 1.0 / col("n"))
+            * ((col("n10") + col("n00")) * 1.0 / col("n"))).as("pe"))
+      k.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          Det.roundN(col("po"), 6).as("po"),
+          Det.roundN(col("pe"), 6).as("pe"),
+          when(col("pe") < 1.0,
+            Det.roundN((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+            .otherwise(1.0).as("kappa"))
+        .orderBy("n")
+    },
+
+    // Decision-stump feature importance by Gini impurity reduction: for
+    // each candidate feature (length band, source, stopword-hit band),
+    // the parent impurity minus the value-weighted split impurity for
+    // predicting lang = 'en' — the EDA pass that ranks features before
+    // any model exists. Each feature is one bounded-domain aggregate;
+    // the weighted sum is r12-pinned and DECIMAL-summed.
+    QueryDef.sql(
+      "a_feature_importance", {
+        def hits(ws: Seq[String]) =
+          raw"len(list_filter(str_split_regex(trim(lower(text)), '\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        val en = graft.functions.TextFunctions.langMarkers.toMap.apply("en")
+        def splitSql(feat: String, fexpr: String) =
+          s"""SELECT '$feat' AS feature, $fexpr AS v,
+             |    COUNT(*) AS nv,
+             |    COUNT(CASE WHEN lang = 'en' THEN 1 END) AS c1
+             |  FROM f GROUP BY 1, 2""".stripMargin
+        s"""WITH f AS (
+           |  SELECT lang, source, n_chars, ${hits(en)} AS sh
+           |  FROM documents),
+           |tot AS (
+           |  SELECT COUNT(*) AS n_tot,
+           |    COUNT(CASE WHEN lang = 'en' THEN 1 END) AS c1_tot
+           |  FROM f),
+           |sp AS (
+           |  ${splitSql("len_band",
+              "CAST(CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1 WHEN n_chars < 450 THEN 2 ELSE 3 END AS VARCHAR)")}
+           |  UNION ALL
+           |  ${splitSql("source", "source")}
+           |  UNION ALL
+           |  ${splitSql("stop_band",
+              "CAST(CASE WHEN sh = 0 THEN 0 WHEN sh <= 2 THEN 1 ELSE 2 END AS VARCHAR)")}),
+           |g AS (
+           |  SELECT feature, COUNT(*) AS n_values,
+           |    CAST(SUM(CAST(${r12s(
+               "nv * 1.0 / n_tot * 2.0 * (c1 * 1.0 / nv) * (1.0 - c1 * 1.0 / nv)")} AS DECIMAL(38,18))) AS DOUBLE) AS gini_split
+           |  FROM sp, tot GROUP BY 1)
+           |SELECT g.feature, g.n_values,
+           |  ${roundN("2.0 * (t.c1_tot * 1.0 / t.n_tot) * (1.0 - t.c1_tot * 1.0 / t.n_tot)", 6)}
+           |    AS gini_parent,
+           |  ${roundN("g.gini_split", 6)} AS gini_split,
+           |  ${roundN(
+             "2.0 * (t.c1_tot * 1.0 / t.n_tot) * (1.0 - t.c1_tot * 1.0 / t.n_tot) - g.gini_split",
+             6)} AS importance
+           |FROM g, tot t ORDER BY feature""".stripMargin
+      }) { (s, d) =>
+      import graft.functions.TextFunctions
+      import org.apache.spark.sql.types.DecimalType
+      val feats = TextFunctions.tokenFeatures(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .join(feats.select(col("doc_id"), col("hits_en").as("sh")),
+          "doc_id")
+      val tot = f.agg(count(lit(1)).as("n_tot"),
+        count(when(col("lang") === "en", 1)).as("c1_tot"))
+      def split(feat: String, v: org.apache.spark.sql.Column) =
+        f.select(lit(feat).as("feature"), v.cast("string").as("v"),
+            col("lang"))
+          .groupBy("feature", "v")
+          .agg(count(lit(1)).as("nv"),
+            count(when(col("lang") === "en", 1)).as("c1"))
+      val sp = split("len_band",
+          when(col("n_chars") < 150, 0).when(col("n_chars") < 300, 1)
+            .when(col("n_chars") < 450, 2).otherwise(3))
+        .unionByName(split("source", col("source")))
+        .unionByName(split("stop_band",
+          when(col("sh") === 0, 0).when(col("sh") <= 2, 1).otherwise(2)))
+      val g = sp.crossJoin(broadcast(tot))
+        .groupBy("feature")
+        .agg(count(lit(1)).as("n_values"),
+          sum(Det.roundN(col("nv") * 1.0 / col("n_tot") * 2.0
+            * (col("c1") * 1.0 / col("nv"))
+            * (lit(1.0) - col("c1") * 1.0 / col("nv")), 12)
+            .cast(DecimalType(38, 18))).cast("double").as("gini_split"))
+      val parent = (lit(2.0) * (col("c1_tot") * 1.0 / col("n_tot"))
+        * (lit(1.0) - col("c1_tot") * 1.0 / col("n_tot")))
+      g.crossJoin(broadcast(tot))
+        .select(col("feature"), col("n_values"),
+          Det.roundN(parent, 6).as("gini_parent"),
+          Det.roundN(col("gini_split"), 6).as("gini_split"),
+          Det.roundN(parent - col("gini_split"), 6).as("importance"))
+        .orderBy("feature")
     },
 
     // Split-conformal prediction intervals per order priority: h56 thirds

@@ -79,6 +79,31 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mcnemar and kappa are internally consistent") {
+    val (n, b, c, both) = SparkEntry.queries("a_mcnemar")(spark, sf)
+      .select("n", "b", "c", "both_right")
+      .as[(Long, Long, Long, Long)].head()
+    assert(b + c + both <= n && b >= 0 && c >= 0)
+    val (kn, po, pe, kappa) = SparkEntry.queries("a_cohen_kappa")(spark, sf)
+      .select("n", "po", "pe", "kappa").as[(Long, Double, Double, Double)]
+      .head()
+    assert(kn == n)
+    assert(po >= 0 && po <= 1 && pe >= 0 && pe <= 1)
+    assert(kappa <= 1.0 + 1e-9 && kappa >= -1.0 - 1e-9)
+  }
+
+  test("feature importance: Gini reduction is never negative") {
+    val rows = SparkEntry.queries("a_feature_importance")(spark, sf)
+      .select("feature", "gini_parent", "gini_split", "importance")
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.length == 3)
+    rows.foreach { case (f, gp, gs, imp) =>
+      // a split can only reduce (or preserve) Gini impurity
+      assert(imp >= -1e-9, s"$f: negative importance $imp")
+      assert(math.abs(gp - gs - imp) < 1e-6)
+    }
+  }
+
   test("type sniff: corrupted RIFF rows fall out invalid, others valid") {
     val rows = SparkEntry.queries("mm_type_sniff")(spark, sf)
       .select("doc_id", "kind", "is_valid")

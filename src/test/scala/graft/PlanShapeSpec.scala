@@ -129,8 +129,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "t_loo_source_impact",    // broadcast 1-row corpus totals
     "sim_dim_truncation_recall", // broadcast 8-query batch, twice (full
                               // + truncated brute-force baselines)
-    "j_geo_nearest")          // broadcast 25-anchor set x corpus
+    "j_geo_nearest",          // broadcast 25-anchor set x corpus
                               // (nearest-assignment argmin, map-side)
+    "a_feature_importance")   // broadcast 1-row label totals onto the
+                              // bounded feature-value cells
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
