@@ -50,7 +50,14 @@ object Det {
     * decimal repr, HALF_UP) while DuckDB rounds in float math — they disagree
     * on ties like 12.345. `floor(x*10^n + 0.5)/10^n` is pure IEEE arithmetic,
     * so both engines compute bit-identical results from identical inputs.
-    * Mirror with [[roundNSql]] in the oracle. */
+    * Mirror with [[roundNSql]] in the oracle.
+    *
+    * DOMAIN: |x| must stay below 2^63 / 10^n ≈ 9.2e18 / 10^n — Spark's
+    * `floor` returns LONG, so `x * 10^n` past Long.MaxValue silently
+    * saturates (every value collapses to 9.2e18/10^n; DuckDB's FLOOR stays
+    * DOUBLE, so only the Spark side corrupts and the oracle catches it).
+    * For large magnitudes (squared residuals, revenue totals) sum via a
+    * raw DECIMAL cast instead of an r12 pin. */
   def roundN(c: Column, n: Int): Column = {
     val p = math.pow(10, n)
     floor(c * p + 0.5) / p

@@ -220,6 +220,206 @@ object AnalysisOps {
         .orderBy("source")
     },
 
+    // k-fold cross-validation of the group-mean model in ONE pass: the
+    // holdout mean for (group, fold) is (S_g − s_{g,f}) / (n_g − n_{g,f})
+    // — closed form from per-(group, fold) partial sums, so 5-fold CV
+    // costs one aggregate + one keyed join, not five training passes.
+    // Per-fold MSE r12-pinned and DECIMAL-summed.
+    QueryDef.sql(
+      "a_kfold_cv",
+      s"""WITH f AS (
+         |  SELECT o_orderpriority AS grp, o_totalprice AS y,
+         |    ${Det.h56Sql("CAST(o_orderkey AS VARCHAR)")} % 5 AS fold
+         |  FROM orders),
+         |pf AS (
+         |  SELECT grp, fold, COUNT(*) AS nf,
+         |    SUM(CAST(y AS DECIMAL(18,2))) AS sf
+         |  FROM f GROUP BY 1, 2),
+         |pg AS (
+         |  SELECT grp, CAST(SUM(nf) AS BIGINT) AS ng, SUM(sf) AS sg
+         |  FROM pf GROUP BY 1),
+         |hm AS (
+         |  SELECT pf.grp, pf.fold,
+         |    CAST(pg.sg - pf.sf AS DOUBLE) / (pg.ng - pf.nf) AS m
+         |  FROM pf JOIN pg USING (grp)),
+         |err AS (
+         |  SELECT f.fold, COUNT(*) AS n,
+         |    CAST(SUM(CAST((f.y - hm.m) * (f.y - hm.m) AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(*) AS mse
+         |  FROM f JOIN hm ON hm.grp = f.grp AND hm.fold = f.fold
+         |  GROUP BY 1)
+         |SELECT CAST(fold AS BIGINT) AS fold, n, ${roundN("mse", 4)} AS mse,
+         |  ${roundN("sqrt(mse)", 6)} AS rmse,
+         |  ${roundN(
+             "CAST(SUM(CAST(mse AS DECIMAL(38,6))) OVER () AS DOUBLE) / 5",
+             4)} AS mean_mse
+         |FROM err ORDER BY fold""".stripMargin) { (s, d) =>
+      def r12(c: org.apache.spark.sql.Column) = Det.roundN(c, 12)
+      val dec2 = DecimalType(18, 2)
+      val f = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"), col("o_totalprice").as("y"),
+        (Det.h56(col("o_orderkey").cast("string")) % 5).as("fold"))
+      val pf = f.groupBy("grp", "fold").agg(count(lit(1)).as("nf"),
+        sum(col("y").cast(dec2)).as("sf"))
+      val pg = pf.groupBy("grp").agg(sum("nf").as("ng"), sum("sf").as("sg"))
+      val hm = pf.join(pg, "grp").select(col("grp"), col("fold"),
+        ((col("sg") - col("sf")).cast("double") / (col("ng") - col("nf")))
+          .as("m"))
+      // raw DECIMAL casts, not roundN: squared residuals sit ~1e10,
+      // past roundN's |x| < 9.2e18/10^n floor-overflow domain at n=12
+      val err = f.join(broadcast(hm), Seq("grp", "fold"))
+        .groupBy("fold").agg(count(lit(1)).as("n"),
+          (sum(((col("y") - col("m")) * (col("y") - col("m")))
+            .cast(DecimalType(38, 6))).cast("double") / count(lit(1)))
+            .as("mse"))
+      err.select(col("fold").cast("long").as("fold"), col("n"),
+          Det.roundN(col("mse"), 4).as("mse"),
+          Det.roundN(sqrt(col("mse")), 6).as("rmse"),
+          Det.roundN(sum(col("mse").cast(DecimalType(38, 6)))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy())
+            .cast("double") / 5, 4).as("mean_mse"))
+        .orderBy("fold")
+    },
+
+    // Reciprocal-rank fusion of two retrieval rankings (cosine and raw
+    // dot product) per query: rrf = Σ 1/(60 + rank) over the rankings
+    // that surface the candidate in their top-20 pool — the standard
+    // zero-tuning ensemble for heterogeneous scorers. Ranks come from
+    // pinned scores, the fusion sum is r12-pinned, and the fused top-10
+    // is re-ranked per query.
+    QueryDef.sql(
+      "sim_rank_fusion",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    ${roundN(cosSql("e.emb", "q.qe"), 6)} AS cosv,
+         |    ${roundN("list_dot_product(e.emb, q.qe)", 6)} AS dotv
+         |  FROM e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
+         |ra AS (
+         |  SELECT query_id, vec_id, rk FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosv DESC, vec_id) AS rk
+         |    FROM scored) WHERE rk <= 20),
+         |rb AS (
+         |  SELECT query_id, vec_id, rk FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dotv DESC, vec_id) AS rk
+         |    FROM scored) WHERE rk <= 20),
+         |fused AS (
+         |  SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+         |    COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+         |    ${r12s("COALESCE(CAST(1.0 AS DOUBLE) / (60 + ra.rk), 0.0)")}
+         |      + ${r12s("COALESCE(CAST(1.0 AS DOUBLE) / (60 + rb.rk), 0.0)")} AS rrf
+         |  FROM ra FULL OUTER JOIN rb
+         |    ON rb.query_id = ra.query_id AND rb.vec_id = ra.vec_id)
+         |SELECT query_id, vec_id, ${roundN("rrf", 8)} AS rrf
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, vec_id) AS frk
+         |  FROM fused) WHERE frk <= 10
+         |ORDER BY query_id, rrf DESC, vec_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def r12(c: org.apache.spark.sql.Column) = Det.roundN(c, 12)
+      graft.expressions.GraftFunctions.register(s)
+      import graft.expressions.GraftFunctions.{cosine_sim, dot_product}
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Det.roundN(cosine_sim(col("embedding"), col("qe")), 6).as("cosv"),
+          Det.roundN(dot_product(col("embedding"), col("qe")), 6).as("dotv"))
+      def ranks(sc: String) = scored
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(desc(sc), col("vec_id"))))
+        .filter(col("rk") <= 20)
+        .select(col("query_id"), col("vec_id"), col("rk"))
+      val ra = ranks("cosv")
+      val rb = ranks("dotv").withColumnRenamed("rk", "rkb")
+        .withColumnRenamed("query_id", "qb").withColumnRenamed("vec_id", "vb")
+      val fused = ra.join(rb,
+          col("qb") === col("query_id") && col("vb") === col("vec_id"),
+          "full_outer")
+        .select(coalesce(col("query_id"), col("qb")).as("query_id"),
+          coalesce(col("vec_id"), col("vb")).as("vec_id"),
+          (r12(coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0)))
+            + r12(coalesce(lit(1.0) / (lit(60) + col("rkb")), lit(0.0))))
+            .as("rrf"))
+      fused.withColumn("frk", row_number().over(Window
+          .partitionBy("query_id").orderBy(desc("rrf"), col("vec_id"))))
+        .filter(col("frk") <= 10)
+        .select(col("query_id"), col("vec_id"),
+          Det.roundN(col("rrf"), 8).as("rrf"))
+        .orderBy(col("query_id"), desc("rrf"), col("vec_id"))
+    },
+
+    // kNN label voting on the IVF neighbor graph: each vector's label
+    // predicted by majority vote of its 5 nearest neighbors (ties → the
+    // smaller label id), scored against its own label per class — the
+    // embedding-space label-consistency audit (noisy-label detection,
+    // cluster purity) built entirely on the knnGraph primitive.
+    QueryDef.sql(
+      "sim_knn_vote",
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+         |rk AS (
+         |  SELECT e.vec_id, e.emb, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cell) AS rn
+         |  FROM e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, emb, cell FROM rk WHERE rn = 1),
+         |pr AS (SELECT vec_id AS src, emb AS qe, cell FROM rk WHERE rn <= 2),
+         |nb AS (
+         |  SELECT src, dst FROM (
+         |    SELECT p.src, a.vec_id AS dst,
+         |      row_number() OVER (PARTITION BY p.src
+         |        ORDER BY ${roundN(cosSql("p.qe", "a.emb"), 6)} DESC,
+         |          a.vec_id) AS rk
+         |    FROM pr p JOIN asg a USING (cell)
+         |    WHERE a.vec_id <> p.src)
+         |  WHERE rk <= 5),
+         |votes AS (
+         |  SELECT nb.src, el.label AS nlabel, COUNT(*) AS v
+         |  FROM nb JOIN e el ON el.vec_id = nb.dst
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT src, nlabel AS predicted FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY v DESC, nlabel) AS pr_rk
+         |    FROM votes) WHERE pr_rk = 1)
+         |SELECT e.label, COUNT(*) AS n,
+         |  COUNT(CASE WHEN p.predicted = e.label THEN 1 END) AS n_correct,
+         |  ${roundN(
+             "COUNT(CASE WHEN p.predicted = e.label THEN 1 END) * 1.0 / COUNT(*)",
+             6)} AS accuracy
+         |FROM pred p JOIN e ON e.vec_id = p.src
+         |GROUP BY 1 ORDER BY e.label""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      val nb = Similarity.knnGraph(emb, centroids, k = 5, nProbe = 2)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val votes = nb
+        .join(labels.select(col("vec_id").as("dst"),
+          col("label").as("nlabel")), "dst")
+        .groupBy("src", "nlabel").agg(count(lit(1)).as("v"))
+      val pred = votes.withColumn("pr_rk",
+          row_number().over(Window.partitionBy("src")
+            .orderBy(desc("v"), col("nlabel"))))
+        .filter(col("pr_rk") === 1)
+        .select(col("src"), col("nlabel").as("predicted"))
+      pred.join(labels.select(col("vec_id").as("src"), col("label")), "src")
+        .groupBy("label").agg(count(lit(1)).as("n"),
+          count(when(col("predicted") === col("label"), 1)).as("n_correct"))
+        .select(col("label"), col("n"), col("n_correct"),
+          Det.roundN(col("n_correct") * 1.0 / col("n"), 6).as("accuracy"))
+        .orderBy("label")
+    },
+
     // Leave-one-out source valuation: each source's marginal effect on
     // the corpus mean length and English share, in closed form from the
     // global and per-source sums — the cheap end of data-valuation

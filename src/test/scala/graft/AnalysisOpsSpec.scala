@@ -49,6 +49,41 @@ class AnalysisOpsSpec extends AnyFunSuite {
       s"merge law violated: $m vs $d")
   }
 
+  test("kfold CV: holdout means exclude the fold; rmse consistent") {
+    val rows = SparkEntry.queries("a_kfold_cv")(spark, "/root/testdata/sf0.01")
+      .select("fold", "n", "mse", "rmse", "mean_mse")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.length == 5)
+    val meanMse = rows.map(_._3).sum / 5
+    rows.foreach { case (_, n, mse, rmse, mm) =>
+      assert(n > 0 && mse > 0)
+      assert(math.abs(rmse - math.floor(math.sqrt(mse) * 1e6 + 0.5) / 1e6)
+        < 1e-6)
+      assert(math.abs(mm - meanMse) < 1.0)
+    }
+  }
+
+  test("rank fusion: fused candidates come from at least one top-20 pool") {
+    val rows = SparkEntry.queries("sim_rank_fusion")(spark, sf)
+      .select("query_id", "rrf").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // minimum possible rrf: rank-20 in exactly one ranking
+    val minRrf = 1.0 / 80
+    rows.foreach { case (_, r) => assert(r >= minRrf - 1e-9) }
+    rows.groupBy(_._1).foreach { case (_, g) => assert(g.length <= 10) }
+  }
+
+  test("knn vote: accuracies well-formed, counts cover the corpus") {
+    val rows = SparkEntry.queries("sim_knn_vote")(spark, sf)
+      .select("n", "n_correct", "accuracy")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, c, a) =>
+      assert(c <= n && a >= 0 && a <= 1)
+      assert(math.abs(a - c.toDouble / n) < 1e-6)
+    }
+  }
+
   test("LOO valuation: removing a below-average source raises the mean") {
     val docs = graft.engine.Tables.documents(spark, sf)
     val corpusMean = docs.agg(org.apache.spark.sql.functions.avg("n_chars"))

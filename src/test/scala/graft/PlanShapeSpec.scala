@@ -131,8 +131,10 @@ class PlanShapeSpec extends AnyFunSuite {
                               // + truncated brute-force baselines)
     "j_geo_nearest",          // broadcast 25-anchor set x corpus
                               // (nearest-assignment argmin, map-side)
-    "a_feature_importance")   // broadcast 1-row label totals onto the
+    "a_feature_importance",   // broadcast 1-row label totals onto the
                               // bounded feature-value cells
+    "sim_rank_fusion",        // broadcast 8-query batch x corpus scan
+    "sim_knn_vote")           // broadcast centroid codebook (knnGraph)
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
