@@ -316,4 +316,37 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got(("b", "2024-01-01")) === 0.0)
     assert(got.size === 6)
   }
+
+  test("canonicalUrl is idempotent on arbitrary messy URLs") {
+    import graft.functions.UrlFunctions
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "https://WWW.Example.COM/A/b/?utm_source=x&q=1&utm_y=2#frag",
+      "http://Host.Net/path/",
+      "https://a.b/x?utm_a=1",
+      "https://a.b/x?z=9&utm_a=1&y=2#s",
+      "https://UPPER.io/MiXeD/CaSe?Key=Val")
+    val once = urls.toDF("u")
+      .select(UrlFunctions.canonicalUrl(col("u")).as("c")).as[String]
+      .collect()
+    val twice = once.toSeq.toDF("u")
+      .select(UrlFunctions.canonicalUrl(col("u")).as("c")).as[String]
+      .collect()
+    assert(once.toSeq === twice.toSeq,
+      "canonicalization must be a projection (idempotent)")
+    assert(once.forall(u => !u.contains("utm_") && !u.contains("#")))
+  }
+
+  test("quantile normalization maps into the observed value set, rank in range") {
+    val out = SparkEntry.queries("t_quantile_normalize")(spark,
+        "/root/testdata/sf0.001")
+      .select("n_chars", "target_rank", "qnorm")
+      .as[(Long, Long, Long)].collect()
+    val values = out.map(_._1).toSet
+    val n = out.length
+    out.foreach { case (_, tr, q) =>
+      assert(tr >= 1 && tr <= n, s"target rank $tr outside [1, $n]")
+      assert(values.contains(q), s"qnorm $q is not an observed length")
+    }
+  }
 }
