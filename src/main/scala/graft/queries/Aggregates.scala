@@ -365,6 +365,89 @@ object Aggregates {
         .orderBy(col("n_name"), col("o_year").desc)
     },
 
+    // TPC-H-Q7-shaped cross-nation trade volume: revenue between every
+    // ordered (customer-nation, supplier-nation) pair by ship year —
+    // the two-dimension-path star (orders→customer→nation AND
+    // lineitem→supplier→nation meet at the fact). Both nation lookups are
+    // broadcast; the one fact-to-fact join stays keyed on orderkey; the
+    // n_c < n_s residual halves the pair space without a cross product.
+    QueryDef.sql(
+      "q7_nation_volume",
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |  EXTRACT(year FROM l.l_shipdate) AS l_year,
+         |  ${Det.dsumSql("l.l_extendedprice * (1.0 - l.l_discount)", 6)} AS revenue
+         |FROM lineitem l, orders o, customer c, supplier s,
+         |  nation cn, nation sn
+         |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+         |  AND l.l_suppkey = s.s_suppkey
+         |  AND c.c_nationkey = cn.n_nationkey
+         |  AND s.s_nationkey = sn.n_nationkey
+         |  AND cn.n_name < sn.n_name
+         |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY cust_nation, supp_nation, l_year""".stripMargin) { (s, d) =>
+      val custNation = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "cust_nation")
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .select("s_suppkey", "supp_nation")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .filter(col("cust_nation") < col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          6).as("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    },
+
+    // TPC-H-Q10-shaped returned-item losses: the 20 customers costing the
+    // most in returns for one quarter — orders date-pruned BEFORE the
+    // fact join, returnflag filter on the scan, nation broadcast, top-20
+    // as TakeOrdered (never a global sort).
+    QueryDef.sql(
+      "q10_returned_items",
+      s"""SELECT c.c_custkey, c.c_name,
+         |  ${Det.dsumSql("l.l_extendedprice * (1.0 - l.l_discount)", 6)} AS revenue,
+         |  c.c_acctbal, n.n_name
+         |FROM customer c, orders o, lineitem l, nation n
+         |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+         |  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         |  AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+         |GROUP BY 1, 2, 4, 5
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val custN = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          6).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    },
+
     // Concentration profile of each event type's hour-of-day distribution:
     // Shannon entropy (nats), Herfindahl index, peak-hour share. Two
     // map-side-combinable aggregates (hour histogram → per-type moments) —

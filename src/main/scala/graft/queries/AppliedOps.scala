@@ -105,6 +105,83 @@ object AppliedOps {
         .orderBy("key_a", "key_b")
     },
 
+    // Peak concurrency per day — the classic interval-overlap maximum
+    // (how many users were simultaneously active), computed the sweep
+    // way: +1 at each user's first event of the day, -1 at the last,
+    // running sum per day (starts sort before ends at an instant so a
+    // single-event user still counts), daily max. No interval self-join;
+    // the sweep relation is 2 rows per (user, day).
+    QueryDef.sql(
+      "w_max_concurrency",
+      """WITH span AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MIN(ts) AS lo, MAX(ts) AS hi
+        |  FROM events GROUP BY 1, 2),
+        |sweep AS (
+        |  SELECT day, lo AS t, 1 AS delta, user_id FROM span
+        |  UNION ALL
+        |  SELECT day, hi AS t, -1 AS delta, user_id FROM span),
+        |run AS (
+        |  SELECT day,
+        |    SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id
+        |                     ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM sweep)
+        |SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(COUNT(*) / 2 AS BIGINT) AS n_users
+        |FROM run GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val span = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min("ts").as("lo"), max("ts").as("hi"))
+      val sweep = span.select(col("day"), col("lo").as("t"),
+          lit(1).as("delta"), col("user_id"))
+        .unionAll(span.select(col("day"), col("hi").as("t"),
+          lit(-1).as("delta"), col("user_id")))
+      val run = sweep.withColumn("conc",
+        sum("delta").over(Window.partitionBy("day")
+          .orderBy(col("t"), col("delta").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      run.groupBy("day")
+        .agg(max("conc").cast("long").as("peak_concurrency"),
+          (count(lit(1)) / 2).cast("long").as("n_users"))
+        .orderBy("day")
+    },
+
+    // Sample-ratio-mismatch guardrail: the first thing a trustworthy
+    // experiment pipeline checks — do the EXPOSURE counts actually split
+    // 50/50 per experiment? One-degree χ² reduces to (na−nb)²/n; flag at
+    // the 3.841 (95%) bar. On this fixture the flag legitimately FIRES:
+    // assignment is per user but exposure is per event, and 150 users'
+    // unlucky-but-fair 61/89 hash draw is amplified by activity
+    // weighting — exactly the unit-of-analysis mismatch this check
+    // exists to surface before anyone reads a p-value.
+    QueryDef.sql(
+      "a_srm_check",
+      s"""WITH v AS (
+         |  SELECT event_type,
+         |    ${Det.h56Sql("CAST(user_id AS VARCHAR)")} % 2 AS variant
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type,
+         |    COUNT(CASE WHEN variant = 0 THEN 1 END) AS na,
+         |    COUNT(CASE WHEN variant = 1 THEN 1 END) AS nb
+         |  FROM v GROUP BY 1)
+         |SELECT event_type, na, nb,
+         |  ${roundN("(na - nb) * (na - nb) * 1.0 / (na + nb)", 6)} AS chi2,
+         |  (na - nb) * (na - nb) * 1.0 / (na + nb) > 3.841 AS srm_flag
+         |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d).select(col("event_type"),
+        (Det.h56(col("user_id").cast("string")) % 2).as("variant"))
+      v.groupBy("event_type").agg(
+          count(when(col("variant") === 0, 1)).as("na"),
+          count(when(col("variant") === 1, 1)).as("nb"))
+        .select(col("event_type"), col("na"), col("nb"),
+          Det.roundN((col("na") - col("nb")) * (col("na") - col("nb")) * 1.0
+            / (col("na") + col("nb")), 6).as("chi2"),
+          ((col("na") - col("nb")) * (col("na") - col("nb")) * 1.0
+            / (col("na") + col("nb")) > 3.841).as("srm_flag"))
+        .orderBy("event_type")
+    },
+
     // Nearest-anchor assignment: every customer lands on its closest of
     // 25 anchor points in a synthetic 2-D plane (h56 coordinates — the
     // multi-warehouse / nearest-POP assignment shape). Distance is

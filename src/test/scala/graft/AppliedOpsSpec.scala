@@ -49,6 +49,40 @@ class AppliedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("max concurrency: bounded by daily users, at least 1") {
+    val rows = SparkEntry.queries("w_max_concurrency")(spark, sf)
+      .select("peak_concurrency", "n_users").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, n) => assert(p >= 1 && p <= n) }
+  }
+
+  test("srm check: statistic and flag are internally consistent") {
+    // NOTE: the fixture legitimately FLAGS — 150 users split 61/89 by
+    // h56 (an unlucky-but-fair draw), and event exposure weights the
+    // heavier side further. That firing is the guardrail working; the
+    // spec asserts the arithmetic, not a particular verdict.
+    val rows = SparkEntry.queries("a_srm_check")(spark, "/root/testdata/sf0.01")
+      .select("na", "nb", "chi2", "srm_flag")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (na, nb, chi2, f) =>
+      val expect = (na - nb).toDouble * (na - nb) / (na + nb)
+      assert(math.abs(chi2 - math.floor(expect * 1e6 + 0.5) / 1e6) < 1e-9)
+      assert(f == (expect > 3.841))
+    }
+  }
+
+  test("q7/q10: shapes and ordering hold") {
+    val q7 = SparkEntry.queries("q7_nation_volume")(spark, sf)
+      .select("revenue").as[Double].collect()
+    assert(q7.nonEmpty && q7.forall(_ > 0))
+    val q10 = SparkEntry.queries("q10_returned_items")(spark, sf)
+      .select("revenue").as[Double].collect()
+    assert(q10.length <= 20)
+    assert(q10.zip(q10.tail).forall { case (a, b) => a >= b },
+      "q10 must be revenue-descending")
+  }
+
   test("geo nearest: every anchor's assignments beat all other anchors") {
     // spot-verify the argmin: reconstruct coordinates for a few customers
     // and check the assigned anchor is truly the closest
