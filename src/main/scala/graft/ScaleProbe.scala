@@ -1189,6 +1189,44 @@ object ScaleProbe {
           col("o_totalprice").cast(DecimalType(18, 2)).as("rev"))
         .groupBy("cohort_ym", "age_months").agg(sum("rev").as("rev"))
     }
+    // q7 star: the one fact-to-fact keyed join (lineitem x orders) under
+    // two broadcast dimension paths
+    time("q7_star") {
+      val custNation = cust
+        .join(broadcast(graft.engine.Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "cust_nation")
+      val suppNation = graft.engine.Tables.supplier(spark, sfDir)
+        .join(broadcast(graft.engine.Tables.nation(spark, sfDir)
+          .select(col("n_nationkey").as("sk"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .select("s_suppkey", "supp_nation")
+      li.join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(ord.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .filter(col("cust_nation") < col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          6).as("revenue"))
+    }
+    // concurrency sweep: 2 rows per (user, day), per-day windows
+    time("max_concurrency") {
+      import org.apache.spark.sql.expressions.Window
+      val span = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min("ts").as("lo"), max("ts").as("hi"))
+      val sweep = span.select(col("day"), col("lo").as("t"),
+          lit(1).as("delta"), col("user_id"))
+        .unionAll(span.select(col("day"), col("hi").as("t"),
+          lit(-1).as("delta"), col("user_id")))
+      sweep.withColumn("conc",
+          sum("delta").over(Window.partitionBy("day")
+            .orderBy(col("t"), col("delta").desc, col("user_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("day").agg(max("conc").as("p"))
+    }
     // absorption: one corpus-sized LEAD window + constant-size value
     // iteration over the 5x5 matrix
     time("absorption") {
