@@ -45,6 +45,21 @@ def compare(name, spark_df, oracle_df):
     s, o = canon(spark_df), canon(oracle_df)
     for c in s.columns:
         a, b = s[c], o[c]
+        # The driver's hash compare encodes the column dtype: a float64
+        # oracle column (e.g. DuckDB HUGEINT through pandas) never hashes
+        # equal to a Spark int64 column even when the values match. Mirror
+        # that strictness: a float-vs-integer kind mismatch is a FAIL, not
+        # something to paper over with a cast (canon() already applies the
+        # value-preserving widenings int32->int64 / float32->float64 that
+        # the driver tolerates).
+        ak, bk = a.dtype.kind, b.dtype.kind
+        if {ak, bk} <= {"i", "u", "f"} and ("f" in (ak, bk)) and ak != bk:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={spark_df[c].dtype} "
+                f"oracle={oracle_df[c].dtype} — driver hash would differ "
+                f"even on equal values (CAST the oracle, e.g. HUGEINT->"
+                f"BIGINT)")
+            continue
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             a = a.astype("float64")
             b = b.astype("float64")

@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Medallion orchestrator (SURVEY §3.1): bronze → silver → gold over a
@@ -250,23 +250,36 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
     * flagship silver transform, gold models, quality suite, exports,
     * run metadata. Returns per-stage row counts.
     *
-    * Counting discipline: each overwrite/upsert stage's count comes from
-    * the STAGED pre-write frame — identical rows to a read-back (the
-    * write is this frame), without re-scanning the lake it just wrote
-    * (at 100 TB the re-read counts were the run's most expensive no-op).
-    * The one append table (quality_logs) still counts by read-back:
-    * its total legitimately includes prior runs' appends. */
+    * Counting discipline: each overwrite/upsert stage's count is an
+    * OBSERVED METRIC on the written frame (Dataset.observe /
+    * CollectMetricsExec) — it rides along the write job itself, so there
+    * is no separate count action and no re-scan of the lake just written
+    * (at 100 TB a post-write count is a full re-read of the sink). The
+    * one append table (quality_logs) still counts by read-back: its
+    * total legitimately includes prior runs' appends. */
   def run(sfDir: String): Map[String, Long] = {
     val t0 = System.currentTimeMillis()
     import Stage.syntax._
 
+    // Stage row counts ride along the WRITE jobs as observed metrics
+    // (CollectMetricsExec) instead of separate count() actions — zero
+    // extra jobs, zero re-reads; Observation.get is already resolved by
+    // the time the write returns. At 100 TB a post-write count is a full
+    // re-scan of what was just written; this is free.
+    def observed(df: DataFrame): (Observation, DataFrame) = {
+      val o = Observation()
+      (o, df.observe(o, count(lit(1)).as("n")))
+    }
+    def rows(o: Observation): Long = o.get("n").asInstanceOf[Long]
+
     // ---- bronze: land raw tables with audit columns (K3 idempotent) ----
-    // staged once: consumed by the bronze write, the silver filter, the
-    // P11 rewrite, and the metadata count — and staging freezes the
-    // current_timestamp audit column so all four see identical rows
+    // staged once: consumed by the bronze write, the silver filter, and
+    // the P11 rewrite — and staging freezes the current_timestamp audit
+    // column so all three see identical rows
     val events = Tables.events(spark, sfDir)
     val bronzeEvents = Bronze.withAudit(Bronze.blanksToNull(events)).staged
-    writeOverwrite(bronzeEvents, "bronze", "events")
+    val (oBronze, bronzeObs) = observed(bronzeEvents)
+    writeOverwrite(bronzeObs, "bronze", "events")
 
     // ---- silver: flagship covid lineage from bronze (P7 incremental) ---
     val pending = bronzeEvents
@@ -276,7 +289,8 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
       SilverCovid.fromEvents(pending),
       SilverCovid.Thresholds(outlierConfirmed = 5000, outlierDaily = 400))
       .staged
-    upsertByDate(silver, "silver", "covid_timeseries", "record_date")
+    val (oSilver, silverObs) = observed(silver)
+    upsertByDate(silverObs, "silver", "covid_timeseries", "record_date")
 
     // P11: flip consumed rows to processed (state-column rewrite)
     writeOverwrite(
@@ -295,7 +309,8 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
     val posts = GoldEngagement.attribute(SilverPosts.transform(
       Tables.documents(spark, sfDir), titleCol = "source", bodyCol = "text"))
       .staged
-    writeOverwrite(posts, "silver", "clean_posts")
+    val (oPosts, postsObs) = observed(posts)
+    writeOverwrite(postsObs, "silver", "clean_posts")
 
     // ---- gold: daily summary + trend labels (MV-refresh semantics) -----
     val daily = silver.groupBy("record_date").agg(
@@ -303,21 +318,25 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
       Det.dsum(col("daily_new_cases")).as("total_new_cases"),
       Det.davg(col("mortality_rate")).as("avg_mortality_rate"))
       .staged
-    upsertByDate(daily, "gold", "daily_global_summary", "record_date")
+    val (oDaily, dailyObs) = observed(daily)
+    upsertByDate(dailyObs, "gold", "daily_global_summary", "record_date")
     export(daily, "daily_global_summary")
 
     // ---- gold: user_engagement_metrics (model_gold.py:93-103) ----------
     val engagement = GoldEngagement.transform(posts).staged
-    upsertByDate(engagement, "gold", "user_engagement_metrics",
+    val (oEng, engObs) = observed(engagement)
+    upsertByDate(engObs, "gold", "user_engagement_metrics",
       "engagement_date")
 
     // ---- run metadata (K6) --------------------------------------------
+    // quality_logs alone counts by read-back: its total legitimately
+    // includes prior runs' appends, not just this run's write.
     val counts = Map(
-      "bronze_events" -> bronzeEvents.count(),
-      "silver_covid" -> silver.count(),
-      "silver_posts" -> posts.count(),
-      "gold_daily" -> daily.count(),
-      "gold_engagement" -> engagement.count(),
+      "bronze_events" -> rows(oBronze),
+      "silver_covid" -> rows(oSilver),
+      "silver_posts" -> rows(oPosts),
+      "gold_daily" -> rows(oDaily),
+      "gold_engagement" -> rows(oEng),
       "quality_checks" -> read("silver", "quality_logs").count())
     val meta =
       s"""{"pipeline":"graft-medallion","status":"SUCCESS",

@@ -165,7 +165,8 @@ object EvalOps {
          |  FROM plan0)
          |SELECT lang, n_before, target,
          |  COUNT(*) AS n_after,
-         |  CAST(SUM(doc_id * copy_idx) % 1000000007 AS BIGINT) AS checksum
+         |  CAST(SUM((doc_id * copy_idx) % 1000000007) % 1000000007
+         |       AS BIGINT) AS checksum
          |FROM gen GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       val n = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
@@ -179,7 +180,12 @@ object EvalOps {
           explode(sequence(lit(1), col("copies").cast("int"))).as("copy_idx"))
         .groupBy("lang", "n_before", "target")
         .agg(count(lit(1)).as("n_after"),
-          (sum(col("doc_id") * col("copy_idx")) % 1000000007L).as("checksum"))
+          // per-row modulus, then a decimal sum, then the final modulus:
+          // exact at any corpus size (an int64 sum of %-reduced terms
+          // would wrap past ~9e9 rows under non-ANSI mode)
+          (sum(((col("doc_id") * col("copy_idx")) % 1000000007L)
+              .cast("decimal(38,0)")) % 1000000007L)
+            .cast("long").as("checksum"))
         .orderBy("lang")
     },
 

@@ -327,15 +327,16 @@ object ScaleOps {
       val evs = Tables.events(s, d).select(col("event_id"), col("user_id"),
         ((us - pmod(us, lit(86400000000L)))
           .divide(lit(86400000000L))).cast("long").as("day"))
-      // z layout via the SCALE path (range shuffle + two-phase rank) —
-      // bit-identical file ids to the demo global window, so the oracle's
-      // row_number mirror still hash-matches; linear layout keeps the
-      // demo path so both code paths stay exercised by the same oracle
+      // BOTH layouts via the SCALE path (range shuffle + two-phase rank)
+      // — bit-identical file ids to the demo global window (ZOrderSpec),
+      // so the oracle's row_number mirror still hash-matches. The demo
+      // fileLayout stays exercised by ZOrderSpec's equivalence test; no
+      // production plan carries an unpartitioned data-sized window.
       val zed = ZOrder.fileLayoutRanged(evs,
         Seq(ZOrder.zValue(col("user_id"), col("day"), 11), col("event_id")),
         rowsPerFile = 512)
-      val lin = ZOrder.fileLayout(evs, Seq(col("user_id"), col("event_id")),
-        rowsPerFile = 512)
+      val lin = ZOrder.fileLayoutRanged(evs,
+        Seq(col("user_id"), col("event_id")), rowsPerFile = 512)
       val stats = ZOrder.fileStats(zed, Seq("user_id", "day"))
         .withColumn("layout", lit("zorder"))
         .unionByName(ZOrder.fileStats(lin, Seq("user_id", "day"))
@@ -1972,8 +1973,8 @@ object ScaleOps {
          |  FROM events GROUP BY 1),
          |daily AS (SELECT d, COUNT(*) AS new_users FROM fs GROUP BY 1)
          |SELECT d, new_users,
-         |  SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-         |    AS cum_users
+         |  CAST(SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS cum_users
          |FROM daily ORDER BY d""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
         .groupBy("user_id").agg(min(to_date(col("ts"))).as("d"))

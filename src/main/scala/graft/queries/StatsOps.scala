@@ -1690,8 +1690,8 @@ object StatsOps {
          |ORDER BY tier""".stripMargin) { (s, d) =>
       val evs = Tables.events(s, d).select(col("event_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
-      val lay = ZOrder.fileLayout(evs, Seq(col("day"), col("event_id")),
-        rowsPerFile = 2048)
+      val lay = ZOrder.fileLayoutRanged(evs,
+        Seq(col("day"), col("event_id")), rowsPerFile = 2048)
       val stats = lay.groupBy("file_id")
         .agg(count(lit(1)).as("n_rows"), max("day").as("max_day"))
       val h = evs.agg(max("day").as("horizon"))

@@ -223,7 +223,7 @@ object StreamingQueries {
     QueryDef.sql(
       "q_stream_session_replay",
       s"""WITH marked AS (
-         |  SELECT user_id, event_id, ts, value,
+         |  SELECT user_id, event_id, ts, COALESCE(value, 0) AS value,
          |    CASE WHEN lag(ts) OVER w IS NULL
          |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -240,9 +240,13 @@ object StreamingQueries {
          |FROM sessioned GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       import s.implicits._
+      // NULL-safe before the typed cast: Event.value is a non-nullable
+      // Double, so a NULL value row (the events schema allows one) would
+      // throw at runtime inside the stream. Pin NULL -> 0 contribution on
+      // BOTH engines (the oracle COALESCEs identically above).
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
+          col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
       val d1 = lit("2024-01-11").cast("timestamp")
       val d2 = lit("2024-01-21").cast("timestamp")
       val srcDir = Files.createTempDirectory("session-replay-src")

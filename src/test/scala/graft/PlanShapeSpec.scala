@@ -1,13 +1,27 @@
 package graft
 
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Engine-wide physical-plan audit: no query may plan a CartesianProduct,
-  * and BroadcastNestedLoopJoin is allowed only where it is the deliberate
-  * shape — a broadcast crossJoin against a 1-row scalar (global counts,
-  * query vectors, mixing mass) or a codebook-sized relation (IVF
-  * centroids). Any new query that accidentally introduces an unbounded
-  * cross or non-equi nested loop fails here before it ships.
+/** Engine-wide physical-plan audit, two rules:
+  *
+  *   1. No query may plan a CartesianProduct, and
+  *      BroadcastNestedLoopJoin is allowed only where it is the
+  *      deliberate shape — a broadcast crossJoin against a 1-row scalar
+  *      (global counts, query vectors, mixing mass) or a codebook-sized
+  *      relation (IVF centroids).
+  *   2. No query may plan an UNPARTITIONED WindowExec (a single-reducer
+  *      global sort at corpus scale) unless its input is provably
+  *      bounded: the row count is pinned by an aggregate output, a
+  *      limit, a literal local relation, or products/unions thereof —
+  *      the same discipline ZOrder.fileLayoutRanged applies to its
+  *      partition-count offset table. Any new query that accidentally
+  *      funnels a data-sized relation through one reducer fails here
+  *      before it ships.
   */
 class PlanShapeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -140,21 +154,69 @@ class PlanShapeSpec extends AnyFunSuite {
   // covered by PipelineSpec; everything it joins appears in other queries
   private val skip = Set("q_pipeline_run")
 
-  test("no CartesianProduct anywhere; BNLJ only on the scalar allowlist") {
+  /** One planning pass per query; both audits read these. */
+  private lazy val plans: Seq[(String, SparkPlan)] = {
     // audit under the PRODUCTION config: with GraftExtensions installed
     // the BroadcastGuard participates in planning, so a query whose
     // broadcast hint only survives on naive estimates fails HERE, not in
     // a user's session (idempotent; caught a_revenue_concentration once)
     graft.expressions.GraftFunctions.register(spark)
-    val offenders = SparkEntry.allDefs.filterNot(q => skip(q.name)).flatMap { q =>
-      val plan = q.run(spark, sf).queryExecution.sparkPlan.toString
+    SparkEntry.allDefs.filterNot(q => skip(q.name))
+      .map(q => q.name -> q.run(spark, sf).queryExecution.sparkPlan)
+  }
+
+  test("no CartesianProduct anywhere; BNLJ only on the scalar allowlist") {
+    val offenders = plans.flatMap { case (name, plan) =>
+      val s = plan.toString
       val bad = Seq(
-        Option.when(plan.contains("CartesianProduct"))("CartesianProduct"),
-        Option.when(plan.contains("BroadcastNestedLoopJoin") &&
-          !bnljAllowed(q.name))("unexpected BroadcastNestedLoopJoin")
+        Option.when(s.contains("CartesianProduct"))("CartesianProduct"),
+        Option.when(s.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed(name))("unexpected BroadcastNestedLoopJoin")
       ).flatten
-      if (bad.isEmpty) None else Some(s"${q.name}: ${bad.mkString(", ")}")
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  /** Is this subtree's ROW COUNT provably independent of the input data
+    * size? True when the count is pinned by an aggregate output, a
+    * limit, or a literal relation before any data-sized scan can reach
+    * the node — walking down only through row-count-preserving (or
+    * row-count-reducing) operators. A join of two bounded inputs is
+    * bounded (≤ product); anything reaching a file scan unguarded is
+    * not. Conservative by construction: unknown nodes are UNBOUNDED. */
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true   // rows = group cardinality
+    case _: BaseLimitExec => true
+    case _: CollectLimitExec => true
+    case _: LocalTableScanExec => true  // literal relation
+    case _: RDDScanExec => true         // parallelized literal (toDF)
+    case w: WindowExec => bounded(w.child)
+    case w: WindowGroupLimitExec => bounded(w.child)
+    case p: ProjectExec => bounded(p.child)
+    case f: FilterExec => bounded(f.child)
+    case s: SortExec => bounded(s.child)
+    case e: Exchange => bounded(e.child)
+    case g: GenerateExec => bounded(g.child) // bounded fanout generators
+                                             // (sequence/array literals)
+    case u: UnionExec => u.children.forall(bounded)
+    case j: BroadcastNestedLoopJoinExec => j.children.forall(bounded)
+    case j: BroadcastHashJoinExec => j.children.forall(bounded)
+    case other if other.children.size == 1 => bounded(other.children.head)
+    case _ => false
+  }
+
+  test("unpartitioned WindowExec only over provably bounded input") {
+    val offenders = plans.flatMap { case (name, plan) =>
+      val unbounded = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          w.windowExpression.map(_.sql).mkString(", ")
+      }
+      if (unbounded.isEmpty) None
+      else Some(s"$name: data-sized global window over [${unbounded.mkString(" | ")}]")
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned WindowExec with unbounded input (single-reducer " +
+        "global sort at scale):\n" + offenders.mkString("\n"))
   }
 }
