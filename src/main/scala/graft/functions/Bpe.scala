@@ -116,6 +116,59 @@ object Bpe {
     syms
   }
 
+  /** Frozen word-frequency snapshot of the documents corpus (the sf0.01
+    * top words by count, captured once) — the seed the PINNED codebook is
+    * learned from. Freezing the vocabulary makes the merge table a
+    * compile-time constant: the LEARNING loop (iterative pair-count
+    * argmax) is not expressible as one SQL query, but ENCODING under a
+    * fixed merge table is — so pinning the codebook is what lets the
+    * tokenize/chunking queries be oracle-hash-checked instead of
+    * rows-only. Learning itself stays exercised end-to-end by BpeSpec
+    * (golden merges; distributed corpus learn ≡ driver loop). */
+  val seedVocab: Seq[(String, Long)] = Seq(
+    "join" -> 964L, "hash" -> 947L, "row" -> 943L, "batch" -> 937L,
+    "scan" -> 936L, "column" -> 934L, "customer" -> 934L, "filter" -> 933L,
+    "small" -> 928L, "merge" -> 918L, "slow" -> 918L, "order" -> 912L,
+    "vector" -> 912L, "line" -> 910L, "data" -> 908L, "table" -> 908L,
+    "agg" -> 901L, "value" -> 897L, "key" -> 896L, "stream" -> 888L,
+    "window" -> 886L, "a" -> 880L, "spark" -> 880L, "group" -> 878L,
+    "part" -> 878L, "big" -> 876L, "sort" -> 872L, "query" -> 871L,
+    "fast" -> 854L, "the" -> 840L, "dup" -> 26L)
+
+  /** The pinned 48-merge codebook: [[learn]] over [[seedVocab]] at class
+    * init — deterministic (count-desc, lexicographic tie-break), so the
+    * same table on every JVM, every run, every cluster size. */
+  val pinnedMerges: Seq[(String, String)] = learn(seedVocab, 48)
+
+  /** DuckDB replay of [[encodeWord]] under [[pinnedMerges]], as a scalar
+    * SQL expression over `wordExpr` returning the token LIST.
+    *
+    * Encode-equivalence: applying the merges sequentially in RANK order,
+    * each as one left-to-right non-overlapping pass, yields exactly the
+    * greedy lowest-rank-first loop's output — a later merge can never
+    * create an occurrence of an earlier pair, because the later token's
+    * constituent pair was necessarily learned after both its parts
+    * existed (rank monotone in creation order). A left-to-right
+    * non-overlapping pass is precisely SQL `replace()`.
+    *
+    * Representation: each symbol is wrapped in U+001F separators
+    * (`⟂sym⟂`, concatenated), so the adjacency `(a,b)` is the literal
+    * substring `⟂a⟂⟂b⟂` — whole-symbol-safe, and consecutive matches
+    * share no characters so `replace` merges every adjacent occurrence
+    * in one pass, like the Scala loop. Constraint: input text must not
+    * contain U+001F (true of any text corpus that strips control
+    * chars). */
+  def encodeSqlDuck(wordExpr: String): String = {
+    val S = "\u001f"
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val wrapped =
+      s"regexp_replace($wordExpr, '(.)', ${lit(S + "\\1" + S)}, 'g')"
+    val chain = pinnedMerges.foldLeft(wrapped) { case (e, (a, b)) =>
+      s"replace($e, ${lit(S + a + S + S + b + S)}, ${lit(S + a + b + S)})"
+    }
+    s"string_split(trim($chain, ${lit(S)}), ${lit(S + S)})"
+  }
+
   final case class BpeTokens(id: Long, n_words: Int, n_bpe_tokens: Int,
       tokens: Array[String])
 

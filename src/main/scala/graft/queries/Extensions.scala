@@ -435,32 +435,69 @@ object Extensions {
         .orderBy("doc_id")
     },
 
-    // Real merge-table BPE (not the regex proxy in t_token_count): merges
-    // learned from the corpus's word-frequency table (bounded driver-side
-    // learn, the tokenizer-training split production uses), encoding
-    // streamed through the mapPartitions seam. Learning is deterministic
-    // (tie-broken), so the rows-only output is stable; BpeSpec holds the
-    // hand-computed golden merges.
-    QueryDef.rowsOnly("t_bpe_tokenize") { (s, d) =>
+    // Real merge-table BPE (not the regex proxy in t_token_count),
+    // oracle-hash-checked: the codebook is PINNED (Bpe.pinnedMerges —
+    // learned by the same Bpe.learn loop from a frozen corpus
+    // word-frequency snapshot), and the oracle replays merge application
+    // in DuckDB via Bpe.encodeSqlDuck (rank-ordered single-pass replaces
+    // over separator-wrapped symbols ≡ the greedy lowest-rank-first
+    // encode loop — see the scaladoc proof). Encoding still streams
+    // through the mapPartitions seam; corpus LEARNING stays covered by
+    // BpeSpec (golden merges; distributed learn ≡ driver loop).
+    QueryDef.sql(
+      "t_bpe_tokenize",
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(str_split_regex(trim(lower(text)), '\\s+'),
+         |                x -> x <> '') AS words
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, len(words) AS n_words,
+         |    flatten(list_transform(words,
+         |      bw -> ${graft.functions.Bpe.encodeSqlDuck("bw")})) AS toks
+         |  FROM w)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+         |  array_to_string(toks[1:8], ' ') AS first_tokens
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val merges = graft.functions.Bpe.learnFromCorpus(docs, "text",
-        numMerges = 200, maxWords = 5000)
-      graft.functions.Bpe.tokenize(s, docs, "doc_id", "text", merges).toDF()
-        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"),
+      graft.functions.Bpe.tokenize(s, docs, "doc_id", "text",
+          graft.functions.Bpe.pinnedMerges).toDF()
+        .select(col("id").as("doc_id"), col("n_words").cast("long"),
+          col("n_bpe_tokens").cast("long"),
           concat_ws(" ", slice(col("tokens"), 1, 8)).as("first_tokens"))
         .orderBy("doc_id")
     },
 
     // BPE tokens feeding context-window chunking: the token-balance
     // numbers a training export actually needs are in learned subword
-    // units, not whitespace words. Same zero-shuffle chunk generator,
-    // counting in BPE tokens via Chunking.byArray.
-    QueryDef.rowsOnly("t_bpe_chunking") { (s, d) =>
+    // units, not whitespace words. Same zero-shuffle chunk generator
+    // (Chunking.byArray: explode over sequence starts, O(chunk) slice
+    // per row); the oracle mirrors the start grid with range() and the
+    // slice length with LEAST/GREATEST over the replayed token counts.
+    QueryDef.sql(
+      "t_bpe_chunking",
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(str_split_regex(trim(lower(text)), '\\s+'),
+         |                x -> x <> '') AS words
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |    len(flatten(list_transform(words,
+         |      bw -> ${graft.functions.Bpe.encodeSqlDuck("bw")}))) AS L
+         |  FROM w),
+         |c AS (
+         |  SELECT doc_id, L,
+         |    unnest(range(0, greatest(L - 1, 0) + 1, 24)) AS start
+         |  FROM t)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(LEAST(GREATEST(L - start, 0), 32)) AS BIGINT)
+         |    AS total_bpe_tokens
+         |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val merges = graft.functions.Bpe.learnFromCorpus(docs, "text",
-        numMerges = 200, maxWords = 5000)
-      val toks = graft.functions.Bpe.tokenize(s, docs, "doc_id", "text", merges)
-        .toDF().select(col("id"), col("tokens"))
+      val toks = graft.functions.Bpe.tokenize(s, docs, "doc_id", "text",
+        graft.functions.Bpe.pinnedMerges).toDF().select(col("id"), col("tokens"))
       graft.operators.Chunking.byArray(toks, "id", "tokens",
           chunk = 32, overlap = 8)
         .groupBy(col("id").as("doc_id"))

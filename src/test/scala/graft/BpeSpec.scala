@@ -38,6 +38,49 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encodeWord("x", ranks) === Vector("x"))
   }
 
+  test("pinned codebook is stable and the oracle replay equivalence holds") {
+    // the t_bpe_* oracles embed Bpe.pinnedMerges as literal replace
+    // chains — a drift in seedVocab or learn() must fail HERE, not as an
+    // opaque hash mismatch in the driver's compare
+    val m = Bpe.pinnedMerges
+    assert(m.length === 48)
+    // spot-pin the head (full determinism is learn()'s golden test above)
+    assert(m.take(4) === Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r")))
+    assert(m.distinct.length === m.length, "duplicate merge learned")
+    // rank-monotone creation order — the property the SQL replay's
+    // sequential-pass ≡ greedy-loop equivalence proof rests on: every
+    // merge's parts are single chars or tokens created by EARLIER merges
+    val created = scala.collection.mutable.Set.empty[String]
+    m.foreach { case (a, b) =>
+      assert(a.length == 1 || created(a), s"part '$a' not yet created")
+      assert(b.length == 1 || created(b), s"part '$b' not yet created")
+      created += (a + b)
+    }
+    // sequential single-pass application in rank order == greedy encode,
+    // on every seed word and on words with unseen chars
+    val ranks = m.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    def sequential(word: String): Vector[String] = {
+      var syms = word.map(_.toString).toVector
+      m.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == a && syms(k + 1) == b) {
+            out += (a + b); k += 2
+          } else { out += syms(k); k += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val words = Bpe.seedVocab.map(_._1) ++
+      Seq("joins", "hashjoin", "xyzzy", "sorted", "a", "windowing", "qq")
+    words.foreach { w =>
+      assert(sequential(w) === Bpe.encodeWord(w, ranks),
+        s"sequential replay diverges from greedy encode on '$w'")
+    }
+  }
+
   test("corpus learning + distributed tokenize match the driver-side loop") {
     // corpus whose word frequencies reproduce the golden vocab
     val rows = wordCounts.flatMap { case (w, c) =>
