@@ -18,7 +18,7 @@ object SparkEntry {
       Curation.defs ++ StreamingQueries.defs ++ StatsOps.defs ++
       ExperimentOps.defs ++ AlignmentOps.defs ++ RobustOps.defs ++
       EvalOps.defs ++ AnalysisOps.defs ++ RevenueOps.defs ++
-      AppliedOps.defs
+      AppliedOps.defs ++ TpchOps.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names")

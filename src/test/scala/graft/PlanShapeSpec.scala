@@ -148,7 +148,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "a_feature_importance",   // broadcast 1-row label totals onto the
                               // bounded feature-value cells
     "sim_rank_fusion",        // broadcast 8-query batch x corpus scan
-    "sim_knn_vote")           // broadcast centroid codebook (knnGraph)
+    "sim_knn_vote",           // broadcast centroid codebook (knnGraph)
+    "q11_important_supply",   // broadcast 1-row value-total threshold
+    "q15_top_supplier",       // broadcast 1-row max-revenue scalar
+    "q22_idle_customers")     // broadcast 1-row avg-balance threshold
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
