@@ -216,6 +216,21 @@ object ScaleProbe {
       Dedup.canonicalSelection(clusters,
         corpus.withColumnsRenamed(Map("doc_id" -> "id")), prio)
     }
+    // cluster-aware train/eval split (t_leakage_safe_split): dup pairs →
+    // CC closure → whole-cluster hash assignment. Same MinHash pair
+    // source as canonical_select (ngram postings cap out under k×
+    // replication); the replicated corpus is the worst case for the
+    // closure — every doc sits in a k-member exact-dup cluster.
+    time("leakage_split") {
+      val clusters = Dedup.connectedComponents(
+          Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.8))
+        .staged
+      Dedup.leakageSafeSplit(clusters, corpus, "doc_id", Seq(0.8, 0.2))
+        .zipWithIndex.map { case (df, i) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(i).cast("long").as("split_id"), col("n_docs"))
+        }.reduce(_ unionByName _)
+    }
 
     // embeddings replicated the same way: every vector gains k−1 EXACT
     // duplicates (cosine 1.0 — the within-cluster prune's worst case);
@@ -377,6 +392,72 @@ object ScaleProbe {
         .filter(col("pk_a") < col("pk_b"))
         .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("pk_a"), col("pk_b")).limit(100)
+    }
+    // item-item CF end-to-end (q_item_recs verbatim): co-pair prune at
+    // co>=2, sqrt-cosine sim, top-20 neighborhoods, user scoring, top-3
+    // window. Replication regime = more transactions over a fixed
+    // catalog, so co counts inflate k× and the absolute prune keeps all
+    // pairs — the honest worst case for the basket self-join.
+    time("item_recs") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val ob = li.select(col("l_orderkey"), col("l_partkey")).distinct().staged
+      val freq = ob.groupBy("l_partkey").agg(count(lit(1)).as("f"))
+      val co = ob.select(col("l_orderkey"), col("l_partkey").as("ia"))
+        .join(ob.select(col("l_orderkey"), col("l_partkey").as("ib")),
+          Seq("l_orderkey"))
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      val sim = co
+        .join(freq.select(col("l_partkey").as("ia"), col("f").as("fa")), Seq("ia"))
+        .join(freq.select(col("l_partkey").as("ib"), col("f").as("fb")), Seq("ib"))
+        .select(col("ia"), col("ib"),
+          Det.roundN(col("n") / sqrt(col("fa") * col("fb")), 6).as("s"))
+        .staged
+      val nbrW = Window.partitionBy("ia").orderBy(desc("s"), col("ib"))
+      val simd = sim.unionByName(sim.select(col("ib").as("ia"),
+          col("ia").as("ib"), col("s")))
+        .withColumn("nrk", row_number().over(nbrW))
+        .filter(col("nrk") <= 20).drop("nrk")
+      val ui = ord.select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+        .join(ob, Seq("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")).distinct().staged
+      val sc = ui.join(simd, ui("l_partkey") === simd("ia"))
+        .groupBy(col("o_custkey"), col("ib").as("rec_part"))
+        .agg(sum(col("s").cast(DecimalType(18, 6))).cast("double").as("score"))
+      val unseen = sc.join(
+        ui.select(col("o_custkey"), col("l_partkey").as("rec_part")),
+        Seq("o_custkey", "rec_part"), "left_anti")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("score"), col("rec_part"))
+      unseen.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    }
+    // A-priori 3-itemsets: candidate lattice from frequent pairs, third
+    // edge pruned before support counting (a_itemsets3)
+    time("itemsets3")(
+      graft.operators.Itemsets.frequentTriples(li, "l_orderkey",
+        "l_partkey", minSupport = 2L))
+    // pair lift over basket co-occurrence + broadcast support/total
+    // relations (a_basket_lift)
+    time("basket_lift") {
+      val b = li.select(col("l_orderkey"), col("l_partkey")).distinct().staged
+      val no = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val sup = b.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+      b.select(col("l_orderkey"), col("l_partkey").as("pk_a"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("pk_b")),
+          Seq("l_orderkey"))
+        .filter(col("pk_a") < col("pk_b"))
+        .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("n_pair"))
+        .join(broadcast(sup.select(col("l_partkey").as("pk_a"),
+          col("n_part").as("__sa"))), Seq("pk_a"))
+        .join(broadcast(sup.select(col("l_partkey").as("pk_b"),
+          col("n_part").as("__sb"))), Seq("pk_b"))
+        .crossJoin(broadcast(no))
+        .select(col("pk_a"), col("pk_b"), col("n_pair"),
+          Det.roundN(col("n_pair") * lit(1.0) * col("n_orders")
+            / (col("__sa") * lit(1.0) * col("__sb")), 6).as("lift"))
+        .orderBy(col("n_pair").desc, col("pk_a"), col("pk_b")).limit(50)
     }
     time("weighted_median")(
       graft.operators.WeightedStats.weightedMedian(li,

@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Gold user-engagement rollup — the reference declares + indexes
   * gold.user_engagement_metrics (model_gold.py:93-103,132: engagement_date,
@@ -53,9 +54,19 @@ object GoldEngagement {
         count(lit(1)).as("post_count"),
         Det.roundN(Det.davg(col("body_length")), 2).as("avg_post_length"),
         sum(col("word_count")).cast("long").as("total_words"))
+      // score*100 = 1000·posts + 10·words + 5·avg_len is EXACT in
+      // DECIMAL(28,2) (avg_len carries 2 decimals, so 5·avg_len has 2),
+      // which makes the half-up rounding a decimal floor instead of a
+      // double floor: the all-double form hit a genuine .xx5 tie at
+      // sf0.001 that Spark (pure double) and DuckDB (mixed
+      // decimal/double) split to opposite sides. Found by the cross-SF
+      // verify gate; the decimal form is tie-exact at any SF.
       .withColumn("engagement_score",
-        Det.roundN(col("post_count") * 10.0 + col("total_words") * 0.1 +
-          col("avg_post_length") * 0.05, 2))
+        floor((col("post_count") * 1000 + col("total_words") * 10)
+            .cast(DecimalType(28, 2))
+          + (col("avg_post_length") * 5).cast(DecimalType(28, 2))
+          + lit(0.5).cast(DecimalType(28, 2)))
+          .cast("double") / 100.0)
       .withColumn("activity_level",
         when(col("post_count") >= 5, "power_user")
           .when(col("post_count") >= 3, "active")

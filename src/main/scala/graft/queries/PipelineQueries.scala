@@ -272,7 +272,11 @@ object PipelineQueries {
            |  FROM posts GROUP BY 1, 2)
            |SELECT engagement_date, user_id, post_count, avg_post_length,
            |  total_words,
-           |  ${Det.roundNSql("post_count * 10.0 + total_words * 0.1 + avg_post_length * 0.05", 2)} AS engagement_score,
+           |  CAST(FLOOR(CAST(post_count * 1000 + total_words * 10
+           |      AS DECIMAL(28,2))
+           |    + CAST(avg_post_length * 5 AS DECIMAL(28,2))
+           |    + CAST(0.5 AS DECIMAL(28,2))) AS DOUBLE) / 100.0
+           |    AS engagement_score,
            |  CASE WHEN post_count >= 5 THEN 'power_user'
            |       WHEN post_count >= 3 THEN 'active'
            |       WHEN post_count >= 2 THEN 'casual'

@@ -283,5 +283,66 @@ object StreamingQueries {
           col("last_seen"))
         .orderBy("user_id", "session_start")
     },
+
+    // End state of a STREAM-STATIC broadcast-join enrichment — the
+    // remaining core streaming pattern after dedup/window/session: each
+    // micro-batch of the event stream joins the STATIC customer
+    // dimension (user_id+1 = c_custkey, broadcast — stateless, no
+    // watermark, re-resolved per batch exactly as a slowly-changing dim
+    // would be), the enriched rows land append-only with their batch id,
+    // and the lake is rolled up per (batch, mktsegment). Batch
+    // boundaries are the same three 10-day cuts as the sessionizer, so
+    // the end state is a pure function of the data; the oracle derives
+    // the batch id from the SAME date cuts and replays the join+rollup
+    // in SQL. Hash-checks that per-batch enrichment neither drops,
+    // duplicates, nor cross-contaminates batches.
+    QueryDef.sql(
+      "q_stream_enrich_replay",
+      s"""WITH e AS (
+         |  SELECT user_id, COALESCE(value, 0) AS value,
+         |    CASE WHEN ts <  TIMESTAMP '2024-01-11' THEN 0
+         |         WHEN ts <  TIMESTAMP '2024-01-21' THEN 1
+         |         ELSE 2 END AS batch_id
+         |  FROM events),
+         |j AS (
+         |  SELECT e.batch_id, c.c_mktsegment, e.value
+         |  FROM e JOIN customer c ON c.c_custkey = e.user_id + 1)
+         |SELECT batch_id, c_mktsegment, COUNT(*) AS n_events,
+         |  ${Det.roundNSql(
+             s"CAST(${Det.dsumSql("value", 6)} AS DOUBLE)", 6)} AS total_value
+         |FROM j GROUP BY 1, 2
+         |ORDER BY batch_id, c_mktsegment""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+      val d1 = lit("2024-01-11").cast("timestamp")
+      val d2 = lit("2024-01-21").cast("timestamp")
+      val srcDir = Files.createTempDirectory("enrich-replay-src")
+      stageBatchFrames(Seq(
+        ev.filter(col("ts") < d1),
+        ev.filter(col("ts") >= d1 && col("ts") < d2),
+        ev.filter(col("ts") >= d2)), srcDir)
+      val outDir = Files.createTempDirectory("enrich-replay-out").toString
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .join(broadcast(dim), col("c_custkey") === col("user_id") + 1)
+      val q = enriched.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir)
+        .groupBy(col("batch_id"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          Det.roundN(Det.dsum(col("value"), 6).cast("double"), 6)
+            .as("total_value"))
+        .orderBy("batch_id", "c_mktsegment")
+    },
   )
 }
