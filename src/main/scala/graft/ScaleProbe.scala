@@ -393,12 +393,16 @@ object ScaleProbe {
         .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("pk_a"), col("pk_b")).limit(100)
     }
-    // item-item CF end-to-end (q_item_recs verbatim): co-pair prune at
-    // co>=2, sqrt-cosine sim, top-20 neighborhoods, user scoring, top-3
-    // window. Replication regime = more transactions over a fixed
-    // catalog, so co counts inflate k× and the absolute prune keeps all
-    // pairs — the honest worst case for the basket self-join.
-    time("item_recs") {
+    // item-item CF end-to-end (q_item_recs): co-pair prune, sqrt-cosine
+    // sim, top-20 neighborhoods, user scoring, top-3 window. Replication
+    // regime = more transactions over a fixed catalog, so co counts
+    // inflate k× — the ABSOLUTE co>=2 prune stops pruning (pairs seen
+    // once now pass: measured exp 1.22 at k=11, vs the ~1.0 linear floor
+    // this per-user operator has from k× users), while the RELATIVE
+    // prune co >= 2k (the threshold as a basket-count fraction — how
+    // co-occurrence thresholds are actually set at corpus scale) keeps
+    // the pair space fixed. Probe both.
+    def itemRecs(minCo: Long) = {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val ob = li.select(col("l_orderkey"), col("l_partkey")).distinct().staged
@@ -408,7 +412,7 @@ object ScaleProbe {
           Seq("l_orderkey"))
         .filter(col("ia") < col("ib"))
         .groupBy("ia", "ib").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
+        .filter(col("n") >= minCo)
       val sim = co
         .join(freq.select(col("l_partkey").as("ia"), col("f").as("fa")), Seq("ia"))
         .join(freq.select(col("l_partkey").as("ib"), col("f").as("fb")), Seq("ib"))
@@ -433,11 +437,21 @@ object ScaleProbe {
         .orderBy(desc("score"), col("rec_part"))
       unseen.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
     }
-    // A-priori 3-itemsets: candidate lattice from frequent pairs, third
-    // edge pruned before support counting (a_itemsets3)
+    time("item_recs")(itemRecs(minCo = 2L))
+    time("item_recs_rel")(itemRecs(minCo = 2L * k))
+    // A-priori 3-itemsets (a_itemsets3): candidate lattice from frequent
+    // pairs, third edge pruned before support counting. Absolute
+    // minSupport=2 degenerates under k× replication (all supports
+    // inflate k×, so the lattice admits every triple — output exploded
+    // 0 → 1.6M rows at k=11, exp ~1.4); the RELATIVE threshold 2k (a
+    // fixed fraction of baskets, the A-priori norm) keeps the lattice
+    // scale-invariant. Probe both.
     time("itemsets3")(
       graft.operators.Itemsets.frequentTriples(li, "l_orderkey",
         "l_partkey", minSupport = 2L))
+    time("itemsets3_rel")(
+      graft.operators.Itemsets.frequentTriples(li, "l_orderkey",
+        "l_partkey", minSupport = 2L * k))
     // pair lift over basket co-occurrence + broadcast support/total
     // relations (a_basket_lift)
     time("basket_lift") {
@@ -649,14 +663,6 @@ object ScaleProbe {
     time("phrase_search")(
       TextFunctions.phraseSearch(corpus, "doc_id", "text",
         Seq("value", "table")))
-    // frequent triples: candidate lattice lives in frequent-pair space;
-    // with k× exact replication supports scale k× but the item/pair
-    // universe is fixed, so candidates stay bounded
-    time("itemsets3") {
-      val li = graft.engine.Tables.lineitem(spark, sfDir)
-      graft.operators.Itemsets.frequentTriples(li, "l_orderkey", "l_partkey",
-        minSupport = 2L)
-    }
     // golden record: one entity-keyed aggregate + modal two-level agg
     time("golden_record") {
       val recency = struct(col("ts"), col("event_id"))
