@@ -607,6 +607,240 @@ object EvalOps {
         .agg(count(col("t_vec")).as("n_overlap"),
           Det.roundN(count(col("t_vec")) * 1.0 / 10, 6).as("recall_at_10"))
         .orderBy("query_id")
-    }
+    },
+
+    // ---- LLM evaluation harness --------------------------------------
+    // A deterministic synthetic eval run derived from the events table:
+    // task = event_id mod 200, "model" = event_type (5 models), each
+    // event one sample whose correctness/confidence draws come from the
+    // cross-engine h56 hash with per-model accuracy thresholds. The four
+    // queries below are the aggregate layer every model-eval pipeline
+    // needs; all reduce to bounded groupBys (tasks × models × small
+    // constants) over one scan.
+
+    // pass@k with the exact unbiased estimator 1 − C(n−c,k)/C(n,k),
+    // expanded as a product of k rational terms (all-double, identical
+    // operation order on both engines; n−c<k short-circuits to 1).
+    // Per-(model,task) n and c are one keyed aggregate; the per-model
+    // average is a 6-dp-rounded decimal mean, order-free.
+    QueryDef.sql(
+      "e_pass_at_k", {
+        def passK(k: Int) =
+          if (k == 1) "CAST(c AS DOUBLE) / n"
+          else s"CASE WHEN n - c < $k THEN 1.0 ELSE 1.0 - " +
+            (0 until k).map(i => s"(CAST(n - c - $i AS DOUBLE) / (n - $i))")
+              .mkString(" * ") + " END"
+        s"""WITH runs AS (
+           |  SELECT event_id % 200 AS task_id, event_type AS model,
+           |    CASE WHEN ${Det.h56Sql("'c:' || CAST(event_id AS VARCHAR)")} % 1000
+           |      < CASE event_type WHEN 'click' THEN 300 WHEN 'error' THEN 150
+           |             WHEN 'purchase' THEN 500 WHEN 'signup' THEN 650
+           |             ELSE 400 END
+           |    THEN 1 ELSE 0 END AS correct
+           |  FROM events),
+           |pt AS (
+           |  SELECT model, task_id, COUNT(*) AS n,
+           |    CAST(SUM(correct) AS BIGINT) AS c
+           |  FROM runs GROUP BY 1, 2),
+           |pp AS (
+           |  SELECT model, ${roundN(passK(1), 6)} AS p1,
+           |    ${roundN(passK(5), 6)} AS p5, ${roundN(passK(10), 6)} AS p10
+           |  FROM pt)
+           |SELECT model, COUNT(*) AS n_tasks,
+           |  ${roundN(s"CAST(SUM(CAST(p1 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)", 6)} AS pass_at_1,
+           |  ${roundN(s"CAST(SUM(CAST(p5 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)", 6)} AS pass_at_5,
+           |  ${roundN(s"CAST(SUM(CAST(p10 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)", 6)} AS pass_at_10
+           |FROM pp GROUP BY 1 ORDER BY model""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val runs = evalRuns(s, d)
+      val pt = runs.groupBy("model", "task_id")
+        .agg(count(lit(1)).as("n"), sum("correct").cast("long").as("c"))
+      def passK(k: Int) =
+        if (k == 1) col("c").cast("double") / col("n")
+        else when(col("n") - col("c") < k, lit(1.0)).otherwise(
+          lit(1.0) - (0 until k).map(i =>
+            (col("n") - col("c") - i).cast("double") / (col("n") - i))
+            .reduce(_ * _))
+      val pp = pt.select(col("model"), Det.roundN(passK(1), 6).as("p1"),
+        Det.roundN(passK(5), 6).as("p5"), Det.roundN(passK(10), 6).as("p10"))
+      def davg6(c: org.apache.spark.sql.Column) =
+        Det.roundN(sum(c.cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6)
+      pp.groupBy("model").agg(count(lit(1)).as("n_tasks"),
+          davg6(col("p1")).as("pass_at_1"), davg6(col("p5")).as("pass_at_5"),
+          davg6(col("p10")).as("pass_at_10"))
+        .orderBy("model")
+    },
+
+    // Self-consistency: majority-vote answer per (model, task) over the
+    // task's samples (answer = gold when the correctness draw passes,
+    // else a hash-drawn distractor), then per-model accuracy of the
+    // modal answer. The vote window is bounded by the 4-answer domain.
+    QueryDef.sql(
+      "e_self_consistency",
+      s"""WITH runs AS (
+         |  SELECT event_id % 200 AS task_id, event_type AS model,
+         |    CAST(event_id % 200 AS BIGINT) % 4 AS gold,
+         |    CASE WHEN ${Det.h56Sql("'c:' || CAST(event_id AS VARCHAR)")} % 1000
+         |      < CASE event_type WHEN 'click' THEN 300 WHEN 'error' THEN 150
+         |             WHEN 'purchase' THEN 500 WHEN 'signup' THEN 650
+         |             ELSE 400 END
+         |    THEN CAST(event_id % 200 AS BIGINT) % 4
+         |    ELSE ${Det.h56Sql("'a:' || CAST(event_id AS VARCHAR)")} % 4
+         |    END AS answer
+         |  FROM events),
+         |votes AS (
+         |  SELECT model, task_id, gold, answer, COUNT(*) AS cnt
+         |  FROM runs GROUP BY 1, 2, 3, 4),
+         |modal AS (
+         |  SELECT model, task_id, gold, answer,
+         |    row_number() OVER (PARTITION BY model, task_id
+         |                       ORDER BY cnt DESC, answer) AS rk
+         |  FROM votes)
+         |SELECT model, COUNT(*) AS n_tasks,
+         |  ${roundN(
+           "CAST(COUNT(CASE WHEN answer = gold THEN 1 END) AS DOUBLE) / COUNT(*)",
+           6)} AS sc_accuracy
+         |FROM modal WHERE rk = 1
+         |GROUP BY 1 ORDER BY model""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val runs = evalRuns(s, d)
+        .withColumn("gold", (col("task_id").cast("long")) % 4)
+        .withColumn("answer", when(col("correct") === 1, col("gold"))
+          .otherwise(Det.h56(concat(lit("a:"),
+            col("event_id").cast("string"))) % 4))
+      val votes = runs.groupBy("model", "task_id", "gold", "answer")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("model", "task_id")
+        .orderBy(desc("cnt"), col("answer"))
+      votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy("model")
+        .agg(count(lit(1)).as("n_tasks"),
+          Det.roundN(count(when(col("answer") === col("gold"), 1))
+            .cast("double") / count(lit(1)), 6).as("sc_accuracy"))
+        .orderBy("model")
+    },
+
+    // Model-cascade routing economics: a confidence-threshold sweep (the
+    // 5-point grid broadcasts, constant fanout) — below the threshold
+    // the sample routes to the 10×-cost big model. One conditional
+    // aggregate per threshold: routed fraction, end-to-end accuracy,
+    // mean cost — the cost/quality frontier a router is tuned on.
+    QueryDef.sql(
+      "e_cascade_cost",
+      s"""WITH runs AS (
+         |  SELECT event_id,
+         |    CASE WHEN ${Det.h56Sql("'c:' || CAST(event_id AS VARCHAR)")} % 1000 < 350
+         |         THEN 1 ELSE 0 END AS small_ok,
+         |    CASE WHEN ${Det.h56Sql("'b:' || CAST(event_id AS VARCHAR)")} % 1000 < 750
+         |         THEN 1 ELSE 0 END AS big_ok,
+         |    CAST(${Det.h56Sql("'s:' || CAST(event_id AS VARCHAR)")} % 10000 AS DOUBLE)
+         |      / 10000.0 AS conf
+         |  FROM events),
+         |grid(t) AS (VALUES (0.0), (0.25), (0.5), (0.75), (0.9))
+         |SELECT t, COUNT(*) AS n,
+         |  ${roundN("CAST(COUNT(CASE WHEN conf >= t THEN 1 END) AS DOUBLE) / COUNT(*)", 6)}
+         |    AS frac_small,
+         |  ${roundN(
+           "CAST(SUM(CASE WHEN conf >= t THEN small_ok ELSE big_ok END) AS DOUBLE) / COUNT(*)",
+           6)} AS accuracy,
+         |  ${roundN(
+           "CAST(SUM(CASE WHEN conf >= t THEN 10 ELSE 100 END) AS DOUBLE) / (10.0 * COUNT(*))",
+           6)} AS avg_cost
+         |FROM runs, grid GROUP BY t ORDER BY t""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val runs = Tables.events(s, d).select(
+        when(Det.h56(concat(lit("c:"), col("event_id").cast("string")))
+          % 1000 < 350, 1).otherwise(0).as("small_ok"),
+        when(Det.h56(concat(lit("b:"), col("event_id").cast("string")))
+          % 1000 < 750, 1).otherwise(0).as("big_ok"),
+        ((Det.h56(concat(lit("s:"), col("event_id").cast("string")))
+          % 10000).cast("double") / 10000.0).as("conf"))
+      val grid = Seq(0.0, 0.25, 0.5, 0.75, 0.9).toDF("t")
+      runs.crossJoin(broadcast(grid))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n"),
+          Det.roundN(count(when(col("conf") >= col("t"), 1))
+            .cast("double") / count(lit(1)), 6).as("frac_small"),
+          Det.roundN(sum(when(col("conf") >= col("t"), col("small_ok"))
+            .otherwise(col("big_ok"))).cast("double") / count(lit(1)), 6)
+            .as("accuracy"),
+          Det.roundN(sum(when(col("conf") >= col("t"), 10).otherwise(100))
+            .cast("double") / (lit(10.0) * count(lit(1))), 6).as("avg_cost"))
+        .orderBy("t")
+    },
+
+    // Pairwise win-rate matrix over the 5-model roster: per-(task,model)
+    // INTEGER quality score (1000·wins + confidence draw — exact, no
+    // float compare), task-keyed self-join under model_a < model_b
+    // (bounded 10-pair fanout per task), win/tie counts as integers.
+    QueryDef.sql(
+      "e_winrate_matrix",
+      s"""WITH runs AS (
+         |  SELECT event_id % 200 AS task_id, event_type AS model,
+         |    CASE WHEN ${Det.h56Sql("'c:' || CAST(event_id AS VARCHAR)")} % 1000
+         |      < CASE event_type WHEN 'click' THEN 300 WHEN 'error' THEN 150
+         |             WHEN 'purchase' THEN 500 WHEN 'signup' THEN 650
+         |             ELSE 400 END
+         |    THEN 1 ELSE 0 END AS correct,
+         |    ${Det.h56Sql("'s:' || CAST(event_id AS VARCHAR)")} % 1000 AS draw
+         |  FROM events),
+         |q AS (
+         |  SELECT model, task_id,
+         |    CAST(SUM(correct) * 1000 + MAX(draw) AS BIGINT) AS s
+         |  FROM runs GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.model AS model_a, b.model AS model_b,
+         |    COUNT(*) AS n_tasks,
+         |    COUNT(CASE WHEN a.s > b.s THEN 1 END) AS wins_a,
+         |    COUNT(CASE WHEN a.s = b.s THEN 1 END) AS ties
+         |  FROM q a JOIN q b ON a.task_id = b.task_id AND a.model < b.model
+         |  GROUP BY 1, 2)
+         |SELECT model_a, model_b, n_tasks, wins_a, ties,
+         |  ${roundN(
+           "CASE WHEN n_tasks - ties > 0 THEN CAST(wins_a AS DOUBLE) / (n_tasks - ties) ELSE 0.5 END",
+           6)} AS win_rate_a
+         |FROM pairs ORDER BY model_a, model_b""".stripMargin) { (s, d) =>
+      val runs = evalRuns(s, d)
+        .withColumn("draw",
+          Det.h56(concat(lit("s:"), col("event_id").cast("string"))) % 1000)
+      val q = runs.groupBy("model", "task_id")
+        .agg((sum("correct") * 1000 + max("draw")).cast("long").as("s"))
+      val a = q.select(col("model").as("model_a"), col("task_id"),
+        col("s").as("sa"))
+      val b = q.select(col("model").as("model_b"),
+        col("task_id").as("tb"), col("s").as("sb"))
+      a.join(b, col("task_id") === col("tb")
+          && col("model_a") < col("model_b"))
+        .groupBy("model_a", "model_b")
+        .agg(count(lit(1)).as("n_tasks"),
+          count(when(col("sa") > col("sb"), 1)).as("wins_a"),
+          count(when(col("sa") === col("sb"), 1)).as("ties"))
+        .select(col("model_a"), col("model_b"), col("n_tasks"),
+          col("wins_a"), col("ties"),
+          Det.roundN(when(col("n_tasks") - col("ties") > 0,
+            col("wins_a").cast("double") / (col("n_tasks") - col("ties")))
+            .otherwise(0.5), 6).as("win_rate_a"))
+        .orderBy("model_a", "model_b")
+    },
   )
+
+  /** Shared synthetic eval-run relation: task = event_id mod 200,
+    * model = event_type, per-sample correctness from the h56 draw under
+    * per-model accuracy thresholds. */
+  private def evalRuns(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val thr = when(col("event_type") === "click", 300)
+      .when(col("event_type") === "error", 150)
+      .when(col("event_type") === "purchase", 500)
+      .when(col("event_type") === "signup", 650)
+      .otherwise(400)
+    Tables.events(s, d).select(
+      (col("event_id") % 200).as("task_id"),
+      col("event_type").as("model"),
+      col("event_id"),
+      when(Det.h56(concat(lit("c:"), col("event_id").cast("string")))
+        % 1000 < thr, 1).otherwise(0).as("correct"))
+  }
 }

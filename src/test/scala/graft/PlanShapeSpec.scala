@@ -151,7 +151,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_knn_vote",           // broadcast centroid codebook (knnGraph)
     "q11_important_supply",   // broadcast 1-row value-total threshold
     "q15_top_supplier",       // broadcast 1-row max-revenue scalar
-    "q22_idle_customers")     // broadcast 1-row avg-balance threshold
+    "q22_idle_customers",     // broadcast 1-row avg-balance threshold
+    "e_cascade_cost")         // broadcast 5-row threshold grid sweep
 
   // construction of q_pipeline_run executes a full medallion lake run —
   // covered by PipelineSpec; everything it joins appears in other queries
