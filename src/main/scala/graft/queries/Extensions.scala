@@ -506,6 +506,55 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Tokenizer FERTILITY per language — tokens/word and chars/token
+    // under the pinned codebook: the standard tokenizer-quality report
+    // (a vocabulary trained on one language family fragments the others;
+    // fertility quantifies it, and drives per-language token budgeting).
+    // Integer sums per language, ratios only at the end — hash-exact.
+    QueryDef.sql(
+      "t_bpe_fertility",
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(str_split_regex(trim(lower(text)), '\\s+'),
+         |                x -> x <> '') AS words
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, lang, len(words) AS n_words,
+         |    flatten(list_transform(words,
+         |      bw -> ${graft.functions.Bpe.encodeSqlDuck("bw")})) AS toks
+         |  FROM w),
+         |pd AS (
+         |  SELECT lang, n_words, len(toks) AS n_toks,
+         |    CAST(list_sum(list_transform(toks, x -> length(x)))
+         |      AS BIGINT) AS n_chars
+         |  FROM t)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS words,
+         |  CAST(SUM(n_toks) AS BIGINT) AS bpe_tokens,
+         |  ${Det.roundNSql(
+           "CAST(SUM(n_toks) AS DOUBLE) / SUM(n_words)", 6)} AS fertility,
+         |  ${Det.roundNSql(
+           "CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks)", 6)} AS chars_per_token
+         |FROM pd GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = graft.functions.Bpe.tokenize(s, docs, "doc_id", "text",
+          graft.functions.Bpe.pinnedMerges).toDF()
+        .select(col("id").as("doc_id"), col("n_words"),
+          col("n_bpe_tokens").as("n_toks"),
+          aggregate(col("tokens"), lit(0L),
+            (acc, x) => acc + length(x)).as("n_chars"))
+      docs.select(col("doc_id"), col("lang")).join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").cast("long").as("words"),
+          sum("n_toks").cast("long").as("bpe_tokens"),
+          Det.roundN(sum("n_toks").cast("double") / sum("n_words"), 6)
+            .as("fertility"),
+          Det.roundN(sum("n_chars").cast("double") / sum("n_toks"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     QueryDef.sql(
       "t_langid", {
         def hitsSql(ws: Seq[String]) =
