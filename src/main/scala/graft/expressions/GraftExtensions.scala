@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectFunction(GraftFunctions.jaroWinklerDescriptor)
+    e.injectFunction(GraftFunctions.kmvSketchDescriptor)
     e.injectOptimizerRule(BroadcastGuard)
   }
 }
@@ -37,6 +38,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1)): Expression)
 
+  private[graft] val kmvSketchDescriptor =
+    (new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (children: Seq[Expression]) => KmvSketchAgg(children): Expression)
+
   /** Idempotent runtime registration into an existing session: the
     * cosine_sim expression plus the BroadcastGuard optimizer rule (via
     * experimental.extraOptimizations — the post-hoc injection point for
@@ -54,6 +60,10 @@ object GraftFunctions {
       "jaro_winkler",
       children => JaroWinkler(children(0), children(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch",
+      children => KmvSketchAgg(children),
+      "scala_udf")
     val existing = spark.experimental.extraOptimizations
     if (!existing.exists(_.isInstanceOf[BroadcastGuard]))
       spark.experimental.extraOptimizations = existing :+ BroadcastGuard(spark)
@@ -68,4 +78,8 @@ object GraftFunctions {
 
   def jaro_winkler(a: Column, b: Column): Column =
     call_function("jaro_winkler", a, b)
+
+  /** One-pass KMV sketch aggregate (requires registration). */
+  def kmv_sketch(h: Column, k: Int): Column =
+    call_function("kmv_sketch", h, org.apache.spark.sql.functions.lit(k))
 }

@@ -366,6 +366,9 @@ object ScaleOps {
     // estimate, the exact count, and the realized relative error are all
     // hash-checked against DuckDB. k=64 ⇒ ~12% error bound; the observed
     // rel_err column keeps the estimator honest in the artifact itself.
+    // (Two engine paths share this oracle: the relational Kmv.sketch
+    // here, and the native one-pass kmv_sketch aggregate in
+    // a_kmv_native below — bit-identical by construction.)
     QueryDef.sql(
       "a_kmv_distinct",
       s"""WITH h AS (
@@ -395,6 +398,55 @@ object ScaleOps {
         .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
       Kmv.estimate(sk, "o_orderpriority", 64)
         .join(exact, Seq("o_orderpriority"))
+        .withColumn("rel_err", Det.roundN(
+          abs(col("est_distinct") - col("exact_distinct"))
+            / col("exact_distinct"), 4))
+        .orderBy("o_orderpriority")
+    },
+
+    // The SAME sketch through the native one-pass aggregate
+    // (expressions/KmvSketchAgg, a TypedImperativeAggregate): no
+    // upstream distinct() — dedup is set semantics inside the O(k)
+    // per-group buffer — so the only exchange carries ≤ k longs per
+    // (group, partition) instead of the key domain. Min-k is
+    // associative/commutative/idempotent, so the result is a pure
+    // function of the value set: the oracle is IDENTICAL to
+    // a_kmv_distinct's, proving native ≡ relational bit-for-bit.
+    QueryDef.sql(
+      "a_kmv_native",
+      s"""WITH h AS (
+         |  SELECT DISTINCT o_orderpriority AS grp,
+         |    ${Det.h56Sql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders),
+         |r AS (
+         |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+         |  FROM h),
+         |sk AS (SELECT grp, h FROM r WHERE rn <= 64),
+         |est AS (
+         |  SELECT grp, ${Det.roundNSql(
+            "CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE) " +
+              "ELSE 63e0 * 72057594037927936e0 / MAX(h) END", 2)} AS est_distinct
+         |  FROM sk GROUP BY grp),
+         |ex AS (
+         |  SELECT o_orderpriority AS grp,
+         |    COUNT(DISTINCT o_custkey) AS exact_distinct
+         |  FROM orders GROUP BY 1)
+         |SELECT grp AS o_orderpriority, est_distinct, exact_distinct,
+         |  ${Det.roundNSql("abs(est_distinct - exact_distinct) / exact_distinct", 4)} AS rel_err
+         |FROM est JOIN ex USING (grp)
+         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      graft.expressions.GraftFunctions.register(s)
+      val orders = Tables.orders(s, d)
+      val sk = orders.groupBy("o_orderpriority")
+        .agg(graft.expressions.GraftFunctions.kmv_sketch(
+          Det.h56(col("o_custkey").cast("string")), 64).as("sk"))
+      val est = sk.select(col("o_orderpriority"),
+        Det.roundN(when(size(col("sk")) < 64, size(col("sk")).cast("double"))
+          .otherwise(lit(63e0) * lit(72057594037927936e0)
+            / element_at(col("sk"), 64)), 2).as("est_distinct"))
+      val exact = orders.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      est.join(exact, Seq("o_orderpriority"))
         .withColumn("rel_err", Det.roundN(
           abs(col("est_distinct") - col("exact_distinct"))
             / col("exact_distinct"), 4))

@@ -111,4 +111,38 @@ class KmvSpec extends AnyFunSuite {
       .as[(Double, Double, Long)].head()
     assert(est == 0.0 && inter == 0.0 && nb == 0L)
   }
+
+  test("native kmv_sketch aggregate == relational sketch, any partitioning") {
+    graft.expressions.GraftFunctions.register(spark)
+    import graft.expressions.GraftFunctions.kmv_sketch
+    import graft.engine.Det
+    // duplicated keys across 3 groups; duplicates must NOT affect the
+    // sketch (set semantics) and partitioning must not either (merge path)
+    val rows = (0 until 5000).map(i => (s"g${i % 3}", s"k${i % 1700}"))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("g", "key").repartition(parts)
+      val native = df.groupBy("g")
+        .agg(kmv_sketch(Det.h56(col("key")), 64).as("sk"))
+        .as[(String, Seq[Long])].collect().toMap
+      val rel = Kmv.sketch(rows.toDF("g", "key"), "g", "key", 64)
+        .groupBy("g").agg(sort_array(collect_list("h")).as("hs"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(native.keySet == rel.keySet)
+      native.foreach { case (g, sk) =>
+        assert(sk == rel(g), s"group $g diverges at $parts partitions")
+        assert(sk.length <= 64 && sk == sk.sorted && sk.distinct == sk)
+      }
+    }
+  }
+
+  test("native kmv_sketch under-k group returns all distinct hashes") {
+    graft.expressions.GraftFunctions.register(spark)
+    import graft.expressions.GraftFunctions.kmv_sketch
+    import graft.engine.Det
+    val df = Seq.tabulate(40)(i => ("g", s"k${i % 10}")).toDF("g", "key")
+    val sk = df.groupBy("g")
+      .agg(kmv_sketch(Det.h56(col("key")), 64).as("sk"))
+      .as[(String, Seq[Long])].head()._2
+    assert(sk.length == 10)
+  }
 }
