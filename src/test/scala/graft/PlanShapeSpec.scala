@@ -210,6 +210,61 @@ class PlanShapeSpec extends AnyFunSuite {
     case _ => false
   }
 
+  // full widths of the fixture tables a scan could fail to prune
+  private val fullWidth = Map("lineitem" -> 11, "orders" -> 6,
+    "customer" -> 5, "part" -> 6, "events" -> 6, "documents" -> 5)
+  // full-ROW operators where reading every column IS the semantics
+  private val fullScanAllowed = Map(
+    "orders" -> Set("p9_dedup_first_per_key"), // keyed full-row dedup
+    "customer" -> Set("j_record_linkage",      // full-record linkage
+      "q_silver_users"))                       // full-record cleaning
+
+  private def scanTable(s: FileSourceScanExec): String =
+    s.relation.location.rootPaths.headOption
+      .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+
+  test("column pruning reaches every wide-table parquet scan") {
+    // a scan that reads all columns of a wide table for a narrow
+    // projection means pruning silently broke — at 100 TB that is the
+    // difference between scanning the projected gigabytes and the whole
+    // table. Audited over every query plan; full-row operators are the
+    // only allowed exceptions.
+    val offenders = plans.flatMap { case (name, plan) =>
+      plan.collect { case s: FileSourceScanExec =>
+        (scanTable(s), s.requiredSchema.fields.length)
+      }.collect {
+        case (t, w) if fullWidth.get(t).exists(w >= _) &&
+            !fullScanAllowed.getOrElse(t, Set.empty)(name) =>
+          s"$name: full-width scan of $t ($w cols)"
+      }
+    }
+    assert(offenders.isEmpty,
+      "wide-table scans reading every column:\n" + offenders.mkString("\n"))
+  }
+
+  test("selective predicates are pushed down to the parquet scan") {
+    // spot-checks on queries whose selectivity lives in a scan-level
+    // predicate: the physical scan must carry PushedFilters, not rely
+    // on a post-scan Filter alone
+    val expectations = Map(
+      "q10_returned_items" -> "lineitem",      // l_returnflag = 'R'
+      "q14_promo_revenue" -> "lineitem",       // shipdate month window
+      "s4_scan_pushdown" -> "lineitem",
+      "q4_priority_fulfillment" -> "orders",   // quarter prune
+      "q3_shipping_priority" -> "orders")      // date prune
+    val byName = plans.toMap
+    expectations.foreach { case (q, table) =>
+      val scans = byName(q).collect {
+        case s: FileSourceScanExec if scanTable(s) == table => s
+      }
+      assert(scans.nonEmpty, s"$q: no $table scan in plan")
+      assert(scans.exists(_.metadata.get("PushedFilters")
+          .exists(f => f.nonEmpty && f != "[]")),
+        s"$q: no pushed filters on $table scan " +
+          s"(${scans.map(_.metadata.getOrElse("PushedFilters", "?"))})")
+    }
+  }
+
   test("unpartitioned WindowExec only over provably bounded input") {
     val offenders = plans.flatMap { case (name, plan) =>
       val unbounded = plan.collect {
