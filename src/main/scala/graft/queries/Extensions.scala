@@ -2238,6 +2238,59 @@ object Extensions {
         .orderBy("id", "frame_id")
     },
 
+    // Video SCENE-CUT detection over the decoded-frame metadata stream:
+    // per-media frame count from the (stubbed-decode) header, per-frame
+    // luma as the deterministic hash stand-in for the decoder's output,
+    // a cut wherever consecutive-frame luma jumps past the threshold
+    // (the classic frame-differencing detector), scene count and mean
+    // scene length per media. Frame fanout is CODEC-BOUNDED (≤ 150 per
+    // media — metadata, not corpus, decides it) and the lag window is
+    // partitioned per media, so the plan is embarrassingly parallel at
+    // any corpus size.
+    QueryDef.sql(
+      "mm_video_scene_detect",
+      s"""WITH m AS (
+         |  SELECT doc_id AS id,
+         |    CAST(${Det.h56Sql("'nf:' || CAST(doc_id AS VARCHAR)")} % 120 + 30
+         |      AS INT) AS n_frames
+         |  FROM documents),
+         |fr AS (
+         |  SELECT id, n_frames, f,
+         |    ${Det.h56Sql(
+             "'luma:' || CAST(id AS VARCHAR) || ':' || CAST(f AS VARCHAR)")}
+         |      % 256 AS luma
+         |  FROM m, LATERAL (SELECT unnest(range(0, n_frames)) AS f) ff),
+         |d AS (
+         |  SELECT id, n_frames, f, luma,
+         |    CASE WHEN abs(luma - lag(luma) OVER (PARTITION BY id ORDER BY f))
+         |           > 96 THEN 1 ELSE 0 END AS cut
+         |  FROM fr)
+         |SELECT id, MAX(n_frames) AS n_frames,
+         |  CAST(SUM(cut) + 1 AS BIGINT) AS n_scenes,
+         |  ${Det.roundNSql(
+           "CAST(MAX(n_frames) AS DOUBLE) / (SUM(cut) + 1)", 6)}
+         |    AS avg_scene_len
+         |FROM d GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.documents(s, d).select(col("doc_id").as("id"),
+        (Det.h56(concat(lit("nf:"), col("doc_id").cast("string"))) % 120 + 30)
+          .cast("int").as("n_frames"))
+      val fr = m.select(col("id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("f"))
+        .withColumn("luma", Det.h56(concat(lit("luma:"),
+          col("id").cast("string"), lit(":"), col("f").cast("string"))) % 256)
+      val w = Window.partitionBy("id").orderBy("f")
+      fr.withColumn("cut",
+          when(abs(col("luma") - lag(col("luma"), 1).over(w)) > 96, 1)
+            .otherwise(0))
+        .groupBy("id")
+        .agg(max("n_frames").as("n_frames"),
+          (sum("cut") + 1).cast("long").as("n_scenes"),
+          Det.roundN(max("n_frames").cast("double") / (sum("cut") + 1), 6)
+            .as("avg_scene_len"))
+        .orderBy("id")
+    },
+
     // The full multimodal → ANN composition on the 100 TB path: media
     // bytes → decoded features (mapPartitions codec seam) → deterministic
     // projection to a normalized float embedding → IVF index build (Lloyd
