@@ -435,6 +435,70 @@ object Extensions {
         .orderBy("doc_id")
     },
 
+    // Curation observability: the FILTER FUNNEL — the rule-gate flags
+    // re-aggregated as an ordered attrition report (who kills what, in
+    // pipeline order: short → long → word-len → stopwords), the first
+    // chart any data-quality review asks for. ONE conditional aggregate
+    // produces every funnel count; the 4-row unpivot is constant-size.
+    // Marginal attribution is order-dependent by design (a doc failing
+    // two rules charges the FIRST), so n_in/n_out telescope exactly.
+    QueryDef.sql(
+      "t_filter_funnel",
+      raw"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(str_split_regex(trim(lower(text)), '\s+')) AS words,
+         |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+         |    len(list_filter(str_split_regex(trim(lower(text)), '\s+'),
+         |        t -> t IN (${TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")}))) AS stop_hits
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, words < 30 AS f1, words > 80 AS f2,
+         |    (CASE WHEN words > 0 THEN ${roundN("chars * 1.0 / words", 2)} ELSE 0.0 END < 3.0
+         |     OR CASE WHEN words > 0 THEN ${roundN("chars * 1.0 / words", 2)} ELSE 0.0 END > 10.0) AS f3,
+         |    CASE WHEN words > 0 THEN ${roundN("stop_hits * 1.0 / words", 4)} ELSE 0.0 END = 0.0 AS f4
+         |  FROM f),
+         |c AS (
+         |  SELECT COUNT(*) AS total,
+         |    COUNT(CASE WHEN f1 THEN 1 END) AS k1,
+         |    COUNT(CASE WHEN NOT f1 AND f2 THEN 1 END) AS k2,
+         |    COUNT(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 END) AS k3,
+         |    COUNT(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 END) AS k4
+         |  FROM g),
+         |u(rule_order, rule, n_killed, n_in) AS (
+         |  SELECT 1, 'too_short', k1, total FROM c
+         |  UNION ALL SELECT 2, 'too_long', k2, total - k1 FROM c
+         |  UNION ALL SELECT 3, 'word_len', k3, total - k1 - k2 FROM c
+         |  UNION ALL SELECT 4, 'no_stopwords', k4, total - k1 - k2 - k3 FROM c)
+         |SELECT CAST(rule_order AS BIGINT) AS rule_order, rule,
+         |  CAST(n_in AS BIGINT) AS n_in, CAST(n_killed AS BIGINT) AS n_killed,
+         |  CAST(n_in - n_killed AS BIGINT) AS n_out,
+         |  ${roundN("CAST(n_killed AS DOUBLE) / n_in", 6)} AS kill_rate
+         |FROM u ORDER BY rule_order""".stripMargin) { (s, d) =>
+      val q = TextFunctions.qualityFeatures(Tables.documents(s, d),
+        "doc_id", "text")
+      val f1 = col("word_count") < 30
+      val f2 = col("word_count") > 80
+      val f3 = col("avg_word_len") < 3.0 || col("avg_word_len") > 10.0
+      val f4 = col("stopword_ratio") === 0.0
+      val c = q.agg(count(lit(1)).as("total"),
+        count(when(f1, 1)).as("k1"),
+        count(when(!f1 && f2, 1)).as("k2"),
+        count(when(!f1 && !f2 && f3, 1)).as("k3"),
+        count(when(!f1 && !f2 && !f3 && f4, 1)).as("k4"))
+      c.select(expr(
+          """stack(4,
+            |  1L, 'too_short',    k1, total,
+            |  2L, 'too_long',     k2, total - k1,
+            |  3L, 'word_len',     k3, total - k1 - k2,
+            |  4L, 'no_stopwords', k4, total - k1 - k2 - k3)
+            |  AS (rule_order, rule, n_killed, n_in)""".stripMargin))
+        .select(col("rule_order"), col("rule"), col("n_in"),
+          col("n_killed"), (col("n_in") - col("n_killed")).as("n_out"),
+          Det.roundN(col("n_killed").cast("double") / col("n_in"), 6)
+            .as("kill_rate"))
+        .orderBy("rule_order")
+    },
+
     // Real merge-table BPE (not the regex proxy in t_token_count),
     // oracle-hash-checked: the codebook is PINNED (Bpe.pinnedMerges —
     // learned by the same Bpe.learn loop from a frozen corpus
