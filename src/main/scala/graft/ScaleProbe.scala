@@ -473,6 +473,59 @@ object ScaleProbe {
             / (col("__sa") * lit(1.0) * col("__sb")), 6).as("lift"))
         .orderBy(col("n_pair").desc, col("pk_a"), col("pk_b")).limit(50)
     }
+    // TPC-H Q21 shape: late lineitems in F-orders, EXISTS(other
+    // supplier) as LEFT SEMI, NOT EXISTS(other late supplier) as LEFT
+    // ANTI — the semi+anti self-join pair on the (order, supplier) set.
+    // Orders carry a synthetic orderdate spread so the late predicate
+    // selects a stable fraction at any k.
+    time("q21_sole_late") {
+      val fo = ord.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val ls = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(fo, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey").distinct().staged
+      val alls = li.select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk")).distinct()
+      ls.join(alls, col("l_orderkey") === col("ok") &&
+          col("l_suppkey") =!= col("sk"), "left_semi")
+        .join(ls.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+          col("l_orderkey") === col("ok2") &&
+            col("l_suppkey") =!= col("sk2"), "left_anti")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+    }
+    // TPC-H Q18 shape: HAVING over the order-quantity aggregate feeding
+    // a keyed join chain — the big-group filter-then-join
+    time("q18_large_orders") {
+      import org.apache.spark.sql.types.DecimalType
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
+        .filter(col("q") > 150)
+      big.join(ord, col("o_orderkey") === col("l_orderkey"))
+        .join(cust.select(col("c_custkey"), col("c_name")),
+          col("c_custkey") === col("o_custkey"))
+        .orderBy(desc("o_totalprice")).limit(20)
+    }
+    // TPC-H Q13 shape: LEFT OUTER join keeping zero-order customers +
+    // the count-of-counts distribution
+    time("q13_distribution") {
+      cust.select("c_custkey")
+        .join(ord.filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_custkey", "o_orderkey"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }
+    // TPC-H Q2 shape: per-part MIN decorrelation joined back on
+    // (part, cost) equality
+    time("q2_min_cost") {
+      val supply = li.groupBy("l_partkey", "l_suppkey")
+        .agg(Det.roundN(min(col("l_extendedprice") / col("l_quantity")), 6)
+          .as("cost")).staged
+      val best = supply.groupBy("l_partkey").agg(min("cost").as("min_cost"))
+      supply.join(best, supply("l_partkey") === best("l_partkey")
+        && col("cost") === col("min_cost"))
+    }
     time("weighted_median")(
       graft.operators.WeightedStats.weightedMedian(li,
         "l_returnflag", "l_extendedprice", "l_quantity"))
