@@ -344,5 +344,73 @@ object StreamingQueries {
             .as("total_value"))
         .orderBy("batch_id", "c_mktsegment")
     },
+
+    // End state of the STREAM-STREAM interval join — click→purchase
+    // attribution driven for real: ONE file-source stream (the three
+    // 10-day batches) self-joined as its click and purchase sides, the
+    // time bound in the join condition so Spark derives state retention
+    // from the 2-hour watermarks, pairs appended via foreachBatch. A
+    // boundary click must match purchases arriving in LATER micro-batches
+    // out of buffered state (the property the oracle pins): the end
+    // state must equal the batch interval join EXACTLY — every in-bound
+    // pair once, nothing duplicated across batches, nothing evicted
+    // early. Rolled up per user with decimal-exact lag sums.
+    QueryDef.sql(
+      "q_stream_join_replay",
+      s"""WITH l AS (
+         |  SELECT user_id, ts AS l_ts FROM events
+         |  WHERE event_type = 'click'),
+         |r AS (
+         |  SELECT user_id, ts AS r_ts FROM events
+         |  WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT l.user_id,
+         |    epoch_us(r.r_ts) - epoch_us(l.l_ts) AS lag_us
+         |  FROM l JOIN r ON r.user_id = l.user_id
+         |    AND r.r_ts >= l.l_ts
+         |    AND r.r_ts <= l.l_ts + INTERVAL 24 HOUR)
+         |SELECT user_id, COUNT(*) AS n_pairs,
+         |  ${Det.roundNSql(
+           "CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) / 1000000.0", 6)}
+         |    AS avg_lag_sec
+         |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val d1 = lit("2024-01-11").cast("timestamp")
+      val d2 = lit("2024-01-21").cast("timestamp")
+      val srcDir = Files.createTempDirectory("join-replay-src")
+      stageBatchFrames(Seq(
+        ev.filter(col("ts") < d1),
+        ev.filter(col("ts") >= d1 && col("ts") < d2),
+        ev.filter(col("ts") >= d2)), srcDir)
+      val outDir = Files.createTempDirectory("join-replay-out").toString
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id").as("l_user"), col("ts").as("l_ts"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      val q = graft.streaming.EventStreams
+        .intervalJoin(clicks, purchases, "l_user", "r_user",
+          "l_ts", "r_ts", maxDelay = "24 hours", watermark = "2 hours")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir)
+        .select(col("l_user").as("user_id"),
+          (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+            .as("lag_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          Det.roundN(sum(col("lag_us")).cast("double") / count(lit(1))
+            / lit(1000000.0), 6).as("avg_lag_sec"))
+        .orderBy("user_id")
+    },
   )
 }
