@@ -249,4 +249,26 @@ class EmptyInputSpec extends AnyFunSuite {
       .as[Option[String]].collect()
     assert(urls.length === 2 && urls(1).isEmpty)
   }
+
+  test("round-8 operators on empty and degenerate inputs") {
+    import graft.functions.Bpe
+    // BPE pinned-codebook encode: empty text → zero words, zero tokens;
+    // whitespace-only likewise (the tokens() filter drops empties)
+    val texts = Seq((1L, ""), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
+    val toks = Bpe.tokenize(spark, texts, "doc_id", "text", Bpe.pinnedMerges)
+      .collect().map(t => t.id -> ((t.n_words, t.n_bpe_tokens))).toMap
+    assert(toks(1L) === ((0, 0)) && toks(2L) === ((0, 0)))
+    assert(toks(3L) === ((1, 1)))
+    // native kmv_sketch over an empty relation: no groups, no rows —
+    // and over all-null hashes: empty sketch, not a crash
+    graft.expressions.GraftFunctions.register(spark)
+    import graft.expressions.GraftFunctions.kmv_sketch
+    val noRows = Seq.empty[(String, Long)].toDF("g", "h")
+    assert(noRows.groupBy("g").agg(kmv_sketch(col("h"), 8)).count() === 0)
+    val nulls = Seq(("g", None), ("g", Some(5L)))
+      .toDF("g", "h").select(col("g"), col("h").cast("long").as("h"))
+    val sk = nulls.groupBy("g").agg(kmv_sketch(col("h"), 8).as("sk"))
+      .as[(String, Seq[Long])].head()._2
+    assert(sk === Seq(5L), "null hashes must be skipped, not counted")
+  }
 }
