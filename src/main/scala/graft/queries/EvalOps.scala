@@ -824,6 +824,66 @@ object EvalOps {
             .otherwise(0.5), 6).as("win_rate_a"))
         .orderBy("model_a", "model_b")
     },
+    // LLM-judge LENGTH-BIAS audit — the standard sanity check on any
+    // pairwise preference dataset: bucket judgments by the response
+    // length difference and report the win rate per bucket plus the
+    // global P(longer side wins). The synthetic judge mixes a quality
+    // draw with a deliberate +150 bump for the longer response, so the
+    // report MUST show the planted monotone bias — an audit that can't
+    // detect its own plant would be worthless. One scan, bounded
+    // 9-bucket output.
+    QueryDef.sql(
+      "e_judge_length_bias",
+      s"""WITH p AS (
+         |  SELECT event_id,
+         |    ${Det.h56Sql("'la:' || CAST(event_id AS VARCHAR)")} % 900 + 100
+         |      AS len_a,
+         |    ${Det.h56Sql("'lb:' || CAST(event_id AS VARCHAR)")} % 900 + 100
+         |      AS len_b,
+         |    ${Det.h56Sql("'qa:' || CAST(event_id AS VARCHAR)")} % 1000 AS qa,
+         |    ${Det.h56Sql("'qb:' || CAST(event_id AS VARCHAR)")} % 1000 AS qb
+         |  FROM events),
+         |v AS (
+         |  SELECT len_a - len_b AS dlen,
+         |    CASE WHEN qa + CASE WHEN len_a > len_b THEN 150 ELSE 0 END
+         |           >= qb + CASE WHEN len_b > len_a THEN 150 ELSE 0 END
+         |         THEN 1 ELSE 0 END AS a_wins
+         |  FROM p),
+         |b AS (
+         |  SELECT LEAST(GREATEST(CAST(FLOOR(dlen / 200.0) AS INT), -4), 3)
+         |      AS bucket,
+         |    a_wins, CASE WHEN (dlen > 0) = (a_wins = 1) AND dlen <> 0
+         |      THEN 1 ELSE 0 END AS longer_won
+         |  FROM v)
+         |SELECT CAST(bucket AS BIGINT) AS dlen_bucket, COUNT(*) AS n,
+         |  ${roundN("CAST(SUM(a_wins) AS DOUBLE) / COUNT(*)", 6)}
+         |    AS win_rate_a,
+         |  ${roundN("CAST(SUM(longer_won) AS DOUBLE) / COUNT(*)", 6)}
+         |    AS p_longer_wins
+         |FROM b GROUP BY 1 ORDER BY dlen_bucket""".stripMargin) { (s, d) =>
+      def h(p: String) = Det.h56(concat(lit(p),
+        col("event_id").cast("string")))
+      val p = Tables.events(s, d).select(
+        (h("la:") % 900 + 100).as("len_a"), (h("lb:") % 900 + 100).as("len_b"),
+        (h("qa:") % 1000).as("qa"), (h("qb:") % 1000).as("qb"))
+      val v = p.select((col("len_a") - col("len_b")).as("dlen"),
+        when(col("qa") + when(col("len_a") > col("len_b"), 150).otherwise(0)
+          >= col("qb") + when(col("len_b") > col("len_a"), 150).otherwise(0),
+          1).otherwise(0).as("a_wins"))
+      v.select(
+          least(greatest(floor(col("dlen") / 200.0).cast("int"), lit(-4)),
+            lit(3)).as("bucket"),
+          col("a_wins"),
+          when((col("dlen") > 0) === (col("a_wins") === 1) && col("dlen") =!= 0,
+            1).otherwise(0).as("longer_won"))
+        .groupBy(col("bucket").cast("long").as("dlen_bucket"))
+        .agg(count(lit(1)).as("n"),
+          Det.roundN(sum("a_wins").cast("double") / count(lit(1)), 6)
+            .as("win_rate_a"),
+          Det.roundN(sum("longer_won").cast("double") / count(lit(1)), 6)
+            .as("p_longer_wins"))
+        .orderBy("dlen_bucket")
+    },
   )
 
   /** Shared synthetic eval-run relation: task = event_id mod 200,
