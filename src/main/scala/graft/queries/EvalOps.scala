@@ -884,6 +884,62 @@ object EvalOps {
             .as("p_longer_wins"))
         .orderBy("dlen_bucket")
     },
+    // Benchmark-contamination INFLATION report — the measurement that
+    // links the curation layer (t_contamination finds the overlap) to
+    // the eval layer: per model, accuracy on contaminated vs clean
+    // tasks and the inflation delta. Contaminated tasks (membership =
+    // every 10th task, the stand-in for the n-gram-overlap verdict)
+    // carry a planted +250 correctness boost, and the report must
+    // surface it per model — the evidence an eval audit needs before
+    // trusting a leaderboard number. One conditional-sum scan.
+    QueryDef.sql(
+      "e_contamination_delta",
+      s"""WITH runs AS (
+         |  SELECT event_type AS model,
+         |    CASE WHEN event_id % 200 % 10 = 0 THEN 1 ELSE 0 END AS contam,
+         |    CASE WHEN ${Det.h56Sql("'c:' || CAST(event_id AS VARCHAR)")} % 1000
+         |      < CASE event_type WHEN 'click' THEN 300 WHEN 'error' THEN 150
+         |             WHEN 'purchase' THEN 500 WHEN 'signup' THEN 650
+         |             ELSE 400 END
+         |        + CASE WHEN event_id % 200 % 10 = 0 THEN 250 ELSE 0 END
+         |    THEN 1 ELSE 0 END AS correct
+         |  FROM events)
+         |SELECT model,
+         |  CAST(COUNT(CASE WHEN contam = 0 THEN 1 END) AS BIGINT) AS n_clean,
+         |  CAST(COUNT(CASE WHEN contam = 1 THEN 1 END) AS BIGINT) AS n_contam,
+         |  ${roundN(
+           "CAST(SUM(CASE WHEN contam = 0 THEN correct ELSE 0 END) AS DOUBLE)" +
+             " / COUNT(CASE WHEN contam = 0 THEN 1 END)", 6)} AS acc_clean,
+         |  ${roundN(
+           "CAST(SUM(CASE WHEN contam = 1 THEN correct ELSE 0 END) AS DOUBLE)" +
+             " / COUNT(CASE WHEN contam = 1 THEN 1 END)", 6)} AS acc_contam,
+         |  ${roundN(
+           "CAST(SUM(CASE WHEN contam = 1 THEN correct ELSE 0 END) AS DOUBLE)" +
+             " / COUNT(CASE WHEN contam = 1 THEN 1 END) - " +
+             "CAST(SUM(CASE WHEN contam = 0 THEN correct ELSE 0 END) AS DOUBLE)" +
+             " / COUNT(CASE WHEN contam = 0 THEN 1 END)", 6)} AS inflation
+         |FROM runs GROUP BY 1 ORDER BY model""".stripMargin) { (s, d) =>
+      val thr = when(col("event_type") === "click", 300)
+        .when(col("event_type") === "error", 150)
+        .when(col("event_type") === "purchase", 500)
+        .when(col("event_type") === "signup", 650)
+        .otherwise(400)
+      val contam = when(col("event_id") % 200 % 10 === 0, 1).otherwise(0)
+      val runs = Tables.events(s, d).select(
+        col("event_type").as("model"), contam.as("contam"),
+        when(Det.h56(concat(lit("c:"), col("event_id").cast("string")))
+          % 1000 < thr + contam * 250, 1).otherwise(0).as("correct"))
+      def accOf(c: Int) =
+        sum(when(col("contam") === c, col("correct")).otherwise(0))
+          .cast("double") / count(when(col("contam") === c, 1))
+      runs.groupBy("model")
+        .agg(count(when(col("contam") === 0, 1)).as("n_clean"),
+          count(when(col("contam") === 1, 1)).as("n_contam"),
+          Det.roundN(accOf(0), 6).as("acc_clean"),
+          Det.roundN(accOf(1), 6).as("acc_contam"),
+          Det.roundN(accOf(1) - accOf(0), 6).as("inflation"))
+        .orderBy("model")
+    },
   )
 
   /** Shared synthetic eval-run relation: task = event_id mod 200,
