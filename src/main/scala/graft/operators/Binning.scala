@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.engine.Stage.syntax._
 
 /** Exact equal-frequency (quantile) binning — discretize a numeric column
   * into k bins holding ~n/k rows each, the feature-engineering transform
@@ -42,7 +43,12 @@ object Binning {
       bucketWidth: Double): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // staged: three consumers (count, histogram, in-bucket rank) —
+    // unstaged each re-scanned the source relation (PlanAudit's rescan
+    // rule flagged ×5 source reads through callers); the staged form is
+    // one narrow-column materialization
     val v = df.select(col(valCol).as("__v")).filter(col("__v").isNotNull)
+      .staged
     val n = v.agg(count(lit(1)).as("__n"))
     val targets = v.sparkSession.range(1, k).toDF("__i")
       .crossJoin(broadcast(n))

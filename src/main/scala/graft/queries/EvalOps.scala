@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
+import graft.engine.Stage.syntax._
 
 /** The model/data evaluation layer: classifier quality (exact tie-corrected
   * ROC-AUC, trapezoidal PR-AUC) computed entirely from score histograms —
@@ -430,10 +431,14 @@ object EvalOps {
       import org.apache.spark.sql.types.DecimalType
       val feats = TextFunctions.tokenFeatures(
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+      // staged: consumed by tot + three split aggregates — unstaged,
+      // each consumer re-ran the documents⋈tokenFeatures subtree (10
+      // documents scans in the plan; PlanAudit's rescan rule)
       val f = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .join(feats.select(col("doc_id"), col("hits_en").as("sh")),
           "doc_id")
+        .staged
       val tot = f.agg(count(lit(1)).as("n_tot"),
         count(when(col("lang") === "en", 1)).as("c1_tot"))
       def split(feat: String, v: org.apache.spark.sql.Column) =
