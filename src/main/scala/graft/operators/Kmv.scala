@@ -63,12 +63,19 @@ object Kmv {
     * oracle-checkable and cheap no matter how large the sketched
     * corpora were. */
   def setOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
-    val tag = (df: DataFrame) => df.select(col("h")).withColumn("__g", lit(1))
-    val merged = topK(tag(a).unionByName(tag(b)).distinct(), "__g", k)
+    import graft.engine.Stage.syntax._
+    // staged: each side feeds the union-merge AND a membership semi-join
+    // — unstaged, every consumer re-ran the side's whole sketch lineage
+    // (12 base-table scans in a_kmv_set_ops' plan); a sketch is <= k
+    // rows, so the stage is trivially cheap
+    val ah = a.select(col("h")).distinct().staged
+    val bh = b.select(col("h")).distinct().staged
+    val tag = (df: DataFrame) => df.withColumn("__g", lit(1))
+    val merged = topK(tag(ah).unionByName(tag(bh)).distinct(), "__g", k)
     val estU = estimate(merged, "__g", k)
     val inBoth = merged
-      .join(a.select("h").distinct(), Seq("h"), "left_semi")
-      .join(b.select("h").distinct(), Seq("h"), "left_semi")
+      .join(ah, Seq("h"), "left_semi")
+      .join(bh, Seq("h"), "left_semi")
     val stats = merged.groupBy("__g").agg(count(lit(1)).as("__n"))
       .join(inBoth.groupBy("__g").agg(count(lit(1)).as("__nb")),
         Seq("__g"), "left")

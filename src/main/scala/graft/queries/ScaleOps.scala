@@ -504,10 +504,12 @@ object ScaleOps {
       def sideSk(prio: String) =
         Kmv.sketch(orders.filter(col("o_orderpriority") === prio)
             .withColumn("__one", lit(1)), "__one", "o_custkey", 256)
+      // staged: each side feeds the union AND the semi-join of the
+      // exact comparison (rescan audit)
       val a = orders.filter(col("o_orderpriority") === "1-URGENT")
-        .select("o_custkey").distinct()
+        .select("o_custkey").distinct().staged
       val b = orders.filter(col("o_orderpriority") === "5-LOW")
-        .select("o_custkey").distinct()
+        .select("o_custkey").distinct().staged
       val exact = a.unionByName(b).distinct()
         .agg(count(lit(1)).as("exact_union"))
         .crossJoin(a.join(b, Seq("o_custkey"), "left_semi")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.{Det, Tables}
+import graft.engine.Stage.syntax._
 import graft.operators.{Hilbert, ZOrder}
 
 /** Statistical / experimentation operators over the event and order
@@ -1530,8 +1531,11 @@ object StatsOps {
       val nodes = ev.select("user_id").distinct()
       val b = ev.select((col("user_id") - 1).as("src"),
         col("event_type"), col("user_id").as("dst"))
+      // staged: three walk steps re-derived the edge self-join (15
+      // events scans in one plan before staging — rescan audit)
       val edges = ev.select(col("user_id").as("src"), col("event_type"))
         .join(b, Seq("src", "event_type")).select("src", "dst").distinct()
+        .staged
       val seeds = nodes.filter(
         Det.h56(concat(lit("seed:"), col("user_id").cast("string")))
           % 3 === 0).select(col("user_id").as("v0"))
@@ -1911,6 +1915,7 @@ object StatsOps {
         (toks / lit(100.0)).as("x2"),
         (length(col("text")) / (lit(1.0) + toks) / lit(10.0)).as("x3"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .staged // each GD pass re-derived the projection (14 scans pre-stage)
       val n = f.agg(count(lit(1)).as("nn"))
       val g1 = f.agg(d14(col("y") * col("x1")).as("gyx1"),
         d14(col("y") * col("x2")).as("gyx2"),
@@ -2141,10 +2146,14 @@ object StatsOps {
       }) { (s, d) =>
       def dsum(c: org.apache.spark.sql.Column) =
         sum(c.cast(DecimalType(28, 14))).cast("double")
+      import graft.engine.Stage.syntax._
+      // staged: four matvec consumers re-expanded the posexplode subtree
+      // — 22 embeddings scans in one plan before staging (rescan audit)
       val dims = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"),
           posexplode(col("embedding")).as(Seq("j", "x")))
         .withColumn("x", col("x").cast("double"))
+        .staged
       val s1 = dims.groupBy("id").agg(dsum(col("x") * lit(0.125)).as("si"))
       val y1 = dims.join(s1, "id").groupBy("j")
         .agg(dsum(col("x") * col("si")).as("yj"))
