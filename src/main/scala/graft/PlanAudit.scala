@@ -16,8 +16,9 @@ import org.apache.spark.sql.SparkSession
   * Deliberate residuals (audited round 5): quality suite = one scan per
   * table per check FAMILY (row-agg / unique-groupBy / freshness-max are
   * non-mergeable aggregate shapes, all column-pruned counts);
-  * sim_ivf/kmeans = vec_id<16 codebook reads (16-row pushdown-pruned
-  * scans — preAssigned is the documented scale path); train_test_split =
+  * sim_ivf/kmeans/ann_recall and the similarity probe family = vec_id<16
+  * codebook / query-vector reads (1-to-16-row pushdown-pruned scans —
+  * preAssigned is the documented scale path); train_test_split =
   * one map-only filter pass per split (a production split writes all
   * splits in one pass via partitionBy on the sampled bucket).
   * Usage: runMain graft.PlanAudit [sfDir]

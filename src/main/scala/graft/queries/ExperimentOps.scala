@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.{Det, Tables}
+import graft.engine.Stage.syntax._
 
 /** Nonparametric and experiment-analysis operators: two-sample
   * distribution tests (Kolmogorov-Smirnov, Mann-Whitney), multiple-testing
@@ -1077,14 +1078,19 @@ object ExperimentOps {
           (col("doc_id") * 31 + 1) % col("__en"),
           (col("doc_id") * 97 + 2) % col("__en"),
           (col("doc_id") * 211 + 3) % col("__en"))).as("dst"))
+      // staged: lab feeds four consumers and es three — unstaged, each
+      // re-expanded the propagation/edge lineage (17 documents scans in
+      // one plan; rescan audit)
       val lab = Graph.labelPropagation(docs, edges, "doc_id", rounds = 3)
         .select(col("doc_id").as("id"), col("community").as("label"))
+        .staged
       // the operator's symmetric deduped edge relation, rebuilt: the
       // oracle CTE `es` and this must be the same set
       val base = edges.select(col("src"), col("dst"))
         .filter(col("src") =!= col("dst")).distinct()
       val es = base.unionByName(
         base.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .staged
       val m2t = es.agg(count(lit(1)).as("m2"))
       val dg = es.join(lab, es("src") === lab("id"))
         .groupBy("label").agg(count(lit(1)).as("d_c"))
