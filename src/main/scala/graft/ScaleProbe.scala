@@ -399,20 +399,30 @@ object ScaleProbe {
     // inflate k× — the ABSOLUTE co>=2 prune stops pruning (pairs seen
     // once now pass: measured exp 1.22 at k=11, vs the ~1.0 linear floor
     // this per-user operator has from k× users), while the RELATIVE
-    // prune co >= 2k (the threshold as a basket-count fraction — how
-    // co-occurrence thresholds are actually set at corpus scale) keeps
-    // the pair space fixed. Probe both.
-    def itemRecs(minCo: Long) = {
+    // prune (the threshold as a basket-count fraction — how co-occurrence
+    // thresholds are actually set at corpus scale) keeps the pair space
+    // fixed. Probe both: `item_recs` is the absolute degeneration
+    // control; `item_recs_shipped` is the exact in-plan fractional
+    // threshold q_item_recs ships (greatest(2, ceil(n_baskets/75000)) —
+    // 2 at the fixture SFs, 2k under this replication).
+    def itemRecs(minCo: Option[Long]) = {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val ob = li.select(col("l_orderkey"), col("l_partkey")).distinct().staged
+      val nb = ob.agg(expr(
+        "greatest(2, (count(DISTINCT l_orderkey) + 74999) div 75000)")
+        .as("__thr"))
       val freq = ob.groupBy("l_partkey").agg(count(lit(1)).as("f"))
-      val co = ob.select(col("l_orderkey"), col("l_partkey").as("ia"))
+      val co0 = ob.select(col("l_orderkey"), col("l_partkey").as("ia"))
         .join(ob.select(col("l_orderkey"), col("l_partkey").as("ib")),
           Seq("l_orderkey"))
         .filter(col("ia") < col("ib"))
         .groupBy("ia", "ib").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= minCo)
+      val co = minCo match {
+        case Some(m) => co0.filter(col("n") >= m)
+        case None    => co0.crossJoin(broadcast(nb))
+          .filter(col("n") >= col("__thr")).drop("__thr")
+      }
       val sim = co
         .join(freq.select(col("l_partkey").as("ia"), col("f").as("fa")), Seq("ia"))
         .join(freq.select(col("l_partkey").as("ib"), col("f").as("fb")), Seq("ib"))
@@ -437,21 +447,23 @@ object ScaleProbe {
         .orderBy(desc("score"), col("rec_part"))
       unseen.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
     }
-    time("item_recs")(itemRecs(minCo = 2L))
-    time("item_recs_rel")(itemRecs(minCo = 2L * k))
+    time("item_recs")(itemRecs(minCo = Some(2L)))
+    time("item_recs_shipped")(itemRecs(minCo = None))
     // A-priori 3-itemsets (a_itemsets3): candidate lattice from frequent
     // pairs, third edge pruned before support counting. Absolute
     // minSupport=2 degenerates under k× replication (all supports
     // inflate k×, so the lattice admits every triple — output exploded
-    // 0 → 1.6M rows at k=11, exp ~1.4); the RELATIVE threshold 2k (a
-    // fixed fraction of baskets, the A-priori norm) keeps the lattice
-    // scale-invariant. Probe both.
+    // 0 → 1.6M rows at k=11, exp ~1.4); the shipped RELATIVE threshold
+    // (frequentTriplesFrac: greatest(2, ceil(n_baskets/75000)) = 2k
+    // here — a fixed fraction of baskets, the A-priori norm) keeps the
+    // lattice scale-invariant. `itemsets3` stays the degeneration
+    // control; `itemsets3_shipped` is a_itemsets3's exact code path.
     time("itemsets3")(
       graft.operators.Itemsets.frequentTriples(li, "l_orderkey",
         "l_partkey", minSupport = 2L))
-    time("itemsets3_rel")(
-      graft.operators.Itemsets.frequentTriples(li, "l_orderkey",
-        "l_partkey", minSupport = 2L * k))
+    time("itemsets3_shipped")(
+      graft.operators.Itemsets.frequentTriplesFrac(li, "l_orderkey",
+        "l_partkey", basketDenom = 75000L))
     // pair lift over basket co-occurrence + broadcast support/total
     // relations (a_basket_lift)
     time("basket_lift") {

@@ -30,21 +30,63 @@ import graft.engine.Stage.syntax._
   */
 object Itemsets {
 
-  /** Frequent triples with support >= minSupport.
-    * Returns (p1, p2, p3, support), p1 < p2 < p3, support-ranked. */
+  /** Frequent triples with ABSOLUTE support >= minSupport.
+    * Returns (p1, p2, p3, support), p1 < p2 < p3, support-ranked.
+    *
+    * SCALE NOTE: an absolute threshold degenerates under "more baskets
+    * over a fixed catalog" — every support inflates with the basket
+    * count, so a fixed cutoff eventually stops pruning (ScaleProbe
+    * measured exp ~1.3 at k=11 replication with minSupport=2, vs 0.40
+    * for the relative form). Production callers should use
+    * [[frequentTriplesFrac]], which derives the threshold from the
+    * basket count in-plan; this form is kept for fixed-corpus analyses
+    * and as the probe's documented degeneration control. */
   def frequentTriples(baskets: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport: $minSupport")
+    // max(lit) because agg() needs an aggregate expression; constant-folds
+    mine(baskets, basketCol, itemCol, max(lit(minSupport)))
+  }
+
+  /** Frequent triples with RELATIVE minimum support — the A-priori norm:
+    * threshold = greatest(floorSupport, ceil(n_baskets / basketDenom)),
+    * computed IN-PLAN from the basket relation (a 1-row broadcast, never
+    * a driver round-trip) so the cutoff scales with the corpus. The
+    * integer form `(n + d - 1) div d` is exact on every engine, which
+    * lets a SQL oracle recompute the identical threshold. */
+  def frequentTriplesFrac(baskets: DataFrame, basketCol: String,
+      itemCol: String, basketDenom: Long,
+      floorSupport: Long = 2L): DataFrame = {
+    require(basketDenom >= 1, s"basketDenom: $basketDenom")
+    require(floorSupport >= 1, s"floorSupport: $floorSupport")
+    mine(baskets, basketCol, itemCol,
+      expr(s"greatest($floorSupport, " +
+        s"(count(DISTINCT bk) + ${basketDenom - 1}) div $basketDenom)"))
+  }
+
+  /** Shared lattice: `thrAgg` is an aggregate expression over the distinct
+    * (bk, it) relation producing the support threshold (a literal for the
+    * absolute form, a basket-count derivation for the relative form).
+    * Broadcast as one row into every prune site, so item, pair, and
+    * triple pruning all apply the same cutoff — A-priori monotonicity
+    * then guarantees the final triples match a single end filter. */
+  private def mine(baskets: DataFrame, basketCol: String, itemCol: String,
+      thrAgg: org.apache.spark.sql.Column): DataFrame = {
     val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct().staged
+    // 1-row threshold relation: staged so the three prune sites reuse the
+    // computed scalar instead of re-aggregating b per site
+    val thr = b.agg(thrAgg.as("__thr")).staged
     val freqItems = b.groupBy("it").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minSupport).select("it")
+      .crossJoin(broadcast(thr))
+      .filter(col("__n") >= col("__thr")).select("it")
     val bf = b.join(freqItems, Seq("it"), "left_semi").staged
     val freqPairs = bf.select(col("bk"), col("it").as("ia"))
       .join(bf.select(col("bk"), col("it").as("ib")), Seq("bk"))
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("__n2"))
-      .filter(col("__n2") >= minSupport)
+      .crossJoin(broadcast(thr))
+      .filter(col("__n2") >= col("__thr"))
       .select("ia", "ib").staged
     val cands = freqPairs.select(col("ia").as("p1"), col("ib").as("p2"))
       .join(freqPairs.select(col("ia").as("p1"), col("ib").as("p3")), Seq("p1"))
@@ -57,7 +99,9 @@ object Itemsets {
       .join(bf.select(col("it").as("p2"), col("bk")), Seq("p2", "bk"))
       .join(bf.select(col("it").as("p3"), col("bk")), Seq("p3", "bk"))
       .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
+      .crossJoin(broadcast(thr))
+      .filter(col("support") >= col("__thr"))
+      .drop("__thr")
       .orderBy(desc("support"), col("p1"), col("p2"), col("p3"))
   }
 }

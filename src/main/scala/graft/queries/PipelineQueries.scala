@@ -8,6 +8,13 @@ import graft.sources.Sources
   * through the driver surface. */
 object PipelineQueries {
 
+  /** Fixed landing dir for [[s3_source_routing]]: the oracle SQL is a
+    * static string, so DuckDB can only re-read the landed files if their
+    * path is deterministic. Content is fixture-synthetic (SF-independent),
+    * so concurrent runs landing the same bytes are harmless. */
+  private val routingLandingDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_s3_routing_landing"
+
   val defs: Seq[QueryDef] = Seq(
 
     // SilverPosts: the reference's declared-but-never-built clean_posts
@@ -113,12 +120,44 @@ object PipelineQueries {
 
     // Sources family end-to-end (S1 land, S3 multiLine JSON, S5 CSV with
     // inference, S7 glob discovery, S8 filename routing): lands two files
-    // into a temp landing dir, routes by filename substring, scans each
-    // with the right reader, returns per-route row/column counts.
-    QueryDef.rowsOnly("s3_source_routing") { (s, d) =>
+    // into a FIXED landing dir, routes by filename substring, scans each
+    // with the right reader, and reports per-route row counts, the full
+    // inferred+audit column set, and a value checksum. Oracled: DuckDB
+    // re-reads THE SAME LANDED FILES (read_json_auto / read_csv on the
+    // fixed path — static SQL, which is why the landing dir can't be a
+    // per-run temp dir), so the hash check pins Spark's multiLine-JSON
+    // and header/inference CSV scans, the substring routing, and the
+    // audit-column attach against an independent reader of the bytes the
+    // engine actually scanned. The per-route collect is bounded by the
+    // ROUTE COUNT (a harness aggregate, not data).
+    QueryDef.sql(
+      "s3_source_routing",
+      s"""WITH u AS (
+         |  SELECT * FROM read_json_auto('$routingLandingDir/users_1.json')),
+         |c AS (
+         |  SELECT * FROM read_csv('$routingLandingDir/covid_1.csv',
+         |                         header=true)),
+         |ucols AS (
+         |  SELECT list_sort(list_append(json_keys(to_json(u)),
+         |    'source_filename')) AS ks
+         |  FROM u LIMIT 1),
+         |ccols AS (
+         |  SELECT list_sort(list_append(json_keys(to_json(c)),
+         |    'source_filename')) AS ks
+         |  FROM c LIMIT 1)
+         |SELECT 'covid' AS route,
+         |  (SELECT COUNT(*) FROM c) AS n_rows,
+         |  (SELECT list_aggregate(ks, 'string_agg', ',') FROM ccols) AS cols,
+         |  (SELECT CAST(SUM(Confirmed) + SUM(Deaths) AS BIGINT) FROM c)
+         |    AS checksum
+         |UNION ALL
+         |SELECT 'users',
+         |  (SELECT COUNT(*) FROM u),
+         |  (SELECT list_aggregate(ks, 'string_agg', ',') FROM ucols),
+         |  (SELECT CAST(SUM(id) AS BIGINT) FROM u)
+         |ORDER BY route""".stripMargin) { (s, d) =>
       import s.implicits._
       val src = java.nio.file.Files.createTempDirectory("graft-src")
-      val land = java.nio.file.Files.createTempDirectory("graft-landing").toString
       java.nio.file.Files.writeString(src.resolve("users_1.json"),
         """[{"id": 1, "name": "Ann", "email": "a@b.co",
           |  "address": {"city": "X", "geo": {"lat": "1.5", "lng": "2"}}},
@@ -127,15 +166,24 @@ object PipelineQueries {
       java.nio.file.Files.writeString(src.resolve("covid_1.csv"),
         "Date,Country/Region,Province/State,Confirmed,Deaths\n" +
           "2020-01-01,US,,10,0\n2020-01-02,US,,15,1\n2020-01-01,FR,,3,0\n")
-      Sources.land(src.resolve("users_1.json").toUri.toString, land, "users_1.json")
-      Sources.land(src.resolve("covid_1.csv").toUri.toString, land, "covid_1.csv")
-      val routed = Sources.route(land, Seq(
+      Sources.land(src.resolve("users_1.json").toUri.toString,
+        routingLandingDir, "users_1.json")
+      Sources.land(src.resolve("covid_1.csv").toUri.toString,
+        routingLandingDir, "covid_1.csv")
+      val routed = Sources.route(routingLandingDir, Seq(
         "users" -> (ps => Sources.jsonAll(s, ps)),
         "covid" -> (ps => Sources.csvAll(s, ps)),
         "posts" -> (ps => Sources.jsonAll(s, ps))))
       routed.toSeq.sortBy(_._1)
-        .map { case (k, df) => (k, df.count(), df.columns.length.toLong) }
-        .toDF("route", "rows", "columns")
+        .map { case (k, df) =>
+          val chk = k match {
+            case "covid" => df.agg((sum(col("Confirmed")) + sum(col("Deaths")))
+              .cast("long")).head.getLong(0)
+            case _ => df.agg(sum(col("id")).cast("long")).head.getLong(0)
+          }
+          (k, df.count(), df.columns.sorted.mkString(","), chk)
+        }
+        .toDF("route", "n_rows", "cols", "checksum")
     },
 
     // Bucketed co-located join, surfaced in the bench: both sides are
@@ -240,12 +288,65 @@ object PipelineQueries {
 
     // Full medallion pipeline run (bronze→silver→gold over a parquet lake,
     // K3/K4/K5/K6/K7 sinks) returning per-stage counts — the §3.1
-    // orchestration as an observable query.
+    // orchestration as an observable query. The LAKE STATE this run
+    // produces is hash-checked by the sibling q_pipeline_end_state below.
     QueryDef.rowsOnly("q_pipeline_run") { (s, d) =>
       import s.implicits._
       val lake = java.nio.file.Files.createTempDirectory("graft-lake").toString
       val counts = new Pipeline(s, lake).run(d)
       counts.toSeq.sortBy(_._1).toDF("stage", "rows")
+    },
+
+    // Pipeline END STATE, oracled: run the SAME Pipeline.run() into a fresh
+    // lake, then read back the gold.daily_global_summary TABLE AS WRITTEN
+    // (through the bronze overwrite → silver date-partitioned upsert →
+    // gold upsert, i.e. three lake round-trips); the oracle re-derives the
+    // whole bronze→silver→gold chain from raw events in SQL — blank→NULL
+    // bronze sanitize, the covid silver lineage (coerce → cumulative
+    // windows → derive → diff/rolling windows → score — the q_covid_silver
+    // CTE chain verbatim), then the gold rollup. Hash equality proves the
+    // orchestrated, partitioned, observe-metered lake path computes exactly
+    // the declarative composition — K3/K4 sinks and read-backs lose
+    // nothing. (q_covid_silver checks the silver FRAME; this checks what
+    // the LAKE holds after the full run.)
+    QueryDef.sql(
+      "q_pipeline_end_state",
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN trim(event_type) = '' THEN NULL ELSE event_type END
+         |      AS event_type
+         |  FROM events),
+         |daily AS (
+         |  SELECT user_id AS country, CAST(ts AS DATE) AS record_date,
+         |    SUM(CAST(value AS DECIMAL(18,2))) AS new_cases,
+         |    SUM(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS new_deaths
+         |  FROM ev GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT country, record_date,
+         |    CAST(SUM(new_cases) OVER w AS DOUBLE) AS confirmed,
+         |    CAST(SUM(new_deaths) OVER w AS DOUBLE) AS deaths
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY country ORDER BY record_date
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |win AS (
+         |  SELECT country, record_date,
+         |    CASE WHEN confirmed > 0 THEN ${Det.roundNSql("deaths / confirmed * 100", 2)} ELSE 0.0 END AS mortality_rate,
+         |    ${Det.roundNSql("COALESCE(confirmed - lag(confirmed, 1) OVER (PARTITION BY country ORDER BY record_date), 0.0)", 2)} AS daily_new_cases
+         |  FROM cum)
+         |SELECT record_date,
+         |  COUNT(DISTINCT country) AS n_countries,
+         |  ${Det.dsumSql("daily_new_cases")} AS total_new_cases,
+         |  ${Det.davgSql("mortality_rate")} AS avg_mortality_rate
+         |FROM win GROUP BY record_date
+         |ORDER BY record_date""".stripMargin) { (s, d) =>
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-endstate-lake").toString
+      val p = new Pipeline(s, lake)
+      p.run(d)
+      p.read("gold", "daily_global_summary")
+        .select("record_date", "n_countries", "total_new_cases",
+          "avg_mortality_rate")
+        .orderBy("record_date")
     },
 
     // gold.user_engagement_metrics: the reference's declared-but-never-

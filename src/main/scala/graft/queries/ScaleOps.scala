@@ -1436,26 +1436,38 @@ object ScaleOps {
     // how promiscuous a popular item's pair row is), user score(j) =
     // Σ sim(i,j) over the user's items, seen items anti-joined away,
     // top-3 per user. Pair space lives in order-basket co-occurrence
-    // (the bounded a_copurchase_pairs shape) pruned at co ≥ 2; scoring
-    // is two keyed joins + one decimal-summed aggregate; ranking is a
-    // per-user window, never a global sort.
+    // (the bounded a_copurchase_pairs shape) pruned at a RELATIVE
+    // threshold; scoring is two keyed joins + one decimal-summed
+    // aggregate; ranking is a per-user window, never a global sort.
     //
-    // SCALE NOTE (round-8 probe, ScaleProbe item_recs vs item_recs_rel):
-    // the co ≥ 2 prune must be RELATIVE at corpus scale. Under 11×
-    // transaction growth over a fixed catalog the absolute prune stops
-    // pruning (every once-seen pair's count inflates past 2): exp 1.22.
-    // With co ≥ 2k (a fixed fraction of baskets) the pair space is
-    // scale-invariant: exp 0.35. The fixture query keeps the absolute
-    // form only because the oracle pins its exact output.
+    // SCALE NOTE (round-8/9 probes): an ABSOLUTE co ≥ 2 prune is
+    // scale-hostile — under 11× transaction growth over a fixed catalog
+    // every once-seen pair's count inflates past 2, the prune stops
+    // pruning, and the pair space grows at exp 1.22. The shipped prune is
+    // therefore a BASKET FRACTION computed in-plan from a 1-row broadcast:
+    //   thr = greatest(2, ceil(n_baskets / 75000))
+    // (integer form (n + 74999) div 75000 — exact on both engines). At
+    // the fixture SFs (≤150k baskets) thr = 2, so the oracle-pinned
+    // output is unchanged; under the probe's k=11 replication thr rises
+    // to 22 = 2k and the pair space is scale-invariant (exp 0.35,
+    // ScaleProbe item_recs_shipped). The denominator is the fixture's
+    // sf0.1 basket count / 2 — i.e. "a pair must recur at the ~1-in-75k
+    // basket rate", the co-occurrence analogue of A-priori's relative
+    // minimum support. The absolute form survives only in ScaleProbe
+    // (item_recs) as the documented degeneration control.
     QueryDef.sql(
       "q_item_recs",
       s"""WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |nb AS (
+         |  SELECT GREATEST(2, (COUNT(DISTINCT l_orderkey) + 74999) // 75000)
+         |    AS thr
+         |  FROM ob),
          |freq AS (SELECT l_partkey, COUNT(*) AS f FROM ob GROUP BY 1),
          |co AS (
          |  SELECT a.l_partkey AS ia, b.l_partkey AS ib, COUNT(*) AS n
          |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
          |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
-         |cop AS (SELECT ia, ib, n FROM co WHERE n >= 2),
+         |cop AS (SELECT ia, ib, n FROM co, nb WHERE n >= thr),
          |sim AS (
          |  SELECT ia, ib, ${Det.roundNSql("n / sqrt(fa.f * fb.f)", 6)} AS s
          |  FROM cop JOIN freq fa ON fa.l_partkey = ia
@@ -1490,13 +1502,20 @@ object ScaleOps {
       import org.apache.spark.sql.types.DecimalType
       val ob = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct().staged
+      // relative prune threshold, computed in-plan (1-row broadcast): the
+      // absolute co>=2 form measured exp 1.22 under catalog-fixed growth
+      val nb = ob.agg(expr(
+        "greatest(2, (count(DISTINCT l_orderkey) + 74999) div 75000)")
+        .as("__thr"))
       val freq = ob.groupBy("l_partkey").agg(count(lit(1)).as("f"))
       val co = ob.select(col("l_orderkey"), col("l_partkey").as("ia"))
         .join(ob.select(col("l_orderkey"), col("l_partkey").as("ib")),
           Seq("l_orderkey"))
         .filter(col("ia") < col("ib"))
         .groupBy("ia", "ib").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
+        .crossJoin(broadcast(nb))
+        .filter(col("n") >= col("__thr"))
+        .drop("__thr")
       val sim = co
         .join(freq.select(col("l_partkey").as("ia"), col("f").as("fa")), Seq("ia"))
         .join(freq.select(col("l_partkey").as("ib"), col("f").as("fb")), Seq("ib"))
@@ -1533,15 +1552,24 @@ object ScaleOps {
     // cubic 3-way basket self-join the operator exists to avoid — the
     // hash match proves the pruning lattice loses nothing.
     //
-    // SCALE NOTE (round-8 probe, ScaleProbe itemsets3 vs itemsets3_rel):
-    // minSupport must be RELATIVE (a basket fraction — the A-priori
-    // norm) at corpus scale: absolute support 2 under 11× growth admits
-    // every triple (output 0 → 1.6M, exp ~1.3); support 2k keeps the
-    // lattice scale-invariant (exp 0.40). Absolute here only because
-    // the oracle pins the fixture output.
+    // SCALE NOTE (round-8/9 probes): minSupport is RELATIVE (a basket
+    // fraction — the A-priori norm): the shipped threshold is
+    // greatest(2, ceil(n_baskets / 75000)), computed in-plan by
+    // [[Itemsets.frequentTriplesFrac]] and mirrored in the oracle's nb
+    // CTE. At the fixture SFs (≤150k baskets) it evaluates to 2, so the
+    // pinned output is unchanged at sf0.001/0.01/0.1; under the probe's
+    // k=11 catalog-fixed replication it rises to 22 = 2k, keeping the
+    // lattice scale-invariant (exp 0.40, ScaleProbe itemsets3_shipped) —
+    // the ABSOLUTE support-2 form admitted every triple there (output
+    // 0 → 1.6M rows, exp ~1.3) and survives only inside ScaleProbe as
+    // the degeneration control.
     QueryDef.sql(
       "a_itemsets3",
       s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |nb AS (
+         |  SELECT GREATEST(2, (COUNT(DISTINCT l_orderkey) + 74999) // 75000)
+         |    AS thr
+         |  FROM b),
          |t AS (
          |  SELECT a.l_partkey AS p1, b2.l_partkey AS p2, b3.l_partkey AS p3,
          |    COUNT(*) AS support
@@ -1551,10 +1579,11 @@ object ScaleOps {
          |  JOIN b b3 ON a.l_orderkey = b3.l_orderkey
          |    AND b2.l_partkey < b3.l_partkey
          |  GROUP BY 1, 2, 3)
-         |SELECT p1, p2, p3, support FROM t WHERE support >= 2
+         |SELECT p1, p2, p3, support FROM t, nb WHERE support >= thr
          |ORDER BY support DESC, p1, p2, p3""".stripMargin) { (s, d) =>
-      graft.operators.Itemsets.frequentTriples(
-        Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L)
+      graft.operators.Itemsets.frequentTriplesFrac(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+        basketDenom = 75000L)
     },
 
     // Skyline / pareto frontier per brand: the parts no other same-brand

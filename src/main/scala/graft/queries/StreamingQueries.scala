@@ -23,18 +23,60 @@ import graft.streaming.{BloomIngest, NearDupIngest}
   */
 object StreamingQueries {
 
-  private val NumBatches = 4
+  /** Batch count for the Bloom-dedup replay. Three is the minimum that
+    * proves the full strictly-earlier contract — batch 2 must probe the
+    * OR-MERGE of two earlier batches' filter words, not a single filter —
+    * and each extra batch is another round of state writes + probes of
+    * pure harness cost (r9 shave: 4 → 3 batches, ~25% off the replay,
+    * same contract). */
+  private val NumBatches = 3
+
+  /** Run `f` with spark.sql.shuffle.partitions scoped down for a replay.
+    *
+    * Streaming state cost is per (partition × state store × micro-batch),
+    * not per row: every stateful operator checkpoints one delta file per
+    * state partition per batch, and every foreachBatch shuffle schedules
+    * that many reducers. At replay volume (≤ tens of MB per batch) 32
+    * partitions is pure checkpoint + scheduler overhead; 8 carries the
+    * same rows. A streaming query pins its state partitioning at first
+    * checkpoint anyway, so this is the explicit form of what a tuned
+    * deployment sets per stream. Measured on the r9 shave (together with
+    * the one-job batch staging and the 3-batch Bloom replay): the
+    * six-replay family 33.6 s → ~27 s total, the stateful window/session
+    * replays roughly halved, with identical hash-checked end states.
+    * The compute-bound ingest loops (Bloom/NearDup foreachBatch joins)
+    * instead run at 16 — 8 measured SLOWER than 32 for them because the
+    * bottleneck is shingle/probe compute parallelism, not state files. */
+  private def withReplayPartitions[T](s: org.apache.spark.sql.SparkSession,
+      n: Int = 8)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   /** Write each batch frame as a single deterministically-named and
     * -timestamped parquet file so the file source's mtime ordering is the
-    * batch order by construction. */
+    * batch order by construction.
+    *
+    * All batches are staged in ONE Spark job: the frames union under a
+    * batch tag, a repartition on the tag gives each batch exactly one
+    * task, and partitionBy splits the write back into one part file per
+    * batch (the tag column is stored in the path, not the file, so the
+    * staged schema stays the frame schema). The previous per-frame
+    * coalesce(1) writes were n separate jobs of harness overhead per
+    * replay. */
   private def stageBatchFrames(frames: Seq[org.apache.spark.sql.DataFrame],
       srcDir: Path): Unit = {
-    frames.zipWithIndex.foreach { case (frame, i) =>
-      val tmp = Files.createTempDirectory(s"replay-b$i")
-      frame.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.getFileName.toString
-        .startsWith("part-")).findFirst().get()
+    val tmp = Files.createTempDirectory("replay-stage")
+    frames.zipWithIndex
+      .map { case (f, i) => f.withColumn("__b", lit(i)) }
+      .reduce(_ unionByName _)
+      .repartition(col("__b"))
+      .write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
+    frames.indices.foreach { i =>
+      val part = Files.list(tmp.resolve(s"__b=$i"))
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
       val dst = srcDir.resolve(f"batch-$i%02d.parquet")
       Files.copy(part, dst)
       Files.setLastModifiedTime(dst,
@@ -51,8 +93,9 @@ object StreamingQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // End state of the Bloom-prefiltered exact-dedup ingest after 4
-    // deterministic micro-batches (batch b = doc_id mod 4). The oracle
+    // End state of the Bloom-prefiltered exact-dedup ingest after
+    // NumBatches deterministic micro-batches (batch b = doc_id mod
+    // NumBatches). The oracle
     // re-derives, per doc: maybe_present — the k=5 affine-md5 bit probe
     // against the OR of strictly-earlier batches' filter words (bit p set
     // in the merged filter ⟺ some earlier key hashed to p: word/bit ↔
@@ -99,7 +142,12 @@ object StreamingQueries {
       stageBatches(docs, srcDir)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-      BloomIngest.start(stream, "doc_id", "text", stateDir, outDir)
+      // NOT withReplayPartitions: the Bloom/NearDup ingest loops are
+      // compute-bound foreachBatch joins (shingle/probe relations), not
+      // state-store-bound — 8 partitions measured SLOWER than 32 here
+      withReplayPartitions(s, 16) {
+        BloomIngest.start(stream, "doc_id", "text", stateDir, outDir)
+      }
       s.read.parquet(outDir)
         .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
           col("maybe_present"), col("batch_canonical"), col("is_new"))
@@ -129,8 +177,11 @@ object StreamingQueries {
       stageBatches(docs, srcDir, nBatches = 2)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-      NearDupIngest.start(stream, "doc_id", "text", idxDir, pairsDir,
-        threshold = 0.8)
+      // NOT withReplayPartitions — see q_stream_replay
+      withReplayPartitions(s, 16) {
+        NearDupIngest.start(stream, "doc_id", "text", idxDir, pairsDir,
+          threshold = 0.8)
+      }
       s.read.parquet(pairsDir)
         .select(col("id_a"), col("id_b"), col("jaccard"),
           col("batch_id").cast("long").as("reported_batch"))
@@ -194,13 +245,15 @@ object StreamingQueries {
       val stream = s.readStream
         .schema(ev.filter(col("ts") < d1).schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-      val q = graft.streaming.EventStreams
-        .windowedAgg(stream, windowLen = "1 hour", watermark = "1 day")
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckDir)
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      withReplayPartitions(s) {
+        val q = graft.streaming.EventStreams
+          .windowedAgg(stream, windowLen = "1 hour", watermark = "1 day")
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.read.parquet(outDir)
         .filter(col("event_type") =!= "flush")
         .select(col("window_start"), col("window_end"), col("event_type"),
@@ -258,19 +311,21 @@ object StreamingQueries {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
         .as[graft.streaming.EventStreams.Event]
-      val q = graft.streaming.EventStreams
-        .sessionize(s, stream, gapMs = 30 * 60 * 1000L,
-          watermark = "10 minutes")
-        .toDF()
-        .writeStream.outputMode("update")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-            batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
-        }
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      withReplayPartitions(s) {
+        val q = graft.streaming.EventStreams
+          .sessionize(s, stream, gapMs = 30 * 60 * 1000L,
+            watermark = "10 minutes")
+          .toDF()
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
       val updates = s.read.parquet(outDir)
       val wLast = Window.partitionBy("user_id", "session_start")
         .orderBy(desc("batch_id"))
@@ -328,15 +383,17 @@ object StreamingQueries {
       val enriched = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
         .join(broadcast(dim), col("c_custkey") === col("user_id") + 1)
-      val q = enriched.writeStream.outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-            batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
-        }
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      withReplayPartitions(s) {
+        val q = enriched.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.read.parquet(outDir)
         .groupBy(col("batch_id"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
@@ -392,14 +449,9 @@ object StreamingQueries {
       val purchases = stream.filter(col("event_type") === "purchase")
         .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
       // stream-stream join state cost is per (partition × side × store
-      // kind × batch), not per row — at this volume 32 partitions is
-      // pure checkpoint overhead (4 state stores each per batch). 8
-      // partitions carry the same rows; a streaming query pins its
-      // partitioning at first checkpoint anyway, so the setting is the
-      // explicit form of what a tuned deployment does. Scoped + restored.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", 8)
-      try {
+      // kind × batch), not per row (4 state stores per partition per
+      // batch) — see withReplayPartitions.
+      withReplayPartitions(s) {
         val q = graft.streaming.EventStreams
           .intervalJoin(clicks, purchases, "l_user", "r_user",
             "l_ts", "r_ts", maxDelay = "6 hours", watermark = "2 hours")
@@ -411,7 +463,7 @@ object StreamingQueries {
           .start()
         q.processAllAvailable()
         q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(outDir)
         .select(col("l_user").as("user_id"),
           (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))

@@ -150,6 +150,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_rank_fusion",        // broadcast 8-query batch x corpus scan
     "sim_knn_vote",           // broadcast centroid codebook (knnGraph)
     "q11_important_supply",   // broadcast 1-row value-total threshold
+    "a_itemsets3",            // broadcast 1-row relative-support threshold
+                              // (basket-count fraction) onto the three
+                              // A-priori prune sites
     "q15_top_supplier",       // broadcast 1-row max-revenue scalar
     "q22_idle_customers",     // broadcast 1-row avg-balance threshold
     "e_cascade_cost")         // broadcast 5-row threshold grid sweep
