@@ -15,7 +15,7 @@
 #   env: SPARK_GRAFT_CPUS (default 8)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-SFS=("${@:-sf0.001 sf0.1}")
+SFS=("$@")
 [ $# -eq 0 ] && SFS=(sf0.001 sf0.1)
 fail=0
 for sf in "${SFS[@]}"; do
@@ -25,6 +25,8 @@ for sf in "${SFS[@]}"; do
   echo "=== $sf ==="
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
     sbt -batch "runMain graft.Verify $dir $out" >/dev/null 2>&1
-  python3 scripts/check.py "$dir" "$out" | tail -1 || fail=1
+  # print FAIL detail lines plus the summary — not just the summary, so a
+  # red run names the queries that broke
+  python3 scripts/check.py "$dir" "$out" | grep -E "^FAIL|pass, " || fail=1
 done
 exit $fail

@@ -314,7 +314,15 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
           SilverCovid.Thresholds(outlierConfirmed = 5000, outlierDaily = 400))
         val (oSilver, silverObs) = observed(silver)
         upsertByDate(silverObs, "silver", "covid_timeseries", "record_date")
-        // gold daily reads only 4 of silver's columns — parquet pruning
+        // gold daily reads only 4 of silver's columns — parquet pruning.
+        // NOTE: this run rebuilds gold daily from the FULL silver
+        // read-back (and the upsert therefore rewrites every gold
+        // partition) because the incoming batch here IS the full history
+        // — the fixture feed carries all dates every run. An incremental
+        // deployment (P7-filtered feed) gets the partition-minimal K4
+        // behavior by semi-joining silver to the batch's dates before
+        // this aggregate — that path is implemented and oracle-proven as
+        // GoldMaintenance.incrementalDaily (q_gold_incremental).
         val daily = read("silver", "covid_timeseries")
           .groupBy("record_date").agg(
             countDistinct(col("country")).as("n_countries"),
@@ -361,10 +369,22 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
         writeAppend(report, "silver", "quality_logs")
       }
 
-      val (oSilver, oDaily) = Await.result(fSilverChain, Duration.Inf)
-      val (oPosts, oEng) = Await.result(fEngChain, Duration.Inf)
-      Await.result(fProcessed, Duration.Inf)
-      Await.result(fQuality, Duration.Inf)
+      // Await ALL branches via Try before touching any result: a plain
+      // sequential Await.result would rethrow the silver chain's failure
+      // while branches B/C are still writing to the lake (run() must
+      // never return — normally or exceptionally — with writes in
+      // flight), and it would also sit on a slow silver chain while a
+      // fast quality failure went unreported. Collect every outcome,
+      // then rethrow the first failure with nothing left running.
+      import scala.util.{Failure, Try}
+      val rSilver = Try(Await.result(fSilverChain, Duration.Inf))
+      val rEng = Try(Await.result(fEngChain, Duration.Inf))
+      val rProcessed = Try(Await.result(fProcessed, Duration.Inf))
+      val rQuality = Try(Await.result(fQuality, Duration.Inf))
+      Seq[Try[Any]](rSilver, rEng, rProcessed, rQuality)
+        .collectFirst { case Failure(e) => throw e }
+      val (oSilver, oDaily) = rSilver.get
+      val (oPosts, oEng) = rEng.get
 
       // ---- run metadata (K6) ------------------------------------------
       // quality_logs alone counts by read-back: its total legitimately

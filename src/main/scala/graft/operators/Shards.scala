@@ -22,12 +22,16 @@ import graft.engine.Stage.syntax._
   *     chosen so no single doc is a meaningful fraction of a shard.
   *   - HEAVY rows (weight >= heavyCutoff): the tail that hash placement
   *     CAN'T balance (one 10M-token doc landing by luck next to another
-  *     skews a shard). They are rank-ordered by weight and dealt
-  *     round-robin. This uses a global-order window, which is exactly the
-  *     unbounded-window anti-pattern — deliberately confined here to the
-  *     heavy relation, whose size the caller bounds via heavyCutoff (pick
-  *     a high quantile of the weight column, e.g. p999 from
-  *     approx_percentile, so heavies are ≲0.1% of rows).
+  *     skews a shard). They are rank-ordered by (weight desc, id) and
+  *     dealt round-robin. The global rank is DECOMPOSED so no full-row
+  *     global sort survives: rank = (cumulative count of strictly
+  *     heavier weight VALUES, a window over the distinct-weight
+  *     aggregate) + (row_number within the row's weight group, a window
+  *     partitioned by weight). Only (weight, count) pairs ever pass
+  *     through a single reducer — 16 bytes per distinct heavy weight,
+  *     not rows — and the caller still bounds the heavy population via
+  *     heavyCutoff (pick a high quantile, e.g. p999, so heavies are
+  *     ≲0.1% of rows).
   *
   * At rest, write with .repartition(col("shard")).write.partitionBy("shard")
   * so each shard is one file set.
@@ -42,11 +46,25 @@ object Shards {
       .withColumn("shard",
         pmod(Det.h56(concat(lit(s"$salt:"), col(idCol).cast("string"))),
           lit(nShards)).cast("int"))
-    val heavy = df.filter(col(weightCol) >= heavyCutoff)
-      .withColumn("__rn",
-        row_number().over(Window.orderBy(desc(weightCol), col(idCol))))
+    val heavy0 = df.filter(col(weightCol) >= heavyCutoff)
+    // global rank decomposition (see scaladoc): offsets from the
+    // distinct-weight histogram, position from a per-weight window
+    val offs = heavy0.groupBy(col(weightCol).as("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.orderBy(desc("__w"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__w"), col("__off"))
+    // no broadcast hint: offs is bounded by the DISTINCT heavy weights,
+    // which is usually tiny but not provably — the equi-join shares the
+    // weight key with the window's partitioning, so AQE picks broadcast
+    // when the histogram is actually small
+    val heavy = heavy0
+      .join(offs, col(weightCol) === col("__w"))
+      .withColumn("__rn", col("__off") +
+        row_number().over(Window.partitionBy(weightCol).orderBy(idCol)))
       .withColumn("shard", pmod(col("__rn") - 1, lit(nShards)).cast("int"))
-      .drop("__rn")
+      .drop("__rn", "__w", "__off")
     light.unionByName(heavy)
   }
 

@@ -190,7 +190,8 @@ object TpchOps {
          |  SELECT l.l_partkey, ${Det.dsumSql("l.l_extendedprice", 2)} AS value
          |  FROM lineitem l JOIN sup ON sup.s_suppkey = l.l_suppkey
          |  GROUP BY 1),
-         |t AS (SELECT CAST(SUM(value) * 0.0015 AS DECIMAL(38,2)) AS thresh FROM v)
+         |t AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) * 0.0015
+         |             AS DECIMAL(38,2)) AS thresh FROM v)
          |SELECT v.l_partkey, v.value
          |FROM v, t WHERE v.value > t.thresh
          |ORDER BY value DESC, l_partkey""".stripMargin) { (s, d) =>
@@ -204,7 +205,14 @@ object TpchOps {
         .groupBy("l_partkey")
         .agg(Det.dsum(col("l_extendedprice"), 2).as("value"))
         .staged
-      val t = v.agg((sum("value") * lit(0.0015))
+      // threshold computed in EXACT decimal space on both engines: value
+      // is exact at 2 decimals, so decimal-sum × decimal-literal is
+      // bit-identical — a double-path sum could land the threshold on a
+      // .xx5 tie and flip rows through `value > thresh` (the same tie
+      // class the engagement_score fix closed)
+      val t = v.agg((sum(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          * lit(BigDecimal("0.0015")))
         .cast("decimal(38,2)").as("thresh"))
       v.crossJoin(broadcast(t))
         .filter(col("value") > col("thresh"))

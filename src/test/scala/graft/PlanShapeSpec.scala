@@ -24,7 +24,20 @@ import org.scalatest.funsuite.AnyFunSuite
   *      before it ships.
   */
 class PlanShapeSpec extends AnyFunSuite {
-  lazy val spark = SparkTestSession.spark
+  // Audited in an ISOLATED session with staging disabled
+  // (spark.graft.stage.mode=none): under the default `local` mode a
+  // .staged frame plans as an opaque RDD scan, which (a) hid every
+  // subtree BEHIND a staging boundary from these audits and (b) made a
+  // data-sized staged relation indistinguishable from a parallelized
+  // literal in bounded(). With staging off, plans are the full lineage
+  // trees — the audits see every join/scan/window — and any remaining
+  // RDDScanExec really is a driver-literal toDF. newSession() keeps the
+  // conf change out of the other suites sharing the context.
+  lazy val spark = {
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set(graft.engine.Stage.modeKey, "none")
+    s
+  }
   private val sf = "/root/testdata/sf0.001"
 
   // deliberate 1-row / codebook-sized broadcast crosses (audited round 5)
@@ -153,13 +166,29 @@ class PlanShapeSpec extends AnyFunSuite {
     "a_itemsets3",            // broadcast 1-row relative-support threshold
                               // (basket-count fraction) onto the three
                               // A-priori prune sites
+    "q_item_recs",            // broadcast 1-row relative co-occurrence
+                              // threshold (same class as a_itemsets3)
+    "sim_mmr_diverse",        // broadcast 1-row query vector (the
+                              // sim_bruteforce_topk shape inside MMR)
+    "g_triangle_count",       // broadcast 1-row node-count scalar feeding
+                              // the synthetic edge generator (doc_id*p+j
+                              // mod n — same class as g_bfs_distance)
+    "g_clustering_coeff",     // same 1-row node-count edge generator
+    "g_link_prediction",      // same 1-row node-count edge generator
     "q15_top_supplier",       // broadcast 1-row max-revenue scalar
     "q22_idle_customers",     // broadcast 1-row avg-balance threshold
     "e_cascade_cost")         // broadcast 5-row threshold grid sweep
 
-  // construction of q_pipeline_run executes a full medallion lake run —
-  // covered by PipelineSpec; everything it joins appears in other queries
-  private val skip = Set("q_pipeline_run")
+  // construction of these queries DRIVES real jobs rather than returning
+  // a lazy frame: the two pipeline queries execute a full medallion lake
+  // run (covered by PipelineSpec; everything they join appears in other
+  // queries) and the six stream replays drive a real Structured
+  // Streaming query whose returned frame is just the lake read-back —
+  // their plan shapes live in StreamingSpec and the engine modules.
+  private val skip = Set("q_pipeline_run", "q_pipeline_end_state",
+    "q_stream_replay", "q_stream_neardup_replay", "q_stream_window_replay",
+    "q_stream_session_replay", "q_stream_enrich_replay",
+    "q_stream_join_replay")
 
   /** One planning pass per query; both audits read these. */
   private lazy val plans: Seq[(String, SparkPlan)] = {
@@ -196,20 +225,49 @@ class PlanShapeSpec extends AnyFunSuite {
     case _: BaseAggregateExec => true   // rows = group cardinality
     case _: BaseLimitExec => true
     case _: CollectLimitExec => true
+    case _: TakeOrderedAndProjectExec => true // limit=k global top-k:
+                                        // LimitPushDownThroughWindow
+                                        // rewrites rank-filter windows
+                                        // to this (each task forwards
+                                        // ≤ k rows to the reducer)
     case _: LocalTableScanExec => true  // literal relation
-    case _: RDDScanExec => true         // parallelized literal (toDF)
+    case _: RDDScanExec => true         // parallelized literal (toDF):
+                                        // genuine — the audit session
+                                        // runs stage.mode=none, so no
+                                        // staged frame plans as an RDD
     case w: WindowExec => bounded(w.child)
-    case w: WindowGroupLimitExec => bounded(w.child)
+    case w: WindowGroupLimitExec =>
+      // an UNPARTITIONED WindowGroupLimit is the rank-filter top-k
+      // optimization: Spark inserts a Partial below the exchange (each
+      // task forwards at most k rows) and a Final above it, so the
+      // single reducer's input is k × tasks — bounded — even though the
+      // lineage below reaches a data-sized scan. Partitioned group
+      // limits bound nothing globally; recurse.
+      w.partitionSpec.isEmpty || bounded(w.child)
     case p: ProjectExec => bounded(p.child)
     case f: FilterExec => bounded(f.child)
     case s: SortExec => bounded(s.child)
     case e: Exchange => bounded(e.child)
-    case g: GenerateExec => bounded(g.child) // bounded fanout generators
-                                             // (sequence/array literals)
+    case g: GenerateExec =>
+      // a generator's fanout is its element count, which is only provably
+      // bounded when the exploded expression cannot carry data-sized
+      // collections — i.e. the input is a literal relation or a LIMIT.
+      // Generate over an AGGREGATE is NOT bounded (exploding a
+      // collect_list re-expands to the pre-aggregation row count).
+      g.child match {
+        case _: LocalTableScanExec | _: RDDScanExec | _: BaseLimitExec |
+             _: CollectLimitExec => true
+        case c: ProjectExec => bounded(c) && !c.exists {
+          case _: BaseAggregateExec => true; case _ => false }
+        case _ => false
+      }
     case u: UnionExec => u.children.forall(bounded)
     case j: BroadcastNestedLoopJoinExec => j.children.forall(bounded)
     case j: BroadcastHashJoinExec => j.children.forall(bounded)
-    case other if other.children.size == 1 => bounded(other.children.head)
+    // NO blanket unary pass-through: an unlisted operator might expand
+    // rows (Expand, Generate variants, stateful ops) — unknown nodes are
+    // unbounded by construction, and legitimate row-preserving nodes get
+    // added here explicitly when a query needs them.
     case _ => false
   }
 
