@@ -115,6 +115,18 @@ object ScaleProbe {
     time("boilerplate_strip")(
       TextFunctions.stripBoilerplate(corpus, "doc_id", "text")
         .filter(col("n_removed") >= 0))
+    // BPE learn: the one driver-side learn boundary in the engine. The
+    // collect is bounded by maxWords (512 here) REGARDLESS of k — corpus
+    // growth only inflates the counts feeding the top-k, so the probe's
+    // cost tracks the distributed word-count scan while the driver-side
+    // merge learning stays constant-size. The assert pins the bound.
+    time("bpe_learn") {
+      import spark.implicits._
+      val merges = graft.functions.Bpe.learnFromCorpus(
+        corpus, "text", numMerges = 48, maxWords = 512)
+      assert(merges.size <= 48, s"merge count: ${merges.size}")
+      merges.toDF("left", "right")
+    }
     // sketch family + shuffle: all single-aggregate / single-window
     // shapes — the probe documents that their cost tracks corpus size
     // linearly (no pair enumeration anywhere to go quadratic)

@@ -68,7 +68,22 @@ object Bpe {
 
   /** Distributed word counts → bounded top-`maxWords` (count desc, word
     * asc — deterministic) → driver-side [[learn]]. The collect is bounded
-    * by maxWords, the same contract as collecting an ANN codebook. */
+    * by maxWords, the same contract as collecting an ANN codebook:
+    * corpus growth changes the COUNTS flowing into the top-k, never the
+    * number of rows collected (ScaleProbe `bpe_learn` pins this — the
+    * probe's cost tracks the distributed word-count scan while the
+    * driver step stays maxWords-sized at any k).
+    *
+    * FULLY-DISTRIBUTED ALTERNATIVE (when the vocabulary itself must not
+    * be truncated): each merge round is expressible as one distributed
+    * aggregate — explode each word's current symbol sequence into
+    * adjacent pairs, weight by word count, `groupBy(pair).agg(sum)` +
+    * argmax for the round's winner (a 1-row result), then rewrite the
+    * symbol sequences with the chosen merge and repeat numMerges times.
+    * That is numMerges shuffles over the (bounded-cardinality) word
+    * relation instead of one bounded collect — the right trade only when
+    * maxWords-truncation measurably hurts tokenizer quality, which is
+    * why the codebook-collect form ships as the default. */
   def learnFromCorpus(df: DataFrame, textCol: String, numMerges: Int,
       maxWords: Int): Seq[(String, String)] = {
     val top = df

@@ -15,6 +15,25 @@ object PipelineQueries {
   private val routingLandingDir =
     s"${System.getProperty("java.io.tmpdir")}/graft_s3_routing_landing"
 
+  /** ONE medallion run per (JVM, sfDir), shared by q_pipeline_run (stage
+    * counts) and q_pipeline_end_state (gold lake hash check): the end
+    * state of `Pipeline.run` is a pure function of the input tables, and
+    * checking a pipeline's output means reading the lake it wrote — not
+    * executing the pipeline a second time. Also keeps the append-only
+    * quality_logs count deterministic (a second run into the same lake
+    * would double it; a second lake would double the work). */
+  private object SharedLake {
+    private val lakes =
+      scala.collection.concurrent.TrieMap[String, (String, Map[String, Long])]()
+    def runOnce(s: org.apache.spark.sql.SparkSession,
+        sfDir: String): (String, Map[String, Long]) =
+      lakes.getOrElseUpdate(sfDir, {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-lake").toString
+        (lake, new Pipeline(s, lake).run(sfDir))
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // SilverPosts: the reference's declared-but-never-built clean_posts
@@ -292,13 +311,14 @@ object PipelineQueries {
     // produces is hash-checked by the sibling q_pipeline_end_state below.
     QueryDef.rowsOnly("q_pipeline_run") { (s, d) =>
       import s.implicits._
-      val lake = java.nio.file.Files.createTempDirectory("graft-lake").toString
-      val counts = new Pipeline(s, lake).run(d)
+      val (_, counts) = SharedLake.runOnce(s, d)
       counts.toSeq.sortBy(_._1).toDF("stage", "rows")
     },
 
-    // Pipeline END STATE, oracled: run the SAME Pipeline.run() into a fresh
-    // lake, then read back the gold.daily_global_summary TABLE AS WRITTEN
+    // Pipeline END STATE, oracled: read back the
+    // gold.daily_global_summary TABLE AS WRITTEN by the session's one
+    // shared Pipeline.run() (SharedLake — executed here if
+    // q_pipeline_run hasn't already)
     // (through the bronze overwrite → silver date-partitioned upsert →
     // gold upsert, i.e. three lake round-trips); the oracle re-derives the
     // whole bronze→silver→gold chain from raw events in SQL — blank→NULL
@@ -339,11 +359,8 @@ object PipelineQueries {
          |  ${Det.davgSql("mortality_rate")} AS avg_mortality_rate
          |FROM win GROUP BY record_date
          |ORDER BY record_date""".stripMargin) { (s, d) =>
-      val lake = java.nio.file.Files
-        .createTempDirectory("graft-endstate-lake").toString
-      val p = new Pipeline(s, lake)
-      p.run(d)
-      p.read("gold", "daily_global_summary")
+      val (lake, _) = SharedLake.runOnce(s, d)
+      new Pipeline(s, lake).read("gold", "daily_global_summary")
         .select("record_date", "n_countries", "total_new_cases",
           "avg_mortality_rate")
         .orderBy("record_date")
