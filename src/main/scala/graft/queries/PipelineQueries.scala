@@ -308,11 +308,32 @@ object PipelineQueries {
     // Full medallion pipeline run (bronze→silver→gold over a parquet lake,
     // K3/K4/K5/K6/K7 sinks) returning per-stage counts — the §3.1
     // orchestration as an observable query. The LAKE STATE this run
-    // produces is hash-checked by the sibling q_pipeline_end_state below.
-    QueryDef.rowsOnly("q_pipeline_run") { (s, d) =>
+    // produces is hash-checked by the sibling q_pipeline_end_state below;
+    // THIS query's stage-count report is oracled too: every count is
+    // re-derivable from the raw tables (bronze = events, silver covid =
+    // the daily grouping's cardinality, posts = documents, gold daily =
+    // distinct dates, engagement = the deterministic user/date stand-in's
+    // distinct pairs, quality = one row per configured check — the
+    // append-only log holds exactly one run's rows because SharedLake
+    // executes the pipeline once per session).
+    QueryDef.sql(
+      "q_pipeline_run",
+      s"""SELECT 'bronze_events' AS stage,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows FROM events
+         |UNION ALL SELECT 'gold_daily',
+         |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
+         |UNION ALL SELECT 'gold_engagement', CAST(COUNT(*) AS BIGINT)
+         |  FROM (SELECT DISTINCT doc_id % ${GoldEngagement.nUsers},
+         |          doc_id % ${GoldEngagement.nDays} FROM documents)
+         |UNION ALL SELECT 'quality_checks', CAST(3 AS BIGINT)
+         |UNION ALL SELECT 'silver_covid', CAST(COUNT(*) AS BIGINT)
+         |  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)
+         |UNION ALL SELECT 'silver_posts',
+         |  CAST(COUNT(*) AS BIGINT) FROM documents
+         |ORDER BY stage""".stripMargin) { (s, d) =>
       import s.implicits._
       val (_, counts) = SharedLake.runOnce(s, d)
-      counts.toSeq.sortBy(_._1).toDF("stage", "rows")
+      counts.toSeq.sortBy(_._1).toDF("stage", "n_rows")
     },
 
     // Pipeline END STATE, oracled: read back the

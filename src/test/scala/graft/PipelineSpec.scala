@@ -35,6 +35,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(Files.list(java.nio.file.Paths.get(s"$lake/exports")).count() >= 2)
   }
 
+  test("run() surfaces a branch failure only after every branch settles") {
+    // sfDir with events but NO documents: branch B (posts→engagement)
+    // fails at its scan while branches A (silver chain) and C (quality)
+    // are healthy. run() must (1) rethrow the failure and (2) have
+    // AWAITED the healthy branches first — the await-all-via-Try
+    // contract, so no write is still in flight when run() throws and the
+    // completed branches' lake tables are fully landed.
+    val src = Files.createTempDirectory("pipe-fail-src")
+    Files.createSymbolicLink(src.resolve("events.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
+    val lake = Files.createTempDirectory("pipe-fail-lake").toString
+    val e = intercept[Throwable] {
+      new Pipeline(spark, lake).run(src.toString)
+    }
+    assert(Option(e.getMessage).exists(_.toLowerCase.contains("documents")),
+      s"unexpected failure: $e")
+    // branch A completed through gold + export before the rethrow
+    assert(spark.read.parquet(s"$lake/gold/daily_global_summary").count() > 0)
+    assert(spark.read.parquet(s"$lake/silver/quality_logs").count() === 3)
+  }
+
   test("export refuses tables over the single-object row guard") {
     val lake = Files.createTempDirectory("graft-export-guard").toString
     val p = new Pipeline(spark, lake)
