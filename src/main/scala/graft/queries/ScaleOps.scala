@@ -223,6 +223,29 @@ object ScaleOps {
         .orderBy("order_date")
     },
 
+    // HLL accuracy CONTRACT, driver-checked: the register values above
+    // are engine-specific (inherently rows-only), but the sketch's
+    // guarantee — estimate within tolerance of exact — is a deterministic
+    // boolean per group, so the oracle is simply TRUE per key and a hash
+    // mismatch means the sketch broke its bound. rsd=0.02, gate at 5×
+    // (relative error ≤ 0.10, floor of 1 for tiny groups) so the row is
+    // a real invariant, not a flaky 2σ coin flip.
+    QueryDef.sql(
+      "a_approx_distinct_tol",
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |  TRUE AS within_tol
+        |FROM orders GROUP BY 1 ORDER BY order_date""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("a"),
+          countDistinct(col("o_custkey")).as("e"))
+        .select(col("order_date"),
+          (abs(col("a") - col("e")) <=
+            greatest(lit(1L), ceil(col("e") * 0.10).cast("long")))
+            .as("within_tol"))
+        .orderBy("order_date")
+    },
+
     // Count-min sketch frequency estimation: the heavy-hitter check when
     // per-key exact counts are too wide to keep. 1024x4 cells vs 1500
     // distinct custkeys forces real collisions, so the hash-checked
@@ -594,6 +617,41 @@ object ScaleOps {
         .agg(
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
           percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx"))
+        .orderBy("event_type")
+    },
+
+    // GK-sketch accuracy CONTRACT, driver-checked (same pattern as
+    // a_approx_distinct_tol): percentile_approx(accuracy=1000)
+    // guarantees the returned value's RANK is within n/1000 of q·n. The
+    // check is exact integer rank logic — compute each approx quantile,
+    // join it back, count rows strictly-below / at-or-below it, and
+    // require the value's rank interval to intersect [q−ε, q+ε]·n (ε =
+    // 0.001, ±1 row of slack for the boundary) — no interpolated-
+    // percentile comparisons, which get flaky at small n. Oracle = TRUE
+    // per group; a hash mismatch means the sketch broke its rank bound.
+    QueryDef.sql(
+      "a_approx_percentiles_tol",
+      """SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val ap = ev.groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90"))
+      def ok(q: Double, lt: org.apache.spark.sql.Column,
+          le: org.apache.spark.sql.Column) =
+        (lt <= (col("n") * (q + 0.001) + 1)) &&
+          (le >= (col("n") * (q - 0.001) - 1))
+      ev.join(broadcast(ap), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(col("value")).as("n"),
+          count(when(col("value") < col("p50"), 1)).as("lt50"),
+          count(when(col("value") <= col("p50"), 1)).as("le50"),
+          count(when(col("value") < col("p90"), 1)).as("lt90"),
+          count(when(col("value") <= col("p90"), 1)).as("le90"))
+        .select(col("event_type"),
+          ok(0.5, col("lt50"), col("le50")).as("p50_ok"),
+          ok(0.9, col("lt90"), col("le90")).as("p90_ok"))
         .orderBy("event_type")
     },
 
