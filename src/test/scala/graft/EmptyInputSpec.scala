@@ -182,6 +182,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.silhouetteByCell(noVecs, cents).count() === 0)
     assert(Itemsets.frequentTriples(
       Seq.empty[(Long, Long)].toDF("bk", "it"), "bk", "it", 2).count() === 0)
+    // fractional form: the in-plan threshold aggregate over ZERO baskets
+    // must still produce a (greatest-floored) scalar, not a null that
+    // silently drops everything downstream
+    assert(Itemsets.frequentTriplesFrac(
+      Seq.empty[(Long, Long)].toDF("bk", "it"), "bk", "it",
+      basketDenom = 75000L).count() === 0)
     val noNodes = Seq.empty[Tuple1[Long]].toDF("id")
     val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.labelPropagation(noNodes, noEdges, "id", 2).count() === 0)
