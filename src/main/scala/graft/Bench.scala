@@ -22,32 +22,45 @@ object Bench {
     * the flat `"name":seconds` pairs keeps the zero-dependency build;
     * absent/unparseable → omitted. */
   private def prevRound(outFile: String): Option[String] = {
+    // parse the {"total":…,"queries":{flat pairs}} shape starting at
+    // `from` within `txt` ("name":number pairs — names [a-z0-9_] by
+    // contract)
+    def parseFrom(txt: String, from: Int): Option[String] = {
+      val total = "\"value\":([0-9.eE+-]+)".r
+        .findFirstMatchIn(txt.substring(from))
+        .orElse("\"total\":([0-9.eE+-]+)".r
+          .findFirstMatchIn(txt.substring(from)))
+        .map(_.group(1)).getOrElse("null")
+      val qStart = txt.indexOf("\"queries\":{", from)
+      if (qStart < 0) None
+      else {
+        val body = txt.substring(qStart + "\"queries\":{".length)
+        val end = body.indexOf('}')
+        if (end < 0) None
+        else {
+          val pairs = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r
+            .findAllMatchIn(body.substring(0, end))
+            .map(m => s""""${m.group(1)}":${m.group(2)}""")
+            .mkString("{", ",", "}")
+          Some(s"""{"total":$total,"queries":$pairs}""")
+        }
+      }
+    }
     try {
       val p = java.nio.file.Paths.get(outFile)
       if (!java.nio.file.Files.exists(p)) None
       else {
         val txt = java.nio.file.Files.readString(p)
-        // a name-restricted (local iteration) run is not a round artifact
-        if (txt.contains("\"partial\":true")) return None
-        val qStart = txt.indexOf("\"queries\":{")
-        val total = "\"value\":([0-9.eE+-]+)".r.findFirstMatchIn(txt)
-          .map(_.group(1)).getOrElse("null")
-        if (qStart < 0) None
+        if (!txt.contains("\"partial\":true")) parseFrom(txt, 0)
         else {
-          val body = txt.substring(qStart + "\"queries\":{".length)
-          val end = body.indexOf('}')
-          if (end < 0) None
-          else {
-            // flat "name":number pairs — names are [a-z0-9_] by contract
-            val pairs = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r
-              .findAllMatchIn(body.substring(0, end))
-              .map(m => s""""${m.group(1)}":${m.group(2)}""")
-              .mkString("{", ",", "}")
-            Some(s"""{"total":$total,"queries":$pairs}""")
-          }
+          // a name-restricted (local iteration) run is not a round
+          // artifact — but it still CARRIES the last full round under
+          // its own prev_round, so the chain survives a clobber
+          val pr = txt.indexOf("\"prev_round\":{")
+          if (pr < 0) None else parseFrom(txt, pr)
         }
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** 1-minute load average from /proc/loadavg (-1 if unreadable). */

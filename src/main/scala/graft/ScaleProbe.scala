@@ -421,9 +421,8 @@ object ScaleProbe {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val ob = li.select(col("l_orderkey"), col("l_partkey")).distinct().staged
-      val nb = ob.agg(expr(
-        "greatest(2, (count(DISTINCT l_orderkey) + 74999) div 75000)")
-        .as("__thr"))
+      val nb = ob.agg(expr(graft.operators.Itemsets.thresholdExprSql(
+        "count(DISTINCT l_orderkey)")).as("__thr"))
       val freq = ob.groupBy("l_partkey").agg(count(lit(1)).as("f"))
       val co0 = ob.select(col("l_orderkey"), col("l_partkey").as("ia"))
         .join(ob.select(col("l_orderkey"), col("l_partkey").as("ib")),
@@ -475,7 +474,7 @@ object ScaleProbe {
         "l_partkey", minSupport = 2L))
     time("itemsets3_shipped")(
       graft.operators.Itemsets.frequentTriplesFrac(li, "l_orderkey",
-        "l_partkey", basketDenom = 75000L))
+        "l_partkey"))
     // pair lift over basket co-occurrence + broadcast support/total
     // relations (a_basket_lift)
     time("basket_lift") {

@@ -30,6 +30,26 @@ import graft.engine.Stage.syntax._
   */
 object Itemsets {
 
+  /** The shipped basket-rate denominator: a pattern must recur at the
+    * ~1-in-75k basket rate to survive the relative prune. ONE constant —
+    * the engine-side expressions AND the DuckDB oracle SQL in
+    * ScaleOps/ScaleProbe all derive from it via the helpers below, so
+    * tuning the rate cannot desynchronize a query from its oracle. */
+  val DefaultBasketDenom = 75000L
+
+  /** Spark-dialect relative threshold over a basket-count aggregate
+    * expression: greatest(floor, ceil(count / denom)) in exact integer
+    * form. */
+  def thresholdExprSql(countExpr: String,
+      denom: Long = DefaultBasketDenom, floor: Long = 2L): String =
+    s"greatest($floor, ($countExpr + ${denom - 1}) div $denom)"
+
+  /** DuckDB-dialect mirror of [[thresholdExprSql]] (integer division is
+    * `//`). */
+  def thresholdOracleSql(countExpr: String,
+      denom: Long = DefaultBasketDenom, floor: Long = 2L): String =
+    s"GREATEST($floor, ($countExpr + ${denom - 1}) // $denom)"
+
   /** Frequent triples with ABSOLUTE support >= minSupport.
     * Returns (p1, p2, p3, support), p1 < p2 < p3, support-ranked.
     *
@@ -44,8 +64,11 @@ object Itemsets {
   def frequentTriples(baskets: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport: $minSupport")
-    // max(lit) because agg() needs an aggregate expression; constant-folds
-    mine(baskets, basketCol, itemCol, max(lit(minSupport)))
+    // a literal 1-row relation, NOT an aggregate over the baskets: the
+    // absolute form's threshold needs no basket scan, and a literal can
+    // never be NULL on empty input
+    mine(baskets, basketCol, itemCol, _ =>
+      baskets.sparkSession.range(1).select(lit(minSupport).as("__thr")))
   }
 
   /** Frequent triples with RELATIVE minimum support — the A-priori norm:
@@ -55,28 +78,26 @@ object Itemsets {
     * integer form `(n + d - 1) div d` is exact on every engine, which
     * lets a SQL oracle recompute the identical threshold. */
   def frequentTriplesFrac(baskets: DataFrame, basketCol: String,
-      itemCol: String, basketDenom: Long,
+      itemCol: String, basketDenom: Long = DefaultBasketDenom,
       floorSupport: Long = 2L): DataFrame = {
     require(basketDenom >= 1, s"basketDenom: $basketDenom")
     require(floorSupport >= 1, s"floorSupport: $floorSupport")
-    mine(baskets, basketCol, itemCol,
-      expr(s"greatest($floorSupport, " +
-        s"(count(DISTINCT bk) + ${basketDenom - 1}) div $basketDenom)"))
+    mine(baskets, basketCol, itemCol, b =>
+      b.agg(expr(thresholdExprSql("count(DISTINCT bk)", basketDenom,
+        floorSupport)).as("__thr")).staged)
   }
 
-  /** Shared lattice: `thrAgg` is an aggregate expression over the distinct
-    * (bk, it) relation producing the support threshold (a literal for the
-    * absolute form, a basket-count derivation for the relative form).
-    * Broadcast as one row into every prune site, so item, pair, and
-    * triple pruning all apply the same cutoff — A-priori monotonicity
-    * then guarantees the final triples match a single end filter. */
+  /** Shared lattice: `mkThr` builds the 1-row threshold relation from the
+    * distinct (bk, it) relation (a literal for the absolute form, a
+    * staged basket-count aggregate for the relative form). Broadcast as
+    * one row into every prune site, so item, pair, and triple pruning
+    * all apply the same cutoff — A-priori monotonicity then guarantees
+    * the final triples match a single end filter. */
   private def mine(baskets: DataFrame, basketCol: String, itemCol: String,
-      thrAgg: org.apache.spark.sql.Column): DataFrame = {
+      mkThr: DataFrame => DataFrame): DataFrame = {
     val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct().staged
-    // 1-row threshold relation: staged so the three prune sites reuse the
-    // computed scalar instead of re-aggregating b per site
-    val thr = b.agg(thrAgg.as("__thr")).staged
+    val thr = mkThr(b)
     val freqItems = b.groupBy("it").agg(count(lit(1)).as("__n"))
       .crossJoin(broadcast(thr))
       .filter(col("__n") >= col("__thr")).select("it")

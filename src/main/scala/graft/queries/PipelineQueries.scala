@@ -10,10 +10,16 @@ object PipelineQueries {
 
   /** Fixed landing dir for [[s3_source_routing]]: the oracle SQL is a
     * static string, so DuckDB can only re-read the landed files if their
-    * path is deterministic. Content is fixture-synthetic (SF-independent),
-    * so concurrent runs landing the same bytes are harmless. */
-  private val routingLandingDir =
-    s"${System.getProperty("java.io.tmpdir")}/graft_s3_routing_landing"
+    * path is deterministic. Per-user (multi-user /tmp would otherwise mix
+    * ownership — the user name interpolates identically into the query
+    * and its oracle because both strings are built in this JVM), and
+    * concurrent JVMs landing the same fixture bytes are safe because
+    * [[Sources.land]] replaces files atomically. */
+  private val routingLandingDir = {
+    val user = System.getProperty("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9_-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_s3_routing_landing_$user"
+  }
 
   /** ONE medallion run per (JVM, sfDir), shared by q_pipeline_run (stage
     * counts) and q_pipeline_end_state (gold lake hash check): the end

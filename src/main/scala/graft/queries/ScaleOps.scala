@@ -1517,8 +1517,8 @@ object ScaleOps {
       "q_item_recs",
       s"""WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |nb AS (
-         |  SELECT GREATEST(2, (COUNT(DISTINCT l_orderkey) + 74999) // 75000)
-         |    AS thr
+         |  SELECT ${graft.operators.Itemsets.thresholdOracleSql(
+              "COUNT(DISTINCT l_orderkey)")} AS thr
          |  FROM ob),
          |freq AS (SELECT l_partkey, COUNT(*) AS f FROM ob GROUP BY 1),
          |co AS (
@@ -1562,9 +1562,8 @@ object ScaleOps {
         .select(col("l_orderkey"), col("l_partkey")).distinct().staged
       // relative prune threshold, computed in-plan (1-row broadcast): the
       // absolute co>=2 form measured exp 1.22 under catalog-fixed growth
-      val nb = ob.agg(expr(
-        "greatest(2, (count(DISTINCT l_orderkey) + 74999) div 75000)")
-        .as("__thr"))
+      val nb = ob.agg(expr(graft.operators.Itemsets.thresholdExprSql(
+        "count(DISTINCT l_orderkey)")).as("__thr"))
       val freq = ob.groupBy("l_partkey").agg(count(lit(1)).as("f"))
       val co = ob.select(col("l_orderkey"), col("l_partkey").as("ia"))
         .join(ob.select(col("l_orderkey"), col("l_partkey").as("ib")),
@@ -1625,8 +1624,8 @@ object ScaleOps {
       "a_itemsets3",
       s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |nb AS (
-         |  SELECT GREATEST(2, (COUNT(DISTINCT l_orderkey) + 74999) // 75000)
-         |    AS thr
+         |  SELECT ${graft.operators.Itemsets.thresholdOracleSql(
+              "COUNT(DISTINCT l_orderkey)")} AS thr
          |  FROM b),
          |t AS (
          |  SELECT a.l_partkey AS p1, b2.l_partkey AS p2, b3.l_partkey AS p3,
@@ -1640,8 +1639,7 @@ object ScaleOps {
          |SELECT p1, p2, p3, support FROM t, nb WHERE support >= thr
          |ORDER BY support DESC, p1, p2, p3""".stripMargin) { (s, d) =>
       graft.operators.Itemsets.frequentTriplesFrac(
-        Tables.lineitem(s, d), "l_orderkey", "l_partkey",
-        basketDenom = 75000L)
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")
     },
 
     // Skyline / pareto frontier per brand: the parts no other same-brand

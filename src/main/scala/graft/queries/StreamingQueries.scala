@@ -74,11 +74,25 @@ object StreamingQueries {
       .repartition(col("__b"))
       .write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
     frames.indices.foreach { i =>
-      val part = Files.list(tmp.resolve(s"__b=$i"))
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .findFirst().get()
+      val dir = tmp.resolve(s"__b=$i")
       val dst = srcDir.resolve(f"batch-$i%02d.parquet")
-      Files.copy(part, dst)
+      if (Files.isDirectory(dir)) {
+        val part = Files.list(dir)
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        Files.copy(part, dst)
+      } else {
+        // an EMPTY batch frame writes no partition dir — stage it the
+        // one-frame way so the micro-batch still exists (and still
+        // advances watermarks) instead of crashing the replay
+        val single = Files.createTempDirectory(s"replay-b$i")
+        frames(i).coalesce(1).write.mode("overwrite")
+          .parquet(single.toString)
+        val part = Files.list(single)
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        Files.copy(part, dst)
+      }
       Files.setLastModifiedTime(dst,
         FileTime.fromMillis(1000000000000L + i * 60000L))
     }
@@ -142,9 +156,11 @@ object StreamingQueries {
       stageBatches(docs, srcDir)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-      // NOT withReplayPartitions: the Bloom/NearDup ingest loops are
-      // compute-bound foreachBatch joins (shingle/probe relations), not
-      // state-store-bound — 8 partitions measured SLOWER than 32 here
+      // 16, not the stateful replays' 8: the Bloom/NearDup ingest loops
+      // are compute-bound foreachBatch joins (shingle/probe relations),
+      // not state-store-bound — 8 measured SLOWER than 16/32 here, and
+      // 16 edged out 32 (less scheduler overhead, same parallelism at
+      // this batch volume)
       withReplayPartitions(s, 16) {
         BloomIngest.start(stream, "doc_id", "text", stateDir, outDir)
       }
@@ -177,7 +193,7 @@ object StreamingQueries {
       stageBatches(docs, srcDir, nBatches = 2)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-      // NOT withReplayPartitions — see q_stream_replay
+      // 16, not 8 — compute-bound ingest loop, see q_stream_replay
       withReplayPartitions(s, 16) {
         NearDupIngest.start(stream, "doc_id", "text", idxDir, pairsDir,
           threshold = 0.8)

@@ -19,13 +19,24 @@ import org.apache.spark.sql.types.StructType
 object Sources {
 
   /** S1/S2 ingest: copy a URL's bytes into the landing dir, returning the
-    * landed path. Timestamped name mirrors ingest_bronze.py:67. */
+    * landed path. Timestamped name mirrors ingest_bronze.py:67.
+    *
+    * The landed file appears ATOMICALLY: bytes stream into a temp file in
+    * the same directory, then one rename replaces the destination — a
+    * concurrent reader (another Spark scan, the DuckDB oracle) sees the
+    * old complete file or the new complete file, never a truncated one. */
   def land(url: String, landingDir: String, name: String): String = {
     Files.createDirectories(Paths.get(landingDir))
     val dest = Paths.get(landingDir, name)
+    val tmp = Files.createTempFile(Paths.get(landingDir), s".$name.", ".tmp")
     val in = java.net.URI.create(url).toURL.openStream()
-    try Files.copy(in, dest, StandardCopyOption.REPLACE_EXISTING)
+    try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
+    try Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
+    }
     dest.toString
   }
 
