@@ -399,8 +399,40 @@ object PipelineQueries {
     // lengths / additive score / activity CASE / last-active window. The
     // oracle rebuilds GoldEngagement.attribute's deterministic user/date
     // stand-in (the reference's posts feed carries userId natively).
+    // The SAME oracle also checks the LAKE end state of this table below
+    // (q_pipeline_engagement_state).
     QueryDef.sql(
       "q_user_engagement",
+      engagementOracleSql) { (s, d) =>
+      val posts = SilverPosts.transform(
+        Tables.documents(s, d), titleCol = "source", bodyCol = "text")
+      GoldEngagement.transform(GoldEngagement.attribute(posts))
+        .orderBy("engagement_date", "user_id")
+    },
+
+    // Pipeline END STATE of the SECOND gold table: read
+    // gold.user_engagement_metrics back from the shared medallion lake
+    // (documents → silver.clean_posts overwrite → engagement upsert by
+    // engagement_date → read-back) and hash-check it against the SAME
+    // DuckDB re-derivation that checks the in-memory frame
+    // (q_user_engagement). Together with q_pipeline_end_state this
+    // hash-pins every gold table Pipeline.run() writes.
+    QueryDef.sql(
+      "q_pipeline_engagement_state",
+      engagementOracleSql) { (s, d) =>
+      val (lake, _) = SharedLake.runOnce(s, d)
+      new Pipeline(s, lake).read("gold", "user_engagement_metrics")
+        .select("engagement_date", "user_id", "post_count",
+          "avg_post_length", "total_words", "engagement_score",
+          "activity_level", "last_active_date")
+        .orderBy("engagement_date", "user_id")
+    },
+  )
+
+  /** Shared oracle for gold.user_engagement_metrics — used by BOTH the
+    * in-memory lineage check (q_user_engagement) and the lake end-state
+    * check (q_pipeline_engagement_state), so the two can never drift. */
+  private def engagementOracleSql: String =
       raw"""WITH f AS (
            |  SELECT doc_id, length(text) AS body_length,
            |    len(str_split_regex(trim(lower(text)), '\s+')) AS word_count
@@ -427,11 +459,5 @@ object PipelineQueries {
            |       WHEN post_count >= 2 THEN 'casual'
            |       ELSE 'occasional' END AS activity_level,
            |  MAX(engagement_date) OVER (PARTITION BY user_id) AS last_active_date
-           |FROM agg ORDER BY engagement_date, user_id""".stripMargin) { (s, d) =>
-      val posts = SilverPosts.transform(
-        Tables.documents(s, d), titleCol = "source", bodyCol = "text")
-      GoldEngagement.transform(GoldEngagement.attribute(posts))
-        .orderBy("engagement_date", "user_id")
-    },
-  )
+           |FROM agg ORDER BY engagement_date, user_id""".stripMargin
 }

@@ -186,6 +186,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // Streaming query whose returned frame is just the lake read-back —
   // their plan shapes live in StreamingSpec and the engine modules.
   private val skip = Set("q_pipeline_run", "q_pipeline_end_state",
+    "q_pipeline_engagement_state",
     "q_stream_replay", "q_stream_neardup_replay", "q_stream_window_replay",
     "q_stream_session_replay", "q_stream_enrich_replay",
     "q_stream_join_replay")
