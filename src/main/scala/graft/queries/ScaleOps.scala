@@ -26,7 +26,9 @@ object ScaleOps {
     for { i <- ks.indices; j <- ks.indices if i < j } yield (ks(i), ks(j))
   }
   private def corrSumsSql: String = {
-    def dec(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
+    // scaled-long sums (Det.dsumSql discipline) at 6 decimals: products
+    // top out near price² ≈ 1.2e10, ×10^6 well inside the 2^63 domain
+    def dec(e: String) = Det.dsumSql(e, 6)
     (corrCols.map { case (a, c) => s"${dec(c)} AS s_$a" } ++
       corrCols.map { case (a, c) => s"${dec(s"$c * $c")} AS s_${a}_$a" } ++
       corrPairKeys.map { case (a, b) =>
@@ -2144,8 +2146,8 @@ object ScaleOps {
     // combinable aggregate producing all 14 sufficient statistics (4
     // sums, 4 sum-squares, 6 cross-products) in a single scan; the 6
     // correlations then assemble from that 1-row relation. Same
-    // sqrt-safe rational form as the time-series correlation (decimal
-    // sums, IEEE sqrt), so it hash-checks.
+    // sqrt-safe rational form as the time-series correlation
+    // (order-independent Det.dsum sums, IEEE sqrt), so it hash-checks.
     QueryDef.sql(
       "a_corr_matrix",
       s"""WITH m AS (
@@ -2155,17 +2157,16 @@ object ScaleOps {
          |p AS (${corrPairsSql.mkString("\n  UNION ALL ")})
          |SELECT col_x, col_y, corr_r FROM p
          |ORDER BY col_x, col_y""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.types.DecimalType
-      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 6))
+      def dec(c: org.apache.spark.sql.Column) = Det.dsum(c, 6)
       val cols = corrCols
       val li = Tables.lineitem(s, d)
       val sums =
-        cols.map { case (a, ca) => sum(dec(col(ca))).cast("double").as(s"s_$a") } ++
+        cols.map { case (a, ca) => dec(col(ca)).as(s"s_$a") } ++
         cols.map { case (a, ca) =>
-          sum(dec(col(ca) * col(ca))).cast("double").as(s"s_${a}_$a") } ++
+          dec(col(ca) * col(ca)).as(s"s_${a}_$a") } ++
         corrPairKeys.map { case (a, b) =>
           val (ca, cb) = (cols.toMap.apply(a), cols.toMap.apply(b))
-          sum(dec(col(ca) * col(cb))).cast("double").as(s"s_${a}_$b") }
+          dec(col(ca) * col(cb)).as(s"s_${a}_$b") }
       // staged: the 6 pair rows each select from this 1-row relation —
       // without the cut they'd each re-run the full-scan aggregate
       val m = li.agg(count(lit(1)).as("n"), sums: _*).staged
