@@ -1497,8 +1497,9 @@ object ScaleOps {
     // Σ sim(i,j) over the user's items, seen items anti-joined away,
     // top-3 per user. Pair space lives in order-basket co-occurrence
     // (the bounded a_copurchase_pairs shape) pruned at a RELATIVE
-    // threshold; scoring is two keyed joins + one decimal-summed
-    // aggregate; ranking is a per-user window, never a global sort.
+    // threshold; scoring is two keyed joins + one order-independent
+    // Det.dsum aggregate; ranking is a per-user window, never a global
+    // sort.
     //
     // SCALE NOTE (round-8/9 probes): an ABSOLUTE co ≥ 2 prune is
     // scale-hostile — under 11× transaction growth over a fixed catalog
@@ -1545,7 +1546,7 @@ object ScaleOps {
          |  FROM orders o JOIN ob ON ob.l_orderkey = o.o_orderkey),
          |sc AS (
          |  SELECT u.o_custkey, sd.ib AS rec_part,
-         |    CAST(SUM(CAST(sd.s AS DECIMAL(18,6))) AS DOUBLE) AS score
+         |    ${Det.dsumSql("sd.s", 6)} AS score
          |  FROM ui u JOIN simd sd ON sd.ia = u.l_partkey
          |  GROUP BY 1, 2),
          |unseen AS (
@@ -1559,7 +1560,6 @@ object ScaleOps {
          |  FROM unseen)
          |SELECT o_custkey, rec_part, score, rk FROM rk WHERE rk <= 3
          |ORDER BY o_custkey, rk""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.types.DecimalType
       val ob = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct().staged
       // relative prune threshold, computed in-plan (1-row broadcast): the
@@ -1593,7 +1593,7 @@ object ScaleOps {
         .select(col("o_custkey"), col("l_partkey")).distinct().staged
       val sc = ui.join(simd, ui("l_partkey") === simd("ia"))
         .groupBy(col("o_custkey"), col("ib").as("rec_part"))
-        .agg(sum(col("s").cast(DecimalType(18, 6))).cast("double").as("score"))
+        .agg(Det.dsum(col("s"), 6).as("score"))
       val unseen = sc.join(
         ui.select(col("o_custkey"), col("l_partkey").as("rec_part")),
         Seq("o_custkey", "rec_part"), "left_anti")
