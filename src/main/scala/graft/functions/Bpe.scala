@@ -98,6 +98,105 @@ object Bpe {
     learn(top, numMerges)
   }
 
+  /** FULLY-DISTRIBUTED learn: the scaladoc alternative of
+    * [[learnFromCorpus]], implemented for real — no vocabulary
+    * truncation, no corpus-sized driver state. The word-frequency
+    * relation (distinct words — bounded sublinearly by the corpus'
+    * vocabulary, not its size) stays ON THE CLUSTER for the whole loop;
+    * each of the `numMerges` rounds is:
+    *
+    *   1. one distributed aggregate: adjacent symbol pairs exploded from
+    *      every word, weighted by word count, `groupBy(pair).sum` —
+    *      map-side-combinable, vocabulary-bounded;
+    *   2. a 1-ROW argmax collect (count desc, pair lexicographic — the
+    *      exact tie discipline of [[learn]]): the only driver traffic
+    *      per round is the winning pair;
+    *   3. a distributed rewrite: every word's symbol string merges the
+    *      winning pair via one `replace` over the separator-wrapped
+    *      representation of [[encodeSqlDuck]] (`⟂a⟂⟂b⟂` → `⟂ab⟂` —
+    *      whole-symbol-safe, non-overlapping left-to-right like the
+    *      Scala loop), re-staged so the iterative lineage stays flat.
+    *
+    * At 100 TB the corpus is touched exactly once (the initial word
+    * count); the loop's cost is numMerges shuffles over the vocabulary
+    * relation. Same corpus → same merges as [[learn]]/[[learnFromCorpus]]
+    * with an untruncated vocabulary (BpeSpec pins the equivalence; the
+    * t_bpe_learn_distributed oracle replays the full loop in DuckDB). */
+  def learnDistributed(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    import graft.engine.Stage.syntax._
+    val S = "\u001f"
+    var words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("s"), col("c"))
+      .staged
+    val merges = Seq.newBuilder[(String, String)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val top = words
+        .select(col("c"), split(trim(col("s"), S), S + S).as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(0, size(a) - 2)," +
+            " i -> struct(a[i] AS lhs, a[i + 1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("c")).as("pc"))
+        .orderBy(desc("pc"), asc("lhs"), asc("rhs"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        words = words.select(
+          replace(col("s"), lit(S + a + S + S + b + S), lit(S + a + b + S))
+            .as("s"), col("c")).staged
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** DuckDB replay of [[learnDistributed]]: `numMerges` unrolled
+    * MATERIALIZED rounds (without materialization the w-chain
+    * re-evaluates once per referencing CTE — the k-means-trajectory
+    * oracle precedent), each round = pair counts from the wrapped-symbol
+    * strings → argmax with the (count desc, lexicographic) tie-break →
+    * one `replace` rewrite. Returns the full SELECT producing
+    * (merge_rank BIGINT, lhs, rhs). */
+  def learnSqlDuck(numMerges: Int): String = {
+    val S = "\u001f"
+    def l(s: String) = "'" + s.replace("'", "''") + "'"
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""wc AS MATERIALIZED (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT unnest(list_filter(str_split_regex(trim(lower(text)), ${l("\\s+")}),
+      |                              x -> x <> '')) AS w
+      |    FROM documents) GROUP BY w)""".stripMargin
+    ctes += s"""w0 AS MATERIALIZED (
+      |  SELECT regexp_replace(w, '(.)', ${l(S + "\\1" + S)}, 'g') AS s, c FROM wc)""".stripMargin
+    for (r <- 1 to numMerges) {
+      ctes += s"""p$r AS MATERIALIZED (
+        |  SELECT l[u.i] AS lhs, l[u.i + 1] AS rhs, SUM(c) AS c
+        |  FROM (SELECT string_split(trim(s, ${l(S)}), ${l(S + S)}) AS l, c
+        |        FROM w${r - 1}) lw,
+        |       UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"m$r AS MATERIALIZED (SELECT lhs, rhs FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1)"
+      ctes += s"""w$r AS MATERIALIZED (
+        |  SELECT replace(s, ${l(S)} || lhs || ${l(S + S)} || rhs || ${l(S)},
+        |                 ${l(S)} || lhs || rhs || ${l(S)}) AS s, c
+        |  FROM w${r - 1}, m$r)""".stripMargin
+    }
+    val union = (1 to numMerges)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs FROM m$r")
+      .mkString("\nUNION ALL ")
+    "WITH " + ctes.result().mkString(",\n") + "\n" + union + " ORDER BY merge_rank"
+  }
+
   /** Encode one word with the learned ranks: greedy lowest-rank-first
     * merging (the GPT-2 encode loop). Unknown characters stay as
     * single-character symbols. */

@@ -619,6 +619,30 @@ object Extensions {
         .orderBy("lang")
     },
 
+    // FULLY-DISTRIBUTED BPE learning over the corpus — the scale path
+    // when the vocabulary must not be truncated (Bpe.learnDistributed):
+    // the corpus is scanned ONCE into the distinct-word relation, which
+    // then stays on the cluster for all 12 merge rounds (pair-count
+    // aggregate → 1-row argmax collect → replace-rewrite, re-staged per
+    // round). The oracle replays the identical loop in DuckDB as 12
+    // unrolled MATERIALIZED rounds over the same separator-wrapped
+    // representation, so the hash check pins every round's winner AND
+    // tie-break — not just the final table. Complements t_bpe_tokenize
+    // (pinned-codebook ENCODING); BpeSpec separately proves
+    // learnDistributed ≡ the driver-side learn loop on an untruncated
+    // vocabulary.
+    QueryDef.sql(
+      "t_bpe_learn_distributed",
+      graft.functions.Bpe.learnSqlDuck(numMerges = 12)) { (s, d) =>
+      import s.implicits._
+      val merges = graft.functions.Bpe.learnDistributed(
+        Tables.documents(s, d), "text", numMerges = 12)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
+        .orderBy("merge_rank")
+    },
+
     QueryDef.sql(
       "t_langid", {
         def hitsSql(ws: Seq[String]) =

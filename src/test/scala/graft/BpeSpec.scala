@@ -103,4 +103,23 @@ class BpeSpec extends AnyFunSuite {
     assert(got.tokens.toSeq === Seq("hug", "s", "b", "ug", "p", "un"))
     assert(got.n_words === 3 && got.n_bpe_tokens === 6)
   }
+
+  test("fully-distributed learn matches the driver loop, merge for merge") {
+    val rows = wordCounts.flatMap { case (w, c) =>
+      (0L until c).map(i => (w.hashCode.toLong * 1000 + i, w))
+    }
+    val df = rows.toDF("doc_id", "text")
+    // golden vocabulary: all three merges, in order, from the cluster loop
+    assert(Bpe.learnDistributed(df, "text", numMerges = 3) === golden)
+    // a budget past exhaustion stops at the same point as the driver loop
+    val exhausted = Bpe.learnDistributed(df, "text", numMerges = 50)
+    assert(exhausted === Bpe.learn(wordCounts, 50))
+    // multi-char merged symbols keep rewriting correctly (h+ug at rank 3
+    // proves the wrapped-string replace handles non-single-char symbols);
+    // overlap semantics: "aaa" under (a,a) merges left-to-right to (aa, a)
+    val tripleA = Seq((1L, "aaa")).toDF("doc_id", "text")
+    assert(Bpe.learnDistributed(tripleA, "text", numMerges = 2)
+      === Seq(("a", "a"), ("aa", "a")))
+    assert(Bpe.learn(Seq(("aaa", 1L)), 2) === Seq(("a", "a"), ("aa", "a")))
+  }
 }
