@@ -127,6 +127,19 @@ object ScaleProbe {
       assert(merges.size <= 48, s"merge count: ${merges.size}")
       merges.toDF("left", "right")
     }
+    // Fully-distributed learn (no vocabulary truncation): the corpus is
+    // scanned once into the distinct-word relation; the 12 merge rounds
+    // then operate on VOCABULARY-sized relations only. Under k-fold
+    // corpus replication the vocabulary (and so every round) is
+    // IDENTICAL — only the initial word-count scan grows — so the
+    // measured exponent should sit near the scan's, never the rounds'.
+    time("bpe_learn_distributed") {
+      import spark.implicits._
+      val merges = graft.functions.Bpe.learnDistributed(
+        corpus, "text", numMerges = 12)
+      assert(merges.size <= 12, s"merge count: ${merges.size}")
+      merges.toDF("left", "right")
+    }
     // sketch family + shuffle: all single-aggregate / single-window
     // shapes — the probe documents that their cost tracks corpus size
     // linearly (no pair enumeration anywhere to go quadratic)
