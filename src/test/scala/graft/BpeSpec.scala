@@ -122,4 +122,27 @@ class BpeSpec extends AnyFunSuite {
       === Seq(("a", "a"), ("aa", "a")))
     assert(Bpe.learn(Seq(("aaa", 1L)), 2) === Seq(("a", "a"), ("aa", "a")))
   }
+
+  test("property: distributed learn ≡ driver loop on random corpora") {
+    // seeded-random word multisets over a tiny alphabet — small words +
+    // high collision rates force repeated-pair, tie-break, overlap, and
+    // exhaustion paths (the scalacheck-less PropertiesSpec convention)
+    val rnd = new scala.util.Random(20260815)
+    (1 to 5).foreach { trial =>
+      val alphabet = "abc"
+      val words = (1 to (3 + rnd.nextInt(6))).map { _ =>
+        (1 to (1 + rnd.nextInt(5)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val counts = words.groupBy(identity)
+        .map { case (w, ws) => (w, ws.size.toLong * (1 + rnd.nextInt(3))) }
+        .toSeq
+      val rows = counts.zipWithIndex.flatMap { case ((w, c), wi) =>
+        (0L until c).map(i => (wi * 1000L + i, w))
+      }
+      val expect = Bpe.learn(counts, 6)
+      val got = Bpe.learnDistributed(rows.toDF("doc_id", "text"), "text", 6)
+      assert(got === expect, s"trial $trial over $counts")
+    }
+  }
 }
