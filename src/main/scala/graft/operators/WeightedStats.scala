@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.engine.Stage.syntax._
 
 /** Exact weighted order statistics per group, shaped for groups far too
@@ -18,26 +17,34 @@ import graft.engine.Stage.syntax._
   *  1. histogram by integer value bucket — a map-side-combinable
   *     aggregate, fully parallel — then cumulate over the SMALL
   *     (group × bucket) relation to find each group's crossing bucket
-  *     and the exact decimal weight prefix before it;
+  *     and the exact weight prefix before it;
   *  2. an exact cumulative scan of only the rows INSIDE the crossing
   *     bucket (per-group rows ≈ n / #buckets).
   *
   * prefix(bucket) + within-bucket running weight equals the naive
-  * cumulative weight exactly (all sums decimal), so the result is
-  * bit-identical to the one-window formulation — which is therefore
-  * still the right ORACLE for this operator. The crossing value is
-  * invariant to tie order within equal values (run-boundary prefix sums
-  * are permutation-invariant).
+  * cumulative weight exactly (all sums are exact scaled-long integers —
+  * the Det.dsum discipline: `floor(w·10^s + 0.5)` per row, arithmetic-
+  * only, instead of the per-row double→DECIMAL string-route cast), so
+  * the result is bit-identical to the one-window formulation — which is
+  * therefore still the right ORACLE for this operator, with the same
+  * FLOOR/BIGINT weight quantization on the DuckDB side. The crossing
+  * value is invariant to tie order within equal values (run-boundary
+  * prefix sums are permutation-invariant).
+  *
+  * Weight domain: |w|·10^scale + 0.5 < 2^63 per row, and the per-group
+  * TOTAL scaled weight must fit a long (≈9.2e18 — at 100 TB, ~1e12 rows
+  * of scale-2 weights up to ~5e3 sum to ~5e17, inside the bound).
   */
 object WeightedStats {
 
   /** (grpCol, weighted_median, total_weight): smallest `valCol` whose
-    * cumulative `weightCol` (decimal at `scale`) reaches q=0.5 of the
-    * group total. */
+    * cumulative `weightCol` (scaled-long at `scale`) reaches q=0.5 of
+    * the group total. */
   def weightedMedian(df: DataFrame, grpCol: String, valCol: String,
       weightCol: String, scale: Int = 2): DataFrame = {
+    val p = math.pow(10, scale)
     val w = df.select(col(grpCol).as("__f"), col(valCol).as("__v"),
-      col(weightCol).cast(DecimalType(18, scale)).as("__q")).staged
+      floor(col(weightCol) * p + 0.5).as("__q")).staged
     val tot = w.groupBy("__f").agg(sum(col("__q")).as("__tw"))
     val hist = w.groupBy(col("__f"), floor(col("__v")).as("__b"))
       .agg(sum(col("__q")).as("__bq"))
@@ -57,10 +64,10 @@ object WeightedStats {
       .withColumn("__cw", sum(col("__q")).over(vwin))
       .join(broadcast(prefix), Seq("__f"), "left")
       .join(broadcast(tot), Seq("__f"))
-      .filter((coalesce(col("__pw"), lit(0).cast(DecimalType(18, scale)))
-        + col("__cw")) * 2 >= col("__tw"))
+      .filter((coalesce(col("__pw"), lit(0L)) + col("__cw")) * 2
+        >= col("__tw"))
       .groupBy(col("__f").as(grpCol))
       .agg(min(col("__v")).as("weighted_median"),
-        max(col("__tw")).cast("double").as("total_weight"))
+        (max(col("__tw")).cast("double") / p).as("total_weight"))
   }
 }

@@ -1682,7 +1682,7 @@ object ScaleOps {
       "a_weighted_median",
       s"""WITH w AS (
          |  SELECT l_returnflag AS f, l_extendedprice AS v,
-         |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+         |    CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS q
          |  FROM lineitem),
          |tot AS (SELECT f, SUM(q) AS tw FROM w GROUP BY 1),
          |c AS (SELECT f, v,
@@ -1690,7 +1690,7 @@ object ScaleOps {
          |                 ROWS UNBOUNDED PRECEDING) AS cw
          |  FROM w)
          |SELECT c.f AS l_returnflag, MIN(v) AS weighted_median,
-         |  CAST(MAX(tw) AS DOUBLE) AS total_weight
+         |  CAST(MAX(tw) AS DOUBLE) / 100.0 AS total_weight
          |FROM c JOIN tot ON tot.f = c.f
          |WHERE cw * 2 >= tw GROUP BY 1
          |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
