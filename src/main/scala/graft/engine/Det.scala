@@ -39,9 +39,15 @@ object Det {
     * beyond it Spark's `floor` saturates at Long.Max SILENTLY while
     * DuckDB's BIGINT cast errors, so the oracle catches a violation.
     * The exact integer SUM has DECIMAL(38,0)/HUGEINT headroom (10^38)
-    * on both engines. Tie note: floor(x+0.5) rounds .5 toward +∞ (vs
-    * HALF_UP's away-from-zero) — differs from the old decimal cast only
-    * on negative exact-tie doubles, and identically in both engines. */
+    * on both engines. Migration note: the old double→DECIMAL cast went
+    * through BigDecimal.valueOf (the double's SHORTEST-DECIMAL rendering,
+    * then HALF_UP), while floor(x·10^s + 0.5) rounds the BINARY value
+    * toward +∞ — so the two forms differ on any value whose shortest
+    * rendering crosses the midpoint of its binary neighborhood (e.g.
+    * 0.285 is the double 0.28499999999999998: old form 0.29, this form
+    * 0.28), not merely on negative exact ties. Both engines compute the
+    * floor form on identical IEEE doubles, so cross-engine hashes agree;
+    * oracles were regenerated when call sites migrated. */
   def dsum(c: Column, scale: Int = 2): Column = {
     val p = math.pow(10, scale)
     (sum(floor(c * p + 0.5).cast(DecimalType(38, 0))).cast("double") / p)

@@ -31,9 +31,13 @@ import graft.engine.Stage.syntax._
   * value is invariant to tie order within equal values (run-boundary
   * prefix sums are permutation-invariant).
   *
-  * Weight domain: |w|·10^scale + 0.5 < 2^63 per row, and the per-group
-  * TOTAL scaled weight must fit a long (≈9.2e18 — at 100 TB, ~1e12 rows
-  * of scale-2 weights up to ~5e3 sum to ~5e17, inside the bound).
+  * Weight domain: |w|·10^scale + 0.5 < 2^63 PER ROW (the floor
+  * quantization). Group TOTALS are summed in DECIMAL(38,0) — the same
+  * headroom discipline as Det.dsum — so a per-group total past 2^63
+  * widens instead of wrapping silently (a raw LongType sum under
+  * non-ANSI Spark wraps without error, while the DuckDB oracle sums
+  * BIGINT into HUGEINT and would diverge; production callers without
+  * the oracle deserve the same safety).
   */
 object WeightedStats {
 
@@ -43,11 +47,15 @@ object WeightedStats {
   def weightedMedian(df: DataFrame, grpCol: String, valCol: String,
       weightCol: String, scale: Int = 2): DataFrame = {
     val p = math.pow(10, scale)
+    // scaled-long rows, DECIMAL(38,0) sums (Det.dsum discipline): the
+    // per-row quantized weight is a long, every aggregate over it widens
+    // to decimal so group totals can't wrap at 2^63.
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = df.select(col(grpCol).as("__f"), col(valCol).as("__v"),
       floor(col(weightCol) * p + 0.5).as("__q")).staged
-    val tot = w.groupBy("__f").agg(sum(col("__q")).as("__tw"))
+    val tot = w.groupBy("__f").agg(sum(col("__q").cast(dec38)).as("__tw"))
     val hist = w.groupBy(col("__f"), floor(col("__v")).as("__b"))
-      .agg(sum(col("__q")).as("__bq"))
+      .agg(sum(col("__q").cast(dec38)).as("__bq"))
     val bwin = Window.partitionBy("__f").orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = hist.withColumn("__cb", sum(col("__bq")).over(bwin))
@@ -61,10 +69,10 @@ object WeightedStats {
       .rowsBetween(Window.unboundedPreceding, 0)
     w.join(broadcast(crossing), Seq("__f"))
       .filter(floor(col("__v")) === col("__xb"))
-      .withColumn("__cw", sum(col("__q")).over(vwin))
+      .withColumn("__cw", sum(col("__q").cast(dec38)).over(vwin))
       .join(broadcast(prefix), Seq("__f"), "left")
       .join(broadcast(tot), Seq("__f"))
-      .filter((coalesce(col("__pw"), lit(0L)) + col("__cw")) * 2
+      .filter((coalesce(col("__pw"), lit(0L).cast(dec38)) + col("__cw")) * 2
         >= col("__tw"))
       .groupBy(col("__f").as(grpCol))
       .agg(min(col("__v")).as("weighted_median"),

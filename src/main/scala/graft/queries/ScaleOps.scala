@@ -27,7 +27,15 @@ object ScaleOps {
   }
   private def corrSumsSql: String = {
     // scaled-long sums (Det.dsumSql discipline) at 6 decimals: products
-    // top out near price² ≈ 1.2e10, ×10^6 well inside the 2^63 domain
+    // top out near price² ≈ 1.2e10, ×10^6 ≈ 1.2e16 — inside the 2^63
+    // saturation domain, but BEYOND double's 2^53 exact-integer range, so
+    // the per-row quantization here is deterministic-but-quantized rather
+    // than exact-at-6-decimals (the scaled value is the nearest
+    // representable double, floored identically by both engines' IEEE
+    // ops; the exactness bound is 2^53/10^scale ≈ 9.0e9 at scale 6).
+    // Correlations are scale-free in the 15th decimal, so the quantized
+    // sufficient statistics are more than adequate — what matters is that
+    // both engines floor THE SAME double, which they provably do.
     def dec(e: String) = Det.dsumSql(e, 6)
     (corrCols.map { case (a, c) => s"${dec(c)} AS s_$a" } ++
       corrCols.map { case (a, c) => s"${dec(s"$c * $c")} AS s_${a}_$a" } ++

@@ -4,9 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
 import graft.engine.Stage.syntax._
 
-/** The rest of the TPC-H decision-support suite (Q1/Q3/Q5/Q7/Q9/Q10
-  * already live in Aggregates/AppliedOps), re-expressed over the test
-  * schema — the fixture lacks partsupp and a few columns (shipmode,
+/** The rest of the TPC-H decision-support suite — all 22 shapes
+  * (Q1/Q3/Q5/Q7/Q9/Q10 already live in Aggregates/AppliedOps), re-expressed
+  * over the test schema — the fixture lacks partsupp and a few columns (shipmode,
   * commitdate, container, phone), so the Q2/Q11/Q20 "stock" queries
   * derive the supply catalog from lineitem and the others substitute an
   * equivalent available predicate. What each query is HERE for is its
@@ -544,6 +544,63 @@ object TpchOps {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(desc("numwait"), col("s_name"))
         .limit(20)
+    },
+
+    // ---- Q6: forecasting revenue change ------------------------------
+    // The canonical filtered scan-agg: every predicate (date window,
+    // discount band, quantity cap) pushes into the parquet scan, one
+    // map-side-combinable sum, zero joins. At 100 TB this is the query
+    // whose cost IS the scan — partition pruning on shipdate would cut
+    // it further on a date-partitioned lake.
+    QueryDef.sql(
+      "q6_forecast_revenue",
+      s"""SELECT ${Det.dsumSql("l_extendedprice * l_discount", 6)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(Det.dsum(col("l_extendedprice") * col("l_discount"), 6)
+          .as("revenue"))
+    },
+
+    // ---- Q12: shipping-priority share per line class ------------------
+    // Q12's shape — conditional priority counts over an orders⋈lineitem
+    // join, grouped by a low-cardinality lineitem attribute — with the
+    // fixture's available columns: l_linestatus stands in for the absent
+    // l_shipmode, and "shipped >30 days after order" for the absent
+    // commit/receipt lateness pair. ONE pass: both priority classes
+    // come from the same conditional aggregate, never two scans.
+    QueryDef.sql(
+      "q12_priority_shipping",
+      s"""SELECT l.l_linestatus,
+         |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+         |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1 ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+        .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
     },
 
     // ---- Q22: idle high-balance customers ----------------------------

@@ -110,9 +110,17 @@ object Sources {
   def route(landingDir: String,
       routes: Seq[(String, Seq[String] => DataFrame)]): Map[String, DataFrame] = {
     val dir = Paths.get(landingDir)
+    // Hidden files are never routable: land()'s in-flight temp files are
+    // named `.<name>.<rand>.tmp` IN this directory, so a substring route
+    // key ("users") would otherwise match a concurrent JVM's half-written
+    // `.users_1.json.….tmp` (or a stale one from a crashed land()) and
+    // feed truncated bytes into a reader. Skipping dotfiles keeps the
+    // land()→route() pair multi-JVM safe: routes see only completed,
+    // atomically-renamed destinations.
     val files =
       if (Files.isDirectory(dir))
         Files.list(dir).iterator().asScala.map(_.toString).toSeq
+          .filterNot(f => Paths.get(f).getFileName.toString.startsWith("."))
       else Seq.empty
     val unrouted = files.filterNot(f => routes.exists { case (k, _) => f.contains(k) })
     unrouted.foreach(f => System.err.println(s"[sources] unknown file type: $f"))
