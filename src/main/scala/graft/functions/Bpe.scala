@@ -126,15 +126,55 @@ object Bpe {
       numMerges: Int): Seq[(String, String)] = {
     import graft.engine.Stage.syntax._
     val S = "\u001f"
-    var words = df
+    val base = df
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("s"), col("c"))
       .staged
+    // The loop's per-round cost is DOMINATED by fixed job overhead
+    // (shuffle stages + a staging materialization per round), not data -
+    // the vocabulary relation is bounded by distinct words, usually tiny
+    // next to the corpus. Two overhead cuts, neither of which can move
+    // the learned merges (exact long sums + a total-order argmax are
+    // partition-invariant, the crosspart gate's axis):
+    //   1. a small vocabulary (< ~100k words) collapses to ONE partition,
+    //      so each round's pair-count aggregate is a narrow 1-partition
+    //      job instead of a full-width shuffle;
+    //   2. the replace-rewrite re-stages only every 12 rounds -
+    //      in-between rounds grow a shallow nested-replace lineage that
+    //      CollapseProject folds into a single projection; staging at a
+    //      fixed stride bounds the plan depth for long learns without
+    //      paying a localCheckpoint job per round.
+    val vocabSize = base.count()
+    val small = vocabSize < 100000
+    var words = if (small) base.coalesce(1).staged else base
+    // Small-vocab rounds are pure fixed overhead: AQE's stage-by-stage
+    // replanning and a 32-way exchange add ~150ms/round to a job whose
+    // data is a handful of KB. Scope both DOWN for the loop (restored in
+    // the finally): AQE off, one shuffle partition. Partition count and
+    // AQE cannot move the merges (exact long sums + total-order argmax;
+    // the crosspart gate pins partition-count invariance suite-wide).
+    // The flip is session-scoped for the loop's duration — callers
+    // running concurrent queries on the SAME session during a learn
+    // would see it; Verify/Bench run queries sequentially.
+    val sess = df.sparkSession
+    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore = sess.conf.get("spark.sql.shuffle.partitions", "200")
+    val wscgBefore = sess.conf.get("spark.sql.codegen.wholeStage", "true")
+    if (small) {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      sess.conf.set("spark.sql.shuffle.partitions", "1")
+      // every round is a FRESH plan (the round's merge literal differs),
+      // so whole-stage codegen compiles ~50ms of Janino per round to run
+      // over a few KB — interpreted execution wins outright here
+      sess.conf.set("spark.sql.codegen.wholeStage", "false")
+    }
+    try {
     val merges = Seq.newBuilder[(String, String)]
     var r = 0
     var done = false
+    var sinceStage = 0
     while (r < numMerges && !done) {
       val top = words
         .select(col("c"), split(trim(col("s"), S), S + S).as("a"))
@@ -151,13 +191,24 @@ object Bpe {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        words = words.select(
+        val rewritten = words.select(
           replace(col("s"), lit(S + a + S + S + b + S), lit(S + a + b + S))
-            .as("s"), col("c")).staged
+            .as("s"), col("c"))
+        sinceStage += 1
+        words =
+          if (sinceStage >= 12) { sinceStage = 0; rewritten.staged }
+          else rewritten
         r += 1
       }
     }
     merges.result()
+    } finally {
+      if (small) {
+        sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        sess.conf.set("spark.sql.shuffle.partitions", shufBefore)
+        sess.conf.set("spark.sql.codegen.wholeStage", wscgBefore)
+      }
+    }
   }
 
   /** DuckDB replay of [[learnDistributed]]: `numMerges` unrolled
@@ -253,6 +304,35 @@ object Bpe {
     * init — deterministic (count-desc, lexicographic tie-break), so the
     * same table on every JVM, every run, every cluster size. */
   val pinnedMerges: Seq[(String, String)] = learn(seedVocab, 48)
+
+  private val distLearned =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Seq[(String, String)]]()
+
+  /** The pinned codebook derived CLUSTER-SIDE: [[learnDistributed]] over
+    * the seed corpus reconstructed from [[seedVocab]] (each word repeated
+    * its snapshot count — the exact word-frequency relation the driver
+    * loop learns from), so the shipped tokenizer chain (t_bpe_tokenize /
+    * t_bpe_chunking / t_bpe_fertility) is distributed END-TO-END: learn
+    * on the cluster, encode through the mapPartitions seam. The driver
+    * loop stays as the equivalence CONTROL — the require below fails the
+    * query loudly if the two learns ever diverge, which is why the
+    * queries' oracle SQL can keep interpolating [[pinnedMerges]]
+    * statically (identical by construction, so hashes cannot move).
+    * Learned once per session and memoized: one ~48-round learn over the
+    * 31-word seed relation amortizes across every tokenizer query. */
+  def pinnedMergesDistributed(spark: SparkSession): Seq[(String, String)] =
+    distLearned.computeIfAbsent(spark, { s: SparkSession =>
+      import s.implicits._
+      val corpus = seedVocab.toDF("w", "c")
+        .select(concat_ws(" ",
+          transform(sequence(lit(1), col("c").cast("int")),
+            _ => col("w"))).as("text"))
+      val m = learnDistributed(corpus, "text", numMerges = pinnedMerges.size)
+      require(m == pinnedMerges,
+        s"distributed learn diverged from the driver-loop codebook: " +
+          s"got ${m.take(3)}…, expected ${pinnedMerges.take(3)}…")
+      m
+    })
 
   /** DuckDB replay of [[encodeWord]] under [[pinnedMerges]], as a scalar
     * SQL expression over `wordExpr` returning the token LIST.

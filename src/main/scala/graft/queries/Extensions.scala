@@ -500,14 +500,17 @@ object Extensions {
     },
 
     // Real merge-table BPE (not the regex proxy in t_token_count),
-    // oracle-hash-checked: the codebook is PINNED (Bpe.pinnedMerges —
-    // learned by the same Bpe.learn loop from a frozen corpus
-    // word-frequency snapshot), and the oracle replays merge application
-    // in DuckDB via Bpe.encodeSqlDuck (rank-ordered single-pass replaces
-    // over separator-wrapped symbols ≡ the greedy lowest-rank-first
-    // encode loop — see the scaladoc proof). Encoding still streams
-    // through the mapPartitions seam; corpus LEARNING stays covered by
-    // BpeSpec (golden merges; distributed learn ≡ driver loop).
+    // oracle-hash-checked: the codebook is pinned to a frozen corpus
+    // word-frequency snapshot and LEARNED CLUSTER-SIDE at query time
+    // (Bpe.pinnedMergesDistributed — the fully-distributed learn over
+    // the reconstructed seed corpus, memoized per session; the driver
+    // loop is the runtime equivalence CONTROL, so the statically
+    // interpolated oracle codebook is identical by construction). The
+    // oracle replays merge application in DuckDB via Bpe.encodeSqlDuck
+    // (rank-ordered single-pass replaces over separator-wrapped symbols
+    // ≡ the greedy lowest-rank-first encode loop — see the scaladoc
+    // proof). Encoding streams through the mapPartitions seam, so the
+    // shipped tokenizer chain is distributed end-to-end.
     QueryDef.sql(
       "t_bpe_tokenize",
       s"""WITH w AS (
@@ -526,7 +529,7 @@ object Extensions {
          |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       graft.functions.Bpe.tokenize(s, docs, "doc_id", "text",
-          graft.functions.Bpe.pinnedMerges).toDF()
+          graft.functions.Bpe.pinnedMergesDistributed(s)).toDF()
         .select(col("id").as("doc_id"), col("n_words").cast("long"),
           col("n_bpe_tokens").cast("long"),
           concat_ws(" ", slice(col("tokens"), 1, 8)).as("first_tokens"))
@@ -561,7 +564,7 @@ object Extensions {
          |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val toks = graft.functions.Bpe.tokenize(s, docs, "doc_id", "text",
-        graft.functions.Bpe.pinnedMerges).toDF().select(col("id"), col("tokens"))
+        graft.functions.Bpe.pinnedMergesDistributed(s)).toDF().select(col("id"), col("tokens"))
       graft.operators.Chunking.byArray(toks, "id", "tokens",
           chunk = 32, overlap = 8)
         .groupBy(col("id").as("doc_id"))
@@ -602,7 +605,7 @@ object Extensions {
          |FROM pd GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val toks = graft.functions.Bpe.tokenize(s, docs, "doc_id", "text",
-          graft.functions.Bpe.pinnedMerges).toDF()
+          graft.functions.Bpe.pinnedMergesDistributed(s)).toDF()
         .select(col("id").as("doc_id"), col("n_words"),
           col("n_bpe_tokens").as("n_toks"),
           aggregate(col("tokens"), lit(0L),
