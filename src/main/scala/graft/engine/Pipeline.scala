@@ -257,7 +257,17 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
     * (at 100 TB a post-write count is a full re-read of the sink). The
     * one append table (quality_logs) still counts by read-back: its
     * total legitimately includes prior runs' appends. */
-  def run(sfDir: String): Map[String, Long] = {
+  def run(sfDir: String): Map[String, Long] = run(sfDir, None)
+
+  /** [[run]] with a P7 incremental feed filter: `batchSince` restricts the
+    * events feed to `ts >= batchSince` — the incremental-deployment shape
+    * where a run carries only the new slice, not the full history. Under
+    * it the K4 property is PARTITION-MINIMAL end to end: silver upserts
+    * only the batch's date partitions, and gold daily recomputes only
+    * those dates (read-back semi-joined to the batch's dates below), so
+    * every untouched gold partition keeps its files byte-for-byte
+    * (PipelineSpec pins this). Bronze holds the batch as landed. */
+  def run(sfDir: String, batchSince: Option[String]): Map[String, Long] = {
     val t0 = System.currentTimeMillis()
 
     // Stage row counts ride along the WRITE jobs as observed metrics
@@ -298,7 +308,9 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
       ExecutionContext.fromExecutorService(pool)
     try {
       // ---- branch A: bronze → {silver chain, P11 rewrite} --------------
-      val events = Tables.events(spark, sfDir)
+      val events = batchSince.foldLeft(Tables.events(spark, sfDir)) {
+        (ev, since) => ev.filter(col("ts") >= lit(since).cast("timestamp"))
+      }
       val (oBronze, bronzeObs) =
         observed(Bronze.withAudit(Bronze.blanksToNull(events)))
       val fBronze = Future {
@@ -314,16 +326,19 @@ final class Pipeline(spark: SparkSession, lakeDir: String) {
           SilverCovid.Thresholds(outlierConfirmed = 5000, outlierDaily = 400))
         val (oSilver, silverObs) = observed(silver)
         upsertByDate(silverObs, "silver", "covid_timeseries", "record_date")
-        // gold daily reads only 4 of silver's columns — parquet pruning.
-        // NOTE: this run rebuilds gold daily from the FULL silver
-        // read-back (and the upsert therefore rewrites every gold
-        // partition) because the incoming batch here IS the full history
-        // — the fixture feed carries all dates every run. An incremental
-        // deployment (P7-filtered feed) gets the partition-minimal K4
-        // behavior by semi-joining silver to the batch's dates before
-        // this aggregate — that path is implemented and oracle-proven as
-        // GoldMaintenance.incrementalDaily (q_gold_incremental).
+        // gold daily reads only 4 of silver's columns — parquet pruning —
+        // and is PARTITION-MINIMAL: the read-back is semi-joined to the
+        // dates present in THIS batch's silver frame (a broadcast of the
+        // batch's distinct dates — the q_gold_incremental pattern), so
+        // the upsert below rewrites exactly the gold partitions whose
+        // silver inputs changed and no others. With the fixture's full
+        // feed every date is in the batch (the semi-join passes all rows
+        // — same gold, same hashes); under a P7-filtered incremental
+        // feed (run(sfDir, batchSince)) untouched gold partitions keep
+        // their files byte-for-byte (PipelineSpec pins this).
+        val batchDates = silver.select("record_date").distinct()
         val daily = read("silver", "covid_timeseries")
+          .join(broadcast(batchDates), Seq("record_date"), "left_semi")
           .groupBy("record_date").agg(
             countDistinct(col("country")).as("n_countries"),
             Det.dsum(col("daily_new_cases")).as("total_new_cases"),

@@ -35,6 +35,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(Files.list(java.nio.file.Paths.get(s"$lake/exports")).count() >= 2)
   }
 
+  test("incremental run rewrites only the batch's gold partitions (K4 partition-minimal)") {
+    // Full run, then a P7-filtered incremental run carrying only the last
+    // three days. The K4 contract at the GOLD layer: every daily partition
+    // OUTSIDE the batch keeps its files byte-for-byte (same names, same
+    // bytes — dynamic partition overwrite never touched them), while the
+    // batch's partitions are genuinely rewritten (fresh part files).
+    val lake = Files.createTempDirectory("graft-lake-incr").toString
+    new Pipeline(spark, lake).run("/root/testdata/sf0.001")
+    val goldDir = java.nio.file.Paths.get(s"$lake/gold/daily_global_summary")
+    def partitionFiles(): Map[String, Map[String, Int]] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(goldDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toSeq
+        .groupBy(p => goldDir.relativize(p).getName(0).toString)
+        .map { case (part, files) =>
+          part -> files.map(f => goldDir.relativize(f).toString ->
+            java.util.Arrays.hashCode(Files.readAllBytes(f))).toMap
+        }
+    }
+    val before = partitionFiles()
+    val since = "2024-01-28"
+    new Pipeline(spark, lake).run("/root/testdata/sf0.001", Some(since))
+    val after = partitionFiles()
+    assert(after.keySet === before.keySet, "partition set must not change")
+    val touched = before.keySet.filter(_.stripPrefix("record_date=") >= since)
+    val untouched = before.keySet -- touched
+    assert(touched.nonEmpty && untouched.nonEmpty, s"split failed: $touched")
+    untouched.foreach { part =>
+      assert(after(part) === before(part),
+        s"untouched partition $part was rewritten")
+    }
+    touched.foreach { part =>
+      assert(after(part).keySet !== before(part).keySet,
+        s"batch partition $part was not rewritten (stale files)")
+    }
+  }
+
   test("run() surfaces a branch failure only after every branch settles") {
     // sfDir with events but NO documents: branch B (posts→engagement)
     // fails at its scan while branches A (silver chain) and C (quality)
