@@ -256,6 +256,77 @@ object ScaleOps {
         .orderBy("order_date")
     },
 
+    // HLL contract on a HOSTILE distribution: the fixture's per-date
+    // groups are benign (a few hundred distinct each), so the bound was
+    // never checked where sketches actually strain — big cardinalities
+    // and extreme group skew. This leg groups lineitem 90/10 into one hot
+    // group holding ~90% of rows (tens of thousands of distinct keys —
+    // 54k at sf0.01, growing with SF) next to 96 splinter groups of a few
+    // dozen, and requires the same 5×rsd gate (≤10% relative, floor 1)
+    // on every group. The oracle is TRUE per group — a hash mismatch
+    // means approx_count_distinct broke its published bound at exactly
+    // the cardinality/skew regime the benign leg never reaches.
+    QueryDef.sql(
+      "a_approx_distinct_tol_skew",
+      """SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 97 END
+        |    AS grp,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY 1 ORDER BY grp""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          when(col("l_orderkey") % 10 < 9, lit(0L))
+            .otherwise(col("l_orderkey") % 97).as("grp"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("k"))
+        .groupBy("grp")
+        .agg(approx_count_distinct(col("k"), 0.02).as("a"),
+          countDistinct(col("k")).as("e"))
+        .select(col("grp"),
+          (abs(col("a") - col("e")) <=
+            greatest(lit(1L), ceil(col("e") * 0.10).cast("long")))
+            .as("within_tol"))
+        .orderBy("grp")
+    },
+
+    // GK contract on a HOSTILE distribution: 90% of every group's rows
+    // collapse onto ONE tied value (0.0 — a tie block spanning the p50
+    // AND p90 ranks) and the remaining 10% form an exponential tail
+    // across 12 decades (10^0..10^12) — the tie-plus-heavy-tail regime
+    // where mergeable quantile sketches actually lose rank precision.
+    // Same exact integer-rank check as a_approx_percentiles_tol: the
+    // returned value's [strictly-below, at-or-below] rank interval must
+    // intersect [q−ε, q+ε]·n. The tail values are engine-computed only
+    // (the oracle emits TRUE per group), so no cross-engine pow parity
+    // is needed — the contract is checked entirely where the sketch ran.
+    QueryDef.sql(
+      "a_approx_percentiles_tol_skew",
+      """SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          when(col("event_id") % 10 =!= 0, lit(0.0))
+            .otherwise(pow(lit(10.0), (col("event_id") % 13).cast("double")))
+            .as("value"))
+      val ap = ev.groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90"))
+      def ok(q: Double, lt: org.apache.spark.sql.Column,
+          le: org.apache.spark.sql.Column) =
+        (lt <= (col("n") * (q + 0.001) + 1)) &&
+          (le >= (col("n") * (q - 0.001) - 1))
+      ev.join(broadcast(ap), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(col("value")).as("n"),
+          count(when(col("value") < col("p50"), 1)).as("lt50"),
+          count(when(col("value") <= col("p50"), 1)).as("le50"),
+          count(when(col("value") < col("p90"), 1)).as("lt90"),
+          count(when(col("value") <= col("p90"), 1)).as("le90"))
+        .select(col("event_type"),
+          ok(0.5, col("lt50"), col("le50")).as("p50_ok"),
+          ok(0.9, col("lt90"), col("le90")).as("p90_ok"))
+        .orderBy("event_type")
+    },
+
     // Count-min sketch frequency estimation: the heavy-hitter check when
     // per-key exact counts are too wide to keep. 1024x4 cells vs 1500
     // distinct custkeys forces real collisions, so the hash-checked
