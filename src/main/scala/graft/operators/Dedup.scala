@@ -307,19 +307,27 @@ object Dedup {
     // only buckets the batch touches are ever aggregated on the corpus side
     val touched = bKeyed.groupBy("band_id", "band_hash")
       .agg(count(lit(1)).as("__bn"))
+    // every relation derived from the BATCH side (touched keys, surviving
+    // bucket keys, batch members) is explicitly broadcast: the batch's
+    // staged frame is a LogicalRDD without stats, so Spark's size
+    // estimate defaults to "huge" and auto-broadcast never fires — each
+    // hint below replaces a full shuffle of the CORPUS-sized relation
+    // with a map-side lookup, and every hinted side is batch-bounded
+    // (<= |batch| x bands rows), the same boundedness class as the
+    // ingest loop's self-exclusion id broadcast.
     val cCounts = index.buckets
-      .join(touched.select("band_id", "band_hash"), Seq("band_id", "band_hash"),
-        "left_semi")
+      .join(broadcast(touched.select("band_id", "band_hash")),
+        Seq("band_id", "band_hash"), "left_semi")
       .groupBy("band_id", "band_hash").agg(count(lit(1)).as("__cn"))
     val okBuckets = touched
-      .join(cCounts, Seq("band_id", "band_hash"), "left")
+      .join(broadcast(cCounts), Seq("band_id", "band_hash"), "left")
       .filter(col("__bn") + coalesce(col("__cn"), lit(0L)) <= maxBucket)
       .select("band_id", "band_hash")
-    val bM = bKeyed.join(okBuckets, Seq("band_id", "band_hash"))
-    val cM = index.buckets.join(okBuckets, Seq("band_id", "band_hash"))
+    val bM = bKeyed.join(broadcast(okBuckets), Seq("band_id", "band_hash"))
+    val cM = index.buckets.join(broadcast(okBuckets), Seq("band_id", "band_hash"))
     // batch × (batch ∪ corpus) members of surviving buckets — the corpus
     // side is only ever the probed buckets' members
-    val cands = bM
+    val cands = broadcast(bM)
       .join(bM.unionByName(cM).withColumnsRenamed(Map("id" -> "id_r")),
         Seq("band_id", "band_hash"))
       .select(least(col("id"), col("id_r")).as("id_a"),

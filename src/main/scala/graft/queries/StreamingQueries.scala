@@ -48,10 +48,15 @@ object StreamingQueries {
     * instead run at 16 — 8 measured SLOWER than 32 for them because the
     * bottleneck is shingle/probe compute parallelism, not state files. */
   private def withReplayPartitions[T](s: org.apache.spark.sql.SparkSession,
-      n: Int = 8)(f: => T): T = {
+      n: Int = 8, aqe: Boolean = true)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions", n)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    if (!aqe) s.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** Write each batch frame as a single deterministically-named and
@@ -161,7 +166,7 @@ object StreamingQueries {
       // not state-store-bound — 8 measured SLOWER than 16/32 here, and
       // 16 edged out 32 (less scheduler overhead, same parallelism at
       // this batch volume)
-      withReplayPartitions(s, 16) {
+      withReplayPartitions(s, 16, aqe = false) {
         BloomIngest.start(stream, "doc_id", "text", stateDir, outDir)
       }
       s.read.parquet(outDir)
@@ -194,7 +199,7 @@ object StreamingQueries {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
       // 16, not 8 — compute-bound ingest loop, see q_stream_replay
-      withReplayPartitions(s, 16) {
+      withReplayPartitions(s, 16, aqe = false) {
         NearDupIngest.start(stream, "doc_id", "text", idxDir, pairsDir,
           threshold = 0.8)
       }

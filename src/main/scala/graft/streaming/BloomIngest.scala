@@ -93,7 +93,11 @@ object BloomIngest {
     q.stop()
   }
 
+  /** Same file-count discipline as Pipeline.upsertByDate: repartition by
+    * the partition column so each batch partition lands as one file, not
+    * tasks x partitions slivers (see NearDupIngest.write). */
   private def write(df: DataFrame, batchId: Long, path: String): Unit =
     df.withColumn("batch_id", lit(batchId))
+      .repartition(col("batch_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch_id").parquet(path)
 }

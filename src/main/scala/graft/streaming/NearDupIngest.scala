@@ -16,9 +16,11 @@ import graft.engine.Stage.syntax._
   * re-runs corpus×corpus LSH: per-batch work is O(|batch| + touched
   * buckets), the [[Dedup.minhashProbe]] contract.
   *
-  * Probe strictly BEFORE append: the probe unions batch and corpus bucket
-  * members, so a batch already present in the index would double its size
-  * rows and corrupt the Jaccard join.
+  * Append lands BEFORE the probe (the store doubles as the batch's
+  * staging layer — see the body), so the corpus side must anti-join the
+  * batch's own ids out: a batch present in the index would otherwise
+  * double its size rows and corrupt the Jaccard join. That same
+  * self-exclusion is what makes checkpoint-restart replay exact.
   *
   * All writes go through dynamic partition overwrite on batch_id — a
   * replayed micro-batch rewrites exactly its own partitions with the same
@@ -61,44 +63,60 @@ object NearDupIngest {
     val q = docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // staged once: consumed by the probe (twice: buckets + verify)
-        // and by the index-entry build
+        // staged once: consumed by the index-entry build (three write
+        // plans) and the self-exclusion id set
         val b = batch.staged
+        // THE STORE IS THE STAGE: the batch's index relations are written
+        // to the store FIRST and the probe reads them back — one write
+        // job per relation instead of localCheckpoint staging plus a
+        // separate append, and every probe input is then parquet with
+        // REAL size stats, so the probe's joins get honest broadcast
+        // decisions instead of a stats-less staged frame's "huge"
+        // default.
+        val mine0 = Dedup.minhashIndex(b, idCol, textCol,
+          numHashes, bands, shingleSize)
+        write(mine0.buckets, batchId, s"$indexDir/buckets")
+        write(mine0.shingles, batchId, s"$indexDir/shingles")
+        write(mine0.sizes, batchId, s"$indexDir/sizes")
+        // the index is loaded AFTER the append so the captured file
+        // listing is current — a replayed batch's dynamic partition
+        // overwrite would otherwise delete files a pre-append listing
+        // still references. The corpus side must then exclude the batch
+        // itself: SELF-EXCLUSION anti-joins the batch's ids out
+        // (broadcast — ids are batch-sized), which simultaneously makes
+        // checkpoint-restart replay exact (a replayed batch finds its own
+        // entries in the store; probing against them would double every
+        // shingle row and corrupt the Jaccard denominators) and is the
+        // right semantics for re-ingesting updated documents.
+        val ids = b.select(col(idCol).as("id")).distinct()
         val idx0 = loadIndex(spark, indexDir, b, idCol, textCol,
           numHashes, bands, shingleSize)
-        // SELF-EXCLUSION: a replayed batch (checkpoint restart after a
-        // failure between the pairs write and the index append) finds its
-        // own entries already in the index — probing against them doubles
-        // every shingle row and corrupts the Jaccard denominators. Anti-
-        // joining the batch's ids out (broadcast — ids are batch-sized)
-        // makes replay exact, and is also the right semantics for
-        // re-ingesting updated documents.
-        val ids = b.select(col(idCol).as("id")).distinct()
         val idx = MinhashLshIndex(
           idx0.buckets.join(broadcast(ids), Seq("id"), "left_anti"),
           idx0.shingles.join(broadcast(ids), Seq("id"), "left_anti"),
           idx0.sizes.join(broadcast(ids), Seq("id"), "left_anti"),
           numHashes, bands, shingleSize)
-        // the batch's own index is built ONCE (staged: buckets feed the
-        // probe twice — touched + members — plus the store append) and
-        // serves both the probe and the append; rebuilding the
-        // shingle→minhash family inside the probe doubled per-batch cost
-        val mine0 = Dedup.minhashIndex(b, idCol, textCol,
-          numHashes, bands, shingleSize)
-        val mine = MinhashLshIndex(mine0.buckets.staged, mine0.shingles,
-          mine0.sizes.staged, numHashes, bands, shingleSize)
+        def mineBack(name: String) = spark.read
+          .parquet(s"$indexDir/$name")
+          .filter(col("batch_id") === batchId).drop("batch_id")
+        val mine = MinhashLshIndex(mineBack("buckets"), mineBack("shingles"),
+          mineBack("sizes"), numHashes, bands, shingleSize)
         val pairs = Dedup.minhashProbeIndexed(mine, idx, threshold, maxBucket)
         write(pairs, batchId, pairsDir)
-        write(mine.buckets, batchId, s"$indexDir/buckets")
-        write(mine.shingles, batchId, s"$indexDir/shingles")
-        write(mine.sizes, batchId, s"$indexDir/sizes")
       }
       .start()
     q.processAllAvailable()
     q.stop()
   }
 
+  /** Same file-count discipline as Pipeline.upsertByDate: repartition by
+    * the partition column so each batch partition lands as one file, not
+    * tasks × partitions slivers — at ingest rates the index store's file
+    * count tracks batches, and every later loadIndex reads fewer
+    * footers. (8 writes per 2-batch replay also shed ~15 write tasks
+    * each at fixture scale.) */
   private def write(df: DataFrame, batchId: Long, path: String): Unit =
     df.withColumn("batch_id", lit(batchId))
+      .repartition(col("batch_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch_id").parquet(path)
 }
