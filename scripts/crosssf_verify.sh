@@ -19,7 +19,9 @@ SFS=("$@")
 [ $# -eq 0 ] && SFS=(sf0.001 sf0.1)
 fail=0
 for sf in "${SFS[@]}"; do
-  dir=/root/testdata/$sf
+  # bare names resolve under /root/testdata; paths (e.g. a generated
+  # testdata/sf1) are used as-is
+  case "$sf" in */*) dir=$sf ;; *) dir=/root/testdata/$sf ;; esac
   out=/tmp/crosssf_$sf
   rm -rf "$out"
   echo "=== $sf ==="
