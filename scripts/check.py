@@ -10,6 +10,7 @@ sorted by all columns), and compares exact values. Strict about it: a
 mismatch here means the driver's hash compare would fail.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -22,9 +23,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     for c in df.columns:
-        # normalize datetimes to ns, category→object etc.
+        # normalize datetimes to us; strip tz-awareness first (a tz-aware
+        # column can't be cast to naive datetime64[us] directly and would
+        # raise mid-gate) — UTC wall clock is the canonical form
         if str(df[c].dtype).startswith("datetime64"):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            s = pd.to_datetime(df[c])
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
         if str(df[c].dtype) in ("int32", "int8", "int16", "uint32"):
             df[c] = df[c].astype("int64")
         if str(df[c].dtype) == "float32":
@@ -81,7 +87,6 @@ def compare(name, spark_df, oracle_df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    import os
     for t in TABLES:
         # driver SFs ship one parquet FILE per table; generated SFs
         # (graft.GenSf, e.g. sf1) ship a directory of part files
@@ -114,7 +119,6 @@ def main():
             n_pass += 1
             print(f"PASS {name} ({len(spark_df)} rows)")
     # rows-only entries: spark output exists but no oracle
-    import os
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
         if os.path.isdir(p) and name not in oracles:

@@ -161,7 +161,14 @@ object GenSf {
 
     write(replicate(events).select(
       off("event_id", nE),
-      (col("ts") + expr("make_interval(0,0,0,0,0,0,0.137) * __r")).as("ts"),
+      // cast back to NTZ before writing: Tables.events normalizes the scan
+      // to a UTC-adjusted TIMESTAMP, but the driver's own SFs ship ts as
+      // parquet isAdjustedToUTC=false — writing the adjusted form would make
+      // DuckDB read the generated SF as TIMESTAMPTZ (tz-aware in pandas),
+      // unlike every driver SF. Session zone is UTC, so the wall-clock
+      // micros are unchanged; Tables.events re-normalizes NTZ on read.
+      (col("ts") + expr("make_interval(0,0,0,0,0,0,0.137) * __r"))
+        .cast("timestamp_ntz").as("ts"),
       off("user_id", nU),
       col("event_type"), col("value"), col("props")),
       "events", 4)
