@@ -12,6 +12,7 @@ mismatch here means the driver's hash compare would fail.
 import json
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -97,6 +98,7 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        t0 = time.time()
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
@@ -117,7 +119,7 @@ def main():
                 print(f"   {p}")
         else:
             n_pass += 1
-            print(f"PASS {name} ({len(spark_df)} rows)")
+            print(f"PASS {name} ({len(spark_df)} rows, {time.time()-t0:.1f}s)")
     # rows-only entries: spark output exists but no oracle
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)

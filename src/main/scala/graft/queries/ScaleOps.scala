@@ -1701,6 +1701,12 @@ object ScaleOps {
     // the ABSOLUTE support-2 form admitted every triple there (output
     // 0 → 1.6M rows, exp ~1.3) and survives only inside ScaleProbe as
     // the degeneration control.
+    //
+    // ORACLE NOTE (sf1 sweep): the pair step is AS MATERIALIZED so the
+    // planner can't pick the b2–b3 edge first — that edge carries only
+    // the p2<p3 inequality, and DuckDB's IEJoin on it pairs items
+    // ACROSS baskets (6M×6M at sf1, >280 s; materialized pairs-then-
+    // third-item runs in 2.4 s with identical results).
     QueryDef.sql(
       "a_itemsets3",
       s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1708,14 +1714,17 @@ object ScaleOps {
          |  SELECT ${graft.operators.Itemsets.thresholdOracleSql(
               "COUNT(DISTINCT l_orderkey)")} AS thr
          |  FROM b),
-         |t AS (
-         |  SELECT a.l_partkey AS p1, b2.l_partkey AS p2, b3.l_partkey AS p3,
-         |    COUNT(*) AS support
+         |pr AS MATERIALIZED (
+         |  SELECT a.l_orderkey, a.l_partkey AS p1, b2.l_partkey AS p2
          |  FROM b a
          |  JOIN b b2 ON a.l_orderkey = b2.l_orderkey
-         |    AND a.l_partkey < b2.l_partkey
-         |  JOIN b b3 ON a.l_orderkey = b3.l_orderkey
-         |    AND b2.l_partkey < b3.l_partkey
+         |    AND a.l_partkey < b2.l_partkey),
+         |t AS (
+         |  SELECT pr.p1, pr.p2, b3.l_partkey AS p3,
+         |    COUNT(*) AS support
+         |  FROM pr
+         |  JOIN b b3 ON pr.l_orderkey = b3.l_orderkey
+         |    AND pr.p2 < b3.l_partkey
          |  GROUP BY 1, 2, 3)
          |SELECT p1, p2, p3, support FROM t, nb WHERE support >= thr
          |ORDER BY support DESC, p1, p2, p3""".stripMargin) { (s, d) =>
