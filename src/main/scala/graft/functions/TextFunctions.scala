@@ -140,12 +140,57 @@ object TextFunctions {
   def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minDf: Long, maxDf: Long,
       maxTerms: Int): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    vocabularyImpl(df, idCol, textCol, minDf, maxTerms,
+      pairs => pairs.sparkSession.range(1)
+        .select(lit(maxDf).as("__maxdf")))
+
+  /** Relative max_df for [[vocabularyFrac]]: ceil(0.75·n_docs) — the
+    * sklearn float-max_df form (a term in more than three quarters of
+    * documents is boilerplate at any corpus size). Expressed as exact
+    * integer arithmetic so engine and oracle can't disagree on a
+    * rounding. */
+  val VocabMaxDfNum = 3L
+  val VocabMaxDfDen = 4L
+  def vocabMaxDfExprSql(nDocsExpr: String): String =
+    s"(($nDocsExpr) * $VocabMaxDfNum + ${VocabMaxDfDen - 1}) div $VocabMaxDfDen"
+  /** DuckDB-dialect mirror of [[vocabMaxDfExprSql]]. */
+  def vocabMaxDfOracleSql(nDocsExpr: String): String =
+    s"(($nDocsExpr) * $VocabMaxDfNum + ${VocabMaxDfDen - 1}) // $VocabMaxDfDen"
+
+  /** [[vocabulary]] with max_df RELATIVE to the corpus size (sklearn's
+    * float max_df, the vectorizer norm): a fixed absolute ceiling
+    * rejects every common term once corpus df scales past it — the
+    * absolute band [3, 200] matched NOTHING from sf0.1 up — while a
+    * proportional ceiling keeps "boilerplate" meaning "appears in more
+    * than a fixed SHARE of documents" at every scale. min_df stays
+    * absolute (its job is dropping hapaxes/noise, a per-term evidence
+    * floor, sklearn's int form). The ceiling is computed in-plan as a
+    * 1-row broadcast — same discipline as
+    * [[graft.operators.Itemsets.thresholdExprSql]]. */
+  def vocabularyFrac(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDf: Long, maxTerms: Int)
+      : org.apache.spark.sql.DataFrame =
+    vocabularyImpl(df, idCol, textCol, minDf, maxTerms,
+      pairs => pairs.agg(
+        expr(vocabMaxDfExprSql(s"count(DISTINCT `$idCol`)"))
+          .cast("long").as("__maxdf")))
+
+  private def vocabularyImpl(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, minDf: Long, maxTerms: Int,
+      mkMaxDf: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .distinct()
+    pairs
       .groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(minDf, maxDf))
+      .crossJoin(broadcast(mkMaxDf(pairs)))
+      .filter(col("df").between(lit(minDf), col("__maxdf")))
+      .select("term", "df")
       .orderBy(desc("df"), asc("term"))
       .limit(maxTerms)
+  }
 
   /** Corpus-frequency boilerplate strip — the CCNet-style rewrite that
     * removes ubiquitous segments (here: tokens whose document frequency

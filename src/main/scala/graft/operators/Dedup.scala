@@ -583,19 +583,73 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Relative posting-list cap for the inverted-index similarity ops:
+    * `greatest(base, ceil(n_docs·base/per))` — 32 postings per 5,000 docs
+    * at the anchor, so the cap GROWS with the corpus. The absolute form
+    * degenerates under corpus growth over a bounded shingle namespace:
+    * discriminative shingles' document frequency scales with the corpus
+    * (boilerplate and topical phrasing recur corpus-wide), so a fixed cap
+    * eventually rejects every posting list and the index silently goes
+    * empty — measured on the generated sf1 lake, where cap 32 yields ZERO
+    * pairs and the relative cap (320) restores the exact per-replica pair
+    * structure (256×10). Same in-plan 1-row-broadcast discipline as
+    * [[Itemsets.thresholdExprSql]]; DF-ratio pruning is the similarity-
+    * join literature's standard form of this knob. */
+  val PostingCapBase = 32L
+  val PostingCapPerDocs = 5000L
+  def postingCapExprSql(nDocsExpr: String, base: Long = PostingCapBase,
+      per: Long = PostingCapPerDocs): String =
+    s"greatest($base, ($nDocsExpr * $base + ${per - 1}) div $per)"
+  /** DuckDB-dialect mirror of [[postingCapExprSql]]. */
+  def postingCapOracleSql(nDocsExpr: String, base: Long = PostingCapBase,
+      per: Long = PostingCapPerDocs): String =
+    s"GREATEST($base, ($nDocsExpr * $base + ${per - 1}) // $per)"
+
+  /** Postings banded to [2, cap] where `mkCap` builds the 1-row cap
+    * relation from the exploded shingles (a literal for the absolute
+    * form, a corpus-count aggregate for the relative form), broadcast
+    * into the filter so the cap is decided in-plan, never on the
+    * driver. */
+  private def usefulPostings(exploded: DataFrame,
+      mkCap: DataFrame => DataFrame): DataFrame =
+    exploded
+      .withColumn("__pn", count(lit(1)).over(Window.partitionBy("shingle")))
+      .crossJoin(broadcast(mkCap(exploded)))
+      .filter(col("__pn").between(lit(2L), col("__cap")))
+      .select("id", "shingle")
+
+  private def literalCap(maxPosting: Int)(exploded: DataFrame): DataFrame =
+    exploded.sparkSession.range(1)
+      .select(lit(maxPosting.toLong).as("__cap"))
+
+  private def relativeCap(exploded: DataFrame): DataFrame =
+    exploded.agg(expr(postingCapExprSql("count(DISTINCT id)"))
+      .cast("long").as("__cap")).staged
+
   /** N-gram Jaccard via inverted-index blocking: prune shingles to useful
     * postings (2..maxPosting docs), self-join the postings to count
     * co-occurrences — |A∩B| directly, no arrays — then Jaccard from
-    * counts. */
+    * counts. Fixed-cap form for fixed-corpus analyses and as the scale
+    * probes' degeneration control; production callers use
+    * [[ngramJaccardDupsFrac]]. */
   def ngramJaccardDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
-      maxPosting: Int = 32): DataFrame = {
+      maxPosting: Int = 32): DataFrame =
+    ngramJaccard(df, idCol, textCol, threshold, shingleSize,
+      literalCap(maxPosting))
+
+  /** [[ngramJaccardDups]] with the posting cap derived from the corpus
+    * size in-plan ([[postingCapExprSql]]) — the scale-correct default. */
+  def ngramJaccardDupsFrac(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3): DataFrame =
+    ngramJaccard(df, idCol, textCol, threshold, shingleSize, relativeCap)
+
+  private def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int,
+      mkCap: DataFrame => DataFrame): DataFrame = {
     val exploded = explodedShingles(df, idCol, textCol, shingleSize)
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val useful = exploded
-      .withColumn("__pn", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("__pn").between(2, maxPosting))
-      .select("id", "shingle")
+    val useful = usefulPostings(exploded, mkCap)
     val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))
       .join(useful.withColumnsRenamed(Map("id" -> "id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
@@ -687,13 +741,22 @@ object Dedup {
     * id_sub's shingle set is ≥ `threshold`-contained in id_sup's. */
   def containmentDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.9, shingleSize: Int = 3,
-      maxPosting: Int = 32): DataFrame = {
+      maxPosting: Int = 32): DataFrame =
+    containment(df, idCol, textCol, threshold, shingleSize,
+      literalCap(maxPosting))
+
+  /** [[containmentDups]] with the posting cap derived from the corpus
+    * size in-plan ([[postingCapExprSql]]) — the scale-correct default. */
+  def containmentDupsFrac(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, shingleSize: Int = 3): DataFrame =
+    containment(df, idCol, textCol, threshold, shingleSize, relativeCap)
+
+  private def containment(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int,
+      mkCap: DataFrame => DataFrame): DataFrame = {
     val exploded = explodedShingles(df, idCol, textCol, shingleSize)
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val useful = exploded
-      .withColumn("__pn", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("__pn").between(2, maxPosting))
-      .select("id", "shingle")
+    val useful = usefulPostings(exploded, mkCap)
     val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))
       .join(useful.withColumnsRenamed(Map("id" -> "id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

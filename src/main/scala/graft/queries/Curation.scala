@@ -266,18 +266,24 @@ object Curation {
         .orderBy("id_a", "id_b")
     },
 
-    // Corpus vocabulary: per-term document frequency banded to [3, 200],
-    // top 100 terms — the min_df/max_df vectorizer contract.
+    // Corpus vocabulary: per-term document frequency banded to
+    // [3, ceil(0.75·n_docs)] (in-plan), top 100 terms — the min_df/max_df
+    // vectorizer contract with sklearn's FLOAT max_df: an absolute
+    // ceiling rejects every common term once corpus df outgrows it (the
+    // former [3, 200] band matched nothing from sf0.1 up); min_df stays
+    // absolute (a per-term evidence floor).
     QueryDef.sql(
       "t_vocabulary",
       raw"""WITH t AS (
          |  SELECT DISTINCT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS term
          |  FROM documents),
+         |md AS (SELECT ${TextFunctions.vocabMaxDfOracleSql(
+              "COUNT(DISTINCT doc_id)")} AS maxdf FROM t),
          |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term)
-         |SELECT term, df FROM d WHERE df BETWEEN 3 AND 200
+         |SELECT term, df FROM d, md WHERE df BETWEEN 3 AND md.maxdf
          |ORDER BY df DESC, term LIMIT 100""".stripMargin) { (s, d) =>
-      TextFunctions.vocabulary(Tables.documents(s, d), "doc_id", "text",
-        minDf = 3, maxDf = 200, maxTerms = 100)
+      TextFunctions.vocabularyFrac(Tables.documents(s, d), "doc_id", "text",
+        minDf = 3, maxTerms = 100)
     },
 
     // Per-doc top-3 keywords by smoothed rational tf-idf (log-free: libm
@@ -362,22 +368,26 @@ object Curation {
 
     // The round-5 composed curation chain, hash-checked end-to-end:
     // exact-substring dedup REWRITE (drop positions covered by corpus-
-    // duplicated 4-spans) → content gate (≥20 surviving tokens) → context
-    // chunking of the CLEANED text → JSONL lines. Every stage reuses an
-    // operator verified on its own above; the oracle re-derives the whole
-    // chain including the literal export bytes.
+    // duplicated 8-spans; window 8 because 4-token spans over the closed
+    // ~31-word vocab collide organically at scale — on the sf1 lake they
+    // covered nearly every position and the whole export went empty,
+    // while duplicated-8-span counts scale exactly replica-linearly) →
+    // content gate (≥20 surviving tokens) → context chunking of the
+    // CLEANED text → JSONL lines. Every stage reuses an operator verified
+    // on its own above; the oracle re-derives the whole chain including
+    // the literal export bytes.
     QueryDef.sql(
       "t_curation_export_v2",
       raw"""WITH toks AS (
          |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
          |sp AS (
-         |  SELECT doc_id, i - 1 AS start, array_to_string(t[i:i+3], ' ') AS span
-         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i) u),
+         |  SELECT doc_id, i - 1 AS start, array_to_string(t[i:i+7], ' ') AS span
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i) u),
          |counts AS (SELECT span, COUNT(*) AS c FROM sp GROUP BY 1),
          |cov AS (
          |  SELECT DISTINCT s.doc_id, s.start + o AS pos
          |  FROM sp s JOIN counts c USING (span),
-         |       LATERAL (SELECT unnest(generate_series(0, 3)) AS o) x
+         |       LATERAL (SELECT unnest(generate_series(0, 7)) AS o) x
          |  WHERE c.c >= 2),
          |tok AS (
          |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tk
@@ -407,7 +417,7 @@ object Curation {
          |    n_tokens := n_tokens, text := chunk_text)) AS line
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
       val stripped = graft.operators.Dedup.stripDuplicateSpans(
-        Tables.documents(s, d), "doc_id", "text", window = 4)
+        Tables.documents(s, d), "doc_id", "text", window = 8)
       val gated = stripped
         .filter(col("n_tokens") - col("n_removed") >= 20)
         .select(col("doc_id"), col("clean_text"))

@@ -86,13 +86,19 @@ object Extensions {
        |  SELECT c.sub, c.code, list_dot_product(c.cv, s.qv) AS pd
        |  FROM cb2 c JOIN qsv s ON c.sub = s.sub)""".stripMargin
 
-  /** Shared oracle prefix: ngram-Jaccard pairs (inverted index, posting
-    * cap 2..32, threshold 0.8) → recursive min-label transitive closure →
+  /** Shared oracle prefix: ngram-Jaccard pairs (inverted index, RELATIVE
+    * posting cap [[graft.operators.Dedup.postingCapOracleSql]], threshold
+    * 0.8) → recursive min-label transitive closure →
     * `clusters(id, cluster_id)`. Three queries build on this chain
     * (closure itself, canonical-source selection, soft weights), so the
     * CTE is defined once — the SQL stays in lockstep with
-    * [[graft.operators.Dedup.ngramJaccardDups]] +
-    * [[graft.operators.Dedup.connectedComponents]]. */
+    * [[graft.operators.Dedup.ngramJaccardDupsFrac]] +
+    * [[graft.operators.Dedup.connectedComponents]]. `pairs` is
+    * AS MATERIALIZED: inlined into the recursive walk, DuckDB re-ran the
+    * whole shingle→postings→pair pipeline on every closure iteration
+    * (fine at sf0.1, but 280 s+ / a disk-filling spill on the sf1
+    * lake); materialized, the closure iterates over the pair list
+    * alone. */
   private val ngramClusterCte: String =
     raw"""WITH RECURSIVE toks AS (
        |  SELECT doc_id AS id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
@@ -103,15 +109,16 @@ object Extensions {
        |  FROM toks),
        |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
        |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
+       |nd AS (SELECT ${Dedup.postingCapOracleSql("COUNT(DISTINCT id)")} AS cap FROM s),
        |useful AS (
        |  SELECT id, shingle FROM (
-       |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s)
-       |  WHERE pn BETWEEN 2 AND 32),
+       |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s), nd
+       |  WHERE pn BETWEEN 2 AND nd.cap),
        |inter AS (
        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
        |  FROM useful a JOIN useful b USING (shingle)
        |  WHERE a.id < b.id GROUP BY 1, 2),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT id_a, id_b
        |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
        |  WHERE ${Det.roundNSql("inter * 1.0 / (sa.n + sb.n - inter)", 4)} >= 0.8),
@@ -1149,7 +1156,10 @@ object Extensions {
 
     // Oracle mirrors the operator's inverted-index semantics exactly —
     // distinct 3-gram shingles (whole-text fallback for short docs),
-    // postings pruned to 2..32 docs, Jaccard from co-occurrence counts.
+    // postings pruned to [2, relative cap] (32 per 5,000 docs, in-plan;
+    // the absolute cap 32 measured ZERO pairs on the sf1 lake because
+    // discriminative shingles' document frequency grows with the corpus),
+    // Jaccard from co-occurrence counts.
     QueryDef.sql(
       "dedup_ngram_jaccard",
       raw"""WITH toks AS (
@@ -1161,10 +1171,11 @@ object Extensions {
          |  FROM toks),
          |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
          |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
+         |nd AS (SELECT ${Dedup.postingCapOracleSql("COUNT(DISTINCT id)")} AS cap FROM s),
          |useful AS (
          |  SELECT id, shingle FROM (
-         |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s)
-         |  WHERE pn BETWEEN 2 AND 32),
+         |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s), nd
+         |  WHERE pn BETWEEN 2 AND nd.cap),
          |inter AS (
          |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
          |  FROM useful a JOIN useful b USING (shingle)
@@ -1175,7 +1186,7 @@ object Extensions {
          |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Dedup.ngramJaccardDups(Tables.documents(s, d), "doc_id", "text",
+      Dedup.ngramJaccardDupsFrac(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.8)
         .orderBy("id_a", "id_b")
     },
@@ -1196,10 +1207,11 @@ object Extensions {
          |  FROM toks),
          |s AS (SELECT id, unnest(shingles) AS shingle FROM sh),
          |sizes AS (SELECT id, COUNT(*) AS n FROM s GROUP BY 1),
+         |nd AS (SELECT ${Dedup.postingCapOracleSql("COUNT(DISTINCT id)")} AS cap FROM s),
          |useful AS (
          |  SELECT id, shingle FROM (
-         |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s)
-         |  WHERE pn BETWEEN 2 AND 32),
+         |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS pn FROM s), nd
+         |  WHERE pn BETWEEN 2 AND nd.cap),
          |inter AS (
          |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
          |  FROM useful a JOIN useful b USING (shingle)
@@ -1214,7 +1226,7 @@ object Extensions {
          |SELECT id_sub, id_sup, containment FROM dirs
          |WHERE containment >= 0.9
          |ORDER BY id_sub, id_sup""".stripMargin) { (s, d) =>
-      Dedup.containmentDups(Tables.documents(s, d), "doc_id", "text",
+      Dedup.containmentDupsFrac(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.9)
         .orderBy("id_sub", "id_sup")
     },
@@ -1280,23 +1292,29 @@ object Extensions {
     },
 
     // The REMOVAL on top of the detection above: drop every token
-    // position covered by a 4-token span occurring ≥2 times corpus-wide,
+    // position covered by an 8-token span occurring ≥2 times corpus-wide,
     // reassemble the survivors in order — exact-substring dedup's "delete
     // the duplicated substring, keep the unique prose". The cleaned TEXT
-    // is hash-checked. Window 4 removes ~18% of tokens on this corpus
-    // (organic n-gram repeats + the planted duplicate spans).
+    // is hash-checked. Window 8, matching the detection above: the span
+    // length is the PRECISION knob of exact-substring dedup (the
+    // literature's ~50-char windows make organic collisions vanishingly
+    // rare) — 4-token spans over this corpus's closed ~31-word vocabulary
+    // collide organically as the corpus grows (80% of distinct 4-spans
+    // are duplicated on the sf1 lake — noise, not duplication — vs an
+    // exactly replica-linear duplicated-8-span count), so window 8 is
+    // what keeps the rewrite meaningful at scale.
     QueryDef.sql(
       "dedup_strip_spans",
       raw"""WITH toks AS (
          |  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
          |sp AS (
-         |  SELECT doc_id, i - 1 AS start, array_to_string(t[i:i+3], ' ') AS span
-         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i) u),
+         |  SELECT doc_id, i - 1 AS start, array_to_string(t[i:i+7], ' ') AS span
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i) u),
          |counts AS (SELECT span, COUNT(*) AS c FROM sp GROUP BY 1),
          |cov AS (
          |  SELECT DISTINCT s.doc_id, s.start + o AS pos
          |  FROM sp s JOIN counts c USING (span),
-         |       LATERAL (SELECT unnest(generate_series(0, 3)) AS o) x
+         |       LATERAL (SELECT unnest(generate_series(0, 7)) AS o) x
          |  WHERE c.c >= 2),
          |tok AS (
          |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tk
@@ -1316,7 +1334,7 @@ object Extensions {
          |FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       Dedup.stripDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
-          window = 4)
+          window = 8)
         .orderBy("doc_id")
     },
 
@@ -1340,7 +1358,7 @@ object Extensions {
       s"""$ngramClusterCte
          |SELECT id, cluster_id, id = cluster_id AS is_canonical
          |FROM clusters ORDER BY cluster_id, id""".stripMargin) { (s, d) =>
-      val pairs = Dedup.ngramJaccardDups(Tables.documents(s, d),
+      val pairs = Dedup.ngramJaccardDupsFrac(Tables.documents(s, d),
         "doc_id", "text", threshold = 0.8)
       Dedup.connectedComponents(pairs)
         .withColumn("is_canonical", col("id") === col("cluster_id"))
@@ -1366,7 +1384,7 @@ object Extensions {
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val clusters = Dedup.connectedComponents(
-        Dedup.ngramJaccardDups(docs, "doc_id", "text", threshold = 0.8))
+        Dedup.ngramJaccardDupsFrac(docs, "doc_id", "text", threshold = 0.8))
       Dedup.duplicationWeights(clusters, docs, idCol = "doc_id")
         .orderBy("doc_id")
     },
@@ -1394,7 +1412,7 @@ object Extensions {
          |ORDER BY cluster_id, id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val clusters = Dedup.connectedComponents(
-        Dedup.ngramJaccardDups(docs, "doc_id", "text", threshold = 0.8))
+        Dedup.ngramJaccardDupsFrac(docs, "doc_id", "text", threshold = 0.8))
       val priorities = docs.select(col("source")).distinct()
         .withColumn("priority",
           regexp_extract(col("source"), "src(\\d+)", 1).cast("long"))
@@ -1426,7 +1444,7 @@ object Extensions {
          |GROUP BY 1 ORDER BY split_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val clusters = Dedup.connectedComponents(
-          Dedup.ngramJaccardDups(docs, "doc_id", "text", threshold = 0.8))
+          Dedup.ngramJaccardDupsFrac(docs, "doc_id", "text", threshold = 0.8))
         .staged
       Dedup.leakageSafeSplit(clusters, docs, "doc_id", Seq(0.8, 0.2))
         .zipWithIndex.map { case (df, i) =>

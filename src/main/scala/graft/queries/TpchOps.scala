@@ -179,8 +179,21 @@ object TpchOps {
 
     // ---- Q11: important supply values --------------------------------
     // Per-part supply value from NATION_3 suppliers vs a GLOBAL
-    // fraction-of-total threshold — the scalar lands as a 1-row
-    // broadcast against the per-part aggregate, not a recompute.
+    // importance threshold — the scalar lands as a 1-row broadcast
+    // against the per-part aggregate, not a recompute.
+    //
+    // SCALE NOTE (sf1 sweep): the threshold is MEAN-RELATIVE — a part is
+    // important iff its value exceeds 3× the mean per-part supply value,
+    // i.e. value · n_parts > total · 3 (exact decimal×integer products,
+    // no division, no representable-fraction ties). TPC-H's own Q11
+    // scales its fraction by 1/SF for exactly this reason (a fixed
+    // fraction-of-total empties as the catalog grows: the former 0.0015
+    // already returned ZERO rows at sf0.1 and sf1); on this fixture's
+    // flat value distribution the spec's 1/supplier-count fraction is
+    // degenerate too (0 rows at every SF), while 3× mean stays
+    // scale-invariant under replication — measured 1 / 22 / 193 / 1930
+    // rows at sf0.001/0.01/0.1/1, exactly linear where the lake is an
+    // exact 10× replica.
     QueryDef.sql(
       "q11_important_supply",
       s"""WITH sup AS (
@@ -190,10 +203,12 @@ object TpchOps {
          |  SELECT l.l_partkey, ${Det.dsumSql("l.l_extendedprice", 2)} AS value
          |  FROM lineitem l JOIN sup ON sup.s_suppkey = l.l_suppkey
          |  GROUP BY 1),
-         |t AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) * 0.0015
-         |             AS DECIMAL(38,2)) AS thresh FROM v)
+         |t AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2)))
+         |             AS DECIMAL(38,2)) AS total,
+         |             COUNT(*) AS np FROM v)
          |SELECT v.l_partkey, v.value
-         |FROM v, t WHERE v.value > t.thresh
+         |FROM v, t
+         |WHERE CAST(value AS DECIMAL(18,2)) * t.np > t.total * 3
          |ORDER BY value DESC, l_partkey""".stripMargin) { (s, d) =>
       val sup = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)
@@ -205,17 +220,18 @@ object TpchOps {
         .groupBy("l_partkey")
         .agg(Det.dsum(col("l_extendedprice"), 2).as("value"))
         .staged
-      // threshold computed in EXACT decimal space on both engines: value
-      // is exact at 2 decimals, so decimal-sum × decimal-literal is
-      // bit-identical — a double-path sum could land the threshold on a
-      // .xx5 tie and flip rows through `value > thresh` (the same tie
-      // class the engagement_score fix closed)
-      val t = v.agg((sum(col("value")
+      // threshold compared in EXACT decimal space on both engines: value
+      // is exact at 2 decimals and both sides are decimal×integer
+      // PRODUCTS — no division, so no rounding and no .xx5 tie class
+      // anywhere (the same discipline as the engagement_score fix)
+      val t = v.agg(sum(col("value")
           .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          * lit(BigDecimal("0.0015")))
-        .cast("decimal(38,2)").as("thresh"))
+          .cast("decimal(38,2)").as("total"),
+        count(lit(1)).as("np"))
       v.crossJoin(broadcast(t))
-        .filter(col("value") > col("thresh"))
+        .filter(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * col("np") > col("total") * lit(3))
         .select("l_partkey", "value")
         .orderBy(desc("value"), col("l_partkey"))
     },

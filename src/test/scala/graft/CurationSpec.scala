@@ -110,6 +110,28 @@ class CurationSpec extends AnyFunSuite {
     assert(vocab === Set("common", "words", "plus"), s"got $vocab")
   }
 
+  test("vocabularyFrac: max_df = ceil(0.75·n_docs), in-plan") {
+    // 4 docs → max_df = 3: 'everywhere' (df 4) is boilerplate, banded
+    // terms with df in [2, 3] survive, hapaxes fail min_df
+    val docs = Seq(
+      (1L, "everywhere shared rare1"),
+      (2L, "everywhere shared other"),
+      (3L, "everywhere shared other"),
+      (4L, "everywhere solo"))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.vocabularyFrac(docs, "doc_id", "text",
+        minDf = 2, maxTerms = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("shared" -> 3L, "other" -> 2L), s"got $got")
+    // the expression at the anchor points (engine dialect)
+    val md = (n: Long) => spark.sql(
+      s"SELECT ${TextFunctions.vocabMaxDfExprSql(n.toString)} AS m")
+      .head().getLong(0)
+    assert(md(4L) === 3L)
+    assert(md(5000L) === 3750L)
+    assert(md(50000L) === 37500L)
+  }
+
   test("boilerplate strip removes ubiquitous tokens, preserves order") {
     // "filler" is in 4/4 docs (df 100% > 78%) → stripped; everything else
     // survives in original order. Doc 4 is ONLY filler → empty clean text.

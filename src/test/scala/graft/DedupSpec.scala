@@ -68,6 +68,49 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("relative posting cap: identical to the absolute form below the " +
+      "anchor; formula grows ceil-linearly above it") {
+    // below the 5,000-doc anchor the cap floors at 32 — Frac ≡ absolute
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(
+      rows(Dedup.ngramJaccardDupsFrac(docs, "doc_id", "text", 0.5)) ===
+      rows(Dedup.ngramJaccardDups(docs, "doc_id", "text", 0.5)))
+    assert(
+      rows(Dedup.containmentDupsFrac(docs, "doc_id", "text", 0.5)
+        .withColumnsRenamed(Map("id_sub" -> "id_a", "id_sup" -> "id_b",
+          "containment" -> "jaccard"))) ===
+      rows(Dedup.containmentDups(docs, "doc_id", "text", 0.5)
+        .withColumnsRenamed(Map("id_sub" -> "id_a", "id_sup" -> "id_b",
+          "containment" -> "jaccard"))))
+    // the in-plan expression at the anchor points (engine dialect)
+    val cap = (n: Long) => spark.sql(
+      s"SELECT ${Dedup.postingCapExprSql(n.toString)} AS c")
+      .head().getLong(0)
+    assert(cap(0L) === 32L)
+    assert(cap(5000L) === 32L)
+    assert(cap(5001L) === 33L)
+    assert(cap(50000L) === 320L)
+  }
+
+  test("relative posting cap admits corpus-frequency-scaled postings " +
+      "that the absolute cap rejects") {
+    // 40 shared-shingle docs: posting length 40 > 32 — the absolute cap
+    // drops the shingles entirely (zero pairs); the relative cap at a
+    // simulated larger corpus still can't (floor 32 at 40 docs), so
+    // check the expression directly instead of building a 5k-doc corpus:
+    // the admitting cap for a 40-long posting needs n_docs ≥ 6,250.
+    val many = (0 until 40)
+      .map(i => (i.toLong, (0 until 60).map(j => s"c$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardDups(many, "doc_id", "text", 0.9).count() === 0)
+    val admitting = spark.sql(
+      s"SELECT ${Dedup.postingCapExprSql("6250")} AS c").head().getLong(0)
+    assert(admitting >= 40L)
+  }
+
   test("minhash probe vs stored index == full re-run restricted to batch pairs") {
     // corpus: 1≈2 near-dup (corpus-internal — must NOT appear in the
     // probe), 3 unrelated, 4 is the stored near-dup of arriving batch doc
