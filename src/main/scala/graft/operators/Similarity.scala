@@ -297,6 +297,32 @@ object Similarity {
     * in exactly one cell, so no cross-probe dedup is needed. Returns
     * (src, dst, cosine) with cosine pinned via Det.roundN(6) (ranking
     * runs on the pinned value — engine-identical). */
+  /** Corpus-relative IVF cell count: 16 cells up to the 2,500-vector
+    * anchor (≤ ~156/cell), doubling every 4× corpus — the √n rule
+    * (per-cell population ~√n·c, candidate volume n·nProbe·√n instead of
+    * the fixed-cell-count n²·nProbe/cells the sf1 sweep measured at 23×
+    * wall for 10× data), floor-quantized to powers of two so the count
+    * is an exact integer CASE ladder — the SAME text parses in Spark SQL
+    * and DuckDB, so engine and oracle share one definition. Capped at
+    * 4096 cells (n ≥ 164M vectors) — past that, raise the anchor. */
+  def ivfCellsSql(nExpr: String): String =
+    "16" + (1 to 8).map(j =>
+      s" * (CASE WHEN ($nExpr) >= ${2500L * (1L << (2 * j))} THEN 2 ELSE 1 END)")
+      .mkString
+
+  /** First-K-by-id seed codebook with K = [[ivfCellsSql]](corpus count),
+    * decided in-plan: the 1-row K relation broadcasts into the id
+    * filter, so the codebook grows with the corpus without a driver-side
+    * count. Returns (cell, c_emb). */
+  def seedCentroids(vectors: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val kRel = vectors
+      .agg(expr(ivfCellsSql("count(1)")).cast("long").as("__k"))
+    vectors.crossJoin(broadcast(kRel))
+      .filter(col(idCol) < col("__k"))
+      .select(col(idCol).as("cell"), col(embCol).as("c_emb"))
+  }
+
   def knnGraph(vectors: DataFrame, centroids: DataFrame, k: Int,
       nProbe: Int, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {

@@ -1669,14 +1669,22 @@ object Extensions {
     // Corpus-wide kNN graph (3 neighbors, 2-probe IVF): the all-pairs
     // self-join reshaped as a cell-keyed equi-join — member side carries
     // each vector once, query side nProbe times; nothing corpus-sized is
-    // broadcast. Oracle re-derives assignment, probe choice, in-cell
-    // ranking on the pinned cosine. The graph SemDeDup clustering and
-    // kNN label propagation consume.
+    // broadcast. The cell count is CORPUS-RELATIVE (√n rule,
+    // [[graft.operators.Similarity.ivfCellsSql]]): a fixed 16 cells
+    // means per-cell population — and so in-cell candidate pairs — grows
+    // with the corpus (23× wall for 10× data on the sf1 sweep); 16 at
+    // the 10k anchor, doubling every 4×, keeps candidate volume
+    // n·nProbe·√n. Oracle re-derives the cell-count ladder, assignment,
+    // probe choice, in-cell ranking on the pinned cosine. The graph
+    // SemDeDup clustering and kNN label propagation consume.
     QueryDef.sql(
       "sim_knn_graph",
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+         |kk AS (SELECT ${graft.operators.Similarity.ivfCellsSql(
+              "COUNT(*)")} AS k FROM e),
+         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e, kk
+         |  WHERE vec_id < kk.k),
          |rk AS (
          |  SELECT e.vec_id, e.emb, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id
@@ -1697,9 +1705,8 @@ object Extensions {
          |SELECT src, dst, cosine FROM nb
          |ORDER BY src, dst""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val centroids = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-      Similarity.knnGraph(emb, centroids, k = 3, nProbe = 2)
+      Similarity.knnGraph(emb, Similarity.seedCentroids(emb),
+          k = 3, nProbe = 2)
         .orderBy("src", "dst")
     },
 

@@ -627,15 +627,20 @@ object StatsOps {
     // Fellegi-Sunter probabilistic record linkage: match a deterministic
     // "dirty" re-keyed copy of the customer feed (last two name chars
     // transposed — the typo class Jaro-Winkler is built to tolerate —
-    // and balances jittered) back to the master, blocked on nationkey so
-    // the quadratic stays per-block-bounded — the classic linkage plan
-    // at scale (blocks shuffle independently; no global cross join).
-    // Three field comparators (Jaro-Winkler name band, segment equality,
-    // balance proximity) carry fixed agree/disagree log-odds weights;
-    // the summed score classifies match / possible / non_match (match =
-    // all three agree: template names make near-key pairs name-similar
-    // too, so one agreeing field can't decide). Exercises the native
-    // jaro_winkler expression inside a join. Output: top 25 scored pairs.
+    // and balances jittered) back to the master. Blocked on
+    // (nationkey, name prefix sans the last two chars): blocking keys
+    // must SCALE with the corpus — nation alone is a FIXED 25 blocks, so
+    // per-block candidates grow quadratically (the sf1 sweep measured
+    // 17.9× wall for 10× data against a constant 25-row answer), while
+    // the prefix key grows with the feed and candidate volume stays
+    // linear. The prefix is transposition-safe by construction (the typo
+    // class touches only the final two chars), which is the standard
+    // linkage discipline: design blocking around the error model, let
+    // the comparators decide. Three field comparators (Jaro-Winkler name
+    // band, segment equality, balance proximity) carry fixed
+    // agree/disagree log-odds weights; the summed score classifies
+    // match / possible / non_match. Exercises the native jaro_winkler
+    // expression inside a join. Output: top 25 scored pairs.
     QueryDef.sql(
       "j_record_linkage",
       s"""WITH dirty AS (
@@ -651,7 +656,9 @@ object StatsOps {
          |    CASE WHEN c.c_mktsegment = d.d_segment THEN 1 ELSE 0 END AS seg_eq,
          |    CASE WHEN abs(c.c_acctbal - d.d_bal) <= 10.0 THEN 1 ELSE 0 END
          |      AS bal_near
-         |  FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nation),
+         |  FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nation
+         |    AND substr(c.c_name, 1, length(c.c_name) - 2)
+         |      = substr(d.d_name, 1, length(d.d_name) - 2)),
          |scored AS (
          |  SELECT c_custkey, d_key, jw,
          |    ${roundN("(CASE WHEN jw >= 0.93 THEN 4.0 ELSE -3.0 END) + (CASE WHEN seg_eq = 1 THEN 1.5 ELSE -1.0 END) + (CASE WHEN bal_near = 1 THEN 1.0 ELSE -0.5 END)", 6)}
@@ -683,7 +690,9 @@ object StatsOps {
       // round-robin is a no-op in spirit
       val shufP = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val pairs = cust.repartition(shufP)
-        .join(dirty, col("c_nationkey") === col("d_nation"))
+        .join(dirty, col("c_nationkey") === col("d_nation")
+          && expr("substr(c_name, 1, length(c_name) - 2)")
+            === expr("substr(d_name, 1, length(d_name) - 2)"))
         .select(col("c_custkey"), col("d_key"),
           Det.roundN(jaro_winkler(col("c_name"), col("d_name")), 6).as("jw"),
           when(col("c_mktsegment") === col("d_segment"), 1).otherwise(0)

@@ -103,6 +103,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_silhouette",         // broadcast 16-row centroid codebook (same
                               // class as sim_kmeans_step)
     "t_priority_sample",      // broadcast 1-row threshold (tau) aggregate
+    "dedup_ngram_jaccard",    // broadcast 1-row relative posting cap
+    "dedup_containment",      // broadcast 1-row relative posting cap
+    "t_vocabulary",           // broadcast 1-row relative max_df ceiling
     "z_bloom_file_skip",      // broadcast 1-row file-count total
     "a_kaplan_meier",         // broadcast 1-row horizon max + 1-row total
     "a_logrank_test",         // broadcast 1-row horizon max
