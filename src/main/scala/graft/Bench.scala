@@ -128,6 +128,25 @@ object Bench {
     // session warmup (parquet reader init, codegen compiler, FS caches)
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    // session-memoized shared setup (medallion lake build, distributed
+    // BPE codebook learn) is force-warmed HERE and charged to explicit
+    // setup line items: left to the memoizers, the cost lands on
+    // whichever family member runs first, so per-query deltas across
+    // rounds depend on run order / discarded first attempts (r11 showed
+    // q_pipeline_run 0.06→5.12 s and t_bpe_tokenize 0.40→5.59 s phantom
+    // regressions that retimed flat). Setup is real work and stays in
+    // the artifact — just under its own name.
+    val setup: Seq[(String, Double)] = Seq[(String, () => Unit)](
+      "shared_lake_build" ->
+        (() => graft.queries.PipelineQueries.warmSharedLake(spark, sfDir)),
+      "bpe_codebook_learn" ->
+        (() => { graft.functions.Bpe.pinnedMergesDistributed(spark); () })
+    ).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn() catch { case e: Throwable =>
+        System.err.println(s"[bench] setup $name failed: ${e.getMessage}") }
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
     // declaration order, not hash-Map order: per-query timings stay
     // comparable across rounds even when query names are added/renamed
     // (warmup/FS-cache effects always land on the same early queries)
@@ -224,7 +243,10 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else ",\"errors\":" + errs.mkString("{", ",", "}")
     val retimeJson = retimes.map { case (n, _, re) => jsonStr(n) + ":" + re }
       .mkString("{", ",", "}")
+    val setupJson = setup.map { case (n, v) => jsonStr(n) + ":" + v }
+      .mkString("{", ",", "}")
     val envJson =
+      s""","setup":$setupJson""" +
       s""","env":{"cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
       s""""sibling_jvms_before":$siblingsBefore,"sibling_jvms_after":$siblingsAfter},""" +

@@ -53,8 +53,38 @@ import org.apache.spark.sql.functions._
   * lake rather than one fat file. `Tables` reads directories transparently;
   * scripts/check.py globs them for DuckDB.
   *
-  * Usage: runMain graft.GenSf <srcDir> <outDir> [k]
+  * SKEW MODE (`skew` as 4th arg, round 12): the flat replication above is
+  * ideal for invariance proofs but structurally incapable of exhibiting
+  * skew-induced straggling or cross-shard duplication — every key is
+  * uniform and replicas never share content. Skew mode keeps replica 0
+  * verbatim and the PK/offset discipline identical, but makes replicas
+  * r ≥ 1 organically hostile:
+  *   - FACT-SIDE HOT KEYS (orders.o_custkey, lineitem.l_partkey/
+  *     l_suppkey, events.user_id): 30% of replica-r rows redirect their FK
+  *     to a GLOBAL hot set (replica-0 keys 0..H-1) under a Zipf(1) rank
+  *     drawn via inverse CDF floor(H^u)-1 — the hottest key absorbs
+  *     ~ln2/lnH of redirected volume corpus-WIDE, so joins and groupBys
+  *     meet real stragglers and AQE's skew handling runs on volume, not
+  *     on the AqeSkewSpec fixture.
+  *   - CROSS-REPLICA NEAR-DUP DOCUMENTS: each source doc draws a
+  *     geometric duplication level L (P(L≥j)=2^-j, capped at k-1);
+  *     replicas r ≤ L carry a NEAR-copy of the original (each word
+  *     mutated with prob 1/32 through the replica bijection — shingle
+  *     Jaccard ≈ 0.8 vs the original, occasionally an exact copy when no
+  *     word mutates), replicas r > L carry the bijection-permuted
+  *     distinct text as in flat mode. Duplicate-cluster sizes are
+  *     power-law (half singletons, a heavy tail up to k) and clusters
+  *     SPAN replicas — the cross-shard dedup shape the flat lake can't
+  *     produce.
+  *   - CLUSTERED EMBEDDINGS: half of each replica-r≥1's vectors blend
+  *     50/50 with a Zipf-chosen replica-0 centroid (64 candidate
+  *     centroids) AFTER the orthogonal map; cluster populations are
+  *     power-law, so IVF cells go imbalanced and in-cell candidate
+  *     volume concentrates — the ANN-straggler case.
+  *
+  * Usage: runMain graft.GenSf <srcDir> <outDir> [k] [skew]
   *   e.g.  runMain graft.GenSf /root/testdata/sf0.1 testdata/sf1 10
+  *         runMain graft.GenSf /root/testdata/sf0.1 testdata/sf1skew 10 skew
   */
 object GenSf {
 
@@ -62,6 +92,7 @@ object GenSf {
     val srcDir = args(0)
     val outDir = args(1)
     val k = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,12 +104,12 @@ object GenSf {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, srcDir, outDir, k)
+    generate(spark, srcDir, outDir, k, skew)
     spark.stop()
   }
 
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-               k: Int): Unit = {
+               k: Int, skew: Boolean = false): Unit = {
     def src(name: String): DataFrame = graft.engine.Tables(spark, srcDir, name)
 
     // dense-key cardinality of each scaled table (keys are 0..N-1 by
@@ -117,6 +148,27 @@ object GenSf {
     def off(key: String, n: Long): Column =
       (col(key) + col("__r") * lit(n)).as(key)
 
+    // --- skew machinery (all draws are seeded h56 hashes of the row's PK
+    // + replica, so the lake is a pure function of (src, k)) -------------
+    import graft.engine.Det
+    def u01(tag: String, pk: Column, r: Column): Column =
+      (pmod(Det.h56(concat_ws(":", lit(tag), pk.cast("string"),
+        r.cast("string"))), lit(1048576L)) + lit(0.5)) / lit(1048576.0)
+    // Zipf(1) rank over [0, hotN) via inverse CDF: P(rank=x) ∝ 1/(x+1)
+    def zipfRank(tag: String, pk: Column, r: Column, hotN: Int): Column =
+      (floor(org.apache.spark.sql.functions.pow(lit(hotN.toDouble),
+        u01(tag, pk, r))) - 1).cast("long")
+    /** `base` FK, except in skew mode `pct`% of replica-r≥1 rows redirect
+      * to a global hot key (replica-0 id in [0, hotN), Zipf-ranked). */
+    def skewFk(tag: String, pk: Column, base: Column, hotN: Int,
+        pct: Int): Column =
+      if (!skew) base
+      else when(col("__r") > 0 &&
+          pmod(Det.h56(concat_ws(":", lit(tag + ":sel"), pk.cast("string"),
+            col("__r").cast("string"))), lit(100L)) < pct,
+          zipfRank(tag, pk, col("__r"), hotN))
+        .otherwise(base)
+
     def write(df: DataFrame, name: String, files: Int): Unit = {
       df.repartition(files)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -147,13 +199,20 @@ object GenSf {
       "part", 2)
 
     write(replicate(orders).select(
-      off("o_orderkey", nO), off("o_custkey", nC),
+      off("o_orderkey", nO),
+      skewFk("sk:ocust", col("o_orderkey"),
+        col("o_custkey") + col("__r") * nC, 64, 30).as("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority")),
       "orders", 4)
 
+    val liPk = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
     write(replicate(lineitem).select(
-      off("l_orderkey", nO), off("l_partkey", nP), off("l_suppkey", nS),
+      off("l_orderkey", nO),
+      skewFk("sk:lpart", liPk,
+        col("l_partkey") + col("__r") * nP, 64, 30).as("l_partkey"),
+      skewFk("sk:lsupp", liPk,
+        col("l_suppkey") + col("__r") * nS, 16, 30).as("l_suppkey"),
       col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
       col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate")),
@@ -169,7 +228,8 @@ object GenSf {
       // micros are unchanged; Tables.events re-normalizes NTZ on read.
       (col("ts") + expr("make_interval(0,0,0,0,0,0,0.137) * __r"))
         .cast("timestamp_ntz").as("ts"),
-      off("user_id", nU),
+      skewFk("sk:euser", col("event_id"),
+        col("user_id") + col("__r") * nU, 64, 30).as("user_id"),
       col("event_type"), col("value"), col("props")),
       "events", 4)
 
@@ -191,22 +251,46 @@ object GenSf {
     }
 
     val docReplicas = (0 until k).map { r =>
-      val base = docs.select(
-        (col("doc_id") + lit(r.toLong * nD)).as("doc_id"),
-        col("text"), col("lang"), col("source"))
-      val txt =
+      val permuted =
         if (r == 0) col("text")
         else array_join(
           transform(split(col("text"), " "),
             w => coalesce(element_at(vocabMap(r), w), w)), " ")
-      base.select(
-        col("doc_id"), txt.as("text"), col("lang"), col("source"),
+      val txt =
+        if (!skew || r == 0) permuted
+        else {
+          // geometric duplication level per SOURCE doc: P(L ≥ j) = 2^-j
+          // (k-1-capped) — replicas r ≤ L carry a near-copy (each word
+          // mutated with prob 1/32 through the bijection; shingle
+          // Jaccard ≈ 0.8, sometimes an exact copy), r > L the distinct
+          // permuted text. Duplicate clusters are power-law-sized and
+          // span replicas.
+          val u = (pmod(Det.h56(concat(lit("dup:"),
+            col("doc_id").cast("string"))), lit(1048576L)) + lit(0.5)) /
+            lit(1048576.0)
+          val level = least(floor(-log2(u)), lit((k - 1).toDouble))
+          val nearDup = array_join(transform(split(col("text"), " "),
+            w => when(pmod(Det.h56(concat_ws(":", lit("mut"), w,
+                lit(r.toString), col("doc_id").cast("string"))),
+                lit(32L)) === 0,
+              coalesce(element_at(vocabMap(r), w), w)).otherwise(w)), " ")
+          when(lit(r.toDouble) <= level, nearDup).otherwise(permuted)
+        }
+      docs.select(
+        (col("doc_id") + lit(r.toLong * nD)).as("doc_id"),
+        txt.as("text"), col("lang"), col("source"),
         length(txt).cast("long").as("n_chars"))
     }
     write(docReplicas.reduce(_ unionAll _), "documents", 2)
 
     // --- embeddings: per-replica orthogonal transform -----------------
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    // skew mode: 64 candidate centroids = replica-0 vectors 0..63,
+    // broadcast; half of each r≥1 replica's vectors blend 50/50 with a
+    // Zipf-chosen centroid, so cluster populations are power-law and IVF
+    // cells go imbalanced.
+    val cents = broadcast(embs.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("__cid"), col("embedding").as("__cemb")))
     val embReplicas = (0 until k).map { r =>
       val vec =
         if (r == 0) col("embedding")
@@ -220,10 +304,29 @@ object GenSf {
             array(sign.map(lit): _*),
             (a, b) => a * b)
         }
-      embs.select(
-        (col("vec_id") + lit(r.toLong * nV)).as("vec_id"),
-        vec.cast("array<float>").as("embedding"),
-        col("label"))
+      if (!skew || r == 0)
+        embs.select(
+          (col("vec_id") + lit(r.toLong * nV)).as("vec_id"),
+          vec.cast("array<float>").as("embedding"),
+          col("label"))
+      else {
+        val clustered = pmod(Det.h56(concat_ws(":", lit("clsel"),
+          col("vec_id").cast("string"), lit(r.toString))), lit(100L)) < 50
+        embs
+          .withColumn("__cid",
+            when(clustered,
+              zipfRank("sk:cl", col("vec_id"), lit(r), 64))
+            .otherwise(lit(-1L)))
+          .join(cents, Seq("__cid"), "left")
+          .select(
+            (col("vec_id") + lit(r.toLong * nV)).as("vec_id"),
+            when(col("__cemb").isNotNull,
+              zip_with(vec, col("__cemb"),
+                (a, b) => a * lit(0.5f) + b * lit(0.5f)))
+              .otherwise(vec)
+              .cast("array<float>").as("embedding"),
+            col("label"))
+      }
     }
     write(embReplicas.reduce(_ unionAll _), "embeddings", 2)
 

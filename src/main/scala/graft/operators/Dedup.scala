@@ -605,26 +605,29 @@ object Dedup {
       per: Long = PostingCapPerDocs): String =
     s"GREATEST($base, ($nDocsExpr * $base + ${per - 1}) // $per)"
 
-  /** Postings banded to [2, cap] where `mkCap` builds the 1-row cap
-    * relation from the exploded shingles (a literal for the absolute
-    * form, a corpus-count aggregate for the relative form), broadcast
-    * into the filter so the cap is decided in-plan, never on the
-    * driver. */
-  private def usefulPostings(exploded: DataFrame,
-      mkCap: DataFrame => DataFrame): DataFrame =
-    exploded
+  /** Posting-cap strategy for the inverted-index ops: a literal stays a
+    * plain pushable filter (no join in the plan at all); the relative form
+    * is a corpus-count aggregate broadcast into the filter as a 1-row
+    * relation so the cap is decided in-plan, never on the driver. */
+  private sealed trait Cap
+  private case class LiteralCap(maxPosting: Int) extends Cap
+  private case object RelativeCap extends Cap
+
+  /** Postings banded to [2, cap] under the given [[Cap]] strategy. */
+  private def usefulPostings(exploded: DataFrame, cap: Cap): DataFrame = {
+    val counted = exploded
       .withColumn("__pn", count(lit(1)).over(Window.partitionBy("shingle")))
-      .crossJoin(broadcast(mkCap(exploded)))
-      .filter(col("__pn").between(lit(2L), col("__cap")))
-      .select("id", "shingle")
-
-  private def literalCap(maxPosting: Int)(exploded: DataFrame): DataFrame =
-    exploded.sparkSession.range(1)
-      .select(lit(maxPosting.toLong).as("__cap"))
-
-  private def relativeCap(exploded: DataFrame): DataFrame =
-    exploded.agg(expr(postingCapExprSql("count(DISTINCT id)"))
-      .cast("long").as("__cap")).staged
+    (cap match {
+      case LiteralCap(m) =>
+        counted.filter(col("__pn").between(lit(2L), lit(m.toLong)))
+      case RelativeCap =>
+        counted
+          .crossJoin(broadcast(exploded
+            .agg(expr(postingCapExprSql("count(DISTINCT id)"))
+              .cast("long").as("__cap")).staged))
+          .filter(col("__pn").between(lit(2L), col("__cap")))
+    }).select("id", "shingle")
+  }
 
   /** N-gram Jaccard via inverted-index blocking: prune shingles to useful
     * postings (2..maxPosting docs), self-join the postings to count
@@ -636,20 +639,19 @@ object Dedup {
       threshold: Double = 0.8, shingleSize: Int = 3,
       maxPosting: Int = 32): DataFrame =
     ngramJaccard(df, idCol, textCol, threshold, shingleSize,
-      literalCap(maxPosting))
+      LiteralCap(maxPosting))
 
   /** [[ngramJaccardDups]] with the posting cap derived from the corpus
     * size in-plan ([[postingCapExprSql]]) — the scale-correct default. */
   def ngramJaccardDupsFrac(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3): DataFrame =
-    ngramJaccard(df, idCol, textCol, threshold, shingleSize, relativeCap)
+    ngramJaccard(df, idCol, textCol, threshold, shingleSize, RelativeCap)
 
   private def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleSize: Int,
-      mkCap: DataFrame => DataFrame): DataFrame = {
+      threshold: Double, shingleSize: Int, cap: Cap): DataFrame = {
     val exploded = explodedShingles(df, idCol, textCol, shingleSize)
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val useful = usefulPostings(exploded, mkCap)
+    val useful = usefulPostings(exploded, cap)
     val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))
       .join(useful.withColumnsRenamed(Map("id" -> "id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
@@ -743,20 +745,19 @@ object Dedup {
       threshold: Double = 0.9, shingleSize: Int = 3,
       maxPosting: Int = 32): DataFrame =
     containment(df, idCol, textCol, threshold, shingleSize,
-      literalCap(maxPosting))
+      LiteralCap(maxPosting))
 
   /** [[containmentDups]] with the posting cap derived from the corpus
     * size in-plan ([[postingCapExprSql]]) — the scale-correct default. */
   def containmentDupsFrac(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.9, shingleSize: Int = 3): DataFrame =
-    containment(df, idCol, textCol, threshold, shingleSize, relativeCap)
+    containment(df, idCol, textCol, threshold, shingleSize, RelativeCap)
 
   private def containment(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleSize: Int,
-      mkCap: DataFrame => DataFrame): DataFrame = {
+      threshold: Double, shingleSize: Int, cap: Cap): DataFrame = {
     val exploded = explodedShingles(df, idCol, textCol, shingleSize)
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val useful = usefulPostings(exploded, mkCap)
+    val useful = usefulPostings(exploded, cap)
     val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))
       .join(useful.withColumnsRenamed(Map("id" -> "id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

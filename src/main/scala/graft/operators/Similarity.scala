@@ -313,7 +313,14 @@ object Similarity {
   /** First-K-by-id seed codebook with K = [[ivfCellsSql]](corpus count),
     * decided in-plan: the 1-row K relation broadcasts into the id
     * filter, so the codebook grows with the corpus without a driver-side
-    * count. Returns (cell, c_emb). */
+    * count. Returns (cell, c_emb).
+    *
+    * CONTRACT: `idCol` must be dense 0..N-1 (the lake's vec_id layout —
+    * the same assumption the previous hardcoded `vec_id < 16` made). A
+    * sparse or offset id space selects fewer than K rows (possibly zero
+    * → an empty kNN graph with no error); for such corpora seed via a
+    * rank instead, e.g.
+    * `row_number().over(Window.orderBy(idCol)) <= __k`. */
   def seedCentroids(vectors: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val kRel = vectors

@@ -1672,8 +1672,9 @@ object Extensions {
     // broadcast. The cell count is CORPUS-RELATIVE (√n rule,
     // [[graft.operators.Similarity.ivfCellsSql]]): a fixed 16 cells
     // means per-cell population — and so in-cell candidate pairs — grows
-    // with the corpus (23× wall for 10× data on the sf1 sweep); 16 at
-    // the 10k anchor, doubling every 4×, keeps candidate volume
+    // with the corpus (23× wall for 10× data on the sf1 sweep); 16
+    // cells up to the 2,500-vector anchor, first doubling at
+    // n ≥ 10,000 and every 4× after, keeps candidate volume
     // n·nProbe·√n. Oracle re-derives the cell-count ladder, assignment,
     // probe choice, in-cell ranking on the pinned cosine. The graph
     // SemDeDup clustering and kNN label propagation consume.

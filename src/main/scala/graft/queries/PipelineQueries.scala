@@ -40,6 +40,16 @@ object PipelineQueries {
       })
   }
 
+  /** Force-build the session-memoized medallion lake for `sfDir` NOW.
+    * Benchmark harnesses call this before their timed region so the
+    * whole-lake build is charged to an explicit setup line item instead
+    * of whichever pipeline-family query happens to run first (the
+    * memoization otherwise makes per-query timings order-dependent —
+    * an 0.06 s → 5 s phantom "regression" whenever the recorded attempt
+    * wasn't memo-warm). */
+  def warmSharedLake(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = { SharedLake.runOnce(s, sfDir); () }
+
   val defs: Seq[QueryDef] = Seq(
 
     // SilverPosts: the reference's declared-but-never-built clean_posts

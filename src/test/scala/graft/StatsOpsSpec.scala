@@ -156,6 +156,41 @@ class StatsOpsSpec extends AnyFunSuite {
       case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("record linkage: blocking key is coupled to the dirty-feed error model") {
+    // j_record_linkage blocks on (nationkey, name-prefix-sans-last-2-chars):
+    // the prefix is transposition-safe ONLY because the modeled typo class
+    // touches exactly the final two name chars. This spec pins that
+    // coupling so extending the dirty feed's error class (or shrinking
+    // names below 3 chars, where the prefix degenerates into mega-blocks)
+    // fails loudly instead of silently changing candidate generation in
+    // BOTH engine and oracle.
+    val names = spark.read
+      .parquet(s"$sf/customer.parquet").select("c_name")
+      .as[String].collect()
+    assert(names.nonEmpty)
+    // (1) fixture names are long enough that the prefix key never
+    //     degenerates to empty/1-char blocks
+    assert(names.forall(_.length >= 3),
+      "a <3-char name degenerates the prefix blocking key")
+    def key(n: String) = n.dropRight(2)
+    def lastTwoSwap(n: String) =
+      n.dropRight(2) + n.takeRight(2).reverse
+    // (2) completeness under the MODELED error class: every dirty name
+    //     still shares its master's blocking key
+    assert(names.forall(n => key(lastTwoSwap(n)) == key(n)))
+    // (3) the coupling is tight: one position deeper and blocking breaks —
+    //     a future wider typo class must extend the key too
+    def deeperSwap(n: String) = {
+      val i = n.length - 3
+      n.substring(0, i) + n.charAt(i + 1) + n.charAt(i) + n.substring(i + 2)
+    }
+    val affected = names.filter(n => deeperSwap(n) != n)
+    assert(affected.nonEmpty)
+    assert(affected.forall(n => key(deeperSwap(n)) != key(n)),
+      "a deeper transposition must NOT share the blocking key — if this " +
+        "fires, the error model and the blocking key drifted apart")
+  }
+
   test("changepoint: one split per type, stat positive, means differ") {
     val rows = run("w_changepoint_split")
       .select("event_type", "stat", "mean_left", "mean_right")
