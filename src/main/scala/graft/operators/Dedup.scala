@@ -160,15 +160,22 @@ object Dedup {
     val minCols = (0 until numHashes).map(i =>
       min((col("__h1") + lit(i.toLong) * col("__h2")) % MinhashPrime)
         .as(s"__h$i"))
-    val aggCols = count(lit(1)).as("n") +: minCols
-    val sigs = exploded.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*)
+    val sigs = exploded.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       concat_ws(",",
         (0 until rows).map(r => col(s"__h${b * rows + r}").cast("string")): _*)
     }
     val keyed = sigs.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
-    (sigs.select(col("id"), col("n")), keyed)
+    // sizes as a SEPARATE count-only aggregate over the staged exploded
+    // relation, not a projection of `sigs`: sizes and keyed always land in
+    // different shuffles (Jaccard denominators vs band buckets), so a
+    // shared `sigs` subtree is evaluated once per consumer anyway — and
+    // every evaluation of `sigs` pays the full 64-min() update loop. The
+    // count-only plan computes identical n (exploded is distinct per
+    // (id, shingle) by construction) at 1/65th the aggregate state.
+    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    (sizes, keyed)
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.Dedup
 import graft.operators.Dedup.MinhashLshIndex
-import graft.engine.Stage.syntax._
 
 /** Streaming near-duplicate ingest — the ingest-time dedup loop at rest:
   * every micro-batch (1) probes the PERSISTENT MinHash band index for
@@ -63,9 +62,13 @@ object NearDupIngest {
     val q = docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // staged once: consumed by the index-entry build (three write
-        // plans) and the self-exclusion id set
-        val b = batch.staged
+        // NOT staged: the batch is a file-source parquet slice, and the
+        // only consumers that re-scan it are the (already-staged) shingle
+        // explode inside minhashIndex and the tiny id projection below —
+        // two scans of one small file cost less than the eager
+        // localCheckpoint job staging would add per micro-batch
+        // (StreamFloor: harness floor is job-count-bound at replay scale)
+        val b = batch
         // THE STORE IS THE STAGE: the batch's index relations are written
         // to the store FIRST and the probe reads them back — one write
         // job per relation instead of localCheckpoint staging plus a
