@@ -2,7 +2,13 @@
 """Build the checked-in sf1 bench artifact from two Bench runs.
 
 Usage:
-  python3 scripts/bench_sf1.py <sf01_bench.json> <sf1_bench.json> <out.json>
+  python3 scripts/bench_sf1.py <baseline_bench.json> <bench.json> <out.json> \
+      [profile]
+
+Profiles (triage map + ratio ceiling): `sf1` (default) compares a 10x-data
+run against its 1x baseline at a 10x wall ceiling; `skew` compares the
+SKEWED sf1 lake against the FLAT sf1 lake — same volume, 3x ceiling, so
+every flagged query is pure skew amplification.
 
 Joins the per-query maps, computes sf1/sf0.1 wall ratios, and attaches a
 MACHINE-READABLE triage label to every query whose wall grew more than
@@ -28,7 +34,7 @@ import sys
 
 # round-11/12 triage decisions (see ARCHITECTURE.md "sf1 campaign" for the
 # full reasoning per query)
-TRIAGE = {
+TRIAGE_SF1 = {
     "f_levenshtein_dedup": "output_bound",   # result pairs grow ~100x
     "dedup_prefix_join": "output_bound",     # exact join: candidates ∝ true pairs
     "dedup_lsh_eval": "by_contract",         # compares vs exact ground truth
@@ -40,7 +46,23 @@ TRIAGE = {
     "dedup_clusters_ngram": "by_contract",   #   the corpus (worst case; LSH is
     "dedup_strip_spans": "by_contract",      #   the designed scale path)
 }
-CEILING = 10.0
+
+# skew-vs-flat triage (baseline = the FLAT sf1 bench, candidate = the
+# SKEWED sf1 bench — same volume, so any ratio past the ceiling is pure
+# skew amplification, the straggler evidence the flat lake cannot show).
+# Queries whose OUTPUT or candidate set grows with duplication/hot-key
+# density are expected to cost more on the hostile lake and are labeled
+# here; anything else past the ceiling is unreviewed and fails the build.
+TRIAGE_SKEW = {
+    # populated from the round-12 skew sweep (see ARCHITECTURE.md)
+}
+
+PROFILES = {
+    # (triage map, default ceiling): sf1 = 10x data so 10x wall is the
+    # line; skew = same volume so 3x is already a straggler signal
+    "sf1": (TRIAGE_SF1, 10.0),
+    "skew": (TRIAGE_SKEW, 3.0),
+}
 
 
 def load(path):
@@ -50,31 +72,34 @@ def load(path):
 
 def main():
     sf01, sf1, out = sys.argv[1], sys.argv[2], sys.argv[3]
+    profile = sys.argv[4] if len(sys.argv) > 4 else "sf1"
+    triage_map, ceiling = PROFILES[profile]
     a, b = load(sf01), load(sf1)
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb))
     ratios = {q: round(qb[q] / max(qa[q], 1e-3), 2) for q in common}
-    flagged = {q: r for q, r in ratios.items() if r > CEILING}
+    flagged = {q: r for q, r in ratios.items() if r > ceiling}
     triage = {}
     unreviewed = []
     for q, r in sorted(flagged.items(), key=lambda kv: -kv[1]):
-        label = TRIAGE.get(q, "unreviewed")
+        label = triage_map.get(q, "unreviewed")
         if label == "unreviewed":
             unreviewed.append(q)
-        triage[q] = {"ratio": r, "sf01_sec": round(qa[q], 3),
-                     "sf1_sec": round(qb[q], 3), "label": label}
+        triage[q] = {"ratio": r, "baseline_sec": round(qa[q], 3),
+                     "sec": round(qb[q], 3), "label": label}
     # 'fixed' entries are listed even when under the ceiling, so the next
     # reader sees the fix held
-    for q, label in TRIAGE.items():
+    for q, label in triage_map.items():
         if label == "fixed" and q in common and q not in triage:
-            triage[q] = {"ratio": ratios[q], "sf01_sec": round(qa[q], 3),
-                         "sf1_sec": round(qb[q], 3), "label": "fixed"}
+            triage[q] = {"ratio": ratios[q], "baseline_sec": round(qa[q], 3),
+                         "sec": round(qb[q], 3), "label": "fixed"}
     artifact = {
-        "metric": "total", "unit": "sec",
+        "metric": "total", "unit": "sec", "profile": profile,
+        "ceiling": ceiling,
         "sf": b.get("sf"), "baseline_sf": a.get("sf"),
         "value": round(sum(qb.values()), 1),
         "baseline_value": round(sum(qa[q] for q in common), 1),
-        "wall_ratio_10x_data": round(
+        "wall_ratio": round(
             sum(qb[q] for q in common) / max(sum(qa[q] for q in common),
                                              1e-3), 2),
         "setup": b.get("setup"),
@@ -82,16 +107,16 @@ def main():
         "contaminated": b.get("contaminated"),
         "retime_median_ratio": b.get("retime_median_ratio"),
         "queries": {q: round(v, 3) for q, v in qb.items()},
-        "vs_sf01_ratio": ratios,
-        "triage_over_10x": triage,
+        "vs_baseline_ratio": ratios,
+        "triage_over_ceiling": triage,
     }
     json.dump(artifact, open(out, "w"), indent=1)
-    print(f"wrote {out}: sf1 total {artifact['value']}s vs sf0.1 "
-          f"{artifact['baseline_value']}s ({artifact['wall_ratio_10x_data']}x "
-          f"wall for 10x data); {len(flagged)} queries over {CEILING}x, "
+    print(f"wrote {out} [{profile}]: total {artifact['value']}s vs baseline "
+          f"{artifact['baseline_value']}s ({artifact['wall_ratio']}x wall); "
+          f"{len(flagged)} queries over {ceiling}x, "
           f"{len(unreviewed)} unreviewed")
     if unreviewed:
-        print("UNREVIEWED >10x queries (triage before committing): "
+        print(f"UNREVIEWED >{ceiling}x queries (triage before committing): "
               + ", ".join(unreviewed))
         return 1
     return 0

@@ -311,10 +311,14 @@ object Dedup {
     val bKeyed = batch.buckets
     val bSizes = batch.sizes
     // combined per-bucket population = stored corpus count + batch count;
-    // only buckets the batch touches are ever aggregated on the corpus side
-    val touched = bKeyed.groupBy("band_id", "band_hash")
-      .agg(count(lit(1)).as("__bn"))
-    // every relation derived from the BATCH side (touched keys, surviving
+    // only buckets the batch touches are ever aggregated on the corpus
+    // side (the semi-join below), and every group has >= 1 batch member
+    // by construction, so ONE aggregation over the union replaces the
+    // former touched->corpus-counts->join chain — one fewer sequential
+    // broadcast job per probe (micro-batch cost is job-count-bound at
+    // ingest rates; StreamFloor).
+    //
+    // Every relation derived from the BATCH side (touched keys, surviving
     // bucket keys, batch members) is explicitly broadcast: the batch's
     // staged frame is a LogicalRDD without stats, so Spark's size
     // estimate defaults to "huge" and auto-broadcast never fires — each
@@ -322,13 +326,14 @@ object Dedup {
     // with a map-side lookup, and every hinted side is batch-bounded
     // (<= |batch| x bands rows), the same boundedness class as the
     // ingest loop's self-exclusion id broadcast.
-    val cCounts = index.buckets
-      .join(broadcast(touched.select("band_id", "band_hash")),
-        Seq("band_id", "band_hash"), "left_semi")
-      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("__cn"))
-    val okBuckets = touched
-      .join(broadcast(cCounts), Seq("band_id", "band_hash"), "left")
-      .filter(col("__bn") + coalesce(col("__cn"), lit(0L)) <= maxBucket)
+    val touchedKeys = bKeyed.select("band_id", "band_hash").distinct()
+    val okBuckets = bKeyed.select("band_id", "band_hash")
+      .unionByName(index.buckets
+        .join(broadcast(touchedKeys), Seq("band_id", "band_hash"),
+          "left_semi")
+        .select("band_id", "band_hash"))
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
       .select("band_id", "band_hash")
     val bM = bKeyed.join(broadcast(okBuckets), Seq("band_id", "band_hash"))
     val cM = index.buckets.join(broadcast(okBuckets), Seq("band_id", "band_hash"))

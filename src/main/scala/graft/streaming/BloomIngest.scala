@@ -82,11 +82,17 @@ object BloomIngest {
           .unionByName(seen)
           .select(col(idCol), col("content_hash"), col("maybe_present"),
             col("batch_canonical"), col("is_new"))
+        // out FIRST and alone: its probe plan reads the PRE-append state
+        // (a parallel state write could rewrite partition files its
+        // captured listing still references on replay). The two state
+        // appends read only the staged batch and write distinct dirs —
+        // concurrent jobs, max(write) wall instead of sum.
         write(out, batchId, outDir)
-        write(Bloom.build(b, "content_hash", mBits, k), batchId,
-          s"$stateDir/words")
-        write(b.select(col(idCol), col("content_hash")), batchId,
-          s"$stateDir/hashes")
+        NearDupIngest.parWrites(Seq(
+          () => write(Bloom.build(b, "content_hash", mBits, k), batchId,
+            s"$stateDir/words"),
+          () => write(b.select(col(idCol), col("content_hash")), batchId,
+            s"$stateDir/hashes")))
       }
       .start()
     q.processAllAvailable()

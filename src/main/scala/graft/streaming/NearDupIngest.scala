@@ -78,9 +78,16 @@ object NearDupIngest {
         // default.
         val mine0 = Dedup.minhashIndex(b, idCol, textCol,
           numHashes, bands, shingleSize)
-        write(mine0.buckets, batchId, s"$indexDir/buckets")
-        write(mine0.shingles, batchId, s"$indexDir/shingles")
-        write(mine0.sizes, batchId, s"$indexDir/sizes")
+        // the three appends are independent reads of the (already
+        // materialized) staged shingle relation — submit them as
+        // CONCURRENT Spark jobs so the batch pays max(write) wall, not
+        // sum(write): the replay's micro-batch cost is job-count-bound
+        // (StreamFloor), and on a cluster concurrent small writes are
+        // the standard foreachBatch shape
+        parWrites(Seq(
+          () => write(mine0.buckets, batchId, s"$indexDir/buckets"),
+          () => write(mine0.shingles, batchId, s"$indexDir/shingles"),
+          () => write(mine0.sizes, batchId, s"$indexDir/sizes")))
         // the index is loaded AFTER the append so the captured file
         // listing is current — a replayed batch's dynamic partition
         // overwrite would otherwise delete files a pre-append listing
@@ -122,4 +129,16 @@ object NearDupIngest {
     df.withColumn("batch_id", lit(batchId))
       .repartition(col("batch_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch_id").parquet(path)
+
+  /** Run independent write jobs concurrently and propagate the first
+    * failure. Spark's scheduler multiplexes concurrent jobs across the
+    * same executors; inputs must already be materialized (staged blocks
+    * or parquet) so no shared lazy subtree races its own evaluation. */
+  private[streaming] def parWrites(jobs: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf)
+    ()
+  }
 }
