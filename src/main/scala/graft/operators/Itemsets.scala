@@ -102,9 +102,14 @@ object Itemsets {
       .crossJoin(broadcast(thr))
       .filter(col("__n") >= col("__thr")).select("it")
     val bf = b.join(freqItems, Seq("it"), "left_semi").staged
-    val freqPairs = bf.select(col("bk"), col("it").as("ia"))
+    // per-basket pairs of frequent items — Σ C(k_b, 2) rows, bounded by
+    // basket WIDTH per basket, never by how many baskets share an item.
+    // Staged once: the frequent-pair count and the support count both
+    // consume it.
+    val pairRel = bf.select(col("bk"), col("it").as("ia"))
       .join(bf.select(col("bk"), col("it").as("ib")), Seq("bk"))
-      .filter(col("ia") < col("ib"))
+      .filter(col("ia") < col("ib")).staged
+    val freqPairs = pairRel
       .groupBy("ia", "ib").agg(count(lit(1)).as("__n2"))
       .crossJoin(broadcast(thr))
       .filter(col("__n2") >= col("__thr"))
@@ -115,10 +120,27 @@ object Itemsets {
       // a-priori prune: the third edge (p2, p3) must itself be frequent
       .join(freqPairs.select(col("ia").as("p2"), col("ib").as("p3")),
         Seq("p2", "p3"), "left_semi")
-    cands
-      .join(bf.select(col("it").as("p1"), col("bk")), Seq("p1"))
-      .join(bf.select(col("it").as("p2"), col("bk")), Seq("p2", "bk"))
-      .join(bf.select(col("it").as("p3"), col("bk")), Seq("p3", "bk"))
+    // SUPPORT COUNTING, basket-wise (the r12 skew-sweep fix): the former
+    // shape joined candidates to baskets on p1 ALONE — for a hot item
+    // that is candidates(p1) × baskets(p1) rows before the second join
+    // could prune (measured 347 s on the Zipf lake: ~2k triples sharing
+    // a hot p1 × ~250k baskets holding it ≈ 5·10^8). Basket-wise, every
+    // intermediate is per-basket bounded: candidate-prefix pair rows
+    // (≤ C(width,2) per basket), × third items (≤ width), then ONE keyed
+    // join onto the candidate relation — identical support counts,
+    // corpus-linear row flow. This is also the join order the DuckDB
+    // oracle is pinned to (AS MATERIALIZED pairs-then-third; see the
+    // a_itemsets3 ORACLE NOTE).
+    val prefixes = cands.select(col("p1").as("ia"), col("p2").as("ib"))
+      .distinct()
+    pairRel
+      .join(broadcast(prefixes), Seq("ia", "ib"), "left_semi")
+      .join(bf.select(col("bk"), col("it").as("p3")), Seq("bk"))
+      .filter(col("ib") < col("p3"))
+      .withColumnsRenamed(Map("ia" -> "p1", "ib" -> "p2"))
+      // explicit hint: cands is frequent-pair-bounded but derives from
+      // staged (stats-less) relations, so auto-broadcast never fires
+      .join(broadcast(cands), Seq("p1", "p2", "p3"), "left_semi")
       .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(thr))
       .filter(col("support") >= col("__thr"))

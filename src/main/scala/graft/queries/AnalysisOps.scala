@@ -359,12 +359,17 @@ object AnalysisOps {
     // predicted by majority vote of its 5 nearest neighbors (ties → the
     // smaller label id), scored against its own label per class — the
     // embedding-space label-consistency audit (noisy-label detection,
-    // cluster purity) built entirely on the knnGraph primitive.
+    // cluster purity) built entirely on the knnGraph primitive. Cell
+    // count is CORPUS-RELATIVE (the same √n ladder as sim_knn_graph —
+    // this query kept a hardcoded 16 cells through the r11 fix and the
+    // r12 sf1 sweep caught it at 18× wall for 10× data).
     QueryDef.sql(
       "sim_knn_vote",
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+         |kk AS (SELECT ${Similarity.ivfCellsSql("COUNT(*)")} AS k FROM e),
+         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e, kk
+         |  WHERE vec_id < kk.k),
          |rk AS (
          |  SELECT e.vec_id, e.emb, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id
@@ -399,9 +404,8 @@ object AnalysisOps {
          |GROUP BY 1 ORDER BY e.label""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, d)
-      val centroids = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-      val nb = Similarity.knnGraph(emb, centroids, k = 5, nProbe = 2)
+      val nb = Similarity.knnGraph(emb, Similarity.seedCentroids(emb),
+        k = 5, nProbe = 2)
       val labels = emb.select(col("vec_id"), col("label"))
       val votes = nb
         .join(labels.select(col("vec_id").as("dst"),

@@ -1516,9 +1516,10 @@ object StatsOps {
     QueryDef.sql(
       "g_walk_sample",
       s"""WITH nodes AS (SELECT DISTINCT user_id FROM events),
+         |ut AS (SELECT DISTINCT user_id, event_type FROM events),
          |edges AS (
          |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-         |  FROM events a JOIN events b
+         |  FROM ut a JOIN ut b
          |    ON b.user_id = a.user_id + 1 AND b.event_type = a.event_type),
          |seeds AS (
          |  SELECT user_id AS v0 FROM nodes
@@ -1538,11 +1539,18 @@ object StatsOps {
          |ORDER BY v0""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val nodes = ev.select("user_id").distinct()
-      val b = ev.select((col("user_id") - 1).as("src"),
+      // DISTINCT (user, type) BEFORE the adjacency join (r12 skew sweep):
+      // joining raw events meant rows(u) × rows(u+1) intermediates per
+      // type — two adjacent Zipf-hot users made that ~3·10^8 rows before
+      // the old post-join DISTINCT could collapse them (20 s on the
+      // skewed sf1 lake, 3 s flat). On the distinct relations the join
+      // emits each (src, dst, type) at most once; same edge set.
+      val ut = ev.select(col("user_id"), col("event_type")).distinct()
+      val b = ut.select((col("user_id") - 1).as("src"),
         col("event_type"), col("user_id").as("dst"))
       // staged: three walk steps re-derived the edge self-join (15
       // events scans in one plan before staging — rescan audit)
-      val edges = ev.select(col("user_id").as("src"), col("event_type"))
+      val edges = ut.select(col("user_id").as("src"), col("event_type"))
         .join(b, Seq("src", "event_type")).select("src", "dst").distinct()
         .staged
       val seeds = nodes.filter(

@@ -180,6 +180,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "g_link_prediction",      // same 1-row node-count edge generator
     "q15_top_supplier",       // broadcast 1-row max-revenue scalar
     "q22_idle_customers",     // broadcast 1-row avg-balance threshold
+    "q_attribution_linear",   // broadcast DISTINCT-channel relation
+                              // (event-type-domain-bounded) fanning each
+                              // purchase into its per-channel window-edge
+                              // probes — the r12 skew fix that replaced
+                              // the per-user-quadratic touch join
     "e_cascade_cost")         // broadcast 5-row threshold grid sweep
 
   // construction of these queries DRIVES real jobs rather than returning
