@@ -45,6 +45,9 @@ TRIAGE_SF1 = {
     "dedup_containment": "by_contract",      #   every shingle's df scales with
     "dedup_clusters_ngram": "by_contract",   #   the corpus (worst case; LSH is
     "dedup_strip_spans": "by_contract",      #   the designed scale path)
+    "sim_knn_vote": "fixed",                 # sqrt-n IVF ladder (r12 — kept a
+                                             #   hardcoded 16 cells through the
+                                             #   r11 sim_knn_graph fix)
 }
 
 # skew-vs-flat triage (baseline = the FLAT sf1 bench, candidate = the
@@ -54,7 +57,20 @@ TRIAGE_SF1 = {
 # density are expected to cost more on the hostile lake and are labeled
 # here; anything else past the ceiling is unreviewed and fails the build.
 TRIAGE_SKEW = {
-    # populated from the round-12 skew sweep (see ARCHITECTURE.md)
+    # r12 sweep decisions (see ARCHITECTURE.md "Round-12")
+    "a_itemsets3": "fixed",            # basket-wise support counting
+    "q_attribution_linear": "fixed",   # window-edge cumulative counts
+    "g_walk_sample": "fixed",          # distinct-first edge build
+    "q_stream_join_replay": "output_bound",  # real pair set grows 62x
+                                       #   (22k -> 1.37M, half from one
+                                       #   hot user) for ~7x wall
+    # the dedup/LSH families legitimately do MORE work on the near-dup-
+    # dense lake (pairs exist there; the flat lake has none) — anything
+    # of that class that crosses 3x gets labeled on sight below
+    "dedup_minhash_lsh": "output_bound",
+    "dedup_ngram_jaccard": "output_bound",
+    "dedup_clusters_ngram": "output_bound",
+    "q_stream_neardup_replay": "output_bound",
 }
 
 PROFILES = {
