@@ -94,4 +94,46 @@ class GoldRollupsSpec extends AnyFunSuite {
       assert(c >= 0 && c <= 100)
     }
   }
+
+  // Edge semantics of the r12 window-edge-probe rewrite of linear
+  // attribution (no purchase×touch pair relation). Pins exactly the
+  // boundaries the cumulative-count probes encode: a touch EXACTLY 72 h
+  // before the purchase is in-window; one microsecond-class earlier is
+  // out; a same-instant touch counts iff its event_id is smaller than
+  // the purchase's; no-touch purchases fall to '(direct)'; NULL purchase
+  // values credit 0 but still count.
+  test("linear attribution window edges: 72h boundary, same-ts tie, direct, NULL value") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val p1 = ts("2024-01-10 00:00:00") // user 1's purchase instant
+    val events = Seq(
+      // user 1: purchase id=100 value=6.0 with exactly 3 in-window touches
+      (100L, p1, 1L, "purchase", Some(6.0)),
+      (10L, ts("2024-01-07 00:00:00"), 1L, "click", None), // exactly −72h: IN
+      (11L, ts("2024-01-06 23:59:59"), 1L, "view", None),  // past the edge: OUT
+      (50L, p1, 1L, "click", None),                        // same ts, id<100: IN
+      (150L, p1, 1L, "view", None),                        // same ts, id>100: OUT
+      (60L, ts("2024-01-09 23:00:00"), 1L, "view", None),  // inside: IN
+      // user 2: purchase with no touches at all → (direct)
+      (200L, ts("2024-01-05 12:00:00"), 2L, "purchase", Some(5.0)),
+      // user 3: NULL-value purchase with one in-window click
+      (250L, ts("2024-01-08 11:00:00"), 3L, "click", None),
+      (300L, ts("2024-01-08 12:00:00"), 3L, "purchase", None))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+    val dir = java.nio.file.Files.createTempDirectory("attr-fixture")
+    events.coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    val out = GoldRollups.defs.find(_.name == "q_attribution_linear").get
+      .run(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // user 1: n=3 → credit 2.0 each (click×2, view×1); user 2 direct 5.0;
+    // user 3: click credit 0.0 (NULL value) but still one credit row
+    assert(out === Seq(
+      ("(direct)", 1L, 5.0),
+      ("click", 3L, 4.0),
+      ("view", 1L, 2.0)))
+  }
 }
