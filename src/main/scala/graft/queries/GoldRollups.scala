@@ -547,9 +547,10 @@ object GoldRollups {
     // (measured 44 s on the skewed sf1 lake, 2.4 s flat). The asked-for
     // answer is per-channel SUMS, so the pair relation never needs to
     // exist: per (user, channel) the engine computes a cumulative touch
-    // count over the (ts, event_id) total order and probes it at each
-    // purchase's two window edges (start = ts−72h just BELOW any real
-    // event id; end = the purchase's own (ts, id) position, which
+    // count over the (ts, rank, event_id) total order and probes it at
+    // each purchase's two window edges (start = ts−72h at rank 0, below
+    // every real event at that instant whatever the lake's id domain;
+    // end = the purchase's own (ts, id) position at rank 1, which
     // encodes the strictly-before tie rule), giving count(channel) =
     // cumEnd − cumStart with zero joins — rows = touches + 2·purchases×
     // |channels|, corpus-linear under any key distribution. Credit
@@ -594,25 +595,28 @@ object GoldRollups {
           col("event_id").as("pid"), col("value"))
       val channels = t.select("channel").distinct()
       // two probe rows per (purchase, channel): the window's start edge
-      // sorts just below any real event id at ts−72h (ties at the edge
-      // are IN-window), the end edge sits at the purchase's own (ts, id)
+      // carries ord=0 so it sorts below every real event at ts−72h
+      // regardless of the lake's event_id domain (ties at the edge are
+      // IN-window); the end edge carries ord=1 and the purchase's own id
       // so same-instant touches with smaller ids count and larger don't
       val probes = p.crossJoin(broadcast(channels))
         .select(col("user_id"), col("channel"), col("pid"), col("value"),
           explode(array(
             struct((col("p_us") - lit(259200000000L)).as("k_ts"),
-              (-col("pid") - 1).as("k_id"), lit("s").as("kind")),
-            struct(col("p_us").as("k_ts"), col("pid").as("k_id"),
-              lit("e").as("kind")))).as("pr"))
+              lit(0L).as("ord"), col("pid").as("k_id"), lit("s").as("kind")),
+            struct(col("p_us").as("k_ts"), lit(1L).as("ord"),
+              col("pid").as("k_id"), lit("e").as("kind")))).as("pr"))
         .select(col("user_id"), col("channel"), col("pid"), col("value"),
-          col("pr.k_ts"), col("pr.k_id"), col("pr.kind"), lit(0L).as("delta"))
+          col("pr.k_ts"), col("pr.ord"), col("pr.k_id"), col("pr.kind"),
+          lit(0L).as("delta"))
       val touches = t.select(col("user_id"), col("channel"),
         lit(null).cast("long").as("pid"),
         lit(null).cast("double").as("value"),
-        col("k_ts"), col("k_id"), lit(null).cast("string").as("kind"),
+        col("k_ts"), lit(1L).as("ord"), col("k_id"),
+        lit(null).cast("string").as("kind"),
         lit(1L).as("delta"))
       val wc = Window.partitionBy("user_id", "channel")
-        .orderBy("k_ts", "k_id")
+        .orderBy("k_ts", "ord", "k_id")
         .rowsBetween(Window.unboundedPreceding, 0)
       val cnts = probes.unionByName(touches)
         .withColumn("cum", sum(col("delta")).over(wc))
@@ -624,8 +628,13 @@ object GoldRollups {
       val withN = cnts.withColumn("np", sum(col("cnt")).over(wp))
       // q = the SAME per-row quantized credit Det.dsum(credit, 6) would
       // produce; multiplying the decimal by the exact integer count is
-      // bit-equal to summing count identical rows
-      val attributed = withN.filter(col("np") > 0)
+      // bit-equal to summing count identical rows. cnt > 0 is load-
+      // bearing for parity, not just size: the oracle's pair relation
+      // only ever SEES channels with an in-window touch, so a channel
+      // whose touches all fall outside every purchase window must emit
+      // no row at all — without the filter it would surface as a
+      // (channel, 0, 0.0) ghost whenever some OTHER channel gave np > 0
+      val attributed = withN.filter(col("np") > 0 && col("cnt") > 0)
         .select(col("channel"), col("cnt"),
           (floor(coalesce(col("value"), lit(0.0)) / col("np")
               * lit(1e6) + lit(0.5)).cast(DecimalType(38, 0))

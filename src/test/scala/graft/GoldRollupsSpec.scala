@@ -118,7 +118,15 @@ class GoldRollupsSpec extends AnyFunSuite {
       (200L, ts("2024-01-05 12:00:00"), 2L, "purchase", Some(5.0)),
       // user 3: NULL-value purchase with one in-window click
       (250L, ts("2024-01-08 11:00:00"), 3L, "click", None),
-      (300L, ts("2024-01-08 12:00:00"), 3L, "purchase", None))
+      (300L, ts("2024-01-08 12:00:00"), 3L, "purchase", None),
+      // the ghost-channel case: 'email' touches exist but every one is
+      // outside every purchase window, so the channel must emit NO
+      // output row at all — not a (email, 0, 0.0) placeholder
+      (400L, ts("2024-01-01 00:00:00"), 1L, "email", None),
+      (401L, ts("2023-12-25 00:00:00"), 3L, "email", None),
+      // negative event ids: the start-edge probe must still sort below
+      // this same-instant-at-the-edge touch (exactly −72h from p1 → IN)
+      (-7L, ts("2024-01-07 00:00:00"), 1L, "click", None))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double").as("value"))
@@ -129,11 +137,15 @@ class GoldRollupsSpec extends AnyFunSuite {
       .run(spark, dir.toString)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .toSeq
-    // user 1: n=3 → credit 2.0 each (click×2, view×1); user 2 direct 5.0;
-    // user 3: click credit 0.0 (NULL value) but still one credit row
+    // user 1: n=4 → credit 1.5 each (click×3 incl. the negative-id edge
+    // touch, view×1); user 2 direct 5.0; user 3: click credit 0.0 (NULL
+    // value) but still one credit row; email: touches exist but none
+    // in-window anywhere → ABSENT from the output entirely
     assert(out === Seq(
       ("(direct)", 1L, 5.0),
-      ("click", 3L, 4.0),
-      ("view", 1L, 2.0)))
+      ("click", 4L, 4.5),
+      ("view", 1L, 1.5)))
+    assert(!out.exists(_._1 == "email"),
+      "zero-credit channel must not emit a ghost row")
   }
 }
