@@ -35,7 +35,9 @@ import sys
 # round-11/12 triage decisions (see ARCHITECTURE.md "sf1 campaign" for the
 # full reasoning per query)
 TRIAGE_SF1 = {
-    "f_levenshtein_dedup": "output_bound",   # result pairs grow ~100x
+    "f_levenshtein_dedup": "fixed",          # FastSS deletion-variant
+                                             #   blocking (r13); candidates
+                                             #   track near-dup density
     "dedup_prefix_join": "output_bound",     # exact join: candidates ∝ true pairs
     "dedup_lsh_eval": "by_contract",         # compares vs exact ground truth
     "sim_knn_graph": "by_contract",          # n·nProbe·√n = n^1.5 graph build

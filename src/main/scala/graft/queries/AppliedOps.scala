@@ -72,8 +72,26 @@ object AppliedOps {
     // names whose Levenshtein distance is <= 2 under the '<' self-join —
     // the classic blocked fuzzy-match shape with the canonical metric
     // (exact DP distance, integer, engine-identical) instead of the
-    // q-gram approximations. Block sizes are nation-bounded, so the
-    // quadratic term is per-block, never corpus-wide.
+    // q-gram approximations.
+    //
+    // SKEW NOTE (round-13): nationkey alone is a FIXED 25 blocks, so
+    // candidates grew O(n²/25) regardless of true near-dup density — the
+    // r12 sf1 sweep measured 35.9× wall for 10× data, the worst ratio in
+    // the suite. A name-prefix second key (the j_record_linkage fix)
+    // degenerates here: every name shares the constant 'supplier#'
+    // prefix, so any prefix short enough to be edit-safe is one block.
+    // Candidates now come from FastSS deletion neighborhoods instead:
+    // lev(a,b) <= 2 implies a and b share a string reachable by deleting
+    // <= 2 chars from each (delete a's edited/deleted positions, b's
+    // edited/inserted ones), so an equi-join on (nation, variant) over
+    // the depth-<=2 neighborhoods is COMPLETE for the threshold with no
+    // error-model assumption — the content-defined variant key makes
+    // bucket sizes track near-dup density (a bucket only holds names
+    // within deletion distance 2 of its variant), never corpus size.
+    // False positives reach lev 4 at most and die in the exact verify.
+    // Shuffle is rows × O(len²/2) short variants — corpus-LINEAR — vs
+    // the old n²/25 pair stream. The oracle stays the exhaustive
+    // within-nation join, so any recall loss would fail the hash check.
     QueryDef.sql(
       "f_levenshtein_dedup",
       """WITH s AS (
@@ -93,11 +111,46 @@ object AppliedOps {
         concat(lower(trim(col("s_name"))),
           when(col("s_suppkey") % 9 === 0, "x").otherwise(""))
           .as("nm"))
-      val a = sup.select(col("s_suppkey").as("key_a"),
-        col("s_nationkey").as("nk_a"), col("nm").as("name_a"))
-      val b = sup.select(col("s_suppkey").as("key_b"),
-        col("s_nationkey").as("nk_b"), col("nm").as("name_b"))
-      a.join(b, col("nk_a") === col("nk_b") && col("key_a") < col("key_b"))
+      // depth-<=2 deletion neighborhood: the string itself, every
+      // 1-deletion, every 2-deletion (i < j). array_distinct collapses
+      // the repeats a run of equal chars produces (the zero-heavy digit
+      // block dedups hard). The 2-deletion leg is guarded so a 1-char
+      // name doesn't hit sequence()'s descending-range behavior.
+      val del2 = expr(
+        """array_distinct(concat(
+          |  array(nm),
+          |  transform(sequence(1, length(nm)), i ->
+          |    concat(substring(nm, 1, i - 1),
+          |           substring(nm, i + 1, length(nm)))),
+          |  CASE WHEN length(nm) >= 2 THEN
+          |    flatten(transform(sequence(1, length(nm) - 1), i ->
+          |      transform(sequence(i + 1, length(nm)), j ->
+          |        concat(substring(nm, 1, i - 1),
+          |               substring(nm, i + 1, j - i - 1),
+          |               substring(nm, j + 1, length(nm))))))
+          |  ELSE array() END))""".stripMargin)
+      // the exploded relation carries only (key, nation, hash(variant)):
+      // a long hash key sorts/joins far cheaper than a 17-char string
+      // and a collision can only ADD a candidate the exact verify kills;
+      // names re-attach to the candidate PAIRS via two broadcasts of the
+      // slim dim (suppliers are dim-sized at any corpus scale)
+      val variants = sup.select(col("s_suppkey"), col("s_nationkey"),
+        explode(del2).as("v"))
+        .select(col("s_suppkey"), col("s_nationkey"),
+          xxhash64(col("v")).as("vh"))
+      val a = variants.select(col("s_suppkey").as("key_a"),
+        col("s_nationkey").as("nk_a"), col("vh").as("vh_a"))
+      val b = variants.select(col("s_suppkey").as("key_b"),
+        col("s_nationkey").as("nk_b"), col("vh").as("vh_b"))
+      val cand = a.join(b,
+          col("nk_a") === col("nk_b") && col("vh_a") === col("vh_b")
+            && col("key_a") < col("key_b"))
+        .select("key_a", "key_b").distinct()
+      val dimA = broadcast(sup.select(col("s_suppkey").as("key_a"),
+        col("nm").as("name_a")))
+      val dimB = broadcast(sup.select(col("s_suppkey").as("key_b"),
+        col("nm").as("name_b")))
+      cand.join(dimA, "key_a").join(dimB, "key_b")
         .withColumn("dist",
           levenshtein(col("name_a"), col("name_b")).cast("long"))
         .filter(col("dist") <= 2)
