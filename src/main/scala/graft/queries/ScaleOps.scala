@@ -223,13 +223,35 @@ object ScaleOps {
     },
 
     // approx_count_distinct — the 100 TB toggle for A5's exact
-    // countDistinct (SURVEY §2.5). HLL± estimates differ across engines →
-    // rows-only; the spec checks the estimate lands within rsd of exact.
-    QueryDef.rowsOnly("a_approx_distinct") { (s, d) =>
+    // countDistinct (SURVEY §2.5). The register VALUES are engine-
+    // specific (DuckDB's HLL never hashes equal to Spark's), so the
+    // graded surface is the operator's accuracy KNOB: three sketch
+    // instantiations at rsd 0.05/0.02/0.01, each required to land within
+    // its own 5×rsd gate (floor 1) of the exact count computed in the
+    // same plan — plus that exact count, which IS cross-engine hashable.
+    // A hash mismatch means some precision level broke its published
+    // bound; the ladder pins that the knob is honored across settings,
+    // not just at one calibration point (the _tol sibling covers rsd
+    // 0.02 on this grouping, the _tol_skew leg the hostile regime).
+    QueryDef.sql(
+      "a_approx_distinct",
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |  COUNT(DISTINCT o_custkey) AS exact_customers,
+        |  TRUE AS ok_rsd05, TRUE AS ok_rsd02, TRUE AS ok_rsd01
+        |FROM orders GROUP BY 1 ORDER BY order_date""".stripMargin) { (s, d) =>
+      def gate(a: org.apache.spark.sql.Column, rsd: Double) =
+        abs(a - col("e")) <=
+          greatest(lit(1L), ceil(col("e") * rsd * 5).cast("long"))
       Tables.orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("order_date"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
-          countDistinct(col("o_custkey")).as("exact_customers"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.05).as("a05"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("a02"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("a01"),
+          countDistinct(col("o_custkey")).as("e"))
+        .select(col("order_date"), col("e").as("exact_customers"),
+          gate(col("a05"), 0.05).as("ok_rsd05"),
+          gate(col("a02"), 0.02).as("ok_rsd02"),
+          gate(col("a01"), 0.01).as("ok_rsd01"))
         .orderBy("order_date")
     },
 
@@ -690,14 +712,45 @@ object ScaleOps {
 
     // percentile_approx — the 100 TB toggle for a_percentiles_exact: one
     // mergeable sketch pass instead of a per-group sort. Sketch internals
-    // are engine-specific → rows-only; PropertiesSpec bounds the error vs
-    // the exact percentile.
-    QueryDef.rowsOnly("a_approx_percentiles") { (s, d) =>
-      Tables.events(s, d)
+    // are engine-specific, so the graded surface is the accuracy KNOB: a
+    // 100/1000/10000 ladder where each level's p50/p90 must satisfy the
+    // exact integer-rank contract at ITS OWN ε = 1/accuracy (the value's
+    // [strictly-below, at-or-below] rank interval intersects [q−ε, q+ε]·n,
+    // ±1 row of boundary slack) — plus the exact per-group n, which is
+    // cross-engine hashable. The ladder pins that tightening the knob
+    // tightens the guarantee; the _tol sibling covers the single
+    // calibration point, the _tol_skew leg the tie-plus-heavy-tail
+    // regime where sketches actually strain.
+    QueryDef.sql(
+      "a_approx_percentiles",
+      """SELECT event_type, COUNT(value) AS n,
+        |  TRUE AS p50_ok_a100, TRUE AS p90_ok_a100,
+        |  TRUE AS p50_ok_a1000, TRUE AS p90_ok_a1000,
+        |  TRUE AS p50_ok_a10000, TRUE AS p90_ok_a10000
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val accs = Seq(100, 1000, 10000)
+      val sketchCols = accs.flatMap { acc => Seq(
+        percentile_approx(col("value"), lit(0.5), lit(acc)).as(s"p50_$acc"),
+        percentile_approx(col("value"), lit(0.9), lit(acc)).as(s"p90_$acc")) }
+      val ap = ev.groupBy("event_type").agg(sketchCols.head, sketchCols.tail: _*)
+      val rankCols = Seq(count(col("value")).as("n")) ++ accs.flatMap { acc =>
+        Seq(count(when(col("value") < col(s"p50_$acc"), 1)).as(s"lt50_$acc"),
+          count(when(col("value") <= col(s"p50_$acc"), 1)).as(s"le50_$acc"),
+          count(when(col("value") < col(s"p90_$acc"), 1)).as(s"lt90_$acc"),
+          count(when(col("value") <= col(s"p90_$acc"), 1)).as(s"le90_$acc")) }
+      def ok(q: Double, eps: Double, lt: org.apache.spark.sql.Column,
+          le: org.apache.spark.sql.Column) =
+        (lt <= (col("n") * (q + eps) + 1)) && (le >= (col("n") * (q - eps) - 1))
+      ev.join(broadcast(ap), Seq("event_type"))
         .groupBy("event_type")
-        .agg(
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
-          percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx"))
+        .agg(rankCols.head, rankCols.tail: _*)
+        .select(Seq(col("event_type"), col("n")) ++ accs.flatMap { acc =>
+          val eps = 1.0 / acc
+          Seq(ok(0.5, eps, col(s"lt50_$acc"), col(s"le50_$acc"))
+              .as(s"p50_ok_a$acc"),
+            ok(0.9, eps, col(s"lt90_$acc"), col(s"le90_$acc"))
+              .as(s"p90_ok_a$acc")) }: _*)
         .orderBy("event_type")
     },
 
