@@ -37,13 +37,15 @@ object StreamingQueries {
     * not per row: every stateful operator checkpoints one delta file per
     * state partition per batch, and every foreachBatch shuffle schedules
     * that many reducers. At replay volume (≤ tens of MB per batch) 32
-    * partitions is pure checkpoint + scheduler overhead; 8 carries the
-    * same rows. A streaming query pins its state partitioning at first
-    * checkpoint anyway, so this is the explicit form of what a tuned
-    * deployment sets per stream. Measured on the r9 shave (together with
-    * the one-job batch staging and the 3-batch Bloom replay): the
-    * six-replay family 33.6 s → ~27 s total, the stateful window/session
-    * replays roughly halved, with identical hash-checked end states.
+    * partitions is pure checkpoint + scheduler overhead; a handful
+    * carries the same rows. A streaming query pins its state
+    * partitioning at first checkpoint anyway, so this is the explicit
+    * form of what a tuned deployment sets per stream. History: the r9
+    * shave ran the replays at 8 (six-replay family 33.6 s → ~27 s, the
+    * stateful window/session replays roughly halved); the r12 job-count
+    * pass re-tuned the default to 4, which halves delta-file count per
+    * stateful stage again and measured 27.9 s → 25.0 s for the family —
+    * identical hash-checked end states both times.
     * The compute-bound ingest loops (Bloom/NearDup foreachBatch joins)
     * instead run at 16 — 8 measured SLOWER than 32 for them because the
     * bottleneck is shingle/probe compute parallelism, not state files. */
