@@ -34,8 +34,9 @@ if [ ${#QUERIES[@]} -eq 0 ]; then
     a_itemsets3 q_item_recs q_attribution_linear g_walk_sample
     # fuzzy-match blocking (r11 j_record_linkage, r13 f_levenshtein_dedup)
     j_record_linkage f_levenshtein_dedup
-    # streaming state end-states
+    # streaming state end-states (+ the r13 restart/recovery oracle)
     q_stream_replay q_stream_join_replay q_stream_neardup_replay
+    q_stream_restart_replay
   )
 fi
 

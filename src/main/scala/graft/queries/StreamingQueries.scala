@@ -73,15 +73,16 @@ object StreamingQueries {
     * coalesce(1) writes were n separate jobs of harness overhead per
     * replay. */
   private def stageBatchFrames(frames: Seq[org.apache.spark.sql.DataFrame],
-      srcDir: Path): Unit = {
+      srcDir: Path, offset: Int = 0): Unit = {
     val tmp = Files.createTempDirectory("replay-stage")
     frames.zipWithIndex
       .map { case (f, i) => f.withColumn("__b", lit(i)) }
       .reduce(_ unionByName _)
       .repartition(col("__b"))
       .write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
-    frames.indices.foreach { i =>
-      val dir = tmp.resolve(s"__b=$i")
+    frames.indices.foreach { i0 =>
+      val i = i0 + offset
+      val dir = tmp.resolve(s"__b=$i0")
       val dst = srcDir.resolve(f"batch-$i%02d.parquet")
       if (Files.isDirectory(dir)) {
         val part = Files.list(dir)
@@ -93,7 +94,7 @@ object StreamingQueries {
         // one-frame way so the micro-batch still exists (and still
         // advances watermarks) instead of crashing the replay
         val single = Files.createTempDirectory(s"replay-b$i")
-        frames(i).coalesce(1).write.mode("overwrite")
+        frames(i0).coalesce(1).write.mode("overwrite")
           .parquet(single.toString)
         val part = Files.list(single)
           .filter(_.getFileName.toString.startsWith("part-"))
@@ -284,6 +285,96 @@ object StreamingQueries {
         q.processAllAvailable()
         q.stop()
       }
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "flush")
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"), col("total_value").cast("double")
+            .as("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Exactly-once across a RESTART — the recovery axis the other five
+    // replays never exercise. Phase 1 ingests two micro-batches of the
+    // 1h-window aggregate and STOPS with open January windows still in
+    // the state store; a brand-new query instance resumes from the SAME
+    // checkpoint over three more batches (the remaining data + late
+    // stragglers + a watermark flush), and a third instance restarts once
+    // more with nothing left to read. One hash check pins four recovery
+    // contracts at once:
+    //   (a) no window is lost or duplicated across the stop/start
+    //       boundary — FileStreamSink's _spark_metadata commit log is the
+    //       read path, so a re-attempted file can never double-count, and
+    //       the source's seen-files log keeps phase-1 files from
+    //       re-ingesting even though they are still in the directory;
+    //   (b) the EVENT-TIME WATERMARK is recovered state, not session
+    //       state: the stragglers (event_id % 13, ts < Jan 9) are staged
+    //       only AFTER the restart, so only the phase-1 watermark
+    //       persisted in the offsets log (~Jan 20) can drop them — a
+    //       query that came back with a fresh watermark would aggregate
+    //       them and fail the hash;
+    //   (c) the shuffle-partition count pinned at the first checkpoint
+    //       wins over the restart session's different setting (phase 2/3
+    //       run under 8, the checkpoint pins 4) — state re-keying across
+    //       a conf drift would corrupt every open window;
+    //   (d) an idle restart (phase 3) emits nothing.
+    // The oracle is the plain windowed aggregate over the non-straggler
+    // rows — identical end state to a never-interrupted run.
+    QueryDef.sql(
+      "q_stream_restart_replay",
+      s"""WITH e AS (
+         |  SELECT event_id, ts, event_type, value,
+         |    event_id % 13 = 0 AND ts < TIMESTAMP '2024-01-09'
+         |      AS is_straggler
+         |  FROM events)
+         |SELECT date_trunc('hour', ts) AS window_start,
+         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         |  event_type, COUNT(*) AS n_events,
+         |  ${Det.dsumSql("value", 6)} AS total_value
+         |FROM e WHERE NOT is_straggler
+         |GROUP BY 1, 2, 3
+         |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value").cast(DecimalType(18, 6))
+            .as("value"))
+      val d1 = lit("2024-01-11").cast("timestamp")
+      val d2 = lit("2024-01-21").cast("timestamp")
+      val straggler = pmod(col("event_id"), lit(13)) === 0 &&
+        col("ts") < lit("2024-01-09").cast("timestamp")
+      def sentinel(ts: String) = s.range(1).select(
+        lit(-1L).as("event_id"), lit(ts).cast("timestamp").as("ts"),
+        lit(-1L).as("user_id"), lit("flush").as("event_type"),
+        lit(null).cast(DecimalType(18, 6)).as("value"))
+      val srcDir = Files.createTempDirectory("restart-replay-src")
+      val outDir = Files.createTempDirectory("restart-replay-out").toString
+      val ckDir = Files.createTempDirectory("restart-replay-ck").toString
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventStreams
+          .windowedAgg(stream, windowLen = "1 hour", watermark = "1 day")
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      // phase 1: two batches, stop with open windows + watermark ~Jan 20
+      stageBatchFrames(Seq(
+        ev.filter(col("ts") < d1 && !straggler),
+        ev.filter(col("ts") >= d1 && col("ts") < d2)), srcDir)
+      withReplayPartitions(s, 4) { runOnce() }
+      // phase 2: a NEW query instance resumes from the checkpoint; the
+      // stragglers only exist from here on, and the session now asks for
+      // 8 shuffle partitions — the checkpoint's pinned 4 must win
+      stageBatchFrames(Seq(
+        ev.filter(col("ts") >= d2 || straggler)
+          .unionByName(sentinel("2024-03-01 00:00:00")),
+        sentinel("2024-03-02 00:00:00")), srcDir, offset = 2)
+      withReplayPartitions(s, 8) { runOnce() }
+      // phase 3: idle restart — nothing new to read, nothing new emitted
+      withReplayPartitions(s, 8) { runOnce() }
       s.read.parquet(outDir)
         .filter(col("event_type") =!= "flush")
         .select(col("window_start"), col("window_end"), col("event_type"),
