@@ -75,11 +75,41 @@ TRIAGE_SKEW = {
     "q_stream_neardup_replay": "output_bound",
 }
 
+# sf10 campaign (round 13): k=100 lakes, RESTRICTED to the scale-critical
+# families (the full-suite oracles are not all feasible at 60M rows —
+# exclusions documented in scripts/bench_r13.sh). Baseline for "sf10" is
+# a restricted sf1 run of the same query set; for "skew10" the flat sf10
+# run. Labels follow the same discipline: anything super-ceiling without
+# a reviewed label fails the artifact build.
+TRIAGE_SF10 = {
+    "f_levenshtein_dedup": "output_bound",   # replica near-dup name pairs
+                                             #   grow ~C(k,2): 110x sf1's
+    "dedup_clusters_ngram": "by_contract",   # df-capped inverted index;
+                                             #   cluster pairs ~C(L,2)
+    "dedup_minhash_lsh": "output_bound",     # true pair set grows with
+    "dedup_incremental_minhash": "output_bound",  # replica count
+    "q_stream_neardup_replay": "output_bound",
+}
+
+TRIAGE_SKEW10 = {
+    # same classes as TRIAGE_SKEW: dedup/pair queries do MORE true work
+    # on the near-dup-dense lake; attribution/itemsets must NOT (their
+    # r12 rewrites are the thing under test)
+    "dedup_minhash_lsh": "output_bound",
+    "dedup_clusters_ngram": "output_bound",
+    "dedup_incremental_minhash": "output_bound",
+    "q_stream_neardup_replay": "output_bound",
+    "q_stream_join_replay": "output_bound",  # pair output quadratic on
+                                             #   the hot user by contract
+}
+
 PROFILES = {
     # (triage map, default ceiling): sf1 = 10x data so 10x wall is the
     # line; skew = same volume so 3x is already a straggler signal
     "sf1": (TRIAGE_SF1, 10.0),
     "skew": (TRIAGE_SKEW, 3.0),
+    "sf10": (TRIAGE_SF10, 10.0),
+    "skew10": (TRIAGE_SKEW10, 3.0),
 }
 
 
