@@ -87,6 +87,10 @@ def compare(name, spark_df, oracle_df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional query names restrict the grade (verify_scale.sh passes the
+    # restricted sweep's set; Verify now always dumps the FULL oracle map,
+    # so without this filter every un-run query would FAIL "no output")
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         # driver SFs ship one parquet FILE per table; generated SFs
@@ -96,6 +100,8 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         t0 = time.time()
@@ -123,7 +129,8 @@ def main():
     # rows-only entries: spark output exists but no oracle
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
-        if os.path.isdir(p) and name not in oracles:
+        if os.path.isdir(p) and name not in oracles \
+                and (not only or name in only):
             try:
                 df = pd.read_parquet(p)
                 print(f"ROWS {name} ({len(df)} rows, no oracle)")

@@ -248,6 +248,7 @@ object Bench {
     val envJson =
       s""","setup":$setupJson""" +
       s""","env":{"cpus":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""heap_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
       s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
       s""""sibling_jvms_before":$siblingsBefore,"sibling_jvms_after":$siblingsAfter},""" +
       s""""retime_slowest":$retimeJson,"retime_median_ratio":$medianRatio,""" +

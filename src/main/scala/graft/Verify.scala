@@ -56,8 +56,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the FULL map, even on a restricted run: a second restricted Verify
+    // into the same outDir must not shrink oracle_sql.json and demote the
+    // first run's queries to rows-only (check.py looks up only the names
+    // it is asked to grade, so extra keys are harmless)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
