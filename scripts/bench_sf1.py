@@ -50,6 +50,10 @@ TRIAGE_SF1 = {
     "sim_knn_vote": "fixed",                 # sqrt-n IVF ladder (r12 — kept a
                                              #   hardcoded 16 cells through the
                                              #   r11 sim_knn_graph fix)
+    "dedup_embedding_cosine": "fixed",       # corpus-relative sign-LSH band
+                                             #   ladder (r14 — fixed 32-bit/
+                                             #   4x8 geometry was 10.2x at sf1,
+                                             #   cap-lossy at sf10)
 }
 
 # skew-vs-flat triage (baseline = the FLAT sf1 bench, candidate = the
@@ -84,11 +88,15 @@ TRIAGE_SKEW = {
 TRIAGE_SF10 = {
     "f_levenshtein_dedup": "output_bound",   # replica near-dup name pairs
                                              #   grow ~C(k,2): 110x sf1's
-    "dedup_clusters_ngram": "by_contract",   # df-capped inverted index;
-                                             #   cluster pairs ~C(L,2)
     "dedup_minhash_lsh": "output_bound",     # true pair set grows with
     "dedup_incremental_minhash": "output_bound",  # replica count
     "q_stream_neardup_replay": "output_bound",
+    "dedup_embedding_cosine": "fixed",       # corpus-relative band ladder
+                                             #   (r14)
+    # dedup_clusters_ngram is EXCLUDED from the sf10 bench set entirely
+    # (bench_r14.sh header: ~n^2 shingle collisions on the closed vocab,
+    # 8 GiB OOM at 50 min) — no label needed; listed here as a comment so
+    # this map and the bench set stay reconciled.
 }
 
 TRIAGE_SKEW10 = {
@@ -96,11 +104,37 @@ TRIAGE_SKEW10 = {
     # on the near-dup-dense lake; attribution/itemsets must NOT (their
     # r12 rewrites are the thing under test)
     "dedup_minhash_lsh": "output_bound",
-    "dedup_clusters_ngram": "output_bound",
     "dedup_incremental_minhash": "output_bound",
     "q_stream_neardup_replay": "output_bound",
-    "q_stream_join_replay": "output_bound",  # pair output quadratic on
-                                             #   the hot user by contract
+    # dedup_clusters_ngram and q_stream_join_replay are EXCLUDED from the
+    # skewed-sf10 bench set (bench_r14.sh: clusters_ngram as above;
+    # join_replay's hot-user pair set is ~50M rows through one stateful
+    # task — measured 42+ CPU-min) — comments, not labels, so a renamed
+    # query can't silently ride a stale entry.
+}
+
+# Vacuity contracts: a PASS on an empty (or trivially small) answer must
+# be explicit, never silent. Enforced when the candidate bench carries a
+# "rows" map (Bench emits one per run); a missing rows map on a profile
+# that declares contracts fails the build.
+#   "==0"  the query is EXPECTED empty on this lake (document why);
+#          nonzero rows means the fixture or contract changed — review.
+#   ">0"   the query must produce output on this lake; zero rows means a
+#          silent all-zeros regression (the thing this guard exists for).
+EXPECT_ROWS = {
+    "sf10": {
+        # flat k=100 replication: each part's basket set is cloned, so no
+        # triple crosses the corpus-relative support threshold — the
+        # PASS is expected-empty by generation contract, asserted here so
+        # an engine regression to all-zeros can't hide behind it
+        "a_itemsets3": "==0",
+    },
+    "skew10": {
+        # the hot-part Zipf baskets MUST yield frequent triples (758 at
+        # r13's judge re-grade); empty means the relative-support path
+        # regressed
+        "a_itemsets3": ">0",
+    },
 }
 
 PROFILES = {
@@ -124,6 +158,23 @@ def main():
     triage_map, ceiling = PROFILES[profile]
     a, b = load(sf01), load(sf1)
     qa, qb = a["queries"], b["queries"]
+    # vacuity contracts before anything else: a wall-time artifact built
+    # over a silently-empty answer is worse than no artifact
+    vacuity_failures = []
+    contracts = EXPECT_ROWS.get(profile, {})
+    rows = b.get("rows")
+    if contracts and rows is None:
+        vacuity_failures.append(
+            f"profile {profile} declares EXPECT_ROWS but the bench run "
+            f"carries no rows map — rerun with a rows-emitting Bench")
+    for q, contract in contracts.items():
+        if rows is None or q not in rows:
+            continue  # missing-map case already failed above
+        n = rows[q]
+        ok = (n == 0) if contract == "==0" else (n > 0)
+        if not ok:
+            vacuity_failures.append(
+                f"{q}: rows={n} violates '{contract}' on profile {profile}")
     common = sorted(set(qa) & set(qb))
     ratios = {q: round(qb[q] / max(qa[q], 1e-3), 2) for q in common}
     flagged = {q: r for q, r in ratios.items() if r > ceiling}
@@ -155,6 +206,8 @@ def main():
         "contaminated": b.get("contaminated"),
         "retime_median_ratio": b.get("retime_median_ratio"),
         "queries": {q: round(v, 3) for q, v in qb.items()},
+        "rows": rows,
+        "vacuity_contracts": contracts or None,
         "vs_baseline_ratio": ratios,
         "triage_over_ceiling": triage,
     }
@@ -166,6 +219,9 @@ def main():
     if unreviewed:
         print(f"UNREVIEWED >{ceiling}x queries (triage before committing): "
               + ", ".join(unreviewed))
+        return 1
+    if vacuity_failures:
+        print("VACUITY contract failures: " + "; ".join(vacuity_failures))
         return 1
     return 0
 

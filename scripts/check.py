@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [queryName ...]
 
 Runs each oracle_sql.json query in DuckDB against the parquet tables in
 sfDir (registered as views named by table), loads the Spark parquet output
 from verifyOutDir/<name>/, canonicalizes both (columns sorted by name, rows
 sorted by all columns), and compares exact values. Strict about it: a
 mismatch here means the driver's hash compare would fail.
+
+IMPORTANT for local iteration: Verify always dumps the FULL oracle map
+even when run name-restricted, so a restricted Verify run MUST be graded
+with the same names passed here — `check.py <sfDir> <outDir> q1 q2` —
+otherwise every un-run oracle query FAILs with "no spark output". Names
+that match neither an oracle entry nor an output directory are a FAIL
+(a typo'd or renamed query must not be silently skipped).
 """
 import json
 import os
@@ -100,9 +107,18 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    if only:
-        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
+    if only:
+        # a filter name matching neither an oracle nor an output dir is a
+        # FAIL: a typo'd or renamed query would otherwise be silently
+        # dropped and the sweep would still print all-green
+        known = set(oracles) | {n for n in os.listdir(out_dir)
+                                if os.path.isdir(os.path.join(out_dir, n))}
+        for miss in sorted(only - known):
+            print(f"FAIL {miss}: filter name matches no oracle entry and "
+                  f"no output dir (typo or renamed query?)")
+            n_fail += 1
+        oracles = {k: v for k, v in oracles.items() if k in only}
     for name in sorted(oracles):
         t0 = time.time()
         try:

@@ -238,6 +238,11 @@ object Bench {
     val contaminated = medianRatio > 2.5
     val qs = results.map { case (n, v, _) => jsonStr(n) + ":" + v }
       .mkString("{", ",", "}")
+    // per-query result rows: vacuity evidence for the artifact build —
+    // an expected-empty or must-be-nonempty contract (bench_sf1.py
+    // EXPECT_ROWS) can only be enforced if the rows travel with the run
+    val rowsJson = results.collect { case (n, _, Right(rows)) =>
+      jsonStr(n) + ":" + rows }.mkString("{", ",", "}")
     val errs = results.collect { case (n, _, Left(m)) => jsonStr(n) + ":" + jsonStr(m) }
     val total = results.map(_._2).sum
     val errJson = if (errs.isEmpty) "" else ",\"errors\":" + errs.mkString("{", ",", "}")
@@ -254,7 +259,7 @@ object Bench {
       s""""retime_slowest":$retimeJson,"retime_median_ratio":$medianRatio,""" +
       s""""contaminated":$contaminated,"attempts":$attempts,""" +
       s""""attempt_totals":${attemptTotals.mkString("[", ",", "]")}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$envJson$errJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"sf":"$sfDir"$envJson$errJson}"""
     println(line)
     // the stdout line can be lost to log truncation (the driver keeps a
     // bounded tail); the file is the complete round-comparable artifact,

@@ -20,7 +20,8 @@ import graft.engine.Stage.syntax._
   *    probes only the nProbe nearest cells. Recall < 1 is traded for
   *    scanning nProbe/nCells of the data.
   *  - embeddingNearDups: sign-LSH (deterministic Rademacher hyperplanes
-  *    seeded by xxhash64) → banded buckets → exact cosine verification.
+  *    seeded by the per-dim md5 hash) → corpus-relative banded buckets
+  *    (prefix width from [[lshBandBitsSql]]) → exact cosine verification.
   *
   * All cosine math is done in DOUBLE after casting the float elements, with
   * left-to-right folds — the same association an oracle computes, so
@@ -404,27 +405,54 @@ object Similarity {
         when(col("__dup_id").isNull, 1L).otherwise(0L).as("is_kept"))
   }
 
+  /** Corpus-relative sign-LSH band width, the sign-LSH analogue of the
+    * IVF √n cell ladder [[ivfCellsSql]]: 8 bits per band up to the
+    * 2,048-vector anchor (expected band-bucket occupancy n/2^bits ≈ 8),
+    * +1 bit per corpus doubling — holding expected occupancy ~constant
+    * instead of letting it grow linearly with the corpus (a FIXED band
+    * width is quadratic in candidate volume until buckets trip the
+    * maxBucket cap, then silently lossy — the cap starts DROPPING most
+    * of the corpus). Quantized to integer bit counts via an exact CASE
+    * ladder so the SAME text parses in Spark SQL and DuckDB — one
+    * definition serves engine and oracle. Capped at 14 bits per band by
+    * the caller (4 bands × 14 = 56 = the full width of the per-dim
+    * 56-bit hash; past n ≈ 131k expected occupancy grows again — raise
+    * the hash width / anchor, as with ivfCellsSql's 4096-cell cap). */
+  def lshBandBitsSql(nExpr: String): String =
+    "8" + (1 to 6).map(j =>
+      s" + (CASE WHEN ($nExpr) >= ${2048L * (1L << j)} THEN 1 ELSE 0 END)")
+      .mkString
+
   /** Near-duplicate vector pairs: banded sign-LSH candidates + exact
     * cosine ≥ threshold. Returns (id_a, id_b, cosine).
     *
     * Sign-LSH bit p = sign of the projection onto a deterministic
     * Rademacher hyperplane (±1 entries = bit p of the dim's 56-bit md5
     * hash — one hash per exploded row, and a family both engines can
-    * recompute, so bucket membership is oracle-checkable; nBits ≤ 56).
-    * The projections sum DECIMAL(18,9)-quantized components, not raw
-    * doubles: a double sum is partial-aggregation-order-dependent, and a
-    * projection near zero could flip its SIGN (hence its bucket) between
-    * engines — decimal sums are exact, and a binary float can never sit
-    * exactly on a decimal rounding boundary, so the quantization itself
-    * is also engine-identical. Computed in the codegen-friendly explode
-    * shape — one posexplode of the vector, one aggregate with nBits
-    * signed-sum columns — not nested HOFs (see Dedup's scaladoc for
-    * why). */
+    * recompute, so bucket membership is oracle-checkable;
+    * bands·maxBitsPerBand ≤ 56). The projections sum DECIMAL(18,9)-
+    * quantized components, not raw doubles: a double sum is
+    * partial-aggregation-order-dependent, and a projection near zero
+    * could flip its SIGN (hence its bucket) between engines — decimal
+    * sums are exact, and a binary float can never sit exactly on a
+    * decimal rounding boundary, so the quantization itself is also
+    * engine-identical. Computed in the codegen-friendly explode shape —
+    * one posexplode of the vector, one aggregate with the signed-sum
+    * columns — not nested HOFs (see Dedup's scaladoc for why).
+    *
+    * Bucketing is CORPUS-RELATIVE: each band materializes its full
+    * maxBitsPerBand-bit sign string, but candidates bucket on a PREFIX
+    * whose width comes from [[lshBandBitsSql]] — decided in-plan from a
+    * broadcast 1-row count relation, no driver-side count. Expected
+    * band-bucket occupancy stays ~8-16 at any corpus size, so candidate
+    * volume grows ~linearly and the maxBucket cap is a degenerate-data
+    * safety valve (all-equal vectors), not the operator's geometry. */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
-      nBits: Int = 16, bands: Int = 4, maxBucket: Int = 256,
+      bands: Int = 4, maxBitsPerBand: Int = 14, maxBucket: Int = 256,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(nBits <= 56, s"nBits must fit the 56-bit dim hash: $nBits")
-    val bits = nBits / bands
+    val nBits = bands * maxBitsPerBand
+    require(nBits <= 56, s"bands*maxBitsPerBand must fit the 56-bit dim hash: $nBits")
+    val bits = maxBitsPerBand
     // consumed by 3 downstream shuffles (signature agg, dot join, norms) —
     // staged once via Stage.materialize: computed exactly once, lineage
     // truncated, partitions AQE-sized, and blocks are released by the
@@ -448,8 +476,18 @@ object Similarity {
         (0 until bits).map(r =>
           when(col(s"__p${b * bits + r}") >= 0, "1").otherwise("0")): _*)
     }
+    // prefix width from the corpus-relative ladder, decided in-plan: the
+    // 1-row count relation broadcasts into the substring, so the band
+    // geometry tracks the corpus without a driver-side count (same
+    // pattern as seedCentroids' in-plan K)
+    val rRel = vectors.agg(expr(
+      s"least($maxBitsPerBand, ${lshBandBitsSql("count(1)")})")
+      .cast("int").as("__r"))
     val keyed = sig.select(col("id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_full")))
+      .crossJoin(broadcast(rRel))
+      .select(col("id"), col("band_id"),
+        col("band_full").substr(lit(1), col("__r")).as("band_hash"))
     val sized = keyed
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")))

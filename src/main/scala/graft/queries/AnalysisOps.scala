@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.{Det, Tables}
+import graft.engine.Stage.syntax._
 import graft.operators.Similarity
 
 /** Analysis depth: Markov absorption probabilities over the event
@@ -422,6 +423,91 @@ object AnalysisOps {
         .select(col("label"), col("n"), col("n_correct"),
           Det.roundN(col("n_correct") * 1.0 / col("n"), 6).as("accuracy"))
         .orderBy("label")
+    },
+
+    // sf10 PARTIAL ORACLE for sim_knn_vote (VERDICT r13 item 5): the full
+    // oracle's assignment window carries the 64-double emb array through
+    // a corpus×cells sort — disk-fatal in DuckDB at sf10 (ARCHITECTURE
+    // playbook #4) — so the headline ANN-vote item rode an sf1
+    // extrapolation. This probe grades the REAL full-corpus engine
+    // output on a deterministic vector sample (vec_id % 211 = 0, dense
+    // ids — non-empty from sf0.001 up): the ENGINE builds the identical
+    // full kNN graph (same √n IVF ladder) and filters to sampled
+    // sources, emitting per-source prediction + winning-vote count +
+    // neighbor count (v ≤ n_nb ≤ k, the vote-bound invariant, now
+    // hashed). The ORACLE re-derives cell assignment as a SKINNY
+    // max/min-tiebreak hash aggregate (no arrays through sorts, exactly
+    // rn=1 of the full oracle's window), probes only the sampled
+    // sources' top-2 cells, and ranks neighbors only among those cells'
+    // members — oracle cost ~sample × cell population instead of
+    // corpus × cells.
+    QueryDef.sql(
+      "sim_knn_vote_sf10_probe",
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |kk AS (SELECT ${Similarity.ivfCellsSql("COUNT(*)")} AS k FROM e),
+         |cent AS (SELECT vec_id AS cell, emb AS ce FROM e, kk
+         |  WHERE vec_id < kk.k),
+         |scored AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cell, ${cosSql("e.emb", "c.ce")} AS cs
+         |  FROM e CROSS JOIN cent c),
+         |best AS (SELECT vec_id, MAX(cs) AS mx FROM scored GROUP BY 1),
+         |asg AS (
+         |  SELECT s.vec_id, MIN(s.cell) AS cell
+         |  FROM scored s JOIN best b ON b.vec_id = s.vec_id AND s.cs = b.mx
+         |  GROUP BY 1),
+         |pr AS (
+         |  SELECT vec_id AS src, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, cell) AS rn
+         |    FROM scored WHERE vec_id % 211 = 0) WHERE rn <= 2),
+         |mem AS (
+         |  SELECT a.vec_id, a.cell, e.emb FROM asg a JOIN e USING (vec_id)
+         |  WHERE a.cell IN (SELECT DISTINCT cell FROM pr)),
+         |nbs AS (
+         |  SELECT src, dst FROM (
+         |    SELECT p.src, m.vec_id AS dst,
+         |      row_number() OVER (PARTITION BY p.src
+         |        ORDER BY ${roundN(cosSql("q.emb", "m.emb"), 6)} DESC,
+         |          m.vec_id) AS rk
+         |    FROM pr p JOIN e q ON q.vec_id = p.src
+         |      JOIN mem m ON m.cell = p.cell
+         |    WHERE m.vec_id <> p.src)
+         |  WHERE rk <= 5),
+         |votes AS (
+         |  SELECT n.src, el.label AS nlabel, COUNT(*) AS v
+         |  FROM nbs n JOIN e el ON el.vec_id = n.dst
+         |  GROUP BY 1, 2),
+         |nnb AS (SELECT src, COUNT(*) AS n_nb FROM nbs GROUP BY 1),
+         |pred AS (
+         |  SELECT src, nlabel AS predicted, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY v DESC, nlabel) AS pr_rk
+         |    FROM votes) WHERE pr_rk = 1)
+         |SELECT p.src, e.label, p.predicted, p.v, nn.n_nb
+         |FROM pred p JOIN nnb nn USING (src) JOIN e ON e.vec_id = p.src
+         |ORDER BY p.src""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val nb = Similarity.knnGraph(emb, Similarity.seedCentroids(emb),
+          k = 5, nProbe = 2)
+        .filter(col("src") % 211 === 0)
+        .staged
+      val labels = emb.select(col("vec_id"), col("label"))
+      val votes = nb.join(labels.select(col("vec_id").as("dst"),
+          col("label").as("nlabel")), "dst")
+        .groupBy("src", "nlabel").agg(count(lit(1)).as("v"))
+      val nnb = nb.groupBy("src").agg(count(lit(1)).as("n_nb"))
+      val pred = votes.withColumn("pr_rk",
+          row_number().over(Window.partitionBy("src")
+            .orderBy(desc("v"), col("nlabel"))))
+        .filter(col("pr_rk") === 1)
+        .select(col("src"), col("nlabel").as("predicted"), col("v"))
+      pred.join(nnb, "src")
+        .join(labels.select(col("vec_id").as("src"), col("label")), "src")
+        .select(col("src"), col("label"), col("predicted"), col("v"),
+          col("n_nb"))
+        .orderBy("src")
     },
 
     // Leave-one-out source valuation: each source's marginal effect on

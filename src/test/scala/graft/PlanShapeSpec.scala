@@ -171,6 +171,13 @@ class PlanShapeSpec extends AnyFunSuite {
                               // A-priori prune sites
     "q_item_recs",            // broadcast 1-row relative co-occurrence
                               // threshold (same class as a_itemsets3)
+    "q_item_recs_sf10_probe", // same pipeline, sampled output (the sf10
+                              // partial oracle)
+    "sim_knn_vote_sf10_probe", // broadcast centroid codebook (knnGraph),
+                              // sampled output (the sf10 partial oracle)
+    "dedup_embedding_cosine", // broadcast 1-row corpus-relative band-bits
+                              // ladder (r14 — same class as the IVF
+                              // cell-count broadcast)
     "sim_mmr_diverse",        // broadcast 1-row query vector (the
                               // sim_bruteforce_topk shape inside MMR)
     "g_triangle_count",       // broadcast 1-row node-count scalar feeding

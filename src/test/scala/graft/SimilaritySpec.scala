@@ -94,9 +94,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("lshBandBitsSql ladder: 8 bits at the anchor, +1 per doubling, " +
+      "flat at 14 past 131k") {
+    // evaluated in Spark SQL — the same text the DuckDB oracle embeds
+    val ladder = (n: Long) =>
+      spark.sql(s"SELECT LEAST(14, ${Similarity.lshBandBitsSql(n.toString)}) AS r")
+        .collect()(0).getInt(0)
+    assert(ladder(0L) === 8, "empty corpus floors at the anchor width")
+    assert(ladder(2000L) === 8, "sf0.1 lake (2k vectors) stays at 8 bits")
+    assert(ladder(4096L) === 9)
+    assert(ladder(20000L) === 11, "sf1 lake: 2048-bucket bands, ~10/bucket")
+    assert(ladder(200000L) === 14, "sf10 lake: 16384-bucket bands, ~12/bucket")
+    assert(ladder(131072L) === 14 && ladder(100000000L) === 14,
+      "caps at the 56-bit hash width (4 bands x 14)")
+    // the invariant the ladder exists for: expected band-bucket occupancy
+    // n / 2^r stays bounded (~8-16) across three decades of corpus size
+    Seq(2000L, 20000L, 200000L).foreach { n =>
+      val occ = n.toDouble / (1L << ladder(n))
+      assert(occ <= 16.0, s"expected occupancy $occ at n=$n exceeds 16")
+    }
+  }
+
   test("embedding near-dup LSH surfaces the planted pair") {
     val pairs = Similarity.embeddingNearDups(vecs, threshold = 0.9,
-      nBits = 8, bands = 4, maxBucket = 16)
+      bands = 4, maxBitsPerBand = 2, maxBucket = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)), s"got $pairs")
   }
