@@ -414,12 +414,13 @@ object Similarity {
     * maxBucket cap, then silently lossy — the cap starts DROPPING most
     * of the corpus). Quantized to integer bit counts via an exact CASE
     * ladder so the SAME text parses in Spark SQL and DuckDB — one
-    * definition serves engine and oracle. Capped at 14 bits per band by
-    * the caller (4 bands × 14 = 56 = the full width of the per-dim
-    * 56-bit hash; past n ≈ 131k expected occupancy grows again — raise
-    * the hash width / anchor, as with ivfCellsSql's 4096-cell cap). */
+    * definition serves engine and oracle. Tops out at 22 bits per band
+    * (n ≈ 33.5M vectors, 4 bands × 22 = 88 of the 112 bits two md5
+    * spans provide; past that expected occupancy grows again — raise
+    * the anchor / add a third hash family, as with ivfCellsSql's
+    * 4096-cell cap). */
   def lshBandBitsSql(nExpr: String): String =
-    "8" + (1 to 6).map(j =>
+    "8" + (1 to 14).map(j =>
       s" + (CASE WHEN ($nExpr) >= ${2048L * (1L << j)} THEN 1 ELSE 0 END)")
       .mkString
 
@@ -427,10 +428,12 @@ object Similarity {
     * cosine ≥ threshold. Returns (id_a, id_b, cosine).
     *
     * Sign-LSH bit p = sign of the projection onto a deterministic
-    * Rademacher hyperplane (±1 entries = bit p of the dim's 56-bit md5
-    * hash — one hash per exploded row, and a family both engines can
-    * recompute, so bucket membership is oracle-checkable;
-    * bands·maxBitsPerBand ≤ 56). The projections sum DECIMAL(18,9)-
+    * Rademacher hyperplane (±1 entries = bit p of the dim's two 56-bit
+    * md5 spans — [[graft.engine.Det.h56]] at hex offsets 1 and 17, so
+    * 112 independent bits per dim; bits 0-55 read span 1, bits 56-111
+    * span 2 — a family both engines can recompute, so bucket membership
+    * is oracle-checkable; bands·maxBitsPerBand ≤ 112). The projections
+    * sum DECIMAL(18,9)-
     * quantized components, not raw doubles: a double sum is
     * partial-aggregation-order-dependent, and a projection near zero
     * could flip its SIGN (hence its bucket) between engines — decimal
@@ -444,14 +447,16 @@ object Similarity {
     * maxBitsPerBand-bit sign string, but candidates bucket on a PREFIX
     * whose width comes from [[lshBandBitsSql]] — decided in-plan from a
     * broadcast 1-row count relation, no driver-side count. Expected
-    * band-bucket occupancy stays ~8-16 at any corpus size, so candidate
-    * volume grows ~linearly and the maxBucket cap is a degenerate-data
-    * safety valve (all-equal vectors), not the operator's geometry. */
+    * band-bucket occupancy stays ~8-16 at any corpus size up to ~33.5M
+    * vectors, so candidate volume grows ~linearly and the maxBucket cap
+    * is a degenerate-data safety valve (all-equal vectors), not the
+    * operator's geometry. */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
-      bands: Int = 4, maxBitsPerBand: Int = 14, maxBucket: Int = 256,
+      bands: Int = 4, maxBitsPerBand: Int = 22, maxBucket: Int = 256,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val nBits = bands * maxBitsPerBand
-    require(nBits <= 56, s"bands*maxBitsPerBand must fit the 56-bit dim hash: $nBits")
+    require(nBits <= 112,
+      s"bands*maxBitsPerBand must fit the two 56-bit dim hash spans: $nBits")
     val bits = maxBitsPerBand
     // consumed by 3 downstream shuffles (signature agg, dot join, norms) —
     // staged once via Stage.materialize: computed exactly once, lineage
@@ -465,11 +470,17 @@ object Similarity {
       .staged
     val dimsH = dims
       .withColumn("__dh", Det.h56(col("dim").cast("string")))
+      .withColumn("__dh2", Det.h56(col("dim").cast("string"), 17))
       .withColumn("__xq",
         col("x").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
-    val projCols = (0 until nBits).map(p =>
-      sum(when(shiftright(col("__dh"), p).bitwiseAND(1) === 1, col("__xq"))
-        .otherwise(-col("__xq"))).as(s"__p$p"))
+    val projCols = (0 until nBits).map { p =>
+      // bits 0-55 read md5 span 1, 56-111 span 2 (plan-time pick)
+      val bit =
+        if (p < 56) shiftright(col("__dh"), p)
+        else shiftright(col("__dh2"), p - 56)
+      sum(when(bit.bitwiseAND(1) === 1, col("__xq"))
+        .otherwise(-col("__xq"))).as(s"__p$p")
+    }
     val sig = dimsH.groupBy(col("id")).agg(projCols.head, projCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       concat_ws("",

@@ -1462,7 +1462,7 @@ object Extensions {
     // the top-20 most-similar LSH-candidate pairs instead of a threshold
     // cut — always non-empty, same plan shape. Band geometry is
     // CORPUS-RELATIVE (Similarity.lshBandBitsSql — 8-bit prefixes at the
-    // 2,048-vector anchor, +1 bit per corpus doubling, cap 14): a fixed
+    // 2,048-vector anchor, +1 bit per corpus doubling, cap 22): a fixed
     // width is quadratic in candidates until buckets trip the maxBucket
     // cap, then silently lossy — measured 10.2x wall at sf1 and
     // cap-dropped buckets at sf10 before this ladder. The oracle
@@ -1477,24 +1477,29 @@ object Extensions {
          |    CAST(unnest(embedding) AS DOUBLE) AS x
          |  FROM embeddings),
          |dh AS (
-         |  SELECT DISTINCT dim, ${Det.h56Sql("CAST(dim AS VARCHAR)")} AS dhash
+         |  SELECT DISTINCT dim, ${Det.h56Sql("CAST(dim AS VARCHAR)")} AS dhash,
+         |    ${Det.h56Sql("CAST(dim AS VARCHAR)", 17)} AS dhash2
          |  FROM dims),
          |nr AS (
-         |  SELECT LEAST(14, ${Similarity.lshBandBitsSql(
+         |  SELECT LEAST(22, ${Similarity.lshBandBitsSql(
               "SELECT COUNT(*) FROM embeddings")}) AS r),
          |proj AS (
          |  SELECT id, p,
-         |    SUM(CASE WHEN (dhash >> p) & 1 = 1 THEN CAST(x AS DECIMAL(18,9))
+         |    SUM(CASE WHEN (CASE WHEN p < 56
+         |                        THEN (dhash >> LEAST(p, 55)) & 1
+         |                        ELSE (dhash2 >> GREATEST(p - 56, 0)) & 1
+         |                   END) = 1
+         |             THEN CAST(x AS DECIMAL(18,9))
          |             ELSE -CAST(x AS DECIMAL(18,9)) END) AS s
          |  FROM dims JOIN dh USING (dim),
-         |       (SELECT unnest(generate_series(0, 55)) AS p) pp
+         |       (SELECT unnest(generate_series(0, 87)) AS p) pp
          |  GROUP BY id, p),
          |sig AS (
-         |  SELECT id, p // 14 AS band_id,
+         |  SELECT id, p // 22 AS band_id,
          |    substring(
          |      string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p),
          |      1, (SELECT r FROM nr)) AS band_hash
-         |  FROM proj GROUP BY id, p // 14),
+         |  FROM proj GROUP BY id, p // 22),
          |bsized AS (
          |  SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bn
          |  FROM sig),

@@ -1752,8 +1752,12 @@ object ScaleOps {
     // (judge-confirmed, ARCHITECTURE playbook #5), so the headline
     // recommender rode an sf1 extrapolation. This probe grades the REAL
     // full-corpus engine output on a deterministic user sample
-    // (o_custkey % 211 = 0, dense ids by generator contract — ~0.5% of
-    // users at every lake, non-empty from sf0.001 up): the ENGINE runs
+    // (o_custkey % 211 = 17, dense ids by generator contract — ~0.5% of
+    // users at every lake, non-empty from sf0.001 up; residue 17, NOT 0:
+    // the skew lakes' Zipf hot customer is id 0, and sampling it would
+    // pull ~62% of the catalog into the oracle's neighborhood derivation
+    // — measured at sf1skew — re-creating the very pair explosion the
+    // probe exists to avoid): the ENGINE runs
     // the identical full pipeline and filters its answer; the ORACLE
     // re-derives just the sampled users' recommendations — neighborhoods
     // only for items those users touched (co restricted to one S-side,
@@ -1772,7 +1776,7 @@ object ScaleOps {
          |ui AS (
          |  SELECT DISTINCT o.o_custkey, ob.l_partkey
          |  FROM orders o JOIN ob ON ob.l_orderkey = o.o_orderkey
-         |  WHERE o.o_custkey % 211 = 0),
+         |  WHERE o.o_custkey % 211 = 17),
          |s_items AS (SELECT DISTINCT l_partkey FROM ui),
          |obs AS MATERIALIZED (
          |  SELECT ob.l_orderkey, ob.l_partkey
@@ -1807,7 +1811,7 @@ object ScaleOps {
          |  FROM unseen)
          |SELECT o_custkey, rec_part, score, rk FROM rk WHERE rk <= 3
          |ORDER BY o_custkey, rk""".stripMargin) { (s, d) =>
-      itemRecsFull(s, d).filter(col("o_custkey") % 211 === 0)
+      itemRecsFull(s, d).filter(col("o_custkey") % 211 === 17)
         .orderBy("o_custkey", "rk")
     },
 

@@ -95,21 +95,22 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("lshBandBitsSql ladder: 8 bits at the anchor, +1 per doubling, " +
-      "flat at 14 past 131k") {
+      "flat at 22 past 33.5M") {
     // evaluated in Spark SQL — the same text the DuckDB oracle embeds
     val ladder = (n: Long) =>
-      spark.sql(s"SELECT LEAST(14, ${Similarity.lshBandBitsSql(n.toString)}) AS r")
+      spark.sql(s"SELECT LEAST(22, ${Similarity.lshBandBitsSql(n.toString)}) AS r")
         .collect()(0).getInt(0)
     assert(ladder(0L) === 8, "empty corpus floors at the anchor width")
-    assert(ladder(2000L) === 8, "sf0.1 lake (2k vectors) stays at 8 bits")
+    assert(ladder(2000L) === 8)
     assert(ladder(4096L) === 9)
-    assert(ladder(20000L) === 11, "sf1 lake: 2048-bucket bands, ~10/bucket")
-    assert(ladder(200000L) === 14, "sf10 lake: 16384-bucket bands, ~12/bucket")
-    assert(ladder(131072L) === 14 && ladder(100000000L) === 14,
-      "caps at the 56-bit hash width (4 bands x 14)")
+    assert(ladder(20000L) === 11, "sf0.1 lake (20k vectors): 2048 buckets")
+    assert(ladder(200000L) === 14, "sf1 lake: 16384-bucket bands")
+    assert(ladder(2000000L) === 17, "sf10 lake (2M vectors): ~15/bucket")
+    assert(ladder(33554432L) === 22 && ladder(1000000000L) === 22,
+      "caps at 22 bits (4 bands x 22 = 88 of the 112 two-span hash bits)")
     // the invariant the ladder exists for: expected band-bucket occupancy
-    // n / 2^r stays bounded (~8-16) across three decades of corpus size
-    Seq(2000L, 20000L, 200000L).foreach { n =>
+    // n / 2^r stays bounded (~8-16) across four decades of corpus size
+    Seq(2000L, 20000L, 200000L, 2000000L, 33554432L).foreach { n =>
       val occ = n.toDouble / (1L << ladder(n))
       assert(occ <= 16.0, s"expected occupancy $occ at n=$n exceeds 16")
     }
