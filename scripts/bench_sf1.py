@@ -122,18 +122,33 @@ TRIAGE_SKEW10 = {
 #   ">0"   the query must produce output on this lake; zero rows means a
 #          silent all-zeros regression (the thing this guard exists for).
 EXPECT_ROWS = {
-    "sf10": {
-        # flat k=100 replication: each part's basket set is cloned, so no
-        # triple crosses the corpus-relative support threshold — the
-        # PASS is expected-empty by generation contract, asserted here so
-        # an engine regression to all-zeros can't hide behind it
+    # flat k=10 replication: same contract as sf10 (replica part ids are
+    # fresh, counts stay original, thr grows 10x) — verified 0 rows at
+    # the r14 sf1 sweep; the skew lake carries the content
+    "sf1": {
         "a_itemsets3": "==0",
+        "q_item_recs": "==0",
+    },
+    "skew": {
+        "a_itemsets3": ">0",
+        "q_item_recs": ">0",
+    },
+    "sf10": {
+        # flat k=100 replication renumbers part ids per replica, so no
+        # pair/triple crosses the corpus-relative support threshold (each
+        # replica's pairs are distinct id pairs with the ORIGINAL count
+        # while thr grows 100x) — the PASS is expected-empty by
+        # generation contract, asserted here so an engine regression to
+        # all-zeros can't hide behind it
+        "a_itemsets3": "==0",
+        "q_item_recs": "==0",
     },
     "skew10": {
         # the hot-part Zipf baskets MUST yield frequent triples (758 at
-        # r13's judge re-grade); empty means the relative-support path
-        # regressed
+        # r13's judge re-grade) and recommendations; empty means the
+        # relative-support path regressed
         "a_itemsets3": ">0",
+        "q_item_recs": ">0",
     },
 }
 
