@@ -69,6 +69,17 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** (total, steal) jiffies from /proc/stat's aggregate cpu line — the
+    * hypervisor-steal counter a loadavg can't see. None if unreadable
+    * (non-Linux). */
+  private def cpuStat(): Option[(Long, Long)] =
+    try {
+      val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.find(_.startsWith("cpu ")).get
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      Some((f.sum, if (f.length > 7) f(7) else 0L))
+    } catch { case _: Throwable => None }
+
   /** Count OTHER java processes on the box whose cmdline mentions sbt,
     * spark, or this project — the known bench poisoners (forked JVMs
     * survive sbt kills; see ARCHITECTURE.md). Scans /proc/N/cmdline.
@@ -124,6 +135,7 @@ object Bench {
     // regression.
     val loadBefore = loadAvg()
     val siblingsBefore = siblingJvms()
+    val cpuJiffies = cpuStat()
     // one untimed action so the first measured query doesn't absorb
     // session warmup (parquet reader init, codegen compiler, FS caches)
     try spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -232,6 +244,7 @@ object Bench {
     }
     val loadAfter = loadAvg()
     val siblingsAfter = siblingJvms()
+    val cpuJiffiesAtEnd = cpuStat()
     // sibling counts are reported but NOT part of the flag: an unrelated
     // idle JVM shouldn't condemn a clean run — the retime delta is the
     // direct evidence of contention during THIS run's timed region
@@ -250,11 +263,20 @@ object Bench {
       .mkString("{", ",", "}")
     val setupJson = setup.map { case (n, v) => jsonStr(n) + ":" + v }
       .mkString("{", ",", "}")
+    // hypervisor steal over the whole run: Δsteal / Δtotal from
+    // /proc/stat — the r14 sf0.1/sf1 legs read ~1.9x r13's walls with
+    // contaminated=false, and sampled steal at the time was ~8.5%; the
+    // artifact must carry the host's honesty metric, not just load
+    val stealPct = (for {
+      a <- cpuJiffies; b <- cpuJiffiesAtEnd
+      dTot = (b._1 - a._1) max 1L
+    } yield f"${100.0 * (b._2 - a._2) / dTot}%.2f").getOrElse("null")
     val envJson =
       s""","setup":$setupJson""" +
       s""","env":{"cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""heap_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
       s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
+      s""""steal_pct":$stealPct,""" +
       s""""sibling_jvms_before":$siblingsBefore,"sibling_jvms_after":$siblingsAfter},""" +
       s""""retime_slowest":$retimeJson,"retime_median_ratio":$medianRatio,""" +
       s""""contaminated":$contaminated,"attempts":$attempts,""" +
