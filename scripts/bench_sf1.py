@@ -182,9 +182,25 @@ def main():
         vacuity_failures.append(
             f"profile {profile} declares EXPECT_ROWS but the bench run "
             f"carries no rows map — rerun with a rows-emitting Bench")
+    errors = b.get("errors") or {}
     for q, contract in contracts.items():
-        if rows is None or q not in rows:
+        # a contract query that ERRORED in Bench never lands in the rows
+        # map (only in "errors") and one dropped from the run set lands in
+        # neither — both are exactly the silent-empty-artifact hole
+        # EXPECT_ROWS exists to close, so both fail the build explicitly
+        # (ADVICE r14: the old `q not in rows: continue` skipped them)
+        if q in errors:
+            vacuity_failures.append(
+                f"{q}: errored in the bench run ({errors[q]}) — contract "
+                f"'{contract}' unverifiable")
+            continue
+        if rows is None:
             continue  # missing-map case already failed above
+        if q not in rows:
+            vacuity_failures.append(
+                f"{q}: absent from the bench rows map — dropped from the "
+                f"run set? contract '{contract}' unverified")
+            continue
         n = rows[q]
         ok = (n == 0) if contract == "==0" else (n > 0)
         if not ok:

@@ -109,14 +109,22 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     if only:
-        # a filter name matching neither an oracle nor an output dir is a
-        # FAIL: a typo'd or renamed query would otherwise be silently
-        # dropped and the sweep would still print all-green
-        known = set(oracles) | {n for n in os.listdir(out_dir)
-                                if os.path.isdir(os.path.join(out_dir, n))}
-        for miss in sorted(only - known):
-            print(f"FAIL {miss}: filter name matches no oracle entry and "
-                  f"no output dir (typo or renamed query?)")
+        # a filter name without an oracle entry is a FAIL: a typo'd or
+        # renamed oracle query must not be silently dropped from grading.
+        # Output dirs deliberately do NOT widen the known set (ADVICE r14):
+        # a stale dir left in a reused out_dir from a prior run would
+        # otherwise let a renamed query pass the guard yet skip its grade,
+        # and the sweep would still print all-green. Rows-only queries
+        # (no oracle by design) are graded by the driver, not check.py —
+        # the message distinguishes that case for the reader.
+        for miss in sorted(only - set(oracles)):
+            has_dir = os.path.isdir(os.path.join(out_dir, miss))
+            hint = ("Spark output exists but no oracle entry — renamed "
+                    "oracle query, stale output dir, or a rows-only query "
+                    "this gate cannot grade" if has_dir
+                    else "typo or renamed query?")
+            print(f"FAIL {miss}: filter name matches no oracle entry "
+                  f"({hint})")
             n_fail += 1
         oracles = {k: v for k, v in oracles.items() if k in only}
     for name in sorted(oracles):

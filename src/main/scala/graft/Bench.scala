@@ -3,6 +3,25 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Contamination gate, pure so BenchGateSpec can pin the thresholds.
+    *
+    * A pass is contaminated when (a) re-timing the slowest queries beats
+    * their in-pass walls by >= [[RetimeRatioCeiling]] at the median — the
+    * old `> 2.5` gate let r14's poisoned 557 s run ship as clean at ratio
+    * 2.494, with every comparable query slower and the retime recovering
+    * r13-level walls — or (b) the 1-minute load average when the pass
+    * STARTED exceeded cores/4: r14's bad leg started at load 8.41 on 32
+    * cores (a dying 24 GiB sibling JVM), so the ambient-load evidence must
+    * be able to condemn a run even when the retime median squeaks under.
+    * The load arm only applies to the FIRST pass — later passes start
+    * right after our own full-tilt retimes, so their 1-minute load
+    * reflects the bench itself, not ambient contention (callers pass 0). */
+  val RetimeRatioCeiling = 2.0
+  def loadCeiling(cpus: Int): Double = cpus / 4.0
+  def passContaminated(medianRatio: Double, loadAtStart: Double,
+      cpus: Int): Boolean =
+    medianRatio >= RetimeRatioCeiling || loadAtStart > loadCeiling(cpus)
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'           => "\\\""
@@ -230,13 +249,20 @@ object Bench {
     // pass ships, still flagged — honesty over retries.
     val maxAttempts =
       sys.env.get("SPARK_GRAFT_BENCH_RETRIES").map(_.toInt + 1).getOrElse(3)
+    val hostCpus = Runtime.getRuntime.availableProcessors()
+    // load arm of the gate applies to the FIRST pass only (see
+    // passContaminated's scaladoc): re-run passes inherit the bench's own
+    // 1-minute load, which would self-condemn every retry
+    var passLoad = loadBefore
     var (results, retimes, medianRatio) = measurePass()
     val attemptTotals =
       scala.collection.mutable.ArrayBuffer(results.map(_._2).sum)
     var attempts = 1
-    while (medianRatio > 2.5 && attempts < maxAttempts) {
+    while (passContaminated(medianRatio, passLoad, hostCpus)
+        && attempts < maxAttempts) {
       System.err.println(
-        f"[bench] pass $attempts contaminated (retime ratio $medianRatio%.2f); re-running")
+        f"[bench] pass $attempts contaminated (retime ratio $medianRatio%.2f, start load $passLoad%.2f); re-running")
+      passLoad = 0.0
       val next = measurePass()
       results = next._1; retimes = next._2; medianRatio = next._3
       attemptTotals += results.map(_._2).sum
@@ -246,9 +272,10 @@ object Bench {
     val siblingsAfter = siblingJvms()
     val cpuJiffiesAtEnd = cpuStat()
     // sibling counts are reported but NOT part of the flag: an unrelated
-    // idle JVM shouldn't condemn a clean run — the retime delta is the
-    // direct evidence of contention during THIS run's timed region
-    val contaminated = medianRatio > 2.5
+    // idle JVM shouldn't condemn a clean run — the retime delta (and, on
+    // the first pass, the ambient start load) is the direct evidence of
+    // contention during THIS run's timed region
+    val contaminated = passContaminated(medianRatio, passLoad, hostCpus)
     val qs = results.map { case (n, v, _) => jsonStr(n) + ":" + v }
       .mkString("{", ",", "}")
     // per-query result rows: vacuity evidence for the artifact build —
@@ -267,10 +294,14 @@ object Bench {
     // /proc/stat — the r14 sf0.1/sf1 legs read ~1.9x r13's walls with
     // contaminated=false, and sampled steal at the time was ~8.5%; the
     // artifact must carry the host's honesty metric, not just load
+    // Double.toString (not the f-interpolator) keeps the JSON parseable
+    // on comma-decimal locales — `f"%.2f"` is locale-sensitive and would
+    // splice "8,50" unquoted into the artifact
     val stealPct = (for {
       a <- cpuJiffies; b <- cpuJiffiesAtEnd
       dTot = (b._1 - a._1) max 1L
-    } yield f"${100.0 * (b._2 - a._2) / dTot}%.2f").getOrElse("null")
+    } yield (math.rint(10000.0 * (b._2 - a._2) / dTot) / 100.0).toString)
+      .getOrElse("null")
     val envJson =
       s""","setup":$setupJson""" +
       s""","env":{"cpus":${Runtime.getRuntime.availableProcessors()},""" +

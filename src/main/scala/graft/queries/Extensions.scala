@@ -1470,6 +1470,15 @@ object Extensions {
     // projections (sign can't flip between engines), the SAME ladder text
     // deciding the prefix width, band buckets + cap, dim-aligned dot/norm
     // cosine verify.
+    {
+    // ONE definition of the sign-LSH geometry serves engine and oracle
+    // (ADVICE r14): these constants are interpolated into the oracle SQL
+    // below AND passed to the embeddingNearDups call, so changing bands /
+    // band width / bucket cap here cannot silently diverge the two (the
+    // old text hardcoded LEAST(22, …), 88 projection bits and `p // 22`,
+    // aligned with the engine only because the call used the defaults).
+    val lshBands = 4; val lshBitsPerBand = 22; val lshMaxBucket = 256
+    val lshNBits = lshBands * lshBitsPerBand
     QueryDef.sql(
       "dedup_embedding_cosine",
       s"""WITH dims AS (
@@ -1481,7 +1490,7 @@ object Extensions {
          |    ${Det.h56Sql("CAST(dim AS VARCHAR)", 17)} AS dhash2
          |  FROM dims),
          |nr AS (
-         |  SELECT LEAST(22, ${Similarity.lshBandBitsSql(
+         |  SELECT LEAST($lshBitsPerBand, ${Similarity.lshBandBitsSql(
               "SELECT COUNT(*) FROM embeddings")}) AS r),
          |proj AS (
          |  SELECT id, p,
@@ -1492,18 +1501,18 @@ object Extensions {
          |             THEN CAST(x AS DECIMAL(18,9))
          |             ELSE -CAST(x AS DECIMAL(18,9)) END) AS s
          |  FROM dims JOIN dh USING (dim),
-         |       (SELECT unnest(generate_series(0, 87)) AS p) pp
+         |       (SELECT unnest(generate_series(0, ${lshNBits - 1})) AS p) pp
          |  GROUP BY id, p),
          |sig AS (
-         |  SELECT id, p // 22 AS band_id,
+         |  SELECT id, p // $lshBitsPerBand AS band_id,
          |    substring(
          |      string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p),
          |      1, (SELECT r FROM nr)) AS band_hash
-         |  FROM proj GROUP BY id, p // 22),
+         |  FROM proj GROUP BY id, p // $lshBitsPerBand),
          |bsized AS (
          |  SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bn
          |  FROM sig),
-         |okb AS (SELECT id, band_id, band_hash FROM bsized WHERE bn <= 256),
+         |okb AS (SELECT id, band_id, band_hash FROM bsized WHERE bn <= $lshMaxBucket),
          |cands AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM okb a JOIN okb b USING (band_id, band_hash) WHERE a.id < b.id),
@@ -1521,9 +1530,11 @@ object Extensions {
          |SELECT id_a, id_b, cosine FROM cs WHERE cosine >= -1.0
          |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, d) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, d),
-          threshold = -1.0)
+          threshold = -1.0, bands = lshBands,
+          maxBitsPerBand = lshBitsPerBand, maxBucket = lshMaxBucket)
         .orderBy(desc("cosine"), col("id_a"), col("id_b"))
         .limit(20)
+    }
     },
 
     // ---- similarity search --------------------------------------------
