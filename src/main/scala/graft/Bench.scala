@@ -82,10 +82,14 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** 1-minute load average from /proc/loadavg (-1 if unreadable). */
-  private def loadAvg(): Double =
+  /** Load average from /proc/loadavg (-1 if unreadable): field 0 = 1-min,
+    * field 1 = 5-min. The 5-min figure is recorded alongside the 1-min
+    * because a just-settled machine can read 1-min ≈ 2 while 5-min ≈ 8 —
+    * exactly the launch state that front-loaded the first r15 chain
+    * attempt 2.3x (decaying tail of a prior full-tilt run). */
+  private def loadAvg(field: Int = 0): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-      .split("\\s+")(0).toDouble
+      .split("\\s+")(field).toDouble
     catch { case _: Throwable => -1.0 }
 
   /** (total, steal) jiffies from /proc/stat's aggregate cpu line — the
@@ -153,6 +157,7 @@ object Bench {
     // so a poisoned number self-identifies instead of reading as a
     // regression.
     val loadBefore = loadAvg()
+    val load5Before = loadAvg(1)
     val siblingsBefore = siblingJvms()
     val cpuJiffies = cpuStat()
     // one untimed action so the first measured query doesn't absorb
@@ -306,7 +311,8 @@ object Bench {
       s""","setup":$setupJson""" +
       s""","env":{"cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""heap_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
-      s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
+      s""""load_before":$loadBefore,"load5_before":$load5Before,""" +
+      s""""load_after":$loadAfter,""" +
       s""""steal_pct":$stealPct,""" +
       s""""sibling_jvms_before":$siblingsBefore,"sibling_jvms_after":$siblingsAfter},""" +
       s""""retime_slowest":$retimeJson,"retime_median_ratio":$medianRatio,""" +
