@@ -123,12 +123,41 @@ object Stage {
   def cache(df: DataFrame): DataFrame =
     tracked(df)(df.persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Scan-parallelism guard (optimization guide §2.5, "input skew: one
+    * huge unsplittable file ... repartition immediately after the read").
+    *
+    * The fixture lake ships each table as ONE single-row-group parquet
+    * file, so every scan stage is a single task — per-row compute
+    * directly over the scan (tokenize, shingle explode, md5) serializes
+    * on one core of however many the session has (measured: the staged
+    * shingle pass of the ngram family runs 1.5-1.7 s as one task at
+    * sf0.1 while 31 cores idle; a row-group-less file cannot be split by
+    * maxPartitionBytes — byte ranges just yield empty tasks). A hash
+    * repartition on the row key right after the read unlocks the cores
+    * for one tiny local shuffle of the raw rows.
+    *
+    * Scale-adaptive, not local-tuned: the target is
+    * `defaultParallelism` (total executor cores on a cluster) and the
+    * shuffle fires ONLY when the source under-splits — a 100 TB
+    * many-file scan already has ≥ cores partitions, so this is a no-op
+    * exactly where the extra shuffle would be a disaster. Hash (not
+    * round-robin) keeps the row→partition map deterministic under task
+    * retries (SPARK-38388 class of bugs) and skips round-robin's
+    * sort-before-repartition. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (want > 1 && df.rdd.getNumPartitions < want) df.repartition(want, key)
+    else df
+  }
+
   /** `import graft.engine.Stage.syntax._` for chainable `.staged` /
     * `.stagedAlways` at the former `.localCheckpoint()` call sites. */
   object syntax {
     implicit class StageOps(private val df: DataFrame) extends AnyVal {
       def staged: DataFrame = materialize(df)
       def stagedAlways: DataFrame = materializeAlways(df)
+      def spreadBy(key: org.apache.spark.sql.Column): DataFrame =
+        Stage.spread(df, key)
     }
   }
 }

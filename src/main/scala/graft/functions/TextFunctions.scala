@@ -120,7 +120,12 @@ object TextFunctions {
     * chars_nospace (long), stop_hits (long), hits_<lang> (long). */
   def tokenFeatures(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    // spread the (usually single-file, hence single-task) scan before the
+    // token explode + stopword/marker membership tests — the per-row
+    // compute here is the family's hot loop (guide §2.5 input-split fix)
+    val tok = graft.engine.Stage.spread(
+        df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
     val markerCols = langMarkers.map { case (l, ws) =>
       count(when(col("__t").isin(ws: _*), 1)).as(s"hits_$l")
     }

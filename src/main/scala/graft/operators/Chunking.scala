@@ -22,8 +22,12 @@ object Chunking {
     * 0 per document. `overlap` must be < `chunk`. */
   def byTokens(df: DataFrame, idCol: String, textCol: String,
       chunk: Int, overlap: Int = 0): DataFrame =
-    byArray(df.select(col(idCol),
-      TextFunctions.tokens(col(textCol)).as("__chunk_toks")),
+    // spread BEFORE tokenizing so the regex split runs parallel too
+    // (byArray's own spread then no-ops on the already-spread input)
+    byArray(graft.engine.Stage
+      .spread(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("__chunk_toks")),
       idCol, "__chunk_toks", chunk, overlap)
 
   /** Same chunking over an ALREADY-tokenized array column — the seam that
@@ -35,7 +39,11 @@ object Chunking {
     require(chunk > 0 && overlap >= 0 && overlap < chunk,
       s"need 0 <= overlap < chunk, got chunk=$chunk overlap=$overlap")
     val step = chunk - overlap
-    val toks = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
+    // spread before the generator: chunk slicing is map-side and
+    // embarrassingly parallel, but a single-file scan feeds it one task
+    // (guide §2.5); no-op when the source is already well-split
+    val toks = graft.engine.Stage.spread(
+      df.select(col(idCol).as("id"), col(toksCol).as("toks")), col("id"))
     toks
       .select(col("id"), col("toks"),
         explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),

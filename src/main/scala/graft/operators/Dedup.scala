@@ -71,8 +71,9 @@ object Dedup {
     * checkpoint / parquet stage between phases. */
   private[operators] def explodedShingles(df: DataFrame, idCol: String,
       textCol: String, shingleSize: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
+    val toks = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .spreadBy(col("id"))
+      .select(col("id"), TextFunctions.tokens(col("__text")).as("toks"))
       .staged
     val shingle = transform(
       sequence(lit(0), size(col("toks")) - shingleSize),

@@ -464,8 +464,10 @@ object Similarity {
     // ContextCleaner when the result goes out of scope (no cache leak into
     // library callers). Cluster equivalent: a reliable checkpoint/parquet
     // stage between pipeline phases.
-    val dims = vectors.select(col(idCol).as("id"),
-      posexplode(col(embCol)).as(Seq("dim", "x")))
+    val dims = Stage.spread(
+        vectors.select(col(idCol).as("id"), col(embCol).as("__emb")),
+        col("id"))
+      .select(col("id"), posexplode(col("__emb")).as(Seq("dim", "x")))
       .select(col("id"), col("dim"), col("x").cast("double").as("x"))
       .staged
     val dimsH = dims

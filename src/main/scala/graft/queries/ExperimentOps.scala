@@ -756,7 +756,13 @@ object ExperimentOps {
            |    AS novelty
            |FROM per ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
+      // spread the single-file scan over the cores (the per-row shingle
+      // hash work otherwise serializes in one scan task) and stage the
+      // shingle relation — it feeds BOTH the df aggregate and the
+      // per-doc join, and unstaged it was computed twice end-to-end
       val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .spreadBy(col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
       val sh = toks
         .filter(size(col("t")) >= 3)
@@ -766,6 +772,7 @@ object ExperimentOps {
             "element_at(t, i + 2)))")).as("sg"))
         .select(col("doc_id"), Det.h56(col("sg")).as("shash"))
         .distinct()
+        .staged
       val freq = sh.groupBy("shash").agg(count(lit(1)).as("df"))
       val per = sh.join(freq, "shash").groupBy("doc_id").agg(
         count(lit(1)).as("n_shingles"),

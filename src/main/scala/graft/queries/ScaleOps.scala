@@ -2469,7 +2469,10 @@ object ScaleOps {
       val bloom = graft.operators.Bloom.build(
         sel.select(col("o_orderkey").cast("string").as("k")), "k",
         mBits = 262144L)
-      val li = Tables.lineitem(s, d)
+      // spread the single-file fact scan before the probe: the k=5
+      // affine-md5 membership probes are the row-wise hot loop and
+      // otherwise run in the scan's one task (guide §2.5)
+      val li = graft.engine.Stage.spread(Tables.lineitem(s, d), col("l_orderkey"))
         .withColumn("k", col("l_orderkey").cast("string"))
       val pruned = graft.operators.Bloom.probe(li, bloom, "k",
           mBits = 262144L)
