@@ -30,8 +30,10 @@ object Contamination {
       idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxPosting: Int = 1000): DataFrame = {
-    val c = Dedup.explodedShingles(corpus, idCol, textCol, shingleSize)
-    val b = Dedup.explodedShingles(benchmark, idCol, textCol, shingleSize)
+    val c = Dedup.explodedShingles(corpus, idCol, textCol, shingleSize,
+      withHashes = false)
+    val b = Dedup.explodedShingles(benchmark, idCol, textCol, shingleSize,
+      withHashes = false)
     val benchSizes = b.groupBy(col("id").as("bench_id"))
       .agg(count(lit(1)).as("bench_n"))
     val cUseful = c

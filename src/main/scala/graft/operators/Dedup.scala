@@ -70,7 +70,16 @@ object Dedup {
     * multi-executor cluster the equivalent staging is a reliable
     * checkpoint / parquet stage between phases. */
   private[operators] def explodedShingles(df: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int): DataFrame = {
+      textCol: String, shingleSize: Int): DataFrame =
+    explodedShingles(df, idCol, textCol, shingleSize, withHashes = true)
+
+  /** `withHashes = false` skips the two md5 spans: the ngram-Jaccard /
+    * containment / prefix-join consumers never read `__h1`/`__h2`
+    * (only the minhash family does), so computing and staging them
+    * there was two wasted md5 calls per shingle plus 16 bytes per row
+    * through every downstream exchange. */
+  private[operators] def explodedShingles(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, withHashes: Boolean): DataFrame = {
     val toks = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .spreadBy(col("id"))
       .select(col("id"), TextFunctions.tokens(col("__text")).as("toks"))
@@ -91,9 +100,11 @@ object Dedup {
     // would be re-evaluated per component (no CSE across aggregate
     // functions; measured 1.7× slower) — and the md5 basis makes the
     // whole LSH family recomputable in oracle SQL.
-    full.unionByName(short)
-      .withColumn("__h1", Det.h56(col("shingle")))
-      .withColumn("__h2", Det.h56(col("shingle"), pos = 17))
+    val rel = full.unionByName(short)
+    (if (withHashes) rel
+        .withColumn("__h1", Det.h56(col("shingle")))
+        .withColumn("__h2", Det.h56(col("shingle"), pos = 17))
+      else rel)
       .staged
   }
 
@@ -430,8 +441,13 @@ object Dedup {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .stagedAlways
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // seed each node's label with min(id, min neighbor) instead of id:
+    // the same one-aggregate shuffle as the former distinct() init, but
+    // it IS the first min-propagation round, so near-clique components
+    // (the dedup norm — diameter 1-2) converge one staged round earlier
+    var labels = edges.groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("__nm"))
+      .select(col("id"), least(col("id"), col("__nm")).as("cluster_id"))
       .stagedAlways
     var changed = 1L
     var iter = 0
@@ -628,7 +644,10 @@ object Dedup {
 
   /** Postings banded to [2, cap] under the given [[Cap]] strategy. */
   private def usefulPostings(exploded: DataFrame, cap: Cap): DataFrame = {
-    val counted = exploded
+    // project before the exchange (guide §2.3): the per-shingle count
+    // window shuffles every column it is handed, and minhash callers'
+    // __h1/__h2 are dead weight here
+    val counted = exploded.select("id", "shingle")
       .withColumn("__pn", count(lit(1)).over(Window.partitionBy("shingle")))
     (cap match {
       case LiteralCap(m) =>
@@ -662,7 +681,8 @@ object Dedup {
 
   private def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int, cap: Cap): DataFrame = {
-    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize,
+      withHashes = false)
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val useful = usefulPostings(exploded, cap)
     val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))
@@ -704,7 +724,8 @@ object Dedup {
     * generalization. */
   def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3): DataFrame = {
-    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize,
+      withHashes = false)
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n")).staged
     // global total order on tokens: rarest first (document frequency asc,
     // shingle asc — total because shingle is unique in the freq relation)
@@ -768,7 +789,8 @@ object Dedup {
 
   private def containment(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int, cap: Cap): DataFrame = {
-    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize,
+      withHashes = false)
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val useful = usefulPostings(exploded, cap)
     val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))

@@ -51,6 +51,11 @@ object WeightedStats {
     // per-row quantized weight is a long, every aggregate over it widens
     // to decimal so group totals can't wrap at 2^63.
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // NOT spread (Stage.spread): measured 1.5 s -> 2.6 s warm at sf0.1 —
+    // the per-row work here is one floor-multiply, so repartitioning the
+    // single-file scan ships 600k rows for less compute than it frees;
+    // spread only pays where scan-stage per-row work dominates (md5 /
+    // explode paths — see explodedShingles)
     val w = df.select(col(grpCol).as("__f"), col(valCol).as("__v"),
       floor(col(weightCol) * p + 0.5).as("__q")).staged
     val tot = w.groupBy("__f").agg(sum(col("__q").cast(dec38)).as("__tw"))
