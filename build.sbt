@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full suite JIT-compiles hundreds of distinct whole-stage-codegen
+  // classes; the JDK default 240 MB code cache fills mid-suite, and the
+  // resulting flush/recompile churn randomly inflates heavy queries 2-4x
+  // (r15 baseline: g_modularity 11.9 s in-suite vs 2.9 s isolated; end-of-
+  // suite retimes of already-measured queries hitting 17-20 s). 512 MB
+  // holds the whole suite's compiled code.
+  "-XX:ReservedCodeCacheSize=512m",
 )

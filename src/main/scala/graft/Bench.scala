@@ -191,6 +191,7 @@ object Bench {
     val only = args.toSet
     val defs = SparkEntry.allDefs.map(q => (q.name, q.run))
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    var cleanupCount = 0
     def cleanup(): Unit = {
       // drop any staging relations an operator persisted, so cached data
       // from earlier queries can't pressure later ones — cleanup cost is
@@ -205,6 +206,17 @@ object Bench {
       // intentionally long-lived cache can't be silently evicted.
       spark.catalog.clearCache()
       graft.engine.Stage.releaseStaged(spark)
+      // Nudge the ContextCleaner: broadcast blocks and shuffle files are
+      // only reclaimed when the driver GC collects their weak references,
+      // and an 8 GiB mostly-idle driver heap can go hundreds of queries
+      // without a major GC — by the suite's tail the accumulated
+      // broadcast/shuffle debt contends with the timed regions (r15
+      // baseline: g_modularity 11.9 s in-suite at position 300 vs 2.9 s
+      // isolated cold — same JVM settings, same lake). An explicit GC
+      // every 8 queries keeps the cleaner current; cost lands HERE,
+      // outside the timed region, like the rest of cleanup.
+      cleanupCount += 1
+      if (cleanupCount % 8 == 0) System.gc()
     }
     def timeOne(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)

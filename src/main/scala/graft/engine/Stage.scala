@@ -60,10 +60,14 @@ object Stage {
   }
 
   /** Unpersist exactly the staged blocks created since the last call —
-    * the between-queries cleanup for harness mains. */
+    * the between-queries cleanup for harness mains. `blocking=true` so
+    * the freed storage memory is actually free before the caller's next
+    * timed region starts (a non-blocking release leaves the blocks
+    * squeezing the unified-memory execution fraction for however long
+    * the async BlockManager round-trip takes). */
   def releaseStaged(spark: org.apache.spark.sql.SparkSession): Unit = {
     val live = spark.sparkContext.getPersistentRDDs
-    drainStagedIds().foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    drainStagedIds().foreach(id => live.get(id).foreach(_.unpersist(blocking = true)))
   }
 
   /** Run `body`, recording any persistent-RDD ids it registered. */
