@@ -18,9 +18,16 @@ object Bench {
     * reflects the bench itself, not ambient contention (callers pass 0). */
   val RetimeRatioCeiling = 2.0
   def loadCeiling(cpus: Int): Double = cpus / 4.0
+  /** Hypervisor steal during the pass above this % = a noisy neighbor VM
+    * ate the timed region (r15: a 2.5%-steal epoch inflated untouched
+    * sub-second queries 3-4x while load_before read a clean 1.0 — neither
+    * the load arm nor the retime arm can see contention that persists
+    * through the retimes). */
+  val StealPctCeiling = 1.5
   def passContaminated(medianRatio: Double, loadAtStart: Double,
-      cpus: Int): Boolean =
-    medianRatio >= RetimeRatioCeiling || loadAtStart > loadCeiling(cpus)
+      cpus: Int, stealPct: Double = 0.0): Boolean =
+    medianRatio >= RetimeRatioCeiling || loadAtStart > loadCeiling(cpus) ||
+      stealPct > StealPctCeiling
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -164,6 +171,15 @@ object Bench {
     // session warmup (parquet reader init, codegen compiler, FS caches)
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    // warm the columnar-cache machinery too (InMemoryRelation build +
+    // read codegen): operators stage narrow intermediates via persist
+    // (Stage.cache), and the first cache materialization in a JVM
+    // otherwise JIT-compiles the whole cache write/read path inside
+    // whichever query touches it first
+    try {
+      val w = spark.range(1000).toDF("x").persist()
+      w.count(); w.unpersist(blocking = true); ()
+    } catch { case _: Throwable => () }
     // session-memoized shared setup (medallion lake build, distributed
     // BPE codebook learn) is force-warmed HERE and charged to explicit
     // setup line items: left to the memoizers, the cost lands on
@@ -238,7 +254,8 @@ object Bench {
     // re-run beats the original by >2.5x for most of the slowest queries,
     // the main loop was contended — the pass is CONTAMINATED.
     def measurePass(): (Seq[(String, Double, Either[String, Long])],
-        Seq[(String, Double, Double)], Double) = {
+        Seq[(String, Double, Double)], Double, Double) = {
+      val jiffies0 = cpuStat()
       val results = defs.map { case (name, fn) =>
         val (secs, outcome) = timeOne(name, fn)
         (name, secs, outcome)
@@ -254,7 +271,14 @@ object Bench {
       val medianRatio =
         if (ratios.isEmpty) 1.0
         else ratios.sorted.apply(ratios.size / 2)
-      (results, retimes, medianRatio)
+      // hypervisor steal over THIS pass: contention a noisy neighbor VM
+      // causes is invisible to loadavg and can persist through the
+      // retimes, so it gets its own gate arm
+      val passSteal = (for {
+        a <- jiffies0; b <- cpuStat()
+        dTot = (b._1 - a._1) max 1L
+      } yield 100.0 * (b._2 - a._2) / dTot).getOrElse(0.0)
+      (results, retimes, medianRatio, passSteal)
     }
     // self-CLEANING: a contaminated pass (host load poisoned the timed
     // region) is re-run in full, up to 2 retries — the round's artifact of
@@ -271,17 +295,18 @@ object Bench {
     // passContaminated's scaladoc): re-run passes inherit the bench's own
     // 1-minute load, which would self-condemn every retry
     var passLoad = loadBefore
-    var (results, retimes, medianRatio) = measurePass()
+    var (results, retimes, medianRatio, passSteal) = measurePass()
     val attemptTotals =
       scala.collection.mutable.ArrayBuffer(results.map(_._2).sum)
     var attempts = 1
-    while (passContaminated(medianRatio, passLoad, hostCpus)
+    while (passContaminated(medianRatio, passLoad, hostCpus, passSteal)
         && attempts < maxAttempts) {
       System.err.println(
-        f"[bench] pass $attempts contaminated (retime ratio $medianRatio%.2f, start load $passLoad%.2f); re-running")
+        f"[bench] pass $attempts contaminated (retime ratio $medianRatio%.2f, start load $passLoad%.2f, steal $passSteal%.2f%%); re-running")
       passLoad = 0.0
       val next = measurePass()
       results = next._1; retimes = next._2; medianRatio = next._3
+      passSteal = next._4
       attemptTotals += results.map(_._2).sum
       attempts += 1
     }
@@ -292,7 +317,8 @@ object Bench {
     // idle JVM shouldn't condemn a clean run — the retime delta (and, on
     // the first pass, the ambient start load) is the direct evidence of
     // contention during THIS run's timed region
-    val contaminated = passContaminated(medianRatio, passLoad, hostCpus)
+    val contaminated = passContaminated(medianRatio, passLoad, hostCpus,
+      passSteal)
     val qs = results.map { case (n, v, _) => jsonStr(n) + ":" + v }
       .mkString("{", ",", "}")
     // per-query result rows: vacuity evidence for the artifact build —

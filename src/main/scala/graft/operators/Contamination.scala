@@ -36,10 +36,16 @@ object Contamination {
       withHashes = false)
     val benchSizes = b.groupBy(col("id").as("bench_id"))
       .agg(count(lit(1)).as("bench_n"))
-    val cUseful = c
-      .withColumn("__pn", count(lit(1)).over(Window.partitionBy("shingle")))
+    // hash-aggregate + join, not a count() window: the window form costs
+    // Exchange + SORT of the full (id, shingle) relation; the aggregate
+    // shuffles only the shingle column (map-side combined) and joins the
+    // surviving shingles back against the staged relation
+    val cOk = c.select("shingle")
+      .groupBy("shingle").agg(count(lit(1)).as("__pn"))
       .filter(col("__pn") <= maxPosting)
-      .select(col("id").as("doc_id"), col("shingle"))
+      .select("shingle")
+    val cUseful = c.select(col("id").as("doc_id"), col("shingle"))
+      .join(cOk, Seq("shingle"))
     val overlap = cUseful
       .join(b.select(col("id").as("bench_id"), col("shingle")), Seq("shingle"))
       .groupBy("doc_id", "bench_id")

@@ -80,19 +80,29 @@ object Dedup {
     * through every downstream exchange. */
   private[operators] def explodedShingles(df: DataFrame, idCol: String,
       textCol: String, shingleSize: Int, withHashes: Boolean): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .spreadBy(col("id"))
-      .select(col("id"), TextFunctions.tokens(col("__text")).as("toks"))
-      .staged
+    // lazy persist, not an eager localCheckpoint: the relation has exactly
+    // one consumer (the shingle projection below), so it needs the
+    // CollapseProject BARRIER — without one the tokenize regex inlines
+    // into the shingle lambda and re-runs per element_at — but not its own
+    // materialization job; the staging job for `rel` below computes the
+    // token arrays on its way through the cache.
+    val toks = graft.engine.Stage.cache(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .spreadBy(col("id"))
+        .select(col("id"), TextFunctions.tokens(col("__text")).as("toks")))
     val shingle = transform(
       sequence(lit(0), size(col("toks")) - shingleSize),
       i => concat_ws(" ",
         (0 until shingleSize).map(j => element_at(col("toks"), i + j + 1)): _*))
-    val full = toks.filter(size(col("toks")) >= shingleSize)
-      .select(col("id"), explode(shingle).as("shingle"))
-      .distinct()
-    val short = toks.filter(size(col("toks")) < shingleSize)
-      .select(col("id"), concat_ws(" ", col("toks")).as("shingle"))
+    // per-doc distinct via array_distinct INSIDE the row, not a global
+    // distinct() of the exploded relation: the dedup is per (id, shingle)
+    // and every id's shingles come from one row, so the set is identical —
+    // without the full-width exchange + hash aggregate the distinct()
+    // cost. The short-doc fallback rides the same CASE (evaluated lazily
+    // per branch), replacing the former full/short union's second scan.
+    val shingles = when(size(col("toks")) >= shingleSize,
+        array_distinct(shingle))
+      .otherwise(array(concat_ws(" ", col("toks"))))
     // __h1/__h2: the shingle string hashed ONCE into the staged relation
     // (two independent 56-bit md5 spans). Consumers that derive
     // per-component hashes (minhash) combine these affinely instead of
@@ -100,7 +110,7 @@ object Dedup {
     // would be re-evaluated per component (no CSE across aggregate
     // functions; measured 1.7× slower) — and the md5 basis makes the
     // whole LSH family recomputable in oracle SQL.
-    val rel = full.unionByName(short)
+    val rel = toks.select(col("id"), explode(shingles).as("shingle"))
     (if (withHashes) rel
         .withColumn("__h1", Det.h56(col("shingle")))
         .withColumn("__h2", Det.h56(col("shingle"), pos = 17))
@@ -121,8 +131,16 @@ object Dedup {
         col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
 
   /** Candidate pairs from (id, band_id, band_hash) rows, bucket-capped,
-    * id-ordered, deduped. */
-  private def pairsFromBuckets(keyed: DataFrame, maxBucket: Int): DataFrame = {
+    * id-ordered, deduped.
+    *
+    * `keyed` is staged first: it is the OUTPUT of the signature aggregate
+    * (the 64-min() minhash loop / the 56-sum simhash pack), and the
+    * bucket self-join below consumes it on BOTH sides — unstaged,
+    * Catalyst evaluates the whole aggregate + posexplode + window subtree
+    * once per side (AQE reuses only the exchange, not the post-shuffle
+    * window stage). The staged relation is tiny (rows × bands). */
+  private def pairsFromBuckets(keyed0: DataFrame, maxBucket: Int): DataFrame = {
+    val keyed = graft.engine.Stage.materialize(keyed0)
     val sized = keyed
       .withColumn("__bn",
         count(lit(1)).over(Window.partitionBy("band_id", "band_hash")))
@@ -396,9 +414,12 @@ object Dedup {
       shiftright(col("simhash"), 14 * b).bitwiseAND(lit(16383L)))
     // carry the signature through the bucket join so the Hamming filter
     // runs INSIDE the join — only surviving pairs reach the distinct,
-    // instead of shuffling every bucket collision first
-    val keyed = packed.select(col("id"), col("simhash"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
+    // instead of shuffling every bucket collision first. Staged for the
+    // same reason as pairsFromBuckets: both self-join sides read it, and
+    // unstaged the 56-sum pack aggregate evaluates once per side.
+    val keyed = graft.engine.Stage.materialize(
+      packed.select(col("id"), col("simhash"),
+        posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash"))))
     val sized = keyed
       .withColumn("__bn",
         count(lit(1)).over(Window.partitionBy("band_id", "band_hash")))
@@ -590,10 +611,17 @@ object Dedup {
       .filter(col(s"t${window - 1}").isNotNull)
       .select(col("id"), col("pos").as("start"),
         concat_ws(" ", (0 until window).map(i => col(s"t$i")): _*).as("span"))
-    val dupSpans = spans
-      .withColumn("__c", count(lit(1)).over(Window.partitionBy("span")))
+    // duplicated-span set via hash aggregate + join, not a count()
+    // window: the window form exchanges AND sorts the full wide
+    // (id, start, span) relation; the aggregate shuffles only the span
+    // column (map-side combined), and the surviving >= 2 set is the
+    // SELECTIVE side — small enough that the join back is a broadcast,
+    // so the span relation itself is never exchanged here at all
+    val dupSet = spans.select("span")
+      .groupBy("span").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
-    val covered = dupSpans
+      .select("span")
+    val covered = spans.join(dupSet, Seq("span"))
       .select(col("id"),
         explode(sequence(col("start"), col("start") + lit(window - 1)))
           .as("pos"))
@@ -642,23 +670,32 @@ object Dedup {
   private case class LiteralCap(maxPosting: Int) extends Cap
   private case object RelativeCap extends Cap
 
-  /** Postings banded to [2, cap] under the given [[Cap]] strategy. */
+  /** Postings banded to [2, cap] under the given [[Cap]] strategy.
+    *
+    * Shape: hash-aggregate the per-shingle document frequency and join the
+    * surviving shingles back, NOT a count() window — the window form costs
+    * Exchange + SORT + Window, and because `useful` feeds BOTH sides of
+    * the candidate self-join, that sort ran twice (once per consumer
+    * stage; only the exchange itself is AQE-reused). The aggregate form
+    * sorts nothing, its join keys both sides of the candidate join on the
+    * same shingle partitioning, and the map side of the postings exchange
+    * is reused across the two consumers. */
   private def usefulPostings(exploded: DataFrame, cap: Cap): DataFrame = {
-    // project before the exchange (guide §2.3): the per-shingle count
-    // window shuffles every column it is handed, and minhash callers'
+    // project before the exchange (guide §2.3): minhash callers'
     // __h1/__h2 are dead weight here
-    val counted = exploded.select("id", "shingle")
-      .withColumn("__pn", count(lit(1)).over(Window.partitionBy("shingle")))
-    (cap match {
+    val counts = exploded.select("shingle")
+      .groupBy("shingle").agg(count(lit(1)).as("__pn"))
+    val ok = (cap match {
       case LiteralCap(m) =>
-        counted.filter(col("__pn").between(lit(2L), lit(m.toLong)))
+        counts.filter(col("__pn").between(lit(2L), lit(m.toLong)))
       case RelativeCap =>
-        counted
+        counts
           .crossJoin(broadcast(exploded
             .agg(expr(postingCapExprSql("count(DISTINCT id)"))
               .cast("long").as("__cap")).staged))
           .filter(col("__pn").between(lit(2L), col("__cap")))
-    }).select("id", "shingle")
+    }).select("shingle")
+    exploded.select("id", "shingle").join(ok, Seq("shingle"))
   }
 
   /** N-gram Jaccard via inverted-index blocking: prune shingles to useful

@@ -496,11 +496,15 @@ object Similarity {
     val rRel = vectors.agg(expr(
       s"least($maxBitsPerBand, ${lshBandBitsSql("count(1)")})")
       .cast("int").as("__r"))
-    val keyed = sig.select(col("id"),
+    // staged: the bucket self-join below reads `keyed` on BOTH sides, and
+    // unstaged the 88-decimal-sum signature aggregate + posexplode
+    // evaluates once per side (AQE reuses the exchange, not the
+    // post-shuffle stage). The staged relation is rows × bands — tiny.
+    val keyed = Stage.materialize(sig.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_full")))
       .crossJoin(broadcast(rRel))
       .select(col("id"), col("band_id"),
-        col("band_full").substr(lit(1), col("__r")).as("band_hash"))
+        col("band_full").substr(lit(1), col("__r")).as("band_hash")))
     val sized = keyed
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")))

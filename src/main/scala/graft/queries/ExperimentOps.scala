@@ -764,14 +764,18 @@ object ExperimentOps {
         .select(col("doc_id"), col("text"))
         .spreadBy(col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // per-doc distinct via array_distinct over the in-row HASH array —
+      // distinct on hashes, matching the oracle's DISTINCT (doc_id,
+      // shash), without the full exchange + aggregate the former
+      // relation-level distinct() cost (every doc's shingles come from
+      // one row, so the set is identical)
       val sh = toks
         .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(t) - 2), i -> concat(" +
-            "element_at(t, i), ' ', element_at(t, i + 1), ' ', " +
-            "element_at(t, i + 2)))")).as("sg"))
-        .select(col("doc_id"), Det.h56(col("sg")).as("shash"))
-        .distinct()
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(t) - 2), i -> " +
+            "CAST(conv(substring(md5(concat(element_at(t, i), ' ', " +
+            "element_at(t, i + 1), ' ', element_at(t, i + 2))), 1, 14), " +
+            "16, 10) AS BIGINT))"))).as("shash"))
         .staged
       val freq = sh.groupBy("shash").agg(count(lit(1)).as("df"))
       val per = sh.join(freq, "shash").groupBy("doc_id").agg(
