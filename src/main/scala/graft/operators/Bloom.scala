@@ -34,11 +34,22 @@ object Bloom {
   def position(key: Column, j: Int, mBits: Long): Column =
     (Det.h56(key) + lit(j.toLong) * Det.h56(key, pos = 17)) % mBits
 
+  /** (__k, p) rows — k probe positions per key. The two md5 spans are
+    * computed ONCE per key in a projection BELOW the generate and the k
+    * positions derive affinely from the projected columns: inlined into
+    * the generator (the old shape), each of the k array elements carried
+    * its own pair of md5 calls, and Generate is not a whole-stage-codegen
+    * subexpression-elimination site — 2k md5 evaluations per key where 2
+    * suffice (the md5 is this family's per-row hot loop; same
+    * hash-once-then-affine discipline as Dedup.sigKeyed's __h1/__h2). */
   private def positionsOf(df: DataFrame, keyCol: String, mBits: Long,
       k: Int): DataFrame =
     df.select(col(keyCol).as("__k"),
-      explode(array((0 until k).map(j =>
-        position(col(keyCol), j, mBits)): _*)).as("p"))
+        Det.h56(col(keyCol)).as("__h1"),
+        Det.h56(col(keyCol), pos = 17).as("__h2"))
+      .select(col("__k"),
+        explode(array((0 until k).map(j =>
+          (col("__h1") + lit(j.toLong) * col("__h2")) % mBits): _*)).as("p"))
 
   /** Build the filter relation from a corpus key column: m/32 rows of
     * (word_idx, bits — 32 bits per word: bit 63 of a signed shift
@@ -70,8 +81,11 @@ object Bloom {
     require(k >= 1 && k < 64, s"k: $k")
     df.select(col(groupCol), col(keyCol)).distinct()
       .select(col(groupCol),
+        Det.h56(col(keyCol)).as("__h1"),
+        Det.h56(col(keyCol), pos = 17).as("__h2"))
+      .select(col(groupCol),
         explode(array((0 until k).map(j =>
-          position(col(keyCol), j, mBits)): _*)).as("p"))
+          (col("__h1") + lit(j.toLong) * col("__h2")) % mBits): _*)).as("p"))
       .groupBy(col(groupCol), shiftright(col("p"), 5).as("word_idx"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))")
         .as("bits"))

@@ -679,8 +679,17 @@ object Dedup {
     * stage; only the exchange itself is AQE-reused). The aggregate form
     * sorts nothing, its join keys both sides of the candidate join on the
     * same shingle partitioning, and the map side of the postings exchange
-    * is reused across the two consumers. */
-  private def usefulPostings(exploded: DataFrame, cap: Cap): DataFrame = {
+    * is reused across the two consumers.
+    *
+    * `docs` is the operator's SOURCE relation; the relative cap's corpus
+    * count is `count(1)` over it — value-identical to the oracle's
+    * COUNT(DISTINCT id) over the shingle CTE (ids are unique per source
+    * row and every doc emits ≥ 1 shingle row, including the short-doc
+    * whole-text fallback) but plan-cheap: a column-less parquet count
+    * instead of a two-phase count-distinct exchange over the full
+    * exploded relation. */
+  private def usefulPostings(exploded: DataFrame, cap: Cap,
+      docs: DataFrame): DataFrame = {
     // project before the exchange (guide §2.3): minhash callers'
     // __h1/__h2 are dead weight here
     val counts = exploded.select("shingle")
@@ -690,9 +699,9 @@ object Dedup {
         counts.filter(col("__pn").between(lit(2L), lit(m.toLong)))
       case RelativeCap =>
         counts
-          .crossJoin(broadcast(exploded
-            .agg(expr(postingCapExprSql("count(DISTINCT id)"))
-              .cast("long").as("__cap")).staged))
+          .crossJoin(broadcast(docs
+            .agg(expr(postingCapExprSql("count(1)"))
+              .cast("long").as("__cap"))))
           .filter(col("__pn").between(lit(2L), col("__cap")))
     }).select("shingle")
     exploded.select("id", "shingle").join(ok, Seq("shingle"))
@@ -721,7 +730,7 @@ object Dedup {
     val exploded = explodedShingles(df, idCol, textCol, shingleSize,
       withHashes = false)
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val useful = usefulPostings(exploded, cap)
+    val useful = usefulPostings(exploded, cap, df)
     val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))
       .join(useful.withColumnsRenamed(Map("id" -> "id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
@@ -829,7 +838,7 @@ object Dedup {
     val exploded = explodedShingles(df, idCol, textCol, shingleSize,
       withHashes = false)
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val useful = usefulPostings(exploded, cap)
+    val useful = usefulPostings(exploded, cap, df)
     val inter = useful.withColumnsRenamed(Map("id" -> "id_a"))
       .join(useful.withColumnsRenamed(Map("id" -> "id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

@@ -470,18 +470,29 @@ object Similarity {
       .select(col("id"), posexplode(col("__emb")).as(Seq("dim", "x")))
       .select(col("id"), col("dim"), col("x").cast("double").as("x"))
       .staged
+    // Scaled-long projection components: the DECIMAL(18,9) quantization
+    // is kept (it decides the cross-engine sign contract), but the value
+    // each of the `nBits` sums accumulates is the EXACT integer
+    // 1e9 · __xq as a long — sum(±long) ≥ 0 ⟺ sum(±decimal) ≥ 0, since
+    // the scaling is lossless (a 9-dp decimal times 10^9 is integral) and
+    // both sums are exact. Spark's sum over DECIMAL(18,9) widens past the
+    // compact-Long decimal representation, so every one of the 88
+    // accumulations per input row went through BigDecimal; the long form
+    // is plain codegen'd integer adds (measured ~1.5x on the whole
+    // query). The decimal cast itself runs once per (id, dim) row.
     val dimsH = dims
       .withColumn("__dh", Det.h56(col("dim").cast("string")))
       .withColumn("__dh2", Det.h56(col("dim").cast("string"), 17))
-      .withColumn("__xq",
-        col("x").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .withColumn("__xl",
+        (col("x").cast(org.apache.spark.sql.types.DecimalType(18, 9))
+          * lit(1000000000L)).cast("long"))
     val projCols = (0 until nBits).map { p =>
       // bits 0-55 read md5 span 1, 56-111 span 2 (plan-time pick)
       val bit =
         if (p < 56) shiftright(col("__dh"), p)
         else shiftright(col("__dh2"), p - 56)
-      sum(when(bit.bitwiseAND(1) === 1, col("__xq"))
-        .otherwise(-col("__xq"))).as(s"__p$p")
+      sum(when(bit.bitwiseAND(1) === 1, col("__xl"))
+        .otherwise(-col("__xl"))).as(s"__p$p")
     }
     val sig = dimsH.groupBy(col("id")).agg(projCols.head, projCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
