@@ -150,7 +150,26 @@ object Stage {
     * sort-before-repartition. */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (want > 1 && df.rdd.getNumPartitions < want) df.repartition(want, key)
+    // Probe the partition count ONLY for scan-like plans (leaf +
+    // project/filter/generate): that is the under-split shape this guard
+    // exists for, and on such plans `.rdd` is pure planning. On any plan
+    // that already contains a shuffle-inducing operator the probe itself
+    // is a trap — under AQE, `.rdd` materializes every query stage
+    // EAGERLY, so asking a composed pipeline (e.g. the curation exports'
+    // strip→gate→chunk chain) for its partition count ran the whole
+    // upstream chain once per spread call (measured: t_curation_export_v2
+    // carried two full extra executions of the strip chain). Those plans
+    // exit through exchanges sized by shuffle.partitions/AQE, so the
+    // guard is a no-op for them by construction — exactly as it is for a
+    // well-split 100 TB scan.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val scanLike = !df.queryExecution.analyzed.collectFirst {
+      case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter]
+        || p.isInstanceOf[Generate] || p.isInstanceOf[SubqueryAlias]
+        || p.isInstanceOf[LeafNode]) => p
+    }.isDefined
+    if (want > 1 && scanLike && df.rdd.getNumPartitions < want)
+      df.repartition(want, key)
     else df
   }
 

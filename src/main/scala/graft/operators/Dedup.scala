@@ -601,16 +601,31 @@ object Dedup {
     * (idCol, n_tokens, n_removed, clean_text). */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       window: Int = 4): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t0")))
-      .staged
-    val w = Window.partitionBy("id").orderBy("pos")
-    val spanCols = (1 until window).map(i =>
-      lead(col("t0"), i).over(w).as(s"t$i"))
-    val spans = tok.select(col("id") +: col("pos") +: col("t0") +: spanCols: _*)
-      .filter(col(s"t${window - 1}").isNotNull)
-      .select(col("id"), col("pos").as("start"),
-        concat_ws(" ", (0 until window).map(i => col(s"t$i")): _*).as("span"))
+    // Token ARRAYS, staged once (lazy persist: the barrier stops
+    // CollapseProject from inlining the tokenize regex into the span
+    // lambda — explodedShingles' measured pathology): spans and the
+    // reassembly tokens both derive from the arrays map-side, so the old
+    // posexplode → Exchange + Sort + Window(lead×(w−1)) span build — run
+    // TWICE, once per spans consumer (dup-set aggregate and coverage
+    // join; only the exchange is AQE-reused, not the window stage) — is
+    // replaced by a shuffle-free in-row transform, the same shape
+    // explodedShingles moved to in r15.
+    val toks = graft.engine.Stage.cache(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .spreadBy(col("id"))
+        .select(col("id"), TextFunctions.tokens(col("__text")).as("toks")))
+    val spanArr = transform(
+      sequence(lit(0), size(col("toks")) - window),
+      i => concat_ws(" ",
+        (0 until window).map(j => element_at(col("toks"), i + j + 1)): _*))
+    // spans cached lazily: both consumers (dup-set aggregate, coverage
+    // join) read it, and the per-span concat_ws would otherwise run once
+    // per consumer; the first consumer's pass materializes the cache
+    val spans = graft.engine.Stage.cache(
+      toks.filter(size(col("toks")) >= window)
+        .select(col("id"), posexplode(spanArr).as(Seq("start", "span"))))
+    val tok = toks.select(col("id"),
+      posexplode(col("toks")).as(Seq("pos", "t0")))
     // duplicated-span set via hash aggregate + join, not a count()
     // window: the window form exchanges AND sorts the full wide
     // (id, start, span) relation; the aggregate shuffles only the span
@@ -632,8 +647,9 @@ object Dedup {
         concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("t0")))),
             s => s.getField("t0"))).as("clean_text"))
-    df.select(col(idCol).as("id"),
-        TextFunctions.wordCount(col(textCol)).as("n_tokens"))
+    // n_tokens from the cached arrays (size ≡ wordCount by definition),
+    // not a second tokenize pass over the raw text
+    toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
