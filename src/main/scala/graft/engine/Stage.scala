@@ -162,16 +162,32 @@ object Stage {
     // exit through exchanges sized by shuffle.partitions/AQE, so the
     // guard is a no-op for them by construction — exactly as it is for a
     // well-split 100 TB scan.
+    if (want > 1 && scanLike(df) && df.rdd.getNumPartitions < want)
+      df.repartition(want, key)
+    else df
+  }
+
+  /** Leaf + project/filter/generate only — a relation already at rest
+    * (parquet scan, staged blocks, local relation), possibly re-shaped
+    * row-wise. Such plans are cheap to re-evaluate and safe to probe
+    * with `.rdd`. */
+  private def scanLike(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    val scanLike = !df.queryExecution.analyzed.collectFirst {
+    !df.queryExecution.analyzed.collectFirst {
       case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter]
         || p.isInstanceOf[Generate] || p.isInstanceOf[SubqueryAlias]
         || p.isInstanceOf[LeafNode]) => p
     }.isDefined
-    if (want > 1 && scanLike && df.rdd.getNumPartitions < want)
-      df.repartition(want, key)
-    else df
   }
+
+  /** [[materialize]] unless the plan is scan-like: multi-consumer
+    * intermediates that are OUTPUTS of aggregates/joins re-evaluate the
+    * whole subtree once per consumer and want staging, but when the same
+    * relation arrives already at rest (e.g. the streaming ingest loop
+    * hands the probe parquet-backed index relations), staging would only
+    * copy it. */
+  def materializeIfComputed(df: DataFrame): DataFrame =
+    if (scanLike(df)) df else materialize(df)
 
   /** `import graft.engine.Stage.syntax._` for chainable `.staged` /
     * `.stagedAlways` at the former `.localCheckpoint()` call sites. */

@@ -321,11 +321,23 @@ object Dedup {
     * and keeping the batch-involving pairs — DedupSpec proves it. */
   def minhashProbe(batch: DataFrame, index: MinhashLshIndex, idCol: String,
       textCol: String, threshold: Double = 0.8,
-      maxBucket: Int = 64): DataFrame =
+      maxBucket: Int = 64): DataFrame = {
+    // both bucket relations are multi-consumer inside the probe (batch 3×,
+    // corpus 2×) and on THIS path they are unstaged sigKeyed outputs —
+    // each consumer would re-run the full 64-min signature aggregate.
+    // Staged here, at the path that builds them in-session, and NOT
+    // inside minhashProbeIndexed: the ingest loop hands that one
+    // parquet-backed relations whose corpus side it anti-joins per
+    // micro-batch, and staging O(corpus) buckets every batch is exactly
+    // the wrong trade at ingest rates.
+    def stagedKeyed(ix: MinhashLshIndex) = MinhashLshIndex(
+      graft.engine.Stage.materializeIfComputed(ix.buckets),
+      ix.shingles, ix.sizes, ix.numHashes, ix.bands, ix.shingleSize)
     minhashProbeIndexed(
-      minhashIndex(batch, idCol, textCol, index.numHashes, index.bands,
-        index.shingleSize),
-      index, threshold, maxBucket)
+      stagedKeyed(minhashIndex(batch, idCol, textCol, index.numHashes,
+        index.bands, index.shingleSize)),
+      stagedKeyed(index), threshold, maxBucket)
+  }
 
   /** [[minhashProbe]] with the batch's OWN index pre-built: callers that
     * also append the batch to the store (the ingest loop,
@@ -338,7 +350,11 @@ object Dedup {
     require(batch.numHashes == index.numHashes && batch.bands == index.bands
       && batch.shingleSize == index.shingleSize,
       "batch and corpus indexes were built with different LSH parameters")
+    // multi-consumer bucket relations (batch 3×, corpus 2×): callers that
+    // build them in-session stage them first (see minhashProbe); the
+    // ingest loop's are parquet-backed and cheap to re-read.
     val bKeyed = batch.buckets
+    val cKeyed = index.buckets
     val bSizes = batch.sizes
     // combined per-bucket population = stored corpus count + batch count;
     // only buckets the batch touches are ever aggregated on the corpus
@@ -358,7 +374,7 @@ object Dedup {
     // ingest loop's self-exclusion id broadcast.
     val touchedKeys = bKeyed.select("band_id", "band_hash").distinct()
     val okBuckets = bKeyed.select("band_id", "band_hash")
-      .unionByName(index.buckets
+      .unionByName(cKeyed
         .join(broadcast(touchedKeys), Seq("band_id", "band_hash"),
           "left_semi")
         .select("band_id", "band_hash"))
@@ -366,7 +382,7 @@ object Dedup {
       .filter(col("__n") <= maxBucket)
       .select("band_id", "band_hash")
     val bM = bKeyed.join(broadcast(okBuckets), Seq("band_id", "band_hash"))
-    val cM = index.buckets.join(broadcast(okBuckets), Seq("band_id", "band_hash"))
+    val cM = cKeyed.join(broadcast(okBuckets), Seq("band_id", "band_hash"))
     // batch × (batch ∪ corpus) members of surviving buckets — the corpus
     // side is only ever the probed buckets' members
     val cands = broadcast(bM)

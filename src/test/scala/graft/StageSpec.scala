@@ -66,4 +66,39 @@ class StageSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](Stage.materialize(docs))
     }
   }
+
+  test("spread repartitions an under-split scan-like frame") {
+    // a genuine single-file parquet scan + a row-wise projection = the
+    // under-split shape the guard exists for (coalesce(1) would not do:
+    // Repartition is itself a non-scan-like node, correctly passed through)
+    val dir = java.nio.file.Files.createTempDirectory("stage-spread").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir).select($"doc_id",
+      org.apache.spark.sql.functions.upper($"text").as("t"))
+    val out = Stage.spread(one, $"doc_id")
+    assert(out.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
+
+  test("spread passes composed plans through without probing them") {
+    // a plan with an aggregate: under AQE, probing its partition count
+    // via .rdd would EXECUTE every query stage eagerly (the r16 measured
+    // pathology in the curation exports) — spread must return the frame
+    // untouched, not add a repartition and not run the upstream chain
+    val agg = docs.groupBy("doc_id").count()
+    assert(Stage.spread(agg, $"doc_id") eq agg)
+    val joined = docs.join(docs.select($"doc_id"), Seq("doc_id"))
+    assert(Stage.spread(joined, $"doc_id") eq joined)
+  }
+
+  test("materializeIfComputed no-ops on at-rest frames, stages computed ones") {
+    // scan-like (projection over a leaf): already at rest, no staging
+    val atRest = docs.select($"doc_id")
+    assert(Stage.materializeIfComputed(atRest) eq atRest)
+    // aggregate output: multi-consumer reads would re-run it — staged
+    val computed = docs.groupBy("doc_id").count()
+    val staged = Stage.materializeIfComputed(computed)
+    assert(staged ne computed)
+    assert(staged.count() === computed.count())
+  }
 }
